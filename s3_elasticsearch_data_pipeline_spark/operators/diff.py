@@ -1,0 +1,97 @@
+"""Diff-and-load joins (SURVEY.md §2.4, J1–J4) — the heart of the pipeline.
+
+The reference computes "what needs loading?" with Python ``set`` algebra
+over driver-collected keys pulled through paginated HTTP
+(``data-s3-elastic-transfer.py:281-291``; ``ID-based-transfer.py:241``).
+Those are relational semi/anti joins in disguise; here they are actual
+joins, so Catalyst chooses broadcast vs sort-merge, AQE fixes skew at
+runtime, and the Spark 3.3+ runtime bloom filter pre-reduces the probe
+side of the id-level anti-join before its shuffle — the one op that is
+shuffle-heavy at 100 TB.
+
+Scale posture per operator:
+- partition-key diff (J1): both sides are tiny aggregates (≤ thousands
+  of partitions) → broadcast anti-join, no meaningful shuffle.
+- id diff (J2) and fetch (J3): source side is the 100 TB table. The
+  partition predicate prunes to the mismatched partitions first; the
+  anti/semi join then shuffles only those partitions, with the bloom
+  filter dropping non-candidates map-side.
+- count compare (J4): two partial-aggregated count tables, both tiny →
+  broadcast full-outer join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def partition_counts(df: DataFrame, key: str = "month") -> DataFrame:
+    """Per-partition-value counts (A1/A2): ``groupBy(key).count()``.
+
+    Spark's hash aggregate is automatically partial+final (map-side
+    combine), so only one row per distinct key crosses the shuffle —
+    unlike the reference's ES terms agg this has no bucket cap
+    (``data-s3-elastic-transfer.py:57`` silently truncates at 20;
+    documented divergence, SURVEY.md §7.4.3).
+    """
+    return df.groupBy(key).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def missing_partitions(source: DataFrame, sink: DataFrame,
+                       key: str = "month") -> DataFrame:
+    """J1 — partition values present in source but absent in sink.
+
+    Declarative twin of ``months_to_transfer = athena − es``
+    (``data-s3-elastic-transfer.py:281-291``). Both inputs may be full
+    tables; they are reduced to distinct key sets first so the anti-join
+    build side is tiny and broadcasts.
+    """
+    src_keys = source.select(key).distinct()
+    sink_keys = sink.select(key).distinct()
+    return src_keys.join(F.broadcast(sink_keys), key, "left_anti")
+
+
+def missing_ids(source: DataFrame, sink: DataFrame, id_col: str = "id",
+                partition_pred: Column | None = None) -> DataFrame:
+    """J2 — row keys in source but not sink (``ID-based-transfer.py:241``).
+
+    At scale: ``partition_pred`` prunes the scan to mismatched
+    partitions; the anti-join is sort-merge with a runtime bloom filter
+    (enabled in session.py) reducing the probe side map-side.
+    """
+    src = source.where(partition_pred) if partition_pred is not None else source
+    snk = sink.where(partition_pred) if partition_pred is not None else sink
+    return src.select(id_col).distinct().join(
+        snk.select(id_col).distinct(), id_col, "left_anti")
+
+
+def fetch_rows_for_ids(source: DataFrame, ids: DataFrame, id_col: str = "id",
+                       partition_pred: Column | None = None) -> DataFrame:
+    """J3 — semi-join fetch of full rows for a key set.
+
+    The reference issues ``WHERE id IN (...)`` in 10 000-id chunks
+    (``ID-based-transfer.py:170-196``) purely because of Athena
+    query-string limits; a semi-join needs no chunking at any scale.
+    """
+    src = source.where(partition_pred) if partition_pred is not None else source
+    return src.join(ids.select(id_col).distinct(), id_col, "left_semi")
+
+
+def count_mismatches(source: DataFrame, sink: DataFrame,
+                     key: str = "month") -> DataFrame:
+    """J4 — full-outer per-key count compare, keeping keys whose counts
+    differ (``ID-based-transfer.py:90-109``). Missing side counts as 0.
+
+    Returns ``(key, source_cnt, sink_cnt)``.
+    """
+    a = partition_counts(source, key).withColumnRenamed("cnt", "source_cnt")
+    b = partition_counts(sink, key).withColumnRenamed("cnt", "sink_cnt")
+    joined = a.join(b, key, "full_outer")
+    src_cnt = F.coalesce(F.col("source_cnt"), F.lit(0))
+    snk_cnt = F.coalesce(F.col("sink_cnt"), F.lit(0))
+    return (joined
+            .select(F.col(key),
+                    src_cnt.alias("source_cnt"),
+                    snk_cnt.alias("sink_cnt"))
+            .where(F.col("source_cnt") != F.col("sink_cnt")))

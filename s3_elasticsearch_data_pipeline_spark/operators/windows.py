@@ -1,0 +1,83 @@
+"""Window-function operators over the events table (SURVEY.md §2.6, M4).
+
+The reference has no window functions (its keyset pagination,
+``ID-based-transfer.py:123-127``, is the closest cousin and is obsolete
+under Spark). These are the extension-surface window ops a real events
+pipeline needs. All are single ``Window.partitionBy(user_id)`` shapes:
+one hash shuffle on the partition key, then sorted evaluation within
+partitions — the scale-friendly window pattern (no global ordering).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def running_totals(events: DataFrame) -> DataFrame:
+    """Per-user event sequence numbers and running value sums."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (events
+            .select("event_id", "user_id", "ts", "value")
+            .withColumn("seq", F.row_number().over(w))
+            .withColumn("running_value",
+                        F.round(F.sum("value").over(
+                            w.rowsBetween(Window.unboundedPreceding, 0)), 2)))
+
+
+def top_k_per_group(events: DataFrame, k: int = 3) -> DataFrame:
+    """Top-k events by value per user — rank-and-filter window pattern.
+
+    At scale this beats a global sort: only the per-user top-k rows
+    survive the window filter, and AQE coalesces the output.
+    """
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (events
+            .select("event_id", "user_id", "event_type", "value")
+            .withColumn("rnk", F.row_number().over(w))
+            .where(F.col("rnk") <= k))
+
+
+def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: lag-gap + cumulative session counter.
+
+    A new session starts when the gap to the previous event of the same
+    user exceeds ``gap_minutes``. Returns one row per session with
+    bounds and aggregates. Two window passes over the same partitioning
+    (user_id) → a single shuffle, reused across both windows.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    with_gap = (events
+                .select("event_id", "user_id", "ts", "value")
+                .withColumn("prev_ts", F.lag("ts").over(w))
+                .withColumn(
+                    "is_new_session",
+                    F.when(F.col("prev_ts").isNull(), F.lit(1))
+                     .when(F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                           > gap_sec, F.lit(1))
+                     .otherwise(F.lit(0))))
+    with_session = with_gap.withColumn(
+        "session_id",
+        F.sum("is_new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_session
+            .groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum("value"), 2).alias("session_value")))
+
+
+def tumbling_window_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
+    """Batch twin of the streaming tumbling-window aggregate: bucket ts
+    into fixed windows, count + sum per (window, event_type)."""
+    bucket = F.window("ts", f"{minutes} minutes")
+    return (events
+            .groupBy(bucket.alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "total_value"))

@@ -1,0 +1,62 @@
+"""Entry point B — id-level reconciliation (SURVEY.md §3.2; reference
+``ID-based-transfer.py:295-328``).
+
+The reference runs this as a client-orchestrated distributed query:
+Athena SQL → poll → CSV → pandas, ES ``search_after`` id pages, Python
+set difference, chunked ``IN``-list re-fetch. Here the same logic is
+three joins in one Catalyst plan:
+
+    mismatches  = full-outer per-partition count compare (J4)
+    missing_ids = anti-join of source ids vs sink ids, pruned to
+                  mismatched partitions (J2)
+    repair rows = semi-join fetch (J3) → keyed idempotent upsert (S10)
+
+100 TB posture: J2 is the shuffle-heavy core. The mismatch pre-pass
+prunes the scan to mismatched partitions only; the runtime bloom filter
+(session.py) pre-reduces the probe side; AQE splits skewed id ranges.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators.diff import (
+    count_mismatches, fetch_rows_for_ids, missing_ids)
+from s3_elasticsearch_data_pipeline_spark.sinks.keyed import upsert_by_key
+
+
+@dataclass
+class ReconcileReport:
+    """Same observable facts the reference prints as its comparison
+    table (``ID-based-transfer.py:94-106,228-249``)."""
+    mismatched_partitions: list[str] = field(default_factory=list)
+    rows_repaired: int = 0
+
+
+def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
+              key: str = "month", id_col: str = "id") -> ReconcileReport:
+    """Find partitions whose counts disagree, restore exactly the rows
+    whose ids are missing from the sink. Idempotent: a second run finds
+    no mismatches."""
+    if not os.path.exists(sink_path):
+        raise FileNotFoundError(
+            f"serving table {sink_path} does not exist; run incremental_load first")
+    sink = spark.read.parquet(sink_path)
+
+    mismatch_keys = [r[0] for r in
+                     count_mismatches(source, sink, key).select(key).collect()]
+    if not mismatch_keys:
+        return ReconcileReport()
+
+    pred = F.col(key).isin(mismatch_keys)
+    todo_ids = missing_ids(source, sink, id_col, partition_pred=pred)
+    repair = fetch_rows_for_ids(source, todo_ids, id_col, partition_pred=pred)
+    n = repair.count()
+    if n:
+        upsert_by_key(spark, repair, sink_path, key_col=id_col, partition_col=key)
+    return ReconcileReport(
+        mismatched_partitions=sorted(map(str, mismatch_keys)), rows_repaired=n)

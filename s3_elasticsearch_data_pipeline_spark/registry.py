@@ -1,0 +1,376 @@
+"""Query registry — the driver-facing inventory (SURVEY.md §2 + M4).
+
+Each entry is one implemented operator/query: a ``(spark, sf_dir) →
+DataFrame`` callable plus (where SQL-expressible) an ANSI-SQL oracle
+string DuckDB runs on the same parquet files. Column aliases match
+exactly on both sides (the driver's compare hashes values under sorted
+column names).
+
+Float-valued aggregates are rounded IN THE QUERY on both sides so
+results are reproducible bit-for-bit regardless of summation order.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators import analytics, diff, windows
+from s3_elasticsearch_data_pipeline_spark.operators.projection import (
+    typed_projection, validate_and_clean)
+from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+# name → (query_fn, oracle_sql | None). Filled via @register below.
+_REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
+
+
+def register(name: str, oracle: str | None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _REGISTRY[name] = (fn, oracle)
+        return fn
+    return deco
+
+
+def queries() -> dict[str, QueryFn]:
+    return {name: fn for name, (fn, _) in _REGISTRY.items()}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {name: sql for name, (_, sql) in _REGISTRY.items() if sql is not None}
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity: scans / projections / filters (SURVEY.md §2.1–2.2)
+# ---------------------------------------------------------------------------
+
+@register("p1_p2_filter_project", """
+SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+FROM lineitem
+WHERE l_shipdate < TIMESTAMP '1996-01-01'
+""")
+def q_filter_project(spark, sf_dir):
+    """P1+P2 — equality/range filter + column projection; both pushed
+    into the parquet scan (cf. ``Partition-script.py:22,30``)."""
+    return (_t(spark, sf_dir, "lineitem")
+            .where(F.col("l_shipdate") < F.lit("1996-01-01").cast("timestamp"))
+            .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"))
+
+
+@register("p3_typed_projection", """
+SELECT CAST(event_id AS VARCHAR) AS event_id,
+       COALESCE(event_type, '') AS event_type,
+       COALESCE(value, 0.0) AS value,
+       '' AS city
+FROM events
+""")
+def q_typed_projection(spark, sf_dir):
+    """P3/P4/P6 — schema-tolerant typed projection with defaults; the
+    ``city`` column is absent from the input and materializes as its
+    default (cf. ``data-s3-elastic-transfer.py:154-186``)."""
+    return typed_projection(
+        _t(spark, sf_dir, "events"),
+        {"event_id": ("string", ""), "event_type": ("string", ""),
+         "value": ("double", 0.0), "city": ("string", "")})
+
+
+@register("p5_validate_clean", """
+SELECT event_id,
+       CASE WHEN TRIM(COALESCE(CAST(event_type AS VARCHAR), '')) = ''
+            THEN 'unknown'
+            ELSE TRIM(COALESCE(CAST(event_type AS VARCHAR), '')) END AS event_type,
+       COALESCE(CAST(value AS DOUBLE), 0.0) AS value
+FROM events
+""")
+def q_validate_clean(spark, sf_dir):
+    """P5 — required-key defaulting + float re-coercion
+    (cf. ``data-s3-elastic-transfer.py:126-152``)."""
+    df = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    return validate_and_clean(df, required_nonempty=("event_type",),
+                              float_fields=("value",), empty_string_fields=())
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity: aggregations (SURVEY.md §2.3)
+# ---------------------------------------------------------------------------
+
+@register("a1_group_count_month", """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS cnt
+FROM orders GROUP BY 1
+""")
+def q_group_count_month(spark, sf_dir):
+    """A1/A2/A3 — per-partition-value counts, uncapped (the reference's
+    ES terms agg silently truncates at 20 buckets)."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.group_count(
+        orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")),
+        "order_month")
+
+
+@register("a4_distinct_months", """
+SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month FROM orders
+""")
+def q_distinct_months(spark, sf_dir):
+    """A4 — distinct partition values (``Partition-script.py:45``)."""
+    orders = _t(spark, sf_dir, "orders")
+    return analytics.distinct_values(
+        orders.select(F.date_format("o_orderdate", "yyyy-MM").alias("order_month")),
+        "order_month")
+
+
+@register("a5_global_count", "SELECT count(*) AS cnt FROM lineitem")
+def q_global_count(spark, sf_dir):
+    """A5 — global count as a 1-row result."""
+    return analytics.global_count(_t(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Reference-parity: the diff joins (SURVEY.md §2.4, J1–J4)
+# ---------------------------------------------------------------------------
+
+@register("j1_missing_partitions", """
+WITH src AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month
+             FROM orders),
+     snk AS (SELECT DISTINCT strftime(o_orderdate, '%Y-%m') AS order_month
+             FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01')
+SELECT order_month FROM src
+WHERE order_month NOT IN (SELECT order_month FROM snk)
+""")
+def q_missing_partitions(spark, sf_dir):
+    """J1 — partition-level anti-join: the month-diff at the heart of
+    the incremental load (``data-s3-elastic-transfer.py:281-291``).
+    Sink state is simulated as the pre-1997 subset."""
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    src = orders.select(month)
+    snk = orders.where(
+        F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")).select(month)
+    return diff.missing_partitions(src, snk, "order_month")
+
+
+@register("j2_missing_ids", """
+SELECT DISTINCT c_custkey FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+""")
+def q_missing_ids(spark, sf_dir):
+    """J2 — id-level anti-join (``ID-based-transfer.py:241``): customers
+    with no orders. The shuffle-heavy core at 100 TB; sort-merge +
+    runtime bloom filter."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return diff.missing_ids(
+        customer, orders.select(F.col("o_custkey").alias("c_custkey")),
+        "c_custkey")
+
+
+@register("j3_fetch_rows", """
+SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+FROM orders
+WHERE o_custkey IN (SELECT c_custkey FROM customer
+                    WHERE c_mktsegment = 'BUILDING')
+""")
+def q_fetch_rows(spark, sf_dir):
+    """J3 — semi-join fetch of full rows for a key set, no IN-list
+    chunking (``ID-based-transfer.py:170-196``)."""
+    orders = _t(spark, sf_dir, "orders")
+    ids = (_t(spark, sf_dir, "customer")
+           .where(F.col("c_mktsegment") == "BUILDING")
+           .select(F.col("c_custkey").alias("o_custkey")))
+    return (diff.fetch_rows_for_ids(orders, ids, "o_custkey")
+            .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice"))
+
+
+@register("j4_count_mismatches", """
+WITH a AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                  count(*) AS source_cnt FROM orders GROUP BY 1),
+     b AS (SELECT strftime(o_orderdate, '%Y-%m') AS order_month,
+                  count(*) AS sink_cnt FROM orders
+           WHERE o_orderstatus = 'F' GROUP BY 1)
+SELECT COALESCE(a.order_month, b.order_month) AS order_month,
+       COALESCE(source_cnt, 0) AS source_cnt,
+       COALESCE(sink_cnt, 0) AS sink_cnt
+FROM a FULL OUTER JOIN b USING (order_month)
+WHERE COALESCE(source_cnt, 0) <> COALESCE(sink_cnt, 0)
+""")
+def q_count_mismatches(spark, sf_dir):
+    """J4 — full-outer per-partition count compare
+    (``ID-based-transfer.py:90-109``); sink simulated as status-F rows."""
+    orders = _t(spark, sf_dir, "orders")
+    month = F.date_format("o_orderdate", "yyyy-MM").alias("order_month")
+    src = orders.select(month)
+    snk = orders.where(F.col("o_orderstatus") == "F").select(month)
+    return diff.count_mismatches(src, snk, "order_month")
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits (SURVEY.md §2.5)
+# ---------------------------------------------------------------------------
+
+@register("o3_top_orders", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+""")
+def q_top_orders(spark, sf_dir):
+    """O1/O3 — deterministic top-k (order + limit with key tiebreak).
+    Spark executes this as TakeOrderedAndProject: per-partition top-k,
+    no global sort."""
+    return analytics.top_orders(_t(spark, sf_dir, "orders"), 10)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: headline analytics (SURVEY.md §7 M4)
+# ---------------------------------------------------------------------------
+
+@register("q1_pricing_summary", """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       round(avg(l_quantity), 4) AS avg_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""")
+def q_pricing_summary(spark, sf_dir):
+    """Flagship (TPC-H Q1 shape) — see analytics.pricing_summary."""
+    return analytics.pricing_summary(_t(spark, sf_dir, "lineitem"))
+
+
+@register("q3_revenue_by_segment", """
+SELECT c_mktsegment,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       count(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY 1, 2
+""")
+def q_revenue_by_segment(spark, sf_dir):
+    return analytics.revenue_by_segment(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"))
+
+
+@register("q5_local_supplier_volume", """
+SELECT r_name AS region_name, n_name AS nation_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY 1, 2
+""")
+def q_local_supplier_volume(spark, sf_dir):
+    return analytics.local_supplier_volume(
+        _t(spark, sf_dir, "region"), _t(spark, sf_dir, "nation"),
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "supplier"),
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@register("q6_forecast_revenue", """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1996-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""")
+def q_forecast_revenue(spark, sf_dir):
+    return analytics.forecast_revenue(_t(spark, sf_dir, "lineitem"))
+
+
+@register("date_function_pack", """
+SELECT o_orderkey,
+       EXTRACT(year FROM o_orderdate) AS order_year,
+       EXTRACT(month FROM o_orderdate) AS order_month_num,
+       EXTRACT(day FROM o_orderdate) AS order_day,
+       EXTRACT(quarter FROM o_orderdate) AS order_quarter,
+       strftime(o_orderdate, '%Y-%m') AS order_ym,
+       date_diff('day', CAST(o_orderdate AS DATE), DATE '1998-12-31') AS days_to_eoy
+FROM orders
+""")
+def q_date_function_pack(spark, sf_dir):
+    return analytics.date_function_pack(_t(spark, sf_dir, "orders"))
+
+
+@register("json_extraction", """
+SELECT event_id, event_type,
+       CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+FROM events
+""")
+def q_json_extraction(spark, sf_dir):
+    return analytics.json_extraction(_t(spark, sf_dir, "events"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: window functions (SURVEY.md §2.6, M4)
+# ---------------------------------------------------------------------------
+
+@register("w_running_totals", """
+SELECT event_id, user_id, ts, value,
+       row_number() OVER w AS seq,
+       round(sum(value) OVER (w ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW), 2) AS running_value
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_running_totals(spark, sf_dir):
+    return windows.running_totals(_t(spark, sf_dir, "events"))
+
+
+@register("w_top_k_per_group", """
+SELECT * FROM (
+  SELECT event_id, user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY value DESC, event_id) AS rnk
+  FROM events) WHERE rnk <= 3
+""")
+def q_top_k_per_group(spark, sf_dir):
+    return windows.top_k_per_group(_t(spark, sf_dir, "events"), 3)
+
+
+@register("w_sessionize", """
+WITH gapped AS (
+  SELECT event_id, user_id, ts, value,
+         lag(ts) OVER w AS prev_ts,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+              ELSE 0 END AS is_new_session
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT *, sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped)
+SELECT user_id, session_id,
+       min(ts) AS session_start, max(ts) AS session_end,
+       count(*) AS n_events, round(sum(value), 2) AS session_value
+FROM sessioned GROUP BY user_id, session_id
+""")
+def q_sessionize(spark, sf_dir):
+    return windows.sessionize(_t(spark, sf_dir, "events"), 30)
+
+
+@register("w_tumbling_agg", """
+SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '60 minutes', ts) + INTERVAL '60 minutes' AS window_end,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+""")
+def q_tumbling_agg(spark, sf_dir):
+    return windows.tumbling_window_agg(_t(spark, sf_dir, "events"), 60)

@@ -1,0 +1,56 @@
+"""SparkSession factory tuned for the engine.
+
+Local-mode testing runs on ``local[$SPARK_GRAFT_CPUS]`` (default 32
+threads); the same configs are the ones we would set on a 1000-executor
+cluster: AQE on (runtime re-plan, skew-join splitting, partition
+coalescing), runtime bloom filters (pre-reduces the shuffle-heavy
+id-level anti-join), UTC session timezone (oracle comparability), Arrow
+for the few Pandas-UDF extension operators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(app_name: str = "s3_elasticsearch_data_pipeline_spark",
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    At cluster scale only ``master`` and memory sizing change; every
+    ``spark.sql.*`` setting below is scale-portable.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get(
+            "SPARK_GRAFT_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS))
+    builder = (
+        SparkSession.builder
+        .master(f"local[{cpus}]")
+        .appName(app_name)
+        # Shuffle sizing: ~cores locally. On a real cluster AQE coalesces
+        # from a deliberately-high initial number, so this is a ceiling,
+        # not a hand-tuned constant.
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # AQE: runtime partition coalescing, skew-join splitting, and
+        # dynamic broadcast decisions — the 100 TB safety net.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom filter: pre-reduces the big probe side of the
+        # id-level anti/semi joins before the shuffle (SURVEY.md §4).
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Deterministic timestamps vs the DuckDB oracle (UTC-naive).
+        .config("spark.sql.session.timeZone", "UTC")
+        # Arrow transfer for the Pandas-UDF extension operators.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark

@@ -1,0 +1,1 @@
+"""Sources (SURVEY.md §2.1 S1–S7, S12)."""

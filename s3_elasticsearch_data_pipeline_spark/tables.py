@@ -1,0 +1,58 @@
+"""Test-data catalog: load the driver-generated parquet tables.
+
+The reference reads one logical table through a Glue catalog
+(``data-s3-elastic-transfer.py:95-99``); our engine's equivalent is
+plain ``spark.read.parquet`` + temp-view registration, which gives
+Catalyst full pushdown/pruning visibility (SURVEY.md §1.4).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader rejects
+# nanos natively; we read them as long and convert to microsecond
+# timestamps (identical to DuckDB's ns→µs truncation).
+NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    nanos_cols = NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in nanos_cols:
+        # integer div — a float division would round the µs up at ns
+        # magnitudes (double has 53 mantissa bits, ns epochs need 61)
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in names}
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
+    """Register each table as a temp view so ``spark.sql`` works on the
+    same names the DuckDB oracle sees."""
+    dfs = load_tables(spark, sf_dir, names)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs
