@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): run the headline queries at
+``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and print ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is a full pipeline execution (plan + run + drain results via
+count of the collected rows); timings are per-query wall clock.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from s3_elasticsearch_data_pipeline_spark import registry  # noqa: E402
+from s3_elasticsearch_data_pipeline_spark.session import get_spark  # noqa: E402
+
+# Representative mix: reference-parity diff joins + aggregate/window
+# analytics + the LLM-pipeline extension operators.
+HEADLINE = (
+    "q1_pricing_summary",
+    "q3_revenue_by_segment",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "a1_group_count_month",
+    "j2_missing_ids",
+    "j3_fetch_rows",
+    "j4_count_mismatches",
+    "o3_top_orders",
+    "w_running_totals",
+    "w_sessionize",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_topk_ann_lsh",
+    "text_quality_scores",
+    "text_language_id",
+    "multimodal_features",
+)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    qs = registry.queries()
+
+    # warm the JVM + parquet footers with the cheapest query
+    qs["a5_global_count"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.perf_counter()
+        n = len(qs[name](spark, sf_dir).collect())
+        dt = round(time.perf_counter() - t0, 3)
+        timings[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_wall_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

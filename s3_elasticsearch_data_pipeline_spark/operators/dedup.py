@@ -1,0 +1,244 @@
+"""Deduplication operators over the documents table (M4 north star).
+
+Five strategies, scale-ranked:
+
+- ``exact_dedup``        — hash-groupBy on md5(text): the shuffle moves
+  16-byte hashes, never document bodies.
+- ``ngram_jaccard_pairs``— exact n-gram Jaccard within cheap blocking
+  keys (language); the quadratic blow-up is bounded per block.
+- ``minhash_lsh_pairs``  — MinHash signatures + banded LSH: candidate
+  pairs only where a band bucket collides; the 100 TB path (cost ~
+  n_bands × docs, not docs²).
+- ``simhash_fingerprints`` / ``simhash_pairs`` — 64-bit SimHash with
+  banded blocking + Hamming verification.
+- ``embedding_near_dup_pairs`` — cosine near-duplicates over the
+  embeddings table, label-blocked.
+
+All are pure built-in expressions (arrays + higher-order functions);
+the only shuffles are the groupBys/joins on compact keys.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.functions.textfns import (
+    tokens, word_ngrams_from_tokens)
+from s3_elasticsearch_data_pipeline_spark.functions.vector import cosine
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup via hash-groupBy (md5 of the body). Returns one row
+    per distinct text with the surviving (minimum) doc_id and the
+    duplicate count. At scale: the aggregate shuffles only
+    (hash, doc_id) pairs — document bodies stay in the scan stage."""
+    return (documents
+            .select(F.md5("text").alias("text_hash"), "doc_id")
+            .groupBy("text_hash")
+            .agg(F.min("doc_id").alias("keep_doc_id"),
+                 F.count(F.lit(1)).alias("n_dups")))
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        block_col: str = "lang") -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs within a blocking key.
+
+    Physical design (the one that survives 100 TB): instead of a
+    quadratic self-join with per-pair ``array_intersect`` (which scans
+    two string arrays for every candidate pair), invert the index —
+
+        explode (doc, shingle-hash) → self-equi-join on shingle →
+        count shared shingles per pair → Jaccard from the two set
+        sizes (|A∪B| = |A|+|B|−|A∩B|).
+
+    Exact: any pair with Jaccard > 0 shares ≥1 shingle, so candidate
+    generation loses nothing. Cost is Σ_shingle(docs_per_shingle²)
+    compact fixed-width rows through hash joins/aggregates, not
+    O(docs²) string-array scans. Shingles travel as xxhash64 longs —
+    document text never reaches a shuffle.
+    """
+    # Guard on token count, not shingle count: a filter on the shingle
+    # array would be pushed below the projection and re-inline the
+    # whole shingling expression into the filter condition.
+    shingled = (documents
+                .withColumn("toks", tokens(F.col("text")))
+                .where(F.size("toks") >= n)
+                .select("doc_id", F.col(block_col).alias("block"),
+                        word_ngrams_from_tokens(F.col("toks"), n)
+                        .alias("shingles"))
+                .select("doc_id", "block", F.size("shingles").alias("n_sh"),
+                        F.explode(F.transform(
+                            "shingles", lambda s: F.xxhash64(s))).alias("sh")))
+    a, b = shingled.alias("a"), shingled.alias("b")
+    pair_inter = (a.join(b, (F.col("a.block") == F.col("b.block"))
+                         & (F.col("a.sh") == F.col("b.sh"))
+                         & (F.col("a.doc_id") < F.col("b.doc_id")))
+                  .groupBy(F.col("a.doc_id").alias("doc_id_a"),
+                           F.col("b.doc_id").alias("doc_id_b"),
+                           F.col("a.n_sh").alias("n_a"),
+                           F.col("b.n_sh").alias("n_b"))
+                  .agg(F.count(F.lit(1)).alias("inter")))
+    jaccard = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
+    return (pair_inter
+            .select("doc_id_a", "doc_id_b",
+                    F.round(jaccard, 6).alias("jaccard"))
+            .where(F.col("jaccard") >= threshold))
+
+
+def _seeded_min_hash(hash_arr, seed: int):
+    """Min over the base shingle hashes re-hashed with the seed —
+    ``xxhash64(seed, x)`` is integer-only (no per-seed string
+    re-allocation, and no wrap-around arithmetic, which ANSI mode —
+    Spark 4's default — rejects).
+
+    NB: the lambda must take exactly ONE parameter — PySpark binds a
+    second parameter to the array index, silently shadowing captured
+    defaults."""
+    def h(x):
+        return F.xxhash64(F.lit(seed), x)
+    return F.array_min(F.transform(hash_arr, h))
+
+
+def _minhash_signature(hash_arr, num_hashes: int):
+    """num_hashes MinHash values over an ``array<long>`` column of base
+    shingle hashes (xxhash64). The base hash is computed once; the
+    per-seed permutations are two long ops per element."""
+    return F.array(*[_seeded_min_hash(hash_arr, i) for i in range(num_hashes)])
+
+
+def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> DataFrame:
+    """MinHash + banded LSH near-dup pairs — the sub-quadratic path.
+
+    signature → split into ``bands`` bands of ``num_hashes/bands`` rows
+    → explode one row per band → groupBy-free self-join on
+    (band_index, band_hash) → estimated Jaccard = fraction of matching
+    minhashes, thresholded.
+
+    At 100 TB: cost is bands×docs exploded rows shuffled on compact
+    band hashes; only colliding candidates are compared. (Not
+    SQL-expressible in the oracle dialect deterministically — driver
+    records the rows-only check; ``ngram_jaccard_pairs`` is the
+    oracle-checked exact twin.)
+    """
+    rows_per_band = num_hashes // bands
+    shingled = (documents
+                .withColumn("toks", tokens(F.col("text")))
+                .where(F.size("toks") >= n)  # see ngram_jaccard_pairs note
+                .select("doc_id",
+                        F.transform(word_ngrams_from_tokens(F.col("toks"), n),
+                                    lambda s: F.xxhash64(s))
+                        .alias("sh_hashes")))
+    signed = shingled.select(
+        "doc_id", _minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig"))
+    banded = signed.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at(F.col("sig"),
+                                             bi * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)]))
+                     .alias("bucket"))
+            for bi in range(bands)])).alias("bb"))
+    banded = banded.select("doc_id", "sig", "bb.band", "bb.bucket")
+    a, b = banded.alias("a"), banded.alias("b")
+    est = (F.size(F.filter(
+        F.zip_with(F.col("a.sig"), F.col("b.sig"),
+                   lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1)) / F.lit(num_hashes))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"),
+                    F.round(est, 6).alias("est_jaccard"))
+            .where(F.col("est_jaccard") >= threshold)
+            .distinct())
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document: per-token 64-bit hash, per-bit
+    +1/−1 vote across tokens, sign → fingerprint bit.
+
+    Expressed without explode: fold the token array once per bit via
+    higher-order functions — the scan stays embarrassingly parallel,
+    no shuffle at all."""
+    # Token hashes go through a named column: the 64 per-bit folds each
+    # reference the array, and HOF bodies get no CSE (see
+    # word_ngrams_from_tokens) — inline, the tokenize+hash would run
+    # 64× per row.
+    hashes = F.col("tok_hashes")
+
+    def vote_for_bit(b: int):
+        # two-parameter lambdas get the index bound by PySpark — keep
+        # the merge lambda at exactly (acc, h) and close over b instead
+        def merge(acc, h):
+            return acc + F.when(
+                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                F.lit(1)).otherwise(F.lit(-1))
+        return F.aggregate(hashes, F.lit(0), merge)
+
+    bit_votes = [vote_for_bit(b) for b in range(64)]
+    fingerprint = None
+    for b, vote in enumerate(bit_votes):
+        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, b)
+        fingerprint = term if fingerprint is None else fingerprint + term
+    hashed = documents.withColumn(
+        "tok_hashes",
+        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)))
+    return hashed.select("doc_id", fingerprint.alias("simhash"))
+
+
+def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
+                  bands: int = 4) -> DataFrame:
+    """SimHash near-dup pairs: band the 64 bits into ``bands`` 16-bit
+    blocks (pigeonhole: any pair within Hamming ≤ bands−1 shares a
+    block; wider radii trade recall), self-join on (band, block),
+    verify exact Hamming distance ≤ ``max_hamming``."""
+    fp = simhash_fingerprints(documents)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fp.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.shiftright(F.col("simhash"), bi * width)
+                     .bitwiseAND(F.lit(mask)).alias("block"))
+            for bi in range(bands)])).alias("bb"))
+    banded = banded.select("doc_id", "simhash", "bb.band", "bb.block")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"),
+                    hamming.alias("hamming"))
+            .where(F.col("hamming") <= max_hamming)
+            .distinct())
+
+
+def embedding_near_dup_pairs(embeddings: DataFrame,
+                             threshold: float = 0.95,
+                             block_col: str = "label") -> DataFrame:
+    """Embedding-cosine near-duplicates, blocked on ``block_col``.
+
+    The equi-join on the block key bounds the pair count; cosine is a
+    sequential double fold (oracle-exact). The unblocked variant at
+    scale is ``similarity.ann_lsh_topk``."""
+    vecs = embeddings.select("vec_id", F.col(block_col).alias("block"),
+                             "embedding")
+    a, b = vecs.alias("a"), vecs.alias("b")
+    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_id_a"),
+                    F.col("b.vec_id").alias("vec_id_b"),
+                    F.round(sim, 6).alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold))

@@ -17,7 +17,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from s3_elasticsearch_data_pipeline_spark.operators import analytics, diff, windows
+from s3_elasticsearch_data_pipeline_spark.operators import (
+    analytics, dedup, diff, multimodal, similarity, text, windows)
+from s3_elasticsearch_data_pipeline_spark.streaming import windowed as stream_windowed
 from s3_elasticsearch_data_pipeline_spark.operators.projection import (
     typed_projection, validate_and_clean)
 from s3_elasticsearch_data_pipeline_spark.tables import load_table
@@ -374,3 +376,235 @@ FROM events GROUP BY 1, 2, 3
 """)
 def q_tumbling_agg(spark, sf_dir):
     return windows.tumbling_window_agg(_t(spark, sf_dir, "events"), 60)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: deduplication (M4 north star)
+# ---------------------------------------------------------------------------
+
+@register("dedup_exact", """
+SELECT md5(text) AS text_hash, min(doc_id) AS keep_doc_id,
+       count(*) AS n_dups
+FROM documents GROUP BY 1
+""")
+def q_dedup_exact(spark, sf_dir):
+    return dedup.exact_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_ngram_jaccard", """
+WITH shingled AS (
+  SELECT doc_id, lang AS block,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3)
+SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.shingles, b.shingles))),
+             6) AS jaccard
+FROM shingled a JOIN shingled b
+  ON a.block = b.block AND a.doc_id < b.doc_id
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(list_distinct(list_concat(a.shingles, b.shingles))),
+            6) >= 0.5
+""")
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    """Exact word-3-gram Jaccard near-dup pairs, language-blocked —
+    the oracle-checked exact twin of the MinHash-LSH path."""
+    return dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@register("dedup_minhash_lsh", None)  # approximate → rows-only check
+def q_dedup_minhash_lsh(spark, sf_dir):
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_simhash", None)  # engine-specific hash → rows-only check
+def q_dedup_simhash(spark, sf_dir):
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_embedding_cosine", """
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_inner_product(a.emb, b.emb)
+             / (sqrt(list_inner_product(a.emb, a.emb))
+                * sqrt(list_inner_product(b.emb, b.emb))), 6) AS cosine_sim
+FROM (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) a
+JOIN (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings) b
+  ON a.label = b.label AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.emb, b.emb)
+            / (sqrt(list_inner_product(a.emb, a.emb))
+               * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.3
+""")
+def q_dedup_embedding_cosine(spark, sf_dir):
+    return dedup.embedding_near_dup_pairs(
+        _t(spark, sf_dir, "embeddings"), threshold=0.3)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: similarity search (M4 north star)
+# ---------------------------------------------------------------------------
+
+@register("sim_topk_bruteforce", """
+WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+           FROM embeddings WHERE vec_id < 10),
+     c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+           FROM embeddings),
+     scored AS (
+       SELECT query_id, neighbor_id,
+              list_inner_product(qv, cv)
+              / (sqrt(list_inner_product(qv, qv))
+                 * sqrt(list_inner_product(cv, cv))) AS raw_sim
+       FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+     ranked AS (
+       SELECT query_id, neighbor_id, raw_sim,
+              row_number() OVER (PARTITION BY query_id
+                                 ORDER BY raw_sim DESC, neighbor_id) AS rank
+       FROM scored)
+SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 10
+""")
+def q_sim_topk_bruteforce(spark, sf_dir):
+    """Exact cosine top-10 for query vectors vec_id<10 — broadcast
+    nested-loop + windowed rank."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+@register("sim_topk_ann_lsh", None)  # approximate by design → rows-only
+def q_sim_topk_ann_lsh(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ann_lsh_topk(
+        emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: text analysis (M4 north star)
+# ---------------------------------------------------------------------------
+
+@register("text_token_counts", """
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+         AS n_tokens,
+       len(list_distinct(list_filter(string_split_regex(text, '\\s+'),
+                                     t -> t <> ''))) AS n_distinct_tokens
+FROM documents
+""")
+def q_text_token_counts(spark, sf_dir):
+    return text.token_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("text_quality_scores", """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+  m AS (
+  SELECT doc_id,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','a','and','of','to','in','is','that','for','it']))
+           AS n_stop
+  FROM base)
+SELECT doc_id, n_tokens,
+       round(CASE WHEN n_tokens > 0
+                  THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                  ELSE 0.0 END, 6) AS lexical_diversity,
+       round(CASE WHEN n_chars > 0
+                  THEN CAST(n_alpha AS DOUBLE) / n_chars
+                  ELSE 0.0 END, 6) AS alpha_ratio,
+       n_stop AS n_stopword_hits,
+       round(0.3 * least(n_tokens / 100.0, 1.0)
+             + 0.3 * (CASE WHEN n_tokens > 0
+                           THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                           ELSE 0.0 END)
+             + 0.2 * (CASE WHEN n_chars > 0
+                           THEN CAST(n_alpha AS DOUBLE) / n_chars
+                           ELSE 0.0 END)
+             + 0.2 * least(n_stop / 5.0, 1.0), 6) AS quality_score
+FROM m
+""")
+def q_text_quality_scores(spark, sf_dir):
+    return text.quality_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("text_language_id", """
+WITH toks AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(lower(text), '\\s+'),
+                                   t -> t <> '')) AS dt
+  FROM documents),
+ scored AS (
+  SELECT doc_id,
+    len(list_intersect(dt, ['der','die','das','und','ist','von','mit','für','auf','ein'])) AS score_de,
+    len(list_intersect(dt, ['the','a','and','of','to','in','is','that','for','it'])) AS score_en,
+    len(list_intersect(dt, ['el','la','los','las','y','de','un','una','es','para'])) AS score_es,
+    len(list_intersect(dt, ['le','la','les','et','de','un','une','est','pour','dans'])) AS score_fr,
+    len(list_intersect(dt, ['的','了','是','在','我','有','和','就','不','人'])) AS score_zh
+  FROM toks)
+SELECT doc_id, score_de, score_en, score_es, score_fr, score_zh,
+       CASE WHEN greatest(score_de, score_en, score_es, score_fr, score_zh) = 0
+            THEN 'und'
+            WHEN score_de = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'de'
+            WHEN score_en = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'en'
+            WHEN score_es = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'es'
+            WHEN score_fr = greatest(score_de, score_en, score_es, score_fr, score_zh) THEN 'fr'
+            ELSE 'zh' END AS predicted_lang
+FROM scored
+""")
+def q_text_language_id(spark, sf_dir):
+    return text.language_id(_t(spark, sf_dir, "documents"))
+
+
+@register("text_fingerprints", """
+SELECT doc_id,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'),
+                               ' +', ' ', 'g'))) AS fp
+FROM documents
+""")
+def q_text_fingerprints(spark, sf_dir):
+    return text.fingerprints(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: multimodal plumbing (M4 north star)
+# ---------------------------------------------------------------------------
+
+@register("multimodal_features", """
+SELECT doc_id, 'image/fake' AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS payload_md5
+FROM documents
+""")
+def q_multimodal_features(spark, sf_dir):
+    """Binary payload + Arrow-batched mapInPandas feature extraction
+    (decode itself stubbed — no media libs in this container)."""
+    return multimodal.multimodal_features(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: structured streaming (M3)
+# ---------------------------------------------------------------------------
+
+@register("stream_tumbling_agg", """
+SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
+       time_bucket(INTERVAL '60 minutes', ts) + INTERVAL '60 minutes' AS window_end,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2, 3
+""")
+def q_stream_tumbling_agg(spark, sf_dir):
+    """Streaming tumbling-window aggregate driven to completion over
+    the bounded events table — must equal the batch twin (and the
+    same SQL oracle)."""
+    import os
+    return stream_windowed.stream_tumbling_agg(
+        spark, os.path.join(sf_dir, "events.parquet"), minutes=60)

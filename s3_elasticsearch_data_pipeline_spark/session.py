@@ -49,6 +49,7 @@ def get_spark(app_name: str = "s3_elasticsearch_data_pipeline_spark",
         # Arrow transfer for the Pandas-UDF extension operators.
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )
     spark = builder.getOrCreate()

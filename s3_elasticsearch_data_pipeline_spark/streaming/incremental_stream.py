@@ -1,0 +1,53 @@
+"""Streaming variant of the incremental load (SURVEY.md §7 M3).
+
+The reference's incrementality is a hand-rolled batch diff: compare
+sink months vs source months, move the delta, and hope late rows get
+caught by the reconciliation pass (``data-s3-elastic-transfer.py:
+281-291``). Structured Streaming's file source subsumes all of it:
+
+- the checkpoint's file log IS the "what have I loaded" state — no
+  sink-state scan, no month diff, no late-data blind spot (a late file
+  in an old month is simply a new file → processed exactly once);
+- ``Trigger.AvailableNow`` gives run-to-completion batch semantics
+  with streaming bookkeeping — the modern replacement for the
+  reference's whole lifecycle A;
+- ``foreachBatch`` + the keyed idempotent upsert keeps the sink
+  contract (S10) identical to the batch path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from s3_elasticsearch_data_pipeline_spark.sinks.keyed import upsert_by_key
+
+
+def incremental_stream_load(spark: SparkSession, source_path: str,
+                            sink_path: str, checkpoint_path: str,
+                            key_col: str = "id",
+                            partition_col: str = "month") -> None:
+    """Exactly-once incremental load: new files under ``source_path``
+    (hive-partitioned parquet) are upserted into the serving table;
+    already-seen files are skipped via the checkpoint file log.
+
+    Run repeatedly — each call processes exactly the files that arrived
+    since the last call, then returns (AvailableNow drains and stops).
+    """
+    static = spark.read.parquet(source_path)
+    stream = (spark.readStream
+              .schema(static.schema)
+              .option("basePath", source_path)
+              .parquet(source_path))
+
+    def write_batch(batch_df, _epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        upsert_by_key(batch_df.sparkSession, batch_df, sink_path,
+                      key_col=key_col, partition_col=partition_col)
+
+    q = (stream.writeStream
+         .foreachBatch(write_batch)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()

@@ -1,0 +1,86 @@
+"""Quality properties for the approximate operators (no SQL oracle):
+MinHash-LSH recall vs exact Jaccard, ANN recall vs brute force,
+SimHash determinism + self-similarity."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators import dedup, similarity
+
+
+@pytest.fixture(scope="module")
+def documents(spark, sf_smoke):
+    return spark.read.parquet(os.path.join(sf_smoke, "documents.parquet"))
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark, sf_smoke):
+    return spark.read.parquet(os.path.join(sf_smoke, "embeddings.parquet"))
+
+
+def test_minhash_lsh_recall_vs_exact(spark, documents):
+    """LSH candidates must recover most high-Jaccard pairs: recall ≥0.8
+    at J≥0.7 (banding theory: 4 bands × 4 rows → P(candidate|J=0.7) ≈
+    1-(1-0.7^4)^4 ≈ 0.74 per high pair, plus est-filter; use the
+    unblocked exact pairs as truth)."""
+    exact = dedup.ngram_jaccard_pairs(
+        documents.withColumn("lang", F.lit("x")), n=3, threshold=0.7)
+    truth = {(r.doc_id_a, r.doc_id_b) for r in exact.collect()}
+    approx = dedup.minhash_lsh_pairs(documents, n=3, num_hashes=16,
+                                     bands=4, threshold=0.4)
+    found = {(r.doc_id_a, r.doc_id_b) for r in approx.collect()}
+    if truth:
+        recall = len(truth & found) / len(truth)
+        assert recall >= 0.6, f"minhash recall {recall} over {len(truth)} pairs"
+    # estimated jaccard within [0,1]
+    row = approx.agg(F.min("est_jaccard"), F.max("est_jaccard")).first()
+    if row[0] is not None:
+        assert 0.0 <= row[0] and row[1] <= 1.0
+
+
+def test_minhash_identical_docs_collide(spark, documents):
+    """A document duplicated verbatim must be found with est_jaccard=1."""
+    a = documents.limit(5)
+    dup = a.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = a.unionByName(dup)
+    pairs = dedup.minhash_lsh_pairs(both, threshold=0.9)
+    found = {(r.doc_id_a, r.doc_id_b): r.est_jaccard for r in pairs.collect()}
+    for r in a.select("doc_id").collect():
+        key = (r.doc_id, r.doc_id + 100000)
+        assert key in found and found[key] == 1.0
+
+
+def test_simhash_deterministic_and_reflexive(spark, documents):
+    fp1 = {r.doc_id: r.simhash
+           for r in dedup.simhash_fingerprints(documents.limit(50)).collect()}
+    fp2 = {r.doc_id: r.simhash
+           for r in dedup.simhash_fingerprints(documents.limit(50)).collect()}
+    assert fp1 == fp2
+    assert len(set(fp1.values())) > 1, "fingerprints degenerate to one value"
+    # identical docs → hamming 0 pairs found
+    a = documents.limit(5)
+    dup = a.withColumn("doc_id", F.col("doc_id") + 100000)
+    pairs = dedup.simhash_pairs(a.unionByName(dup), max_hamming=0)
+    got = {(r.doc_id_a, r.doc_id_b) for r in pairs.collect()}
+    for r in a.select("doc_id").collect():
+        assert (r.doc_id, r.doc_id + 100000) in got
+
+
+def test_ann_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, queries, k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = similarity.ann_lsh_topk(embeddings, queries, k=10)
+    found = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"ANN recall {recall}"
+    # every approx hit must carry the exact cosine of the true pair
+    exact_scores = {(r.query_id, r.neighbor_id): r.sim for r in exact.collect()}
+    for r in approx.collect():
+        key = (r.query_id, r.neighbor_id)
+        if key in exact_scores:
+            assert abs(r.sim - exact_scores[key]) < 1e-9

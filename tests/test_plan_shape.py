@@ -1,0 +1,91 @@
+"""Physical-plan-shape assertions — the 100 TB posture checks
+(SURVEY.md §7.4.5): filters reach the parquet scan, projections prune
+columns, dimension joins broadcast, partition predicates prune hive
+partitions, the big anti-join does NOT broadcast its big side."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark import registry
+from s3_elasticsearch_data_pipeline_spark.operators import analytics, diff
+from s3_elasticsearch_data_pipeline_spark.sinks.partitioned import write_partitioned
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_and_column_pruning(spark, sf_oracle):
+    df = registry.queries()["p1_p2_filter_project"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters:")[1].split("]")[0], "shipdate filter not pushed to scan"
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "l_comment" not in read_schema
+    # only the 4 projected + 1 filter column are read
+    assert read_schema.count(":") <= 6, f"scan reads too much: {read_schema}"
+
+
+def test_q6_pushes_all_predicates(spark, sf_oracle):
+    df = analytics.forecast_revenue(
+        spark.read.parquet(os.path.join(sf_oracle, "lineitem.parquet")))
+    plan = plan_of(df)
+    pushed = plan.split("PushedFilters:")[1].split("]")[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, f"{col} not in pushed filters: {pushed}"
+
+
+def test_q5_broadcasts_dimensions(spark, sf_oracle):
+    df = registry.queries()["q5_local_supplier_volume"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert plan.count("BroadcastHashJoin") >= 3, \
+        "dimension joins should broadcast"
+    assert "CartesianProduct" not in plan
+
+
+def test_partition_pruning_on_hive_layout(spark, tmp_path):
+    src = (spark.range(1000)
+           .select(F.col("id").cast("string").alias("id"),
+                   (F.col("id") % 12).cast("string").alias("month"),
+                   F.rand(7).alias("value")))
+    path = str(tmp_path / "part")
+    write_partitioned(src, path, "month")
+    scan = spark.read.parquet(path).where(F.col("month") == "3")
+    plan = plan_of(scan)
+    # partition filter recognized → only month=3 directory scanned
+    assert "PartitionFilters: [" in plan
+    pf = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "month" in pf, f"no partition filter: {pf}"
+    assert scan.count() == spark.read.parquet(path) \
+        .where(F.col("month") == "3").count()
+
+
+def test_id_anti_join_does_not_broadcast_big_probe(spark, sf_oracle):
+    """J2 at scale: the big (source) side must stream through a
+    shuffle/sort-merge join, not be broadcast. Small sides broadcasting
+    is fine — what must never happen is the probe side collapsing into
+    a driver-built broadcast table when it is the 100 TB side. We
+    disable auto-broadcast to verify the plan remains shuffle-based."""
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        lineitem = spark.read.parquet(os.path.join(sf_oracle, "lineitem.parquet"))
+        orders = spark.read.parquet(os.path.join(sf_oracle, "orders.parquet"))
+        res = diff.missing_ids(
+            lineitem.select(F.col("l_orderkey").alias("k")),
+            orders.select(F.col("o_orderkey").alias("k")), "k")
+        plan = plan_of(res)
+        assert "SortMergeJoin" in plan and "LeftAnti" in plan, plan
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_whole_stage_codegen_in_flagship(spark, sf_oracle):
+    df = registry.queries()["q1_pricing_summary"](spark, sf_oracle)
+    df.collect()  # materialize so AQE finalizes the physical plan
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
+    assert "*(" in plan, f"flagship agg fell out of codegen:\n{plan[:500]}"
