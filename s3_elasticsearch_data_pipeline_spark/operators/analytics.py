@@ -146,3 +146,141 @@ def json_extraction(events: DataFrame) -> DataFrame:
             .select(F.col("event_id"),
                     F.col("event_type"),
                     F.get_json_object("props", "$.k").cast("int").alias("k")))
+
+
+def agg_stats_pack(lineitem: DataFrame) -> DataFrame:
+    """Full scalar-aggregate surface (M4): sum/avg/min/max/count/
+    count-distinct/stddev/exact-interpolated-percentile per group. All
+    partial-aggregable except percentile and count-distinct, which
+    Spark plans as a two-phase sort/expand aggregate automatically."""
+    return (lineitem
+            .groupBy("l_returnflag")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+                 F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.countDistinct("l_partkey").alias("n_parts"),
+                 F.round(F.stddev_samp("l_quantity"), 6).alias("std_qty"),
+                 F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4)
+                  .alias("median_price")))
+
+
+def rollup_revenue(orders: DataFrame) -> DataFrame:
+    """ROLLUP aggregate: (status, priority) → status subtotals → grand
+    total; Spark's Expand operator feeds one hash aggregate — no
+    re-scan per grouping set."""
+    return (orders
+            .rollup("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def cube_revenue(orders: DataFrame) -> DataFrame:
+    """CUBE aggregate over the same keys — all 4 grouping sets."""
+    return (orders
+            .cube("o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+
+
+def pivot_status_by_priority(orders: DataFrame) -> DataFrame:
+    """Pivot: order counts, priorities × status columns. The value list
+    is declared (no extra distinct-scan job at planning time)."""
+    return (orders
+            .groupBy("o_orderpriority")
+            .pivot("o_orderstatus", ["O", "F", "P"])
+            .agg(F.count(F.lit(1)))
+            .na.fill(0, ["O", "F", "P"]))
+
+
+def approx_distinct_pack(lineitem: DataFrame) -> DataFrame:
+    """Approximate aggregates (M4): HyperLogLog++ distinct count and
+    approximate percentile — the sketches a 100 TB profile pass uses.
+    Engine-specific sketch values → rows-only driver check."""
+    return (lineitem
+            .agg(F.approx_count_distinct("l_partkey").alias("approx_parts"),
+                 F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+                 F.percentile_approx("l_extendedprice", 0.5, 10000)
+                  .alias("approx_median_price")))
+
+
+def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H Q4 shape: order counts per priority for orders having at
+    least one line item shipped after the order date (EXISTS → left
+    semi join; runtime bloom filter prunes the probe side)."""
+    late_lines = (lineitem.alias("l")
+                  .join(orders.alias("o"),
+                        F.col("l.l_orderkey") == F.col("o.o_orderkey"))
+                  .where(F.col("l.l_shipdate") > F.col("o.o_orderdate"))
+                  .select(F.col("l.l_orderkey").alias("o_orderkey")))
+    return (orders
+            .join(late_lines, "o_orderkey", "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+def top_returned_customers(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, k: int = 20) -> DataFrame:
+    """TPC-H Q10 shape: top-k customers by revenue on returned items."""
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (lineitem
+            .where(F.col("l_returnflag") == "R")
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .groupBy("c_custkey", "c_name")
+            .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+            .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+            .limit(k))
+
+
+def string_function_pack(customer: DataFrame) -> DataFrame:
+    """Scalar string-function surface (M4): case, trim, substring,
+    concat, length, replace, regexp extraction, padding."""
+    return (customer
+            .select(F.col("c_custkey"),
+                    F.upper("c_name").alias("name_upper"),
+                    F.lower("c_mktsegment").alias("segment_lower"),
+                    F.length("c_name").alias("name_len"),
+                    F.substring("c_name", 1, 8).alias("name_prefix"),
+                    F.concat_ws("|", "c_mktsegment", "c_name").alias("seg_name"),
+                    F.regexp_extract("c_name", r"(\d+)$", 1).alias("name_num"),
+                    F.lpad(F.col("c_custkey").cast("string"), 10, "0")
+                     .alias("key_padded"),
+                    F.replace(F.col("c_name"), F.lit("#"), F.lit("-"))
+                     .alias("name_dashed")))
+
+
+def math_function_pack(lineitem: DataFrame) -> DataFrame:
+    """Scalar math-function surface (M4): rounding family, abs/sign,
+    exp/log, sqrt/power, trig, ceil/floor — over lineitem measures."""
+    v = F.col("l_extendedprice")
+    return (lineitem
+            .select(F.col("l_orderkey"), F.col("l_linenumber"),
+                    F.round(v, 1).alias("r1"),
+                    F.ceil(v).alias("ceil_v"),
+                    F.floor(v).alias("floor_v"),
+                    F.round(F.abs(F.col("l_discount") - 0.05), 6).alias("abs_d"),
+                    F.round(F.sqrt(v), 6).alias("sqrt_v"),
+                    F.round(F.ln(v), 6).alias("ln_v"),
+                    F.round(F.pow(F.col("l_quantity"), F.lit(2.0)), 2)
+                     .alias("qty_sq"),
+                    F.sign(F.col("l_discount") - 0.05).alias("disc_sign")))
+
+
+def conditional_pack(orders: DataFrame) -> DataFrame:
+    """CASE/WHEN + null-handling scalar surface: multi-branch CASE,
+    nullif, ifnull, least/greatest."""
+    return (orders
+            .select(F.col("o_orderkey"),
+                    F.when(F.col("o_totalprice") > 300000, "large")
+                     .when(F.col("o_totalprice") > 100000, "medium")
+                     .otherwise("small").alias("size_class"),
+                    F.nullif(F.col("o_orderstatus"), F.lit("P"))
+                     .alias("status_or_null"),
+                    F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")),
+                               F.lit("PENDING")).alias("status_filled"),
+                    F.least(F.col("o_totalprice"), F.lit(200000.0))
+                     .alias("capped_price"),
+                    F.greatest(F.col("o_totalprice"), F.lit(1000.0))
+                     .alias("floored_price")))

@@ -1,0 +1,88 @@
+"""Temporal join operators Spark lacks natively (M4 extension surface):
+as-of join and range join, composed from built-in operators.
+
+Neither exists in the reference (its join surface is semi/anti/full-
+outer on one key — SURVEY.md §2.4); they are standard requirements for
+event/timeseries analytics, so the engine provides them as first-class
+composable operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(left: DataFrame, right: DataFrame, key: str,
+              left_ts: str = "ts", right_ts: str = "ts",
+              right_cols: tuple[str, ...] = (),
+              strict: bool = False) -> DataFrame:
+    """As-of join: each left row gets the latest right row of the same
+    ``key`` with ``right_ts <= left_ts`` (``<`` when ``strict``).
+
+    Physical design — the union-and-carry pattern, NOT a range
+    cross-join: tag both inputs, union, single hash shuffle on ``key``,
+    sort by time within partition, and carry the most recent right-side
+    values forward with ``last(..., ignorenulls)``. Cost is one shuffle
+    + one sort over |L|+|R| rows — the same shape ``pd.merge_asof``
+    has single-node, but distributed. No Python in the path.
+
+    Ties (equal timestamps, non-strict): the right row at the same
+    instant is visible to the left row — matching ``merge_asof``'s
+    default and DuckDB's ``ASOF JOIN >=``.
+    """
+    carried = [f"__r_{c}" for c in right_cols]
+    l_tag = (left.withColumn("__is_left", F.lit(1))
+             .withColumn("__t", F.col(left_ts))
+             .withColumn("__tag", F.lit(1)))
+    r_tag = (right.select(
+        F.col(key),
+        F.col(right_ts).alias("__t"),
+        *[F.col(c).alias(a) for c, a in zip(right_cols, carried)])
+        .withColumn("__is_left", F.lit(0))
+        .withColumn("__tag", F.lit(0)))
+    for c in left.columns:
+        if c not in r_tag.columns:
+            r_tag = r_tag.withColumn(c, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in left.schema.fields)[c]))
+    for a in carried:
+        if a not in l_tag.columns:
+            l_tag = l_tag.withColumn(a, F.lit(None).cast(dict(
+                (f.name, f.dataType) for f in r_tag.schema.fields)[a]))
+    unioned = l_tag.unionByName(r_tag.select(*l_tag.columns))
+
+    # Within (key), ordered by time with right rows first at equal
+    # timestamps (strict=False) or left rows first (strict=True), carry
+    # the last non-null right-side values forward.
+    tag_order = F.col("__tag").asc() if not strict else F.col("__tag").desc()
+    order = [F.col("__t").asc(), tag_order]
+    if carried:
+        # deterministic winner among right rows sharing a timestamp:
+        # the greatest first carried column is the one carried forward
+        order.append(F.col(carried[0]).asc_nulls_first())
+    w = (Window.partitionBy(key).orderBy(*order)
+         .rowsBetween(Window.unboundedPreceding, 0))
+    out = unioned
+    for c, a in zip(right_cols, carried):
+        out = out.withColumn(a, F.last(F.col(a), ignorenulls=True).over(w))
+    return (out.where(F.col("__is_left") == 1)
+            .drop("__is_left", "__tag", "__t")
+            .withColumnsRenamed({a: f"asof_{c}"
+                                 for c, a in zip(right_cols, carried)}))
+
+
+def range_join(facts: DataFrame, ranges: DataFrame,
+               value_col: str, lo_col: str = "lo", hi_col: str = "hi",
+               how: str = "inner") -> DataFrame:
+    """Range (interval) join: match each fact row to the range rows with
+    ``lo <= value < hi``.
+
+    The ranges side is a dimension (tiers, buckets, SLAs) — small by
+    construction — so the join is an explicit broadcast nested-loop
+    with a range predicate: the fact side streams through untouched, no
+    shuffle. For the rare big-big interval join, bucketize both sides
+    to a common grid and equi-join on the bucket first.
+    """
+    pred = ((F.col(value_col) >= F.col(lo_col))
+            & (F.col(value_col) < F.col(hi_col)))
+    return facts.join(F.broadcast(ranges), pred, how)

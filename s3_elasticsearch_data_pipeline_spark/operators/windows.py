@@ -81,3 +81,38 @@ def tumbling_window_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "total_value"))
+
+
+def lag_lead_deltas(events: DataFrame) -> DataFrame:
+    """lag/lead + per-user deltas: inter-event gap seconds and value
+    delta — the standard event-sequence features."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (events
+            .select("event_id", "user_id", "ts", "value")
+            .withColumn("prev_value", F.lag("value").over(w))
+            .withColumn("next_value", F.lead("value").over(w))
+            .withColumn("gap_sec",
+                        F.unix_timestamp("ts")
+                        - F.unix_timestamp(F.lag("ts").over(w)))
+            .withColumn("value_delta",
+                        F.round(F.col("value") - F.col("prev_value"), 2)))
+
+
+def moving_average(events: DataFrame, window_rows: int = 5) -> DataFrame:
+    """Per-user trailing moving average over the last N events."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-(window_rows - 1), 0))
+    return (events
+            .select("event_id", "user_id", "ts", "value")
+            .withColumn("moving_avg", F.round(F.avg("value").over(w), 4)))
+
+
+def rank_dense_ntile(events: DataFrame) -> DataFrame:
+    """rank / dense_rank / ntile quartiles of event values per user."""
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("value").desc(), F.col("event_id"))
+    return (events
+            .select("event_id", "user_id", "value")
+            .withColumn("rnk", F.rank().over(w))
+            .withColumn("dense_rnk", F.dense_rank().over(w))
+            .withColumn("quartile", F.ntile(4).over(w)))

@@ -608,3 +608,271 @@ def q_stream_tumbling_agg(spark, sf_dir):
     import os
     return stream_windowed.stream_tumbling_agg(
         spark, os.path.join(sf_dir, "events.parquet"), minutes=60)
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: richer aggregates, grouping sets, pivot (M4)
+# ---------------------------------------------------------------------------
+
+@register("agg_stats_pack", """
+SELECT l_returnflag,
+       round(sum(l_quantity), 2) AS sum_qty,
+       round(avg(l_extendedprice), 4) AS avg_price,
+       round(min(l_extendedprice), 2) AS min_price,
+       round(max(l_extendedprice), 2) AS max_price,
+       count(*) AS n_rows,
+       count(DISTINCT l_partkey) AS n_parts,
+       round(stddev_samp(l_quantity), 6) AS std_qty,
+       round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_agg_stats_pack(spark, sf_dir):
+    return analytics.agg_stats_pack(_t(spark, sf_dir, "lineitem"))
+
+
+@register("agg_rollup", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+""")
+def q_agg_rollup(spark, sf_dir):
+    return analytics.rollup_revenue(_t(spark, sf_dir, "orders"))
+
+
+@register("agg_cube", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""")
+def q_agg_cube(spark, sf_dir):
+    return analytics.cube_revenue(_t(spark, sf_dir, "orders"))
+
+
+@register("agg_pivot", """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS "O",
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS "F",
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS "P"
+FROM orders GROUP BY o_orderpriority
+""")
+def q_agg_pivot(spark, sf_dir):
+    return analytics.pivot_status_by_priority(_t(spark, sf_dir, "orders"))
+
+
+@register("agg_approx_distinct", None)  # engine-specific sketches → rows-only
+def q_agg_approx_distinct(spark, sf_dir):
+    return analytics.approx_distinct_pack(_t(spark, sf_dir, "lineitem"))
+
+
+@register("q4_order_priority", """
+SELECT o_orderpriority, count(*) AS n_orders
+FROM orders
+WHERE EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""")
+def q_q4_order_priority(spark, sf_dir):
+    return analytics.order_priority_check(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@register("q10_top_returned_customers", """
+SELECT c_custkey, c_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey LIMIT 20
+""")
+def q_q10_top_returned(spark, sf_dir):
+    return analytics.top_returned_customers(
+        _t(spark, sf_dir, "customer"), _t(spark, sf_dir, "orders"),
+        _t(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: set operations (U1 generalized)
+# ---------------------------------------------------------------------------
+
+@register("setop_intersect", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+INTERSECT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+""")
+def q_setop_intersect(spark, sf_dir):
+    """INTERSECT (distinct semantics) between two key sets."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (customer.where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+            .intersect(orders.where(F.col("o_orderstatus") == "O")
+                       .select(F.col("o_custkey").alias("c_custkey"))))
+
+
+@register("setop_except", """
+SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+EXCEPT
+SELECT o_custkey AS c_custkey FROM orders WHERE o_orderstatus = 'O'
+""")
+def q_setop_except(spark, sf_dir):
+    """EXCEPT (distinct semantics) — the SQL twin of the anti-join."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    return (customer.where(F.col("c_mktsegment") == "BUILDING")
+            .select("c_custkey")
+            .exceptAll(orders.where(F.col("o_orderstatus") == "O")
+                       .select(F.col("o_custkey").alias("c_custkey"))
+                       .distinct()).distinct())
+
+
+@register("sql_over_files", """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS athena_count
+FROM orders GROUP BY 1 ORDER BY 1
+""")
+def q_sql_over_files(spark, sf_dir):
+    """S5 — SQL-text-over-files: the reference's Athena count query
+    (``ID-based-transfer.py:55-60``) run as spark.sql over registered
+    views; no submit/poll/CSV round-trip."""
+    from s3_elasticsearch_data_pipeline_spark.tables import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql("""
+        SELECT date_format(o_orderdate, 'yyyy-MM') AS month,
+               count(*) AS athena_count
+        FROM orders GROUP BY 1 ORDER BY 1""")
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: temporal joins (as-of / range — M4)
+# ---------------------------------------------------------------------------
+
+@register("asof_join_events", """
+WITH v AS (SELECT user_id, ts, event_id, value FROM events
+           WHERE event_type = 'view'),
+     p AS (SELECT event_id, user_id, ts FROM events
+           WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.ts,
+       (SELECT v.event_id FROM v
+        WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_event_id,
+       (SELECT v.value FROM v
+        WHERE v.user_id = p.user_id AND v.ts <= p.ts
+        ORDER BY v.ts DESC, v.event_id DESC LIMIT 1) AS asof_value
+FROM p
+""")
+def q_asof_join_events(spark, sf_dir):
+    """As-of join: each purchase matched to the user's latest view at
+    or before it (union-and-carry pattern — one shuffle, no range
+    cross-join)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import asof_join
+    events = _t(spark, sf_dir, "events")
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = events.where(F.col("event_type") == "view")
+    return asof_join(purchases, views, key="user_id",
+                     right_cols=("event_id", "value"))
+
+
+@register("range_join_tiers", """
+SELECT event_id, user_id, value, tier
+FROM events
+JOIN (VALUES ('low', 0.0, 100.0), ('mid', 100.0, 250.0),
+             ('high', 250.0, 1000.0)) AS tiers(tier, lo, hi)
+  ON value >= lo AND value < hi
+""")
+def q_range_join_tiers(spark, sf_dir):
+    """Range join of events against a broadcast tier dimension."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import range_join
+    events = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    tiers = spark.createDataFrame(
+        [("low", 0.0, 100.0), ("mid", 100.0, 250.0), ("high", 250.0, 1000.0)],
+        "tier string, lo double, hi double")
+    return (range_join(events, tiers, "value")
+            .select("event_id", "user_id", "value", "tier"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: more windows + scalar packs (M4)
+# ---------------------------------------------------------------------------
+
+@register("w_lag_lead_deltas", """
+SELECT event_id, user_id, ts, value,
+       lag(value) OVER w AS prev_value,
+       lead(value) OVER w AS next_value,
+       date_diff('second', lag(ts) OVER w, ts) AS gap_sec,
+       round(value - lag(value) OVER w, 2) AS value_delta
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""")
+def q_lag_lead_deltas(spark, sf_dir):
+    return windows.lag_lead_deltas(_t(spark, sf_dir, "events"))
+
+
+@register("w_moving_average", """
+SELECT event_id, user_id, ts, value,
+       round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 4 PRECEDING AND CURRENT ROW), 4) AS moving_avg
+FROM events
+""")
+def q_moving_average(spark, sf_dir):
+    return windows.moving_average(_t(spark, sf_dir, "events"), 5)
+
+
+@register("w_rank_dense_ntile", """
+SELECT event_id, user_id, value,
+       rank() OVER w AS rnk,
+       dense_rank() OVER w AS dense_rnk,
+       ntile(4) OVER w AS quartile
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+""")
+def q_rank_dense_ntile(spark, sf_dir):
+    return windows.rank_dense_ntile(_t(spark, sf_dir, "events"))
+
+
+@register("string_function_pack", """
+SELECT c_custkey,
+       upper(c_name) AS name_upper,
+       lower(c_mktsegment) AS segment_lower,
+       length(c_name) AS name_len,
+       substring(c_name, 1, 8) AS name_prefix,
+       concat_ws('|', c_mktsegment, c_name) AS seg_name,
+       coalesce(regexp_extract(c_name, '(\\d+)$', 1), '') AS name_num,
+       lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+       replace(c_name, '#', '-') AS name_dashed
+FROM customer
+""")
+def q_string_function_pack(spark, sf_dir):
+    return analytics.string_function_pack(_t(spark, sf_dir, "customer"))
+
+
+@register("math_function_pack", """
+SELECT l_orderkey, l_linenumber,
+       round(l_extendedprice, 1) AS r1,
+       CAST(ceil(l_extendedprice) AS BIGINT) AS ceil_v,
+       CAST(floor(l_extendedprice) AS BIGINT) AS floor_v,
+       round(abs(l_discount - 0.05), 6) AS abs_d,
+       round(sqrt(l_extendedprice), 6) AS sqrt_v,
+       round(ln(l_extendedprice), 6) AS ln_v,
+       round(pow(l_quantity, 2.0), 2) AS qty_sq,
+       CAST(sign(l_discount - 0.05) AS DOUBLE) AS disc_sign
+FROM lineitem
+""")
+def q_math_function_pack(spark, sf_dir):
+    return analytics.math_function_pack(_t(spark, sf_dir, "lineitem"))
+
+
+@register("conditional_pack", """
+SELECT o_orderkey,
+       CASE WHEN o_totalprice > 300000 THEN 'large'
+            WHEN o_totalprice > 100000 THEN 'medium'
+            ELSE 'small' END AS size_class,
+       nullif(o_orderstatus, 'P') AS status_or_null,
+       coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_filled,
+       least(o_totalprice, 200000.0) AS capped_price,
+       greatest(o_totalprice, 1000.0) AS floored_price
+FROM orders
+""")
+def q_conditional_pack(spark, sf_dir):
+    return analytics.conditional_pack(_t(spark, sf_dir, "orders"))
