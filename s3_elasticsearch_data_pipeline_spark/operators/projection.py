@@ -40,10 +40,12 @@ REFERENCE_FIELD_MAPPINGS: dict[str, tuple[str, object]] = {
 
 
 def safe_cast(col: Column, spark_type: str, default: object) -> Column:
-    """``coalesce(cast(col, type), default)`` — the declarative twin of the
-    reference's ``safe_get`` + try/except cast
-    (``data-s3-elastic-transfer.py:118-124,176-184``)."""
-    return F.coalesce(col.cast(spark_type), F.lit(default).cast(spark_type))
+    """``coalesce(try_cast(col, type), default)`` — the declarative twin
+    of the reference's ``safe_get`` + try/except cast
+    (``data-s3-elastic-transfer.py:118-124,176-184``). ``try_cast``
+    (not ``cast``): Spark 4 runs ANSI mode by default, where a failing
+    ``cast`` throws instead of yielding null."""
+    return F.coalesce(col.try_cast(spark_type), F.lit(default).cast(spark_type))
 
 
 def typed_projection(df: DataFrame,

@@ -9,18 +9,34 @@
   bucket keys, and each query compares against its bucket's candidates
   instead of the whole corpus.
 
-Hyperplanes are derived deterministically from Spark's xxhash64 (no
-RNG state): plane p, dimension d → hash(p, d) mapped to ±1. Rademacher
-(±1) hyperplanes are a standard, provably adequate choice for
-sign-random-projection LSH, and make the whole operator reproducible.
+Hyperplanes are deterministic Rademacher (±1) vectors derived from
+md5 at PLAN-BUILD time and embedded as array literals — ±1 hyperplanes
+are a standard, provably adequate choice for sign-random-projection
+LSH, and literal planes keep the per-row work to pure multiply-adds
+(no per-row hashing), fully reproducible across runs and engines.
 """
 
 from __future__ import annotations
+
+import hashlib
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from s3_elasticsearch_data_pipeline_spark.functions.vector import cosine
+
+
+def _rademacher_plane(plane_id: int, dims: int) -> list[float]:
+    """Deterministic ±1 plane: bit d of md5("plane:<id>") bytestream."""
+    bits: list[int] = []
+    counter = 0
+    while len(bits) < dims:
+        digest = hashlib.md5(f"plane:{plane_id}:{counter}".encode()).digest()
+        for byte in digest:
+            for k in range(8):
+                bits.append((byte >> k) & 1)
+        counter += 1
+    return [1.0 if b else -1.0 for b in bits[:dims]]
 
 
 def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
@@ -61,35 +77,26 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame,
     the driver's rows-only check applies, and tests measure recall
     against ``brute_force_topk``.
     """
+    # Probe the dimensionality once (plan-build time) so the planes can
+    # be embedded as literals.
+    dims = len(embeddings.select("embedding").first()[0])
+
     # Per-table sketches; each table uses its own plane set (the plane
     # index is offset by table so sketches are independent).
     def with_buckets(df, id_alias, vec_alias):
         out = df.select(F.col("vec_id").alias(id_alias),
-                        F.col("embedding").alias(vec_alias))
+                        F.col("embedding").cast("array<double>")
+                        .alias(vec_alias))
         entries = []
         for t in range(num_tables):
             bucket = F.lit(0).cast("long")
             vec = F.col(vec_alias)
-            dims = F.size(vec)
             for p in range(num_planes):
-                plane_id = t * num_planes + p
-
-                # one-parameter lambda only: a second parameter would be
-                # bound to the array index by PySpark, shadowing plane_id
-                def make_sign(plane):
-                    def sign(d):
-                        return F.when(
-                            F.xxhash64(F.lit(plane), d)
-                            .bitwiseAND(F.lit(1)) == 1,
-                            F.lit(1.0)).otherwise(F.lit(-1.0))
-                    return sign
-
+                plane = F.array(*[
+                    F.lit(s) for s in
+                    _rademacher_plane(t * num_planes + p, dims)])
                 proj = F.aggregate(
-                    F.zip_with(
-                        vec.cast("array<double>"),
-                        F.transform(F.sequence(F.lit(0), dims - 1),
-                                    make_sign(plane_id)),
-                        lambda x, s: x * s),
+                    F.zip_with(vec, plane, lambda x, s: x * s),
                     F.lit(0.0), lambda acc, x: acc + x)
                 bit = (F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
                        .cast("long"))

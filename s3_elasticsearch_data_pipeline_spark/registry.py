@@ -876,3 +876,20 @@ FROM orders
 """)
 def q_conditional_pack(spark, sf_dir):
     return analytics.conditional_pack(_t(spark, sf_dir, "orders"))
+
+
+@register("stream_stateful_user_totals", """
+SELECT user_id, count(*) AS n_events,
+       round(sum(value), 2) AS total_value,
+       max(ts) AS last_ts
+FROM events GROUP BY user_id
+""")
+def q_stream_stateful_user_totals(spark, sf_dir):
+    """Custom stateful streaming operator (applyInPandasWithState):
+    per-user cumulative counters; on a bounded input the final state
+    equals the batch groupBy — which is the oracle."""
+    import os
+    from s3_elasticsearch_data_pipeline_spark.streaming.stateful import (
+        running_user_totals)
+    return running_user_totals(
+        spark, os.path.join(sf_dir, "events.parquet"))

@@ -58,3 +58,24 @@ def register_catalog_table(spark: SparkSession, name: str, path: str,
 def show_partitions(spark: SparkSession, name: str) -> DataFrame:
     """S12 — ``SHOW PARTITIONS`` (``README.md:77``)."""
     return spark.sql(f"SHOW PARTITIONS {name}")
+
+
+def scan_csv(spark: SparkSession, path: str, schema=None,
+             header: bool = True) -> DataFrame:
+    """CSV source. Schema should be explicit at scale — inference
+    re-reads the data (a full extra pass at 100 TB)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def scan_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source; explicit schema avoids the inference pass and
+    pins field types (inference widens to string on conflict)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
