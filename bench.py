@@ -43,6 +43,11 @@ HEADLINE = (
     "text_quality_scores",
     "text_language_id",
     "multimodal_features",
+    "q17_small_quantity_revenue",
+    "q18_large_orders",
+    "asof_join_events",
+    "agg_stats_pack",
+    "agg_rollup",
 )
 
 
@@ -52,8 +57,13 @@ def main() -> None:
     spark = get_spark("bench")
     qs = registry.queries()
 
-    # warm the JVM + parquet footers with the cheapest query
+    # warm the JVM + parquet footers with the cheapest query, and the
+    # Python/Arrow workers (multimodal pays worker spin-up otherwise)
     qs["a5_global_count"](spark, sf_dir).collect()
+    import pandas as pd  # noqa: F401
+    from pyspark.sql import functions as F
+    spark.range(64).mapInPandas(
+        lambda it: (pdf for pdf in it), "id long").count()
 
     timings: dict[str, float] = {}
     total = 0.0

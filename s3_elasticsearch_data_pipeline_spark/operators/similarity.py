@@ -77,35 +77,42 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame,
     the driver's rows-only check applies, and tests measure recall
     against ``brute_force_topk``.
     """
-    # Probe the dimensionality once (plan-build time) so the planes can
-    # be embedded as literals.
+    # Probe the dimensionality once (plan-build time) to fix the plane
+    # matrix; planes are deterministic md5-derived ±1 rows.
     dims = len(embeddings.select("embedding").first()[0])
+    import numpy as np
+    planes = np.array([_rademacher_plane(i, dims)
+                       for i in range(num_tables * num_planes)])  # (T·P, D)
+    pow2 = 2 ** np.arange(num_planes)
 
-    # Per-table sketches; each table uses its own plane set (the plane
-    # index is offset by table so sketches are independent).
+    # Bucket sketching runs in Arrow-batched numpy (`mapInPandas`):
+    # higher-order-function expressions are interpreted (CodegenFallback),
+    # so 32 per-row array folds would be the slow path — one batched
+    # (N, D) @ (D, T·P) matmul is the vectorized fast path. The planes
+    # matrix ships inside the closure (kilobytes).
     def with_buckets(df, id_alias, vec_alias):
-        out = df.select(F.col("vec_id").alias(id_alias),
-                        F.col("embedding").cast("array<double>")
-                        .alias(vec_alias))
-        entries = []
-        for t in range(num_tables):
-            bucket = F.lit(0).cast("long")
-            vec = F.col(vec_alias)
-            for p in range(num_planes):
-                plane = F.array(*[
-                    F.lit(s) for s in
-                    _rademacher_plane(t * num_planes + p, dims)])
-                proj = F.aggregate(
-                    F.zip_with(vec, plane, lambda x, s: x * s),
-                    F.lit(0.0), lambda acc, x: acc + x)
-                bit = (F.when(proj > 0, F.lit(1)).otherwise(F.lit(0))
-                       .cast("long"))
-                bucket = bucket + F.shiftleft(bit, p)
-            entries.append(F.struct(F.lit(t).alias("tbl"),
-                                    bucket.alias("bucket")))
-        return (out.select(id_alias, vec_alias,
-                           F.explode(F.array(*entries)).alias("e"))
-                .select(id_alias, vec_alias, "e.tbl", "e.bucket"))
+        def sketch(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(pdf["embedding"].to_numpy())  # (N, D)
+                bits = (emb @ planes.T) > 0                  # (N, T·P)
+                bits = bits.reshape(len(pdf), num_tables, num_planes)
+                buckets = (bits * pow2).sum(axis=2)          # (N, T)
+                out = pd.DataFrame({
+                    id_alias: pdf["vec_id"].to_numpy().repeat(num_tables),
+                    "tbl": np.tile(np.arange(num_tables), len(pdf)),
+                    "bucket": buckets.reshape(-1),
+                })
+                yield out
+
+        buckets = df.mapInPandas(
+            sketch, f"{id_alias} long, tbl int, bucket long")
+        vecs = df.select(F.col("vec_id").alias(id_alias),
+                         F.col("embedding").cast("array<double>")
+                         .alias(vec_alias))
+        return buckets.join(vecs, id_alias)
 
     cand = with_buckets(embeddings, "neighbor_id", "cand_vec")
     qry = with_buckets(queries, "query_id", "query_vec")

@@ -28,19 +28,26 @@ LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
 
 
 def token_counts(documents: DataFrame) -> DataFrame:
-    """Whitespace token count + distinct token count per document."""
-    toks = tokens(F.col("text"))
-    return documents.select(
-        "doc_id",
-        token_count(F.col("text")).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_distinct_tokens"))
+    """Whitespace token count + distinct token count per document.
+
+    The token array is materialized as a named column first: Spark does
+    no common-subexpression elimination inside higher-order functions,
+    so an inlined ``tokens(text)`` re-runs the regex split per
+    reference (see functions.textfns.word_ngrams_from_tokens)."""
+    return (documents
+            .withColumn("__toks", tokens(F.col("text")))
+            .select("doc_id",
+                    F.size("__toks").alias("n_tokens"),
+                    F.size(F.array_distinct("__toks"))
+                    .alias("n_distinct_tokens")))
 
 
 def quality_scores(documents: DataFrame) -> DataFrame:
     """Heuristic quality scoring: length, lexical diversity, stopword
     rate, punctuation/alpha balance — the standard cheap pre-filters a
     training-data pipeline applies before expensive model scoring."""
-    toks = tokens(F.col("text"))
+    toks = F.col("__toks")  # named column — see token_counts note
+    documents = documents.withColumn("__toks", tokens(F.col("text")))
     n_tok = F.size(toks)
     n_distinct = F.size(F.array_distinct(toks))
     n_chars = F.length("text")
@@ -68,7 +75,11 @@ def language_id(documents: DataFrame) -> DataFrame:
     distinct-token overlap with its function-word list; argmax with
     deterministic (alphabetical) tie-break; 'und' (undetermined) when
     no list matches at all."""
-    distinct_toks = F.array_distinct(tokens(F.lower(F.col("text"))))
+    # distinct-token array via named column (referenced once per
+    # language — inline it would re-split per score; see token_counts)
+    documents = documents.withColumn(
+        "__dt", F.array_distinct(tokens(F.lower(F.col("text")))))
+    distinct_toks = F.col("__dt")
     scores = {
         lang: F.size(F.array_intersect(
             distinct_toks, F.array(*[F.lit(w) for w in words])))

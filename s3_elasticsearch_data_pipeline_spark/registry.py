@@ -893,3 +893,152 @@ def q_stream_stateful_user_totals(spark, sf_dir):
         running_user_totals)
     return running_user_totals(
         spark, os.path.join(sf_dir, "events.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: scalar subqueries, arrays, sampling, profiling, skew
+# ---------------------------------------------------------------------------
+
+@register("q17_small_quantity_revenue", """
+WITH part_avg AS (
+  SELECT l_partkey, avg(l_quantity) AS avg_qty
+  FROM lineitem GROUP BY l_partkey)
+SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+FROM lineitem JOIN part_avg USING (l_partkey)
+WHERE l_quantity < 0.2 * avg_qty
+""")
+def q_q17_small_quantity(spark, sf_dir):
+    """TPC-H Q17 shape: scalar subquery per group → planned as an
+    aggregate + self-join (Catalyst de-correlates); the per-part
+    average is a partial-aggregated broadcastable table."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part_avg = (lineitem.groupBy("l_partkey")
+                .agg(F.avg("l_quantity").alias("avg_qty")))
+    return (lineitem
+            .join(part_avg, "l_partkey")
+            .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
+                 .alias("avg_yearly")))
+
+
+@register("q18_large_orders", """
+WITH big AS (
+  SELECT l_orderkey FROM lineitem
+  GROUP BY l_orderkey HAVING sum(l_quantity) > 250)
+SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS total,
+       strftime(o_orderdate, '%Y-%m-%d') AS order_date
+FROM orders JOIN big ON o_orderkey = l_orderkey
+""")
+def q_q18_large_orders(spark, sf_dir):
+    """TPC-H Q18 shape: HAVING on a grouped sum → semi-join of orders
+    against the qualifying key set."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    big = (lineitem.groupBy("l_orderkey")
+           .agg(F.sum("l_quantity").alias("sum_qty"))
+           .where(F.col("sum_qty") > 250)
+           .select(F.col("l_orderkey").alias("o_orderkey")))
+    return (orders.join(big, "o_orderkey", "left_semi")
+            .select("o_orderkey", "o_custkey",
+                    F.round("o_totalprice", 2).alias("total"),
+                    F.date_format("o_orderdate", "yyyy-MM-dd")
+                     .alias("order_date")))
+
+
+@register("array_function_pack", """
+SELECT user_id,
+       list_sort(list(event_type)) AS event_types,
+       len(list(event_type)) AS n_events,
+       len(list_distinct(list(event_type))) AS n_distinct_types,
+       list_contains(list(event_type), 'purchase') AS has_purchase
+FROM events GROUP BY user_id
+""")
+def q_array_function_pack(spark, sf_dir):
+    """Array surface: collect/sort/distinct/contains. collect_list is
+    order-nondeterministic across tasks → sort_array pins the result."""
+    return (_t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.sort_array(F.collect_list("event_type")).alias("event_types"),
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.size(F.array_distinct(F.collect_list("event_type")))
+                  .alias("n_distinct_types"),
+                 F.array_contains(F.collect_list("event_type"), "purchase")
+                  .alias("has_purchase")))
+
+
+@register("setop_union_all", """
+SELECT o_orderkey, 'recent' AS bucket FROM orders
+WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+UNION ALL
+SELECT o_orderkey, 'urgent' AS bucket FROM orders
+WHERE o_orderpriority = '1-URGENT'
+""")
+def q_setop_union_all(spark, sf_dir):
+    """U1 — UNION ALL (bag semantics; a key in both branches appears
+    twice)."""
+    orders = _t(spark, sf_dir, "orders")
+    recent = (orders.where(F.col("o_orderdate") >= F.lit("1998-01-01")
+                           .cast("timestamp"))
+              .select("o_orderkey", F.lit("recent").alias("bucket")))
+    urgent = (orders.where(F.col("o_orderpriority") == "1-URGENT")
+              .select("o_orderkey", F.lit("urgent").alias("bucket")))
+    return recent.unionByName(urgent)
+
+
+@register("deterministic_sample", """
+SELECT o_orderkey, o_totalprice
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '1a'
+""")
+def q_deterministic_sample(spark, sf_dir):
+    """Hash-based deterministic ~10% sample — reproducible across
+    engines/runs/partitionings, unlike RNG sampling; the idiom for
+    consistent 100 TB profiling subsets (md5 prefix < '1a' ≈ 26/256)."""
+    return (_t(spark, sf_dir, "orders")
+            .where(F.substring(F.md5(F.col("o_orderkey").cast("string")),
+                               1, 2) < "1a")
+            .select("o_orderkey", "o_totalprice"))
+
+
+@register("profile_orders", """
+SELECT count(*) AS n_rows,
+       count(DISTINCT o_custkey) AS n_customers,
+       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_prices,
+       round(min(o_totalprice), 2) AS min_price,
+       round(max(o_totalprice), 2) AS max_price,
+       strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
+       strftime(max(o_orderdate), '%Y-%m-%d') AS last_order
+FROM orders
+""")
+def q_profile_orders(spark, sf_dir):
+    """One-pass data-profiling aggregate (null counts, ranges,
+    cardinalities) — the first query a pipeline runs on a new 100 TB
+    table."""
+    orders = _t(spark, sf_dir, "orders")
+    return orders.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.sum(F.when(F.col("o_totalprice").isNull(), 1).otherwise(0))
+         .alias("null_prices"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.date_format(F.min("o_orderdate"), "yyyy-MM-dd").alias("first_order"),
+        F.date_format(F.max("o_orderdate"), "yyyy-MM-dd").alias("last_order"))
+
+
+@register("salted_group_count", """
+SELECT strftime(o_orderdate, '%Y-%m') AS order_month, count(*) AS cnt
+FROM orders GROUP BY 1
+""")
+def q_salted_group_count(spark, sf_dir):
+    """Skew-safe two-phase aggregate: pre-aggregate on (key, salt) —
+    splitting any hot key across 16 reducers — then merge per key.
+    Results are identical to the plain groupBy (same oracle as a1);
+    the pattern is the manual fallback when AQE skew handling isn't
+    available (e.g. pre-3.0 clusters or custom partitioners)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.skew import (
+        salted_group_count)
+    orders = _t(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
+    return salted_group_count(keyed, "order_month", salts=16)

@@ -89,3 +89,42 @@ def test_whole_stage_codegen_in_flagship(spark, sf_oracle):
     plan = df._jdf.queryExecution().executedPlan().toString()
     # '*(n)' prefixes mark WholeStageCodegen spans in the final plan
     assert "*(" in plan, f"flagship agg fell out of codegen:\n{plan[:500]}"
+
+
+def test_salted_join_matches_plain_join(spark, sf_oracle):
+    from s3_elasticsearch_data_pipeline_spark.operators.skew import salted_join
+    orders = spark.read.parquet(os.path.join(sf_oracle, "orders.parquet")) \
+        .select("o_orderkey", "o_custkey")
+    customer = spark.read.parquet(os.path.join(sf_oracle, "customer.parquet")) \
+        .select(F.col("c_custkey").alias("o_custkey"), "c_mktsegment")
+    plain = orders.join(customer, "o_custkey").count()
+    salted = salted_join(orders, customer, "o_custkey", salts=8).count()
+    assert plain == salted
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_oracle, tmp_path):
+    """Both sides bucketed on the join key → sort-merge join with zero
+    shuffles (the storage-partitioned-join building block)."""
+    from s3_elasticsearch_data_pipeline_spark.sinks.bucketed import (
+        cojoin_bucketed, write_bucketed)
+    # spark.sql.warehouse.dir is static — tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally block.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        orders = spark.read.parquet(
+            os.path.join(sf_oracle, "orders.parquet"))
+        lineitem = spark.read.parquet(
+            os.path.join(sf_oracle, "lineitem.parquet")) \
+            .select(F.col("l_orderkey").alias("o_orderkey"), "l_quantity")
+        write_bucketed(orders, "orders_b", "o_orderkey", 8)
+        write_bucketed(lineitem, "lineitem_b", "o_orderkey", 8)
+        joined = cojoin_bucketed(spark, "orders_b", "lineitem_b",
+                                 "o_orderkey")
+        joined.collect()
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan[:800]}"
+        assert joined.count() == lineitem.count()  # FK join preserves rows
+    finally:
+        spark.sql("DROP TABLE IF EXISTS orders_b")
+        spark.sql("DROP TABLE IF EXISTS lineitem_b")
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
