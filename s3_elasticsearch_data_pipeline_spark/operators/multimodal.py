@@ -89,3 +89,64 @@ def multimodal_features(documents: DataFrame) -> DataFrame:
     result is oracle-checkable (md5/octet_length exist in ANSI SQL)."""
     return (extract_features(attach_payload(documents), fake=True)
             .select("doc_id", "media_type", "n_bytes", "payload_md5"))
+
+
+RESIZE_SCHEMA = ("doc_id long, media_type string, width int, height int, "
+                 "resized_md5 string")
+FRAME_SCHEMA = ("doc_id long, frame_index int, frame_md5 string, "
+                "frame_offset_bytes long")
+
+
+def decode_audio(payload: bytes):
+    """Audio decode — STUB (no audio libs in this container); the
+    Arrow plumbing around it is exercised with deterministic fakes."""
+    raise NotImplementedError(
+        "audio decode requires a library not present in this environment")
+
+
+def resize_images(payloads: DataFrame, width: int = 64,
+                  height: int = 64) -> DataFrame:
+    """Resize stage plumbing: Arrow-batched mapInPandas with a
+    deterministic fake resize (md5 over payload+dims stands in for the
+    resized bitmap digest). A real implementation swaps the inner
+    lambda for PIL/opencv — schema, batching, and partitioning are
+    unchanged."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            tag = f":{width}x{height}".encode()
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": width,
+                "height": height,
+                "resized_md5": pdf["payload"].map(
+                    lambda b: hashlib.md5(bytes(b) + tag).hexdigest()),
+            })
+
+    return payloads.mapInPandas(run, RESIZE_SCHEMA)
+
+
+def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
+    """Frame-sampling plumbing for video payloads: emit ``n_frames``
+    evenly spaced 'frames' per payload (fan-out inside mapInPandas —
+    one input row → n output rows, the shape a real decoder produces).
+    Frame bytes are windows of the payload; digests are deterministic."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "frame_index": [], "frame_md5": [],
+                   "frame_offset_bytes": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                step = max(len(data) // n_frames, 1)
+                for i in range(n_frames):
+                    off = min(i * step, max(len(data) - 1, 0))
+                    window = data[off:off + step] or b"\x00"
+                    out["doc_id"].append(doc_id)
+                    out["frame_index"].append(i)
+                    out["frame_md5"].append(hashlib.md5(window).hexdigest())
+                    out["frame_offset_bytes"].append(off)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, FRAME_SCHEMA)

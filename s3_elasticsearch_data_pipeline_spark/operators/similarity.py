@@ -130,3 +130,37 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= k)
             .select("query_id", "neighbor_id",
                     F.round("sim", 6).alias("sim"), "rank"))
+
+
+def normalize_embeddings(embeddings: DataFrame) -> DataFrame:
+    """L2-normalize the embedding column (unit vectors make cosine a
+    plain dot product — the precompute every ANN index wants).
+    Sequential-fold norm keeps the result oracle-reproducible."""
+    vec = F.col("embedding").cast("array<double>")
+    norm_val = F.sqrt(F.aggregate(
+        F.zip_with(vec, vec, lambda x, y: x * y),
+        F.lit(0.0), lambda acc, x: acc + x))
+    return (embeddings
+            .withColumn("__v", vec)
+            .withColumn("__norm", norm_val)
+            .where(F.col("__norm") > 0)
+            .select("vec_id", "label",
+                    F.transform("__v", lambda x: F.round(x / F.col("__norm"), 8))
+                    .alias("unit_embedding")))
+
+
+def embedding_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label centroids in long format (label, dim, centroid).
+
+    Physical shape: posexplode to (label, dim, component) rows → one
+    hash aggregate. At 100 TB this is the scalable layout — a wide
+    array-average via HOF folds would run interpreted per row; exploded
+    rows ride vectorized codegen aggregates, and the shuffle carries
+    (label × dims) partials only.
+    """
+    return (embeddings
+            .select("label", F.posexplode(
+                F.col("embedding").cast("array<double>"))
+                .alias("dim", "component"))
+            .groupBy("label", "dim")
+            .agg(F.round(F.avg("component"), 8).alias("centroid")))

@@ -116,3 +116,19 @@ def rank_dense_ntile(events: DataFrame) -> DataFrame:
             .withColumn("rnk", F.rank().over(w))
             .withColumn("dense_rnk", F.dense_rank().over(w))
             .withColumn("quartile", F.ntile(4).over(w)))
+
+
+def sliding_window_agg(events: DataFrame, width_minutes: int = 60,
+                       slide_minutes: int = 30) -> DataFrame:
+    """Sliding-window aggregate: each event lands in width/slide
+    overlapping windows (F.window emits one row per covering window —
+    Spark's Expand under the hood, no self-join)."""
+    bucket = F.window("ts", f"{width_minutes} minutes",
+                      f"{slide_minutes} minutes")
+    return (events
+            .groupBy(bucket.alias("w"), F.col("event_type"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum("value"), 2).alias("total_value"))
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "total_value"))

@@ -1042,3 +1042,45 @@ def q_salted_group_count(spark, sf_dir):
     keyed = orders.select(
         F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
     return salted_group_count(keyed, "order_month", salts=16)
+
+
+@register("w_sliding_agg", """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type, value
+  FROM events)
+SELECT ws AS window_start, ws + INTERVAL '60 minutes' AS window_end,
+       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+FROM starts GROUP BY 1, 2, 3
+""")
+def q_sliding_agg(spark, sf_dir):
+    """Sliding 60/30 window aggregate — every event covered by exactly
+    two windows (oracle: union of the two shifted tumbling passes)."""
+    return windows.sliding_window_agg(_t(spark, sf_dir, "events"), 60, 30)
+
+
+@register("embedding_normalize", """
+SELECT vec_id, label,
+       list_transform(embedding::DOUBLE[],
+                      x -> round(x / sqrt(list_inner_product(
+                           embedding::DOUBLE[], embedding::DOUBLE[])), 8))
+         AS unit_embedding
+FROM embeddings
+WHERE sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) > 0
+""")
+def q_embedding_normalize(spark, sf_dir):
+    return similarity.normalize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register("embedding_centroids", """
+SELECT label, dim, round(avg(component), 8) AS centroid
+FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(unnest(embedding) AS DOUBLE) AS component
+      FROM embeddings)
+GROUP BY 1, 2
+""")
+def q_embedding_centroids(spark, sf_dir):
+    return similarity.embedding_centroids(_t(spark, sf_dir, "embeddings"))

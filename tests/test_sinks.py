@@ -69,3 +69,29 @@ def test_csv_json_round_trip(spark, tmp_path):
     want = {("a", 1, 1.5), ("b", 2, 2.5)}
     assert {tuple(r) for r in back_csv.collect()} == want
     assert {tuple(r) for r in back_json.collect()} == want
+
+
+def test_multimodal_resize_and_frames(spark, sf_smoke):
+    import os
+    from s3_elasticsearch_data_pipeline_spark.operators.multimodal import (
+        attach_payload, resize_images, sample_frames, decode_image,
+        decode_audio)
+    import pytest as _pytest
+    docs = spark.read.parquet(os.path.join(sf_smoke, "documents.parquet")) \
+        .limit(20)
+    payloads = attach_payload(docs)
+    resized = resize_images(payloads, 32, 32).collect()
+    assert len(resized) == 20
+    assert all(r.width == 32 and len(r.resized_md5) == 32 for r in resized)
+    frames = sample_frames(payloads, 4).collect()
+    assert len(frames) == 80                       # 1 → 4 fan-out
+    assert {f.frame_index for f in frames} == {0, 1, 2, 3}
+    # determinism across runs
+    again = {(f.doc_id, f.frame_index): f.frame_md5
+             for f in sample_frames(payloads, 4).collect()}
+    for f in frames:
+        assert again[(f.doc_id, f.frame_index)] == f.frame_md5
+    # the real decoders are honestly stubbed
+    for stub in (decode_image, decode_audio):
+        with _pytest.raises(NotImplementedError):
+            stub(b"xx")
