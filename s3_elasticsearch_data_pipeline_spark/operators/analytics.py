@@ -7,11 +7,12 @@ pure DataFrame API: Catalyst gives partial+final hash aggregation,
 parquet column pruning, and predicate pushdown for free; joins on the
 dimension tables are explicitly broadcast.
 
-Double-valued aggregates are rounded in the query itself so the result
-is reproducible bit-for-bit against an ANSI-SQL oracle regardless of
-summation order (floating addition is non-associative; at these
-magnitudes a 2-decimal round is far coarser than the accumulated ulp
-error, so both engines land on the same value).
+Money-valued grouped sums are accumulated as DECIMAL(18,4): double
+addition is non-associative and Spark's shuffle merge order is
+nondeterministic run-to-run, so a double sum can land on either side of
+a cent-rounding boundary; decimal addition is exact and therefore
+order-independent. Results are cast back to double after the final
+round so both engines emit identical canonical values.
 """
 
 from __future__ import annotations
@@ -43,18 +44,31 @@ def pricing_summary(lineitem: DataFrame, cutoff: str = "1998-09-02") -> DataFram
     map-side-combine aggregate: one row per (returnflag, linestatus)
     crosses the shuffle per map task.
     """
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    charge = disc_price * (1 + F.col("l_tax"))
+    # money inputs are 2-decimal values stored as doubles; casting the
+    # INPUTS to decimal (exact — no stored value sits on a cast tie
+    # boundary) and multiplying in decimal keeps every product and sum
+    # exact, hence engine- and order-independent.
+    price_d = F.col("l_extendedprice").cast("decimal(12,2)")
+    disc_d = F.col("l_discount").cast("decimal(4,2)")
+    tax_d = F.col("l_tax").cast("decimal(4,2)")
+    disc_price = price_d * (F.lit(1) - disc_d)
+    charge = disc_price * (F.lit(1) + tax_d)
     return (lineitem
             .where(F.col("l_shipdate") <= F.lit(cutoff).cast("timestamp"))
             .groupBy("l_returnflag", "l_linestatus")
-            .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                 F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-                 F.round(F.sum(charge), 2).alias("sum_charge"),
+            .agg(  # quantities are integral → double sums exact as-is
+                 F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                 F.round(F.sum(price_d), 2)
+                  .cast("double").alias("sum_base_price"),
+                 F.round(F.sum(disc_price), 2)
+                  .cast("double").alias("sum_disc_price"),
+                 F.round(F.sum(charge), 2)
+                  .cast("double").alias("sum_charge"),
                  F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                 F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+                 F.round(F.sum(price_d).cast("double") / F.count(F.lit(1)), 4)
+                  .alias("avg_price"),
+                 F.round(F.sum(disc_d).cast("double") / F.count(F.lit(1)), 6)
+                  .alias("avg_disc"),
                  F.count(F.lit(1)).alias("count_order"))
             .orderBy("l_returnflag", "l_linestatus"))
 
@@ -67,13 +81,15 @@ def revenue_by_segment(customer: DataFrame, orders: DataFrame,
     the big equi-join on the natural key, sort-merge at scale with AQE
     handling skewed order keys.
     """
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (F.col("l_extendedprice").cast("decimal(12,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))  # exact decimal product
     return (lineitem
             .join(orders, lineitem.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
             .groupBy(F.col("c_mktsegment"),
                      F.date_format("o_orderdate", "yyyy-MM").alias("order_month"))
-            .agg(F.round(F.sum(revenue), 2).alias("revenue"),
+            .agg(F.round(F.sum(revenue), 2)
+                  .cast("double").alias("revenue"),
                  F.count(F.lit(1)).alias("n_items")))
 
 
@@ -83,7 +99,8 @@ def local_supplier_volume(region: DataFrame, nation: DataFrame,
     """TPC-H Q5 shape: revenue by nation where customer and supplier
     share the nation. All dimension tables broadcast; the only shuffles
     are the two fact-side equi-joins and the final 1-key aggregate."""
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (F.col("l_extendedprice").cast("decimal(12,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))  # exact decimal product
     return (lineitem
             .join(orders, lineitem.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
@@ -94,7 +111,8 @@ def local_supplier_volume(region: DataFrame, nation: DataFrame,
             .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
             .groupBy(F.col("r_name").alias("region_name"),
                      F.col("n_name").alias("nation_name"))
-            .agg(F.round(F.sum(revenue), 2).alias("revenue")))
+            .agg(F.round(F.sum(revenue), 2)
+                  .cast("double").alias("revenue")))
 
 
 def forecast_revenue(lineitem: DataFrame,
@@ -112,8 +130,9 @@ def forecast_revenue(lineitem: DataFrame,
                    & (F.col("l_discount") >= disc_lo)
                    & (F.col("l_discount") <= disc_hi)
                    & (F.col("l_quantity") < qty_below))
-            .agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2)
-                  .alias("revenue")))
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                               * F.col("l_discount").cast("decimal(4,2)")), 2)
+                  .cast("double").alias("revenue")))
 
 
 def top_orders(orders: DataFrame, k: int = 10) -> DataFrame:
@@ -156,7 +175,9 @@ def agg_stats_pack(lineitem: DataFrame) -> DataFrame:
     return (lineitem
             .groupBy("l_returnflag")
             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                 F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+                 F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+                          .cast("double") / F.count(F.lit(1)), 4)
+                  .alias("avg_price"),
                  F.round(F.min("l_extendedprice"), 2).alias("min_price"),
                  F.round(F.max("l_extendedprice"), 2).alias("max_price"),
                  F.count(F.lit(1)).alias("n_rows"),
@@ -173,7 +194,8 @@ def rollup_revenue(orders: DataFrame) -> DataFrame:
     return (orders
             .rollup("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("revenue")))
 
 
 def cube_revenue(orders: DataFrame) -> DataFrame:
@@ -181,7 +203,8 @@ def cube_revenue(orders: DataFrame) -> DataFrame:
     return (orders
             .cube("o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("revenue")))
 
 
 def pivot_status_by_priority(orders: DataFrame) -> DataFrame:
@@ -223,13 +246,15 @@ def order_priority_check(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
 def top_returned_customers(customer: DataFrame, orders: DataFrame,
                            lineitem: DataFrame, k: int = 20) -> DataFrame:
     """TPC-H Q10 shape: top-k customers by revenue on returned items."""
-    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    revenue = (F.col("l_extendedprice").cast("decimal(12,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))  # exact decimal product
     return (lineitem
             .where(F.col("l_returnflag") == "R")
             .join(orders, lineitem.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
             .groupBy("c_custkey", "c_name")
-            .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+            .agg(F.round(F.sum(revenue), 2)
+                  .cast("double").alias("revenue"))
             .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
             .limit(k))
 

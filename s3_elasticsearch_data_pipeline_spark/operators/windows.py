@@ -67,7 +67,8 @@ def sessionize(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
             .agg(F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),
                  F.count(F.lit(1)).alias("n_events"),
-                 F.round(F.sum("value"), 2).alias("session_value")))
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                  .cast("double").alias("session_value")))
 
 
 def tumbling_window_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
@@ -77,7 +78,8 @@ def tumbling_window_agg(events: DataFrame, minutes: int = 60) -> DataFrame:
     return (events
             .groupBy(bucket.alias("w"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                  .cast("double").alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "total_value"))
@@ -128,7 +130,8 @@ def sliding_window_agg(events: DataFrame, width_minutes: int = 60,
     return (events
             .groupBy(bucket.alias("w"), F.col("event_type"))
             .agg(F.count(F.lit(1)).alias("n"),
-                 F.round(F.sum("value"), 2).alias("total_value"))
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                  .cast("double").alias("total_value"))
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "total_value"))

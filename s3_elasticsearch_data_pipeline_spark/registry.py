@@ -233,12 +233,17 @@ def q_top_orders(spark, sf_dir):
 @register("q1_pricing_summary", """
 SELECT l_returnflag, l_linestatus,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(sum(l_extendedprice), 2) AS sum_base_price,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      * (1 + CAST(l_tax AS DECIMAL(4,2)))), 2) AS DOUBLE)
+         AS sum_charge,
        round(avg(l_quantity), 4) AS avg_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
-       round(avg(l_discount), 6) AS avg_disc,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price,
+       round(CAST(sum(CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE)
+             / count(*), 6) AS avg_disc,
        count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -253,7 +258,7 @@ def q_pricing_summary(spark, sf_dir):
 @register("q3_revenue_by_segment", """
 SELECT c_mktsegment,
        strftime(o_orderdate, '%Y-%m') AS order_month,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue,
        count(*) AS n_items
 FROM lineitem
 JOIN orders ON l_orderkey = o_orderkey
@@ -268,7 +273,7 @@ def q_revenue_by_segment(spark, sf_dir):
 
 @register("q5_local_supplier_volume", """
 SELECT r_name AS region_name, n_name AS nation_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -285,7 +290,9 @@ def q_local_supplier_volume(spark, sf_dir):
 
 
 @register("q6_forecast_revenue", """
-SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * CAST(l_discount AS DECIMAL(4,2))), 2) AS DOUBLE)
+         AS revenue
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1995-01-01'
   AND l_shipdate <  TIMESTAMP '1996-01-01'
@@ -361,7 +368,9 @@ sessioned AS (
   FROM gapped)
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
-       count(*) AS n_events, round(sum(value), 2) AS session_value
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS session_value
 FROM sessioned GROUP BY user_id, session_id
 """)
 def q_sessionize(spark, sf_dir):
@@ -371,7 +380,9 @@ def q_sessionize(spark, sf_dir):
 @register("w_tumbling_agg", """
 SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
        time_bucket(INTERVAL '60 minutes', ts) + INTERVAL '60 minutes' AS window_end,
-       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM events GROUP BY 1, 2, 3
 """)
 def q_tumbling_agg(spark, sf_dir):
@@ -598,7 +609,9 @@ def q_multimodal_features(spark, sf_dir):
 @register("stream_tumbling_agg", """
 SELECT time_bucket(INTERVAL '60 minutes', ts) AS window_start,
        time_bucket(INTERVAL '60 minutes', ts) + INTERVAL '60 minutes' AS window_end,
-       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM events GROUP BY 1, 2, 3
 """)
 def q_stream_tumbling_agg(spark, sf_dir):
@@ -617,7 +630,8 @@ def q_stream_tumbling_agg(spark, sf_dir):
 @register("agg_stats_pack", """
 SELECT l_returnflag,
        round(sum(l_quantity), 2) AS sum_qty,
-       round(avg(l_extendedprice), 4) AS avg_price,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / count(*), 4) AS avg_price,
        round(min(l_extendedprice), 2) AS min_price,
        round(max(l_extendedprice), 2) AS max_price,
        count(*) AS n_rows,
@@ -632,7 +646,8 @@ def q_agg_stats_pack(spark, sf_dir):
 
 @register("agg_rollup", """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue
 FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """)
 def q_agg_rollup(spark, sf_dir):
@@ -641,7 +656,8 @@ def q_agg_rollup(spark, sf_dir):
 
 @register("agg_cube", """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-       round(sum(o_totalprice), 2) AS revenue
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS revenue
 FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
 """)
 def q_agg_cube(spark, sf_dir):
@@ -678,7 +694,7 @@ def q_q4_order_priority(spark, sf_dir):
 
 @register("q10_top_returned_customers", """
 SELECT c_custkey, c_name,
-       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -880,7 +896,8 @@ def q_conditional_pack(spark, sf_dir):
 
 @register("stream_stateful_user_totals", """
 SELECT user_id, count(*) AS n_events,
-       round(sum(value), 2) AS total_value,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value,
        max(ts) AS last_ts
 FROM events GROUP BY user_id
 """)
@@ -903,7 +920,8 @@ def q_stream_stateful_user_totals(spark, sf_dir):
 WITH part_avg AS (
   SELECT l_partkey, avg(l_quantity) AS avg_qty
   FROM lineitem GROUP BY l_partkey)
-SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+             / 7.0, 2) AS avg_yearly
 FROM lineitem JOIN part_avg USING (l_partkey)
 WHERE l_quantity < 0.2 * avg_qty
 """)
@@ -917,8 +935,8 @@ def q_q17_small_quantity(spark, sf_dir):
     return (lineitem
             .join(part_avg, "l_partkey")
             .where(F.col("l_quantity") < 0.2 * F.col("avg_qty"))
-            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2)
-                 .alias("avg_yearly")))
+            .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                          .cast("double") / 7.0, 2).alias("avg_yearly")))
 
 
 @register("q18_large_orders", """
@@ -1053,7 +1071,9 @@ WITH starts AS (
          event_type, value
   FROM events)
 SELECT ws AS window_start, ws + INTERVAL '60 minutes' AS window_end,
-       event_type, count(*) AS n, round(sum(value), 2) AS total_value
+       event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM starts GROUP BY 1, 2, 3
 """)
 def q_sliding_agg(spark, sf_dir):
@@ -1084,3 +1104,105 @@ GROUP BY 1, 2
 """)
 def q_embedding_centroids(spark, sf_dir):
     return similarity.embedding_centroids(_t(spark, sf_dir, "embeddings"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: more TPC-H join shapes (M4)
+# ---------------------------------------------------------------------------
+
+@register("q7_nation_volume", """
+SELECT n1.n_name AS cust_nation, n2.n_name AS supp_nation,
+       EXTRACT(year FROM l_shipdate) AS ship_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE n1.n_nationkey <> n2.n_nationkey
+GROUP BY 1, 2, 3
+""")
+def q_q7_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: cross-nation trade volume — the same dimension
+    table joined twice under different roles (alias discipline), all
+    dims broadcast."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_name").alias("cust_nation"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    revenue = (F.col("l_extendedprice").cast("decimal(12,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+            .join(F.broadcast(supplier), lineitem.l_suppkey == supplier.s_suppkey)
+            .join(F.broadcast(n1), customer.c_nationkey == F.col("c_nk"))
+            .join(F.broadcast(n2), supplier.s_nationkey == F.col("s_nk"))
+            .where(F.col("c_nk") != F.col("s_nk"))
+            .groupBy("cust_nation", "supp_nation",
+                     F.year("l_shipdate").alias("ship_year"))
+            # decimal arithmetic end-to-end: 4188 small groups make a
+            # double sum land on a cent boundary somewhere; decimal
+            # products+sums are exact, hence order/engine-independent
+            .agg(F.round(F.sum(revenue), 2)
+                 .cast("double").alias("volume")))
+
+
+@register("q14_promo_revenue", """
+SELECT round(100.0 * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                              ELSE 0 END) AS DOUBLE)
+             / CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1995-01-01'
+  AND l_shipdate <  TIMESTAMP '1995-04-01'
+""")
+def q_q14_promo_revenue(spark, sf_dir):
+    """TPC-H Q14 shape: conditional aggregation over a broadcast
+    part join."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    promo = F.when(F.col("p_type").startswith("PROMO"), rev) \
+             .otherwise(F.lit(0).cast("decimal(17,4)"))
+    return (lineitem
+            .where((F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1995-04-01").cast("timestamp")))
+            .join(F.broadcast(part), lineitem.l_partkey == part.p_partkey)
+            .agg(F.round(100.0 * F.sum(promo).cast("double")
+                         / F.sum(rev).cast("double"), 4)
+                 .alias("promo_pct")))
+
+
+@register("q19_disjunctive_predicates", """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity >= 5)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity >= 15)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity >= 25)
+""")
+def q_q19_disjunctive(spark, sf_dir):
+    """TPC-H Q19 shape: OR-of-ANDs across both join sides — Catalyst
+    still pushes the single-side conjuncts below the join."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    joined = lineitem.join(F.broadcast(part),
+                           lineitem.l_partkey == part.p_partkey)
+    c1 = ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+          & (F.col("l_quantity") >= 5))
+    c2 = ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(10, 30)
+          & (F.col("l_quantity") >= 15))
+    c3 = ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(20, 50)
+          & (F.col("l_quantity") >= 25))
+    rev = (F.col("l_extendedprice").cast("decimal(12,2)")
+           * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (joined.where(c1 | c2 | c3)
+            .agg(F.round(F.sum(rev), 2)
+                 .cast("double").alias("revenue")))

@@ -46,7 +46,8 @@ def stream_tumbling_agg(spark: SparkSession, events_path: str,
            .groupBy(F.window("ts", f"{minutes} minutes").alias("w"),
                     F.col("event_type"))
            .agg(F.count(F.lit(1)).alias("n"),
-                F.round(F.sum("value"), 2).alias("total_value")))
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("total_value")))
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     q = (agg.writeStream.outputMode("complete")
          .format("memory").queryName(name).start())
