@@ -164,3 +164,114 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
                 .alias("dim", "component"))
             .groupBy("label", "dim")
             .agg(F.round(F.avg("component"), 8).alias("centroid")))
+
+
+def _kmeans_centroids(embeddings: DataFrame, n_cells: int,
+                      iters: int) -> "np.ndarray":
+    """Deterministic mini k-means for IVF coarse cells: init = the
+    ``n_cells`` lowest vec_ids, then Lloyd iterations with assignment
+    in Arrow/numpy and centroid update as a posexplode aggregate. The
+    (n_cells × dims) centroid matrix is driver-collected each round —
+    kilobytes, independent of corpus size."""
+    import numpy as np
+    init = (embeddings.orderBy("vec_id").limit(n_cells)
+            .select("embedding").collect())
+    centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
+
+    for _ in range(iters):
+        cents = centroids  # capture for the closure
+
+        def assign(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                # cosine assignment on normalized rows
+                e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+                c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+                cell = (e @ c.T).argmax(axis=1)
+                yield pd.DataFrame({"cell": cell,
+                                    "embedding": list(emb)})
+
+        assigned = embeddings.select("embedding").mapInPandas(
+            assign, "cell int, embedding array<double>")
+        rows = (assigned
+                .select("cell", F.posexplode("embedding")
+                        .alias("dim", "component"))
+                .groupBy("cell", "dim")
+                .agg(F.avg("component").alias("c"))
+                .collect())
+        new = centroids.copy()
+        for r in rows:
+            new[r.cell][r.dim] = r.c
+        centroids = new
+    return centroids
+
+
+def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+             n_cells: int = 16, n_probe: int = 4,
+             iters: int = 2) -> DataFrame:
+    """IVF (inverted-file) approximate top-k — the cell-probing
+    alternative to sign-LSH: coarse k-means cells over the corpus; each
+    query probes its ``n_probe`` nearest cells and reranks exactly
+    within them. Cost per query ≈ corpus/n_cells × n_probe instead of
+    the full corpus.
+
+    At 100 TB: the corpus is written partitioned by cell id once
+    (cells are the IVF index); queries touch only probed partitions —
+    partition pruning IS the index lookup. Deterministic end-to-end
+    (fixed init, argmax ties break to the lowest cell index).
+    """
+    import numpy as np
+    centroids = _kmeans_centroids(embeddings, n_cells, iters)
+
+    def cell_assigner(n_take):
+        cents = centroids
+
+        def run(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+                e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+                c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
+                sims = e @ c.T
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
+                n = len(pdf)
+                yield pd.DataFrame({
+                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_take),
+                    "cell": order.reshape(-1),
+                })
+        return run
+
+    corpus_cells = (embeddings.select("vec_id", "embedding")
+                    .mapInPandas(cell_assigner(1), "vec_id long, cell int"))
+    cand = (corpus_cells
+            .join(embeddings.select(F.col("vec_id"),
+                                    F.col("embedding").cast("array<double>")
+                                    .alias("cand_vec")), "vec_id")
+            .select(F.col("vec_id").alias("neighbor_id"), "cell", "cand_vec"))
+    query_cells = (queries.select("vec_id", "embedding")
+                   .mapInPandas(cell_assigner(n_probe), "vec_id long, cell int"))
+    qry = (query_cells
+           .join(queries.select(F.col("vec_id"),
+                                F.col("embedding").cast("array<double>")
+                                .alias("query_vec")), "vec_id")
+           .select(F.col("vec_id").alias("query_id"), "cell", "query_vec"))
+
+    matched = (cand.join(F.broadcast(qry), "cell")
+               .where(F.col("neighbor_id") != F.col("query_id"))
+               .select("query_id", "neighbor_id", "query_vec", "cand_vec")
+               .distinct())
+    scored = matched.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("query_vec"), F.col("cand_vec")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))

@@ -1206,3 +1206,119 @@ def q_q19_disjunctive(spark, sf_dir):
     return (joined.where(c1 | c2 | c3)
             .agg(F.round(F.sum(rev), 2)
                  .cast("double").alias("revenue")))
+
+
+# ---------------------------------------------------------------------------
+# Sink lifecycles through the correctness gate (S8/S10/S12)
+# ---------------------------------------------------------------------------
+
+@register("s8_partitioned_write_roundtrip", """
+SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS cnt
+FROM orders WHERE o_orderstatus = 'F' GROUP BY 1
+""")
+def q_s8_partitioned_roundtrip(spark, sf_dir):
+    """S8 — hive-partitioned append + read-back (the reference's
+    backfill write, Partition-script.py:34-49): write status-F orders
+    partitioned by month to a scratch dir, re-read with partition
+    discovery, count per recovered partition column."""
+    import tempfile
+    from s3_elasticsearch_data_pipeline_spark.sinks.partitioned import (
+        read_partitioned, write_partitioned)
+    orders = _t(spark, sf_dir, "orders")
+    subset = (orders.where(F.col("o_orderstatus") == "F")
+              .select("o_orderkey",
+                      F.date_format("o_orderdate", "yyyy-MM").alias("month")))
+    out = tempfile.mkdtemp(prefix="s8_roundtrip_")
+    write_partitioned(subset, out, "month", mode="overwrite")
+    back = read_partitioned(spark, out)
+    return back.groupBy("month").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+@register("s10_keyed_upsert_roundtrip", """
+SELECT count(*) AS n_rows, count(DISTINCT o_orderkey) AS n_keys,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) * 2, 2) AS DOUBLE)
+         AS doubled_total
+FROM orders WHERE o_orderdate >= TIMESTAMP '1998-01-01'
+""")
+def q_s10_keyed_upsert_roundtrip(spark, sf_dir):
+    """S10 — keyed idempotent upsert (the ES ``_id=doc['id']`` twin):
+    load recent orders, then upsert the SAME keys with doubled price;
+    last write wins, so the serving table holds n_keys rows with the
+    doubled totals — any duplicate or stale row breaks the oracle."""
+    import tempfile
+    from s3_elasticsearch_data_pipeline_spark.sinks.keyed import upsert_by_key
+    orders = _t(spark, sf_dir, "orders")
+    recent = (orders
+              .where(F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"))
+              .select(F.col("o_orderkey").cast("string").alias("id"),
+                      F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+                      F.col("o_totalprice").alias("value")))
+    path = tempfile.mkdtemp(prefix="s10_upsert_") + "/serving"
+    upsert_by_key(spark, recent, path)
+    updated = recent.withColumn("value", F.col("value") * 2)
+    upsert_by_key(spark, updated, path)
+    back = spark.read.parquet(path)
+    return back.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("id").alias("n_keys"),
+        F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+         .cast("double").alias("doubled_total"))
+
+
+@register("s12_show_partitions", """
+SELECT DISTINCT strftime(o_orderdate, '%Y') AS part
+FROM orders
+""")
+def q_s12_show_partitions(spark, sf_dir):
+    """S12 — catalog DDL surface: register an external partitioned
+    table (Glue-crawler equivalent), MSCK REPAIR, SHOW PARTITIONS
+    (README.md:77,83)."""
+    import tempfile
+    from s3_elasticsearch_data_pipeline_spark.sinks.partitioned import (
+        write_partitioned)
+    from s3_elasticsearch_data_pipeline_spark.sources.parquet import (
+        register_catalog_table, show_partitions)
+    orders = _t(spark, sf_dir, "orders")
+    subset = orders.select(
+        "o_orderkey", F.date_format("o_orderdate", "yyyy").alias("part"))
+    out = tempfile.mkdtemp(prefix="s12_parts_")
+    write_partitioned(subset, out, "part", mode="overwrite")
+    register_catalog_table(spark, "s12_scratch", out, "part")
+    # SHOW PARTITIONS emits 'part=1995'; strip to the value
+    return (show_partitions(spark, "s12_scratch")
+            .select(F.regexp_replace("partition", "^part=", "").alias("part")))
+
+
+@register("stream_session_window", """
+WITH gapped AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+  FROM gapped)
+SELECT user_id, min(ts) AS session_start,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS session_value
+FROM sessioned GROUP BY user_id, sid
+""")
+def q_stream_session_window(spark, sf_dir):
+    """session_window streaming aggregate over the bounded events
+    table — final sessions equal the batch lag-gap sessionization."""
+    import os
+    from s3_elasticsearch_data_pipeline_spark.streaming.windowed import (
+        stream_session_agg)
+    return stream_session_agg(
+        spark, os.path.join(sf_dir, "events.parquet"), gap_minutes=30)
+
+
+@register("sim_topk_ivf", None)  # approximate by design → rows-only
+def q_sim_topk_ivf(spark, sf_dir):
+    """IVF cell-probing ANN — the partition-pruning scale path."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)

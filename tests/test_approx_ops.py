@@ -84,3 +84,19 @@ def test_ann_recall_vs_brute_force(spark, embeddings):
         key = (r.query_id, r.neighbor_id)
         if key in exact_scores:
             assert abs(r.sim - exact_scores[key]) < 1e-9
+
+
+def test_ivf_recall_vs_brute_force(spark, embeddings):
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, queries, k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = similarity.ivf_topk(embeddings, queries, k=10,
+                                 n_cells=8, n_probe=4)
+    found = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"IVF recall {recall}"
+    # determinism: same call → same result set
+    again = {(r.query_id, r.neighbor_id)
+             for r in similarity.ivf_topk(embeddings, queries, k=10,
+                                          n_cells=8, n_probe=4).collect()}
+    assert found == again
