@@ -16,6 +16,14 @@ Five strategies, scale-ranked:
 
 All are pure built-in expressions (arrays + higher-order functions);
 the only shuffles are the groupBys/joins on compact keys.
+
+Algorithm provenance (public literature): MinHash resemblance sketches
+(Broder, "On the resemblance and containment of documents", 1997) with
+banded LSH (Leskovec/Rajaraman/Ullman, Mining of Massive Datasets ch.3);
+SimHash (Charikar, "Similarity estimation techniques from rounding
+algorithms", STOC 2002; Manku et al., WWW 2007 for the Hamming-block
+lookup); the inverted-index exact-Jaccard join is the standard
+set-similarity-join shape (cf. PPJoin, Xiao et al., WWW 2008).
 """
 
 from __future__ import annotations

@@ -10,10 +10,17 @@
   instead of the whole corpus.
 
 Hyperplanes are deterministic Rademacher (±1) vectors derived from
-md5 at PLAN-BUILD time and embedded as array literals — ±1 hyperplanes
-are a standard, provably adequate choice for sign-random-projection
-LSH, and literal planes keep the per-row work to pure multiply-adds
-(no per-row hashing), fully reproducible across runs and engines.
+md5 at PLAN-BUILD time — ±1 hyperplanes are a standard, provably
+adequate choice for sign-random-projection LSH, fully reproducible
+across runs and engines.
+
+Algorithm provenance (public literature): sign-random-projection LSH
+(Charikar, STOC 2002; Indyk–Motwani 1998 for the LSH framework);
+IVF cell-probing (Sivic–Zisserman bag-of-words inverted files;
+Jégou et al., "Product quantization for nearest neighbor search",
+TPAMI 2011, coarse-quantizer stage). Distributed top-k search
+trade-offs per the PAPERS.md retrieval (EDBT 2020 incremental top-k;
+SIGMOD 2020 adaptive similarity search).
 """
 
 from __future__ import annotations

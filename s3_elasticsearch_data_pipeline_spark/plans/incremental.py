@@ -47,6 +47,22 @@ def plan_missing_partitions(source: DataFrame, sink: DataFrame | None,
     return missing_partitions(source, sink, key)
 
 
+def load_log_path(sink_path: str) -> str:
+    return sink_path.rstrip("/") + "_load_log"
+
+
+def read_load_log(spark: SparkSession, sink_path: str) -> DataFrame | None:
+    """The load-log state table (SURVEY.md §7.4.1): one row per load
+    event ``(partition key, rows, loaded_at run id)``. It answers
+    "what's loaded?" without scanning the serving table — the
+    observable twin of the reference's ES terms-agg sink-state read
+    (``data-s3-elastic-transfer.py:45-88``) at metadata cost."""
+    path = load_log_path(sink_path)
+    if not os.path.exists(path):
+        return None
+    return spark.read.parquet(path)
+
+
 def incremental_load(spark: SparkSession, source: DataFrame, sink_path: str,
                      key: str = "month", id_col: str = "id",
                      field_mappings=None, clean: bool = False) -> LoadReport:
@@ -59,8 +75,14 @@ def incremental_load(spark: SparkSession, source: DataFrame, sink_path: str,
     (``data-s3-elastic-transfer.py:301-306``), but for all missing
     partitions in one job instead of a per-month driver loop.
     """
-    sink = (spark.read.parquet(sink_path)
-            if os.path.exists(sink_path) else None)
+    # Sink state from the load log when present (metadata-sized read);
+    # falls back to scanning the serving table's partition keys.
+    log = read_load_log(spark, sink_path)
+    if log is not None:
+        sink = log.select(F.col("partition_key").alias(key))
+    else:
+        sink = (spark.read.parquet(sink_path)
+                if os.path.exists(sink_path) else None)
     todo_df = plan_missing_partitions(source, sink, key)
     # Partition keys are low-cardinality by design (calendar months in
     # the reference) — collecting just the KEY LIST is driver-safe at
@@ -75,4 +97,8 @@ def incremental_load(spark: SparkSession, source: DataFrame, sink_path: str,
         shaped = validate_and_clean(shaped)
     rows = shaped.count()
     upsert_by_key(spark, shaped, sink_path, key_col=id_col, partition_col=key)
+    # Append this load's per-partition counts to the load log.
+    (shaped.groupBy(F.col(key).cast("string").alias("partition_key"))
+     .agg(F.count(F.lit(1)).alias("rows_loaded"))
+     .write.mode("append").parquet(load_log_path(sink_path)))
     return LoadReport(partitions_loaded=sorted(map(str, todo)), rows_loaded=rows)

@@ -55,8 +55,23 @@ def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
     pred = F.col(key).isin(mismatch_keys)
     todo_ids = missing_ids(source, sink, id_col, partition_pred=pred)
     repair = fetch_rows_for_ids(source, todo_ids, id_col, partition_pred=pred)
-    n = repair.count()
+    # Materialize the per-partition repair counts BEFORE the upsert:
+    # the repair plan reads the current sink files (via the id diff),
+    # which the upsert replaces — re-executing it afterwards would hit
+    # deleted files. The counts are tiny (one row per mismatched
+    # partition).
+    log_rows = [(str(r[0]), r[1]) for r in
+                (repair.groupBy(F.col(key).cast("string"))
+                 .agg(F.count(F.lit(1))).collect())]
+    n = sum(c for _, c in log_rows)
     if n:
         upsert_by_key(spark, repair, sink_path, key_col=id_col, partition_col=key)
+        # record the repair in the load log (append; the log is an event
+        # log — "what's loaded" = distinct partition keys)
+        from s3_elasticsearch_data_pipeline_spark.plans.incremental import (
+            load_log_path)
+        (spark.createDataFrame(log_rows,
+                               "partition_key string, rows_loaded long")
+         .write.mode("append").parquet(load_log_path(sink_path)))
     return ReconcileReport(
         mismatched_partitions=sorted(map(str, mismatch_keys)), rows_repaired=n)

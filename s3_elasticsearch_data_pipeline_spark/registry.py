@@ -1322,3 +1322,30 @@ def q_sim_topk_ivf(spark, sf_dir):
     """IVF cell-probing ANN — the partition-pruning scale path."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
+@register("agg_grouping_sets", """
+SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+""")
+def q_agg_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (beyond rollup/cube): two disjoint
+    grouping columns in one Expand pass."""
+    orders = _t(spark, sf_dir, "orders")
+    orders.createOrReplaceTempView("orders")
+    return spark.sql("""
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
+
+
+@register("describe_table", None)  # engine-specific type names → rows-only
+def q_describe_table(spark, sf_dir):
+    """Debug.py equivalent as a queryable surface: column name/type/
+    nullability of a table (the engine's printSchema, as data)."""
+    orders = _t(spark, sf_dir, "orders")
+    rows = [(f.name, f.dataType.simpleString(), f.nullable)
+            for f in orders.schema.fields]
+    return spark.createDataFrame(
+        rows, "col_name string, data_type string, nullable boolean")

@@ -12,6 +12,14 @@ This is the MERGE INTO emulation pattern (anti-join + union); with a
 Delta/Iceberg jar on the classpath the same call maps to a real
 ``MERGE``. At scale the dynamic partition overwrite keeps the rewrite
 proportional to the touched partitions, not the table.
+
+Note on read-overwrite: the merge plan reads the serving table while
+dynamically overwriting its touched partitions. Locally this is safe
+(reads complete before the commit swaps files); on an object store a
+production deployment should route through a table format (Delta/
+Iceberg MERGE) or a staging-dir + rename for snapshot isolation —
+callers must also not re-execute plans derived from the pre-upsert
+sink afterwards.
 """
 
 from __future__ import annotations

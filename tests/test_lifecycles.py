@@ -115,3 +115,20 @@ def test_streaming_incremental_exactly_once(spark, source, tmp_path):
     late.write.partitionBy("month").mode("append").parquet(src_dir)
     incremental_stream_load(spark, src_dir, sink, ckpt)
     assert spark.read.parquet(sink).count() == n1 + 7
+
+
+def test_load_log_tracks_loads(spark, source, tmp_path):
+    from s3_elasticsearch_data_pipeline_spark.plans.incremental import (
+        read_load_log)
+    sink = str(tmp_path / "serving")
+    incremental_load(spark, source, sink)
+    log = read_load_log(spark, sink)
+    assert log is not None
+    logged = {r.partition_key: r.rows_loaded for r in log.collect()}
+    truth = {r.month: r.cnt for r in
+             source.groupBy("month").agg(F.count(F.lit(1)).alias("cnt"))
+             .collect()}
+    assert logged == truth
+    # second load appends nothing (no missing partitions)
+    incremental_load(spark, source, sink)
+    assert read_load_log(spark, sink).count() == len(truth)
