@@ -86,7 +86,11 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame,
     """
     # Probe the dimensionality once (plan-build time) to fix the plane
     # matrix; planes are deterministic md5-derived ±1 rows.
-    dims = len(embeddings.select("embedding").first()[0])
+    probe = embeddings.select("embedding").first()
+    if probe is None:  # empty corpus → empty result, stable schema
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
+    dims = len(probe[0])
     import numpy as np
     planes = np.array([_rademacher_plane(i, dims)
                        for i in range(num_tables * num_planes)])  # (T·P, D)
@@ -230,6 +234,9 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     partition pruning IS the index lookup. Deterministic end-to-end
     (fixed init, argmax ties break to the lowest cell index).
     """
+    if embeddings.select("embedding").first() is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
     import numpy as np
     centroids = _kmeans_centroids(embeddings, n_cells, iters)
 

@@ -128,3 +128,30 @@ def test_bucketed_join_has_no_exchange(spark, sf_oracle, tmp_path):
         spark.sql("DROP TABLE IF EXISTS orders_b")
         spark.sql("DROP TABLE IF EXISTS lineitem_b")
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_asof_join_is_single_pass(spark, sf_oracle):
+    """Union-and-carry as-of join: bounded shuffle count (no range
+    cross-join, no nested loop) — the property that keeps it linear
+    at 100 TB."""
+    df = registry.queries()["asof_join_events"](spark, sf_oracle)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    n_exchanges = (plan.count("Exchange hashpartitioning")
+                   + plan.count("Exchange rangepartitioning"))
+    assert n_exchanges <= 2, f"asof join shuffles too much:\n{plan[:800]}"
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ngram_jaccard_avoids_quadratic_join(spark, sf_oracle):
+    """Inverted-index Jaccard: equi-join + aggregates only — any
+    nested-loop/cartesian operator means the quadratic path came back."""
+    df = registry.queries()["dedup_ngram_jaccard"](spark, sf_oracle)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    n_exchanges = (plan.count("Exchange hashpartitioning")
+                   + plan.count("Exchange rangepartitioning"))
+    assert n_exchanges <= 3, f"too many shuffles:\n{plan[:800]}"
