@@ -1349,3 +1349,72 @@ def q_describe_table(spark, sf_dir):
             for f in orders.schema.fields]
     return spark.createDataFrame(
         rows, "col_name string, data_type string, nullable boolean")
+
+
+@register("agg_min_max_by", """
+SELECT strftime(o_orderdate, '%Y') AS order_year,
+       max_by(o_orderkey, o_totalprice) AS biggest_order,
+       min_by(o_orderkey, o_totalprice) AS smallest_order,
+       round(max(o_totalprice), 2) AS max_price
+FROM orders GROUP BY 1
+""")
+def q_agg_min_max_by(spark, sf_dir):
+    """Argmin/argmax aggregates (min_by/max_by) per year. o_totalprice
+    values are distinct in practice; orderkey output is integral."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders
+            .groupBy(F.date_format("o_orderdate", "yyyy").alias("order_year"))
+            .agg(F.expr("max_by(o_orderkey, o_totalprice)").alias("biggest_order"),
+                 F.expr("min_by(o_orderkey, o_totalprice)").alias("smallest_order"),
+                 F.round(F.max("o_totalprice"), 2).alias("max_price")))
+
+
+@register("agg_histogram", """
+SELECT CAST(floor(value / 50.0) AS BIGINT) AS bin,
+       count(*) AS n,
+       round(min(value), 2) AS bin_min,
+       round(max(value), 2) AS bin_max
+FROM events GROUP BY 1
+""")
+def q_agg_histogram(spark, sf_dir):
+    """Fixed-width histogram binning — floor-based bins are the
+    engine-portable form of width_bucket."""
+    events = _t(spark, sf_dir, "events")
+    return (events
+            .groupBy(F.floor(F.col("value") / 50.0).alias("bin"))
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.min("value"), 2).alias("bin_min"),
+                 F.round(F.max("value"), 2).alias("bin_max")))
+
+
+@register("agg_correlation", """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr,
+       round(covar_samp(l_quantity, l_discount), 6) AS qty_disc_covar
+FROM lineitem GROUP BY l_returnflag
+""")
+def q_agg_correlation(spark, sf_dir):
+    """Statistical co-aggregates (corr / covar_samp) per group."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.groupBy("l_returnflag")
+            .agg(F.round(F.corr("l_quantity", "l_extendedprice"), 6)
+                  .alias("qty_price_corr"),
+                 F.round(F.covar_samp("l_quantity", "l_discount"), 6)
+                  .alias("qty_disc_covar")))
+
+
+@register("dedup_surviving_documents", """
+WITH keep AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN keep USING (doc_id)
+""")
+def q_dedup_surviving_documents(spark, sf_dir):
+    """The operational form of exact dedup: the surviving document rows
+    (min doc_id per content hash) — what a training-data pipeline
+    actually writes downstream."""
+    docs = _t(spark, sf_dir, "documents")
+    keep = (docs.select(F.md5("text").alias("h"), "doc_id")
+            .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    return (docs.join(keep, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source", "n_chars"))
