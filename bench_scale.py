@@ -1,0 +1,102 @@
+#!/usr/bin/env python
+"""Scale-headroom smoke (not part of the driver contract): replicate
+sf0.1 N× with shifted keys into a scratch dir, then time the headline
+operator shapes at both scales. Linear-ish scaling (≤ ~N× wall on N×
+rows with fixed parallelism) is the evidence that the physical plans
+don't hide quadratic or driver-bound steps.
+
+Usage: python bench_scale.py [N]   (default 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark import registry
+from s3_elasticsearch_data_pipeline_spark.session import get_spark
+
+BASE = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+SCALE_QUERIES = (
+    "q1_pricing_summary", "q6_forecast_revenue", "a1_group_count_month",
+    "j2_missing_ids", "w_running_totals", "dedup_exact",
+    "dedup_ngram_jaccard", "dedup_minhash_lsh", "text_quality_scores",
+)
+KEYED = {  # table → key columns to shift per replica (keeps keys unique)
+    "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),
+    "customer": ("c_custkey",), "events": ("event_id", "user_id"),
+    "documents": ("doc_id",), "embeddings": ("vec_id",),
+}
+SHIFT = 10_000_000_000
+
+
+def replicate(spark, out_dir: str, n: int) -> None:
+    for table, keys in KEYED.items():
+        src = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
+        parts = []
+        for i in range(n):
+            df = src
+            for k in keys:
+                df = df.withColumn(k, F.col(k) + F.lit(i * SHIFT))
+            if table == "documents":  # vary text so dedup stays honest
+                df = df.withColumn(
+                    "text", F.concat(F.col("text"), F.lit(f" replica{i}")))
+            parts.append(df)
+        union = parts[0]
+        for p in parts[1:]:
+            union = union.unionByName(p)
+        union.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"{table}.parquet"))
+    for table in ("region", "nation", "supplier", "part"):
+        src = os.path.join(BASE, f"{table}.parquet")
+        dst = os.path.join(out_dir, f"{table}.parquet")
+        (shutil.copytree if os.path.isdir(src) else shutil.copy)(src, dst)
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    qs = registry.queries()
+    out = {}
+    for name in SCALE_QUERIES:
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            qs[name](spark, sf_dir).collect()
+            best = min(best, time.perf_counter() - t0)
+        out[name] = round(best, 3)
+    return out
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    spark = get_spark("bench_scale")
+    spark.range(64).mapInPandas(lambda it: it, "id long").count()
+
+    base_times = time_queries(spark, BASE)
+    scratch = tempfile.mkdtemp(prefix="sfx_scale_")
+    try:
+        t0 = time.perf_counter()
+        replicate(spark, scratch, n)
+        build = round(time.perf_counter() - t0, 1)
+        scaled_times = time_queries(spark, scratch)
+    finally:
+        shutil.rmtree(scratch, ignore_errors=True)
+
+    report = {
+        "replicas": n, "build_sec": build,
+        "base": base_times, "scaled": scaled_times,
+        "ratio": {k: round(scaled_times[k] / max(base_times[k], 1e-3), 1)
+                  for k in base_times},
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -1418,3 +1418,406 @@ def q_dedup_surviving_documents(spark, sf_dir):
             .select("doc_id"))
     return (docs.join(keep, "doc_id", "left_semi")
             .select("doc_id", "lang", "source", "n_chars"))
+
+
+# ---------------------------------------------------------------------------
+# TPC-H archetype completion — the remaining query SHAPES, adapted to
+# the driver schema (no partsupp / l_shipmode / l_commitdate / c_phone
+# columns).  Each keeps the original's structural signature: the join
+# graph, the subquery kind (scalar / correlated / EXISTS / NOT IN), and
+# the aggregation shape.  Broadcast discipline: nation/region are
+# explicitly broadcast (bounded dims at any scale); supplier/part are
+# left to AQE — they grow linearly with SF, so a hard-coded broadcast
+# would be wrong on a 100 TB cluster.
+# ---------------------------------------------------------------------------
+
+@register("q2_min_cost_supplier", """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, min(CAST(l_extendedprice AS DECIMAL(12,2))) AS min_price
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p_partkey, p_brand, s_name, CAST(o.min_price AS DOUBLE) AS best_price
+FROM part
+JOIN offers o ON p_partkey = o.l_partkey
+JOIN supplier ON o.l_suppkey = s_suppkey
+WHERE p_size <= 5 AND p_type LIKE 'SMALL%'
+  AND o.min_price = (SELECT min(o2.min_price) FROM offers o2
+                     WHERE o2.l_partkey = p_partkey)
+""")
+def q_q2_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape (min-cost supplier per part): the correlated-min
+    subquery is expressed as a window min over the part key — one extra
+    shuffle-free pass over the already-partitioned aggregate instead of
+    a rejoin of the offers table against itself."""
+    from pyspark.sql.window import Window
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    supplier = _t(spark, sf_dir, "supplier")
+    offers = (lineitem
+              .groupBy("l_partkey", "l_suppkey")
+              .agg(F.min(F.col("l_extendedprice").cast("decimal(12,2)"))
+                   .alias("min_price")))
+    best = (offers
+            .withColumn("best", F.min("min_price")
+                        .over(Window.partitionBy("l_partkey")))
+            .where(F.col("min_price") == F.col("best")))
+    pj = part.where((F.col("p_size") <= 5) & F.col("p_type").like("SMALL%"))
+    return (best.join(pj, best.l_partkey == pj.p_partkey)
+            .join(supplier, best.l_suppkey == supplier.s_suppkey)
+            .select("p_partkey", "p_brand", "s_name",
+                    F.col("min_price").cast("double").alias("best_price")))
+
+
+@register("q8_market_share", """
+WITH vol AS (
+  SELECT EXTRACT(year FROM o_orderdate) AS order_year,
+         n2.n_name AS supp_nation,
+         CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2))) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  JOIN part     ON l_partkey = p_partkey
+  WHERE r_name = 'EUROPE' AND p_type LIKE 'PROMO%'
+)
+SELECT order_year,
+       round(CAST(sum(CASE WHEN supp_nation = 'NATION_7' THEN volume ELSE 0 END) AS DOUBLE)
+             / CAST(sum(volume) AS DOUBLE), 6) AS mkt_share
+FROM vol GROUP BY order_year
+""")
+def q_q8_market_share(spark, sf_dir):
+    """TPC-H Q8 shape (national market share): 7-table join with the
+    nation dim in two roles, conditional-share aggregation. Decimal
+    sums are exact, so the final double division is order-independent."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    part = _t(spark, sf_dir, "part")
+    n1 = nation.select(F.col("n_nationkey").alias("c_nk"),
+                       F.col("n_regionkey").alias("c_rk"))
+    n2 = nation.select(F.col("n_nationkey").alias("s_nk"),
+                       F.col("n_name").alias("supp_nation"))
+    volume = (F.col("l_extendedprice").cast("decimal(12,2)")
+              * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    vol = (lineitem
+           .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+           .join(customer, orders.o_custkey == customer.c_custkey)
+           .join(F.broadcast(n1), customer.c_nationkey == F.col("c_nk"))
+           .join(F.broadcast(region.where(F.col("r_name") == "EUROPE")),
+                 F.col("c_rk") == F.col("r_regionkey"))
+           .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+           .join(F.broadcast(n2), supplier.s_nationkey == F.col("s_nk"))
+           .join(part.where(F.col("p_type").like("PROMO%")),
+                 lineitem.l_partkey == F.col("p_partkey"))
+           .select(F.year("o_orderdate").alias("order_year"),
+                   "supp_nation", volume.alias("volume")))
+    target = F.when(F.col("supp_nation") == "NATION_7",
+                    F.col("volume")).otherwise(F.lit(0))
+    return (vol.groupBy("order_year")
+            .agg(F.round(F.sum(target).cast("double")
+                         / F.sum("volume").cast("double"), 6)
+                 .alias("mkt_share")))
+
+
+@register("q9_product_profit", """
+SELECT n_name AS supp_nation, EXTRACT(year FROM o_orderdate) AS order_year,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2)) * (1 - CAST(l_discount AS DECIMAL(4,2)))
+                      - CAST(p_retailprice AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))), 2) AS DOUBLE) AS profit
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN part     ON l_partkey = p_partkey
+WHERE p_name LIKE '%gear%'
+GROUP BY 1, 2
+""")
+def q_q9_product_profit(spark, sf_dir):
+    """TPC-H Q9 shape (product-line profit by nation and year); with no
+    partsupp table, p_retailprice*quantity stands in for the
+    supplycost*quantity term — the join graph and agg shape are Q9's."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    part = _t(spark, sf_dir, "part")
+    profit = (F.col("l_extendedprice").cast("decimal(12,2)")
+              * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+              - F.col("p_retailprice").cast("decimal(12,2)")
+              * F.col("l_quantity").cast("decimal(12,2)"))
+    return (lineitem
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+            .join(F.broadcast(nation),
+                  supplier.s_nationkey == nation.n_nationkey)
+            .join(part.where(F.col("p_name").like("%gear%")),
+                  lineitem.l_partkey == F.col("p_partkey"))
+            .groupBy(F.col("n_name").alias("supp_nation"),
+                     F.year("o_orderdate").alias("order_year"))
+            .agg(F.round(F.sum(profit), 2).cast("double").alias("profit")))
+
+
+@register("q12_priority_lines", """
+SELECT l_returnflag AS returnflag,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+GROUP BY 1
+""")
+def q_q12_priority_lines(spark, sf_dir):
+    """TPC-H Q12 shape (priority split per class): fact-fact equi-join
+    + conditional counts; return flag stands in for ship mode."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (lineitem
+            .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+            .join(orders, lineitem.l_orderkey == orders.o_orderkey)
+            .groupBy(F.col("l_returnflag").alias("returnflag"))
+            .agg(F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                 F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count")))
+
+
+@register("q13_order_count_distribution", """
+WITH c_orders AS (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+)
+SELECT c_count, count(*) AS custdist FROM c_orders GROUP BY c_count
+""")
+def q_q13_order_count_distribution(spark, sf_dir):
+    """TPC-H Q13 shape (customer order-count distribution): outer join
+    with an extra join-side predicate, then a second aggregation over
+    the first's result. count(col) keeps the null-means-zero outer-join
+    semantics."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    per_cust = (customer
+                .join(orders,
+                      (customer.c_custkey == orders.o_custkey)
+                      & (F.col("o_orderpriority") != "5-LOW"), "left")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("c_count")))
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+@register("q15_top_supplier", """
+WITH revenue AS (
+  SELECT l_suppkey, CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                                   * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2) AS DOUBLE) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+""")
+def q_q15_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape (top supplier by quarter revenue): scalar-max
+    subquery over a derived aggregate, realized as a broadcast of the
+    1-row max. Revenue is an exact decimal sum rounded once, so the
+    double equality is engine-safe."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    rev = (lineitem
+           .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                  & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp")))
+           .groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice").cast("decimal(12,2)")
+                              * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))), 2)
+                .cast("double").alias("total_revenue")))
+    mx = rev.agg(F.max("total_revenue").alias("mx"))
+    return (supplier
+            .join(rev, supplier.s_suppkey == rev.l_suppkey)
+            .crossJoin(F.broadcast(mx))
+            .where(F.col("total_revenue") == F.col("mx"))
+            .select("s_suppkey", "s_name", "total_revenue"))
+
+
+@register("q16_supplier_part_counts", """
+SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+FROM part JOIN lineitem ON p_partkey = l_partkey
+WHERE p_brand <> 'Brand#1'
+  AND p_type NOT LIKE 'MEDIUM%'
+  AND p_size IN (1, 4, 9, 16, 25, 36, 49)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+""")
+def q_q16_supplier_part_counts(spark, sf_dir):
+    """TPC-H Q16 shape (supplier count per part attribute with a NOT IN
+    exclusion): the NOT IN becomes a broadcast anti-join (s_suppkey is
+    non-null, so anti-join == NOT IN); distinct-count aggregates over
+    the surviving fact rows."""
+    part = _t(spark, sf_dir, "part")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    excl = supplier.where(F.col("s_acctbal") < 0).select("s_suppkey")
+    li = lineitem.join(F.broadcast(excl),
+                       lineitem.l_suppkey == excl.s_suppkey, "left_anti")
+    pj = part.where((F.col("p_brand") != "Brand#1")
+                    & (~F.col("p_type").like("MEDIUM%"))
+                    & F.col("p_size").isin(1, 4, 9, 16, 25, 36, 49))
+    return (li.join(pj, li.l_partkey == pj.p_partkey)
+            .groupBy("p_brand", "p_type", "p_size")
+            .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+@register("q20_promo_part_suppliers", """
+SELECT s_suppkey, s_name, round(s_acctbal, 2) AS s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_type LIKE 'PROMO%'
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  GROUP BY l_suppkey HAVING sum(l_quantity) > 300
+)
+""")
+def q_q20_promo_part_suppliers(spark, sf_dir):
+    """TPC-H Q20 shape (suppliers with excess shipped quantity of
+    targeted parts): IN over a grouped HAVING subquery → semi-join
+    against the aggregate. Quantities are small integers, so the double
+    sum is exact and the HAVING threshold is engine-safe."""
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part")
+    qualifying = (lineitem
+                  .where((F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+                         & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+                  .join(part.where(F.col("p_type").like("PROMO%")),
+                        lineitem.l_partkey == F.col("p_partkey"), "left_semi")
+                  .groupBy("l_suppkey")
+                  .agg(F.sum("l_quantity").alias("qty"))
+                  .where(F.col("qty") > 300)
+                  .select("l_suppkey"))
+    return (supplier
+            .join(qualifying, supplier.s_suppkey == qualifying.l_suppkey,
+                  "left_semi")
+            .select("s_suppkey", "s_name",
+                    F.round("s_acctbal", 2).alias("s_acctbal")))
+
+
+@register("q21_waiting_suppliers", """
+SELECT s_name, count(*) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_returnflag = 'R')
+GROUP BY s_name
+""")
+def q_q21_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape (sole-blame supplier per failed order): EXISTS →
+    left-semi and NOT EXISTS → left-anti self-joins on the fact table,
+    each an equi-join on the order key with the supplier inequality as
+    residual condition. l_returnflag='R' stands in for the
+    receipt-after-commit lateness predicate."""
+    supplier = _t(spark, sf_dir, "supplier")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    l1 = lineitem.select("l_orderkey", "l_suppkey", "l_returnflag")
+    others = lineitem.select(F.col("l_orderkey").alias("o2_orderkey"),
+                             F.col("l_suppkey").alias("o2_suppkey"),
+                             F.col("l_returnflag").alias("o2_flag"))
+    base = (l1.where(F.col("l_returnflag") == "R")
+            .join(orders.where(F.col("o_orderstatus") == "F")
+                  .select("o_orderkey"),
+                  l1.l_orderkey == F.col("o_orderkey"), "left_semi"))
+    multi = base.join(others,
+                      (base.l_orderkey == others.o2_orderkey)
+                      & (base.l_suppkey != others.o2_suppkey), "left_semi")
+    sole_blame = multi.join(others.where(F.col("o2_flag") == "R"),
+                            (multi.l_orderkey == F.col("o2_orderkey"))
+                            & (multi.l_suppkey != F.col("o2_suppkey")),
+                            "left_anti")
+    return (sole_blame
+            .join(supplier, sole_blame.l_suppkey == supplier.s_suppkey)
+            .groupBy("s_name")
+            .agg(F.count(F.lit(1)).alias("numwait")))
+
+
+@register("q22_idle_customers", """
+WITH pos AS (SELECT sum(CAST(c_acctbal AS DECIMAL(12,2))) AS tot, count(*) AS cnt
+             FROM customer WHERE c_acctbal > 0)
+SELECT c_nationkey AS nationkey, count(*) AS numcust,
+       CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE) AS totacctbal
+FROM customer, pos
+WHERE CAST(c_acctbal AS DECIMAL(12,2)) * cnt > tot
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+GROUP BY c_nationkey
+""")
+def q_q22_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape (well-funded customers gone idle): the
+    above-average test is algebraized to ``bal*cnt > tot`` so both
+    engines compare exact decimals (no double-average boundary flakes);
+    NOT EXISTS (no recent order) is a left-anti join on the filtered
+    order table."""
+    customer = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders")
+    bal = F.col("c_acctbal").cast("decimal(12,2)")
+    pos = (customer.where(F.col("c_acctbal") > 0)
+           .agg(F.sum(bal).alias("tot"), F.count(F.lit(1)).alias("cnt")))
+    return (customer
+            .crossJoin(F.broadcast(pos))
+            .where(bal * F.col("cnt") > F.col("tot"))
+            .join(orders
+                  .where(F.col("o_orderdate")
+                         >= F.lit("2000-01-01").cast("timestamp"))
+                  .select("o_custkey"),
+                  customer.c_custkey == F.col("o_custkey"), "left_anti")
+            .groupBy(F.col("c_nationkey").alias("nationkey"))
+            .agg(F.count(F.lit(1)).alias("numcust"),
+                 F.round(F.sum(bal), 2).cast("double").alias("totacctbal")))
+
+
+@register("q11_important_parts", """
+WITH value_by_part AS (
+  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name IN ('NATION_3', 'NATION_4', 'NATION_5')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS partkey, CAST(round(val, 2) AS DOUBLE) AS part_value
+FROM value_by_part
+WHERE val * 1000 > (SELECT sum(val) FROM value_by_part)
+""")
+def q_q11_important_parts(spark, sf_dir):
+    """TPC-H Q11 shape (parts above a fraction of total value): scalar
+    subquery over the same derived aggregate; ``val*1000 > tot`` keeps
+    the comparison in exact integer-scaled decimals on both engines."""
+    lineitem = _t(spark, sf_dir, "lineitem")
+    supplier = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    nk = (nation.where(F.col("n_name").isin("NATION_3", "NATION_4", "NATION_5"))
+          .select("n_nationkey"))
+    vbp = (lineitem
+           .join(supplier, lineitem.l_suppkey == supplier.s_suppkey)
+           .join(F.broadcast(nk), supplier.s_nationkey == nk.n_nationkey,
+                 "left_semi")
+           .groupBy("l_partkey")
+           .agg(F.sum(F.col("l_extendedprice").cast("decimal(12,2)"))
+                .alias("val")))
+    tot = vbp.agg(F.sum("val").alias("tot"))
+    return (vbp.crossJoin(F.broadcast(tot))
+            .where(F.col("val") * 1000 > F.col("tot"))
+            .select(F.col("l_partkey").alias("partkey"),
+                    F.round("val", 2).cast("double").alias("part_value")))
