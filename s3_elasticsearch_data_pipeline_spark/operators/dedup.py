@@ -254,3 +254,49 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
                     F.col("b.vec_id").alias("vec_id_b"),
                     F.round(sim, 6).alias("cosine_sim"))
             .where(F.col("cosine_sim") >= threshold))
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Near-dup clusters from a pair list: connected components, one
+    row per non-singleton document, ``cluster_id`` = min doc_id
+    reachable.
+
+    Iterative min-label propagation: each round is one equi-join of the
+    (bidirected) edge list against the current labels plus a min
+    aggregate — all on compact (long, long) rows — with a
+    ``localCheckpoint`` per round to truncate lineage (otherwise the
+    plan doubles every iteration). Converges in graph-diameter rounds;
+    near-dup clusters are shallow (near-cliques), so a handful. The
+    diameter-robust formulation for adversarial 100 TB graphs is the
+    large-star/small-star alternation (Kiveris et al., "Connected
+    Components in MapReduce and Beyond", SoCC 2014) — same join/agg
+    primitive, O(log²) rounds; this simple propagation is the right
+    cost model for dedup-shaped graphs.
+    """
+    edges = (pairs.select(F.col("doc_id_a").alias("src"),
+                          F.col("doc_id_b").alias("dst"))
+             .unionByName(pairs.select(F.col("doc_id_b").alias("src"),
+                                       F.col("doc_id_a").alias("dst"))))
+    edges = edges.localCheckpoint(eager=True)
+    labels = (edges.select(F.col("src").alias("doc_id")).distinct()
+              .withColumn("cluster_id", F.col("doc_id"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr = (edges.join(labels, edges.src == labels.doc_id)
+               .groupBy(F.col("dst").alias("nbr_doc"))
+               .agg(F.min("cluster_id").alias("nbr_min")))
+        new_labels = (labels
+                      .join(nbr, labels.doc_id == nbr.nbr_doc, "left")
+                      .select("doc_id",
+                              F.least(F.col("cluster_id"),
+                                      F.coalesce("nbr_min", F.col("cluster_id")))
+                              .alias("cluster_id"))
+                      .localCheckpoint(eager=True))
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
+                   .count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

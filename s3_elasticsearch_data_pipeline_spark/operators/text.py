@@ -102,3 +102,71 @@ def fingerprints(documents: DataFrame) -> DataFrame:
     document-identity primitive exact dedup and incremental loads key
     on."""
     return documents.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+# PII patterns kept RE2-compatible (no backrefs/lookarounds) so the
+# same strings run under Java regex (Spark) and RE2 (DuckDB oracle).
+PII_EMAIL_RE = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+PII_LONG_DIGITS_RE = "[0-9]{6,}"
+
+
+def pii_scrub(documents: DataFrame, text_col: str = "text") -> DataFrame:
+    """Redact email addresses and long digit runs (account/phone/SSN
+    shapes) — the cheap regex pass a training pipeline runs before any
+    text ships downstream. Pure regexp_replace/regexp_count columns:
+    codegen'd, no UDF, trivially partition-parallel at 100 TB."""
+    email_gone = F.regexp_replace(F.col(text_col), PII_EMAIL_RE, "<EMAIL>")
+    scrubbed = F.regexp_replace(email_gone, PII_LONG_DIGITS_RE, "<NUM>")
+    n_redactions = (F.regexp_count(F.col(text_col), F.lit(PII_EMAIL_RE))
+                    + F.regexp_count(F.col(text_col),
+                                     F.lit(PII_LONG_DIGITS_RE)))
+    return documents.select("doc_id", scrubbed.alias("clean_text"),
+                            n_redactions.alias("n_redactions"))
+
+
+def vocab_top_terms(documents: DataFrame, k: int = 25) -> DataFrame:
+    """Corpus vocabulary head: top-k terms by total occurrences (term
+    as tie-break), with document frequency. explode → partial-agg
+    count; the top-k is orderBy+limit, which Spark executes as
+    TakeOrdered (per-partition heaps, no global sort materialization).
+    """
+    exploded = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    counts = (exploded.groupBy("term")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.countDistinct("doc_id").alias("doc_freq")))
+    return counts.orderBy(F.col("n_occurrences").desc(), "term").limit(k)
+
+
+def idf_table(documents: DataFrame) -> DataFrame:
+    """Smoothed inverse document frequency per term:
+    ln((N+1)/(df+1)), the weighting table TF-IDF scoring joins
+    against. df counts distinct docs via array_distinct before the
+    explode, so the aggregate shuffles one row per (doc, term)."""
+    n_docs = documents.agg(F.count(F.lit(1)).alias("n_docs"))
+    df_tbl = (documents
+              .select(F.explode(F.array_distinct(tokens(F.col("text"))))
+                      .alias("term"))
+              .groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq")))
+    return (df_tbl.crossJoin(F.broadcast(n_docs))
+            .select("term", "doc_freq",
+                    F.round(F.log((F.col("n_docs") + 1)
+                                  / (F.col("doc_freq") + 1)), 6)
+                    .alias("idf")))
+
+
+def quality_filter(documents: DataFrame, min_quality: float = 0.55,
+                   langs: tuple[str, ...] = ("en", "de", "fr", "es"),
+                   min_tokens: int = 20, max_tokens: int = 1000) -> DataFrame:
+    """The canonical corpus-curation filter chain: language allowlist +
+    token-length window + heuristic quality threshold, returning the
+    surviving document rows. Composes quality_scores via a semi-join on
+    doc_id; at scale both sides partition on doc_id so the join is
+    co-located after the score shuffle."""
+    scored = quality_scores(documents)
+    keep = (scored.where((F.col("quality_score") >= min_quality)
+                         & F.col("n_tokens").between(min_tokens, max_tokens))
+            .select("doc_id"))
+    return (documents.where(F.col("lang").isin(*langs))
+            .join(keep, "doc_id", "left_semi")
+            .select("doc_id", "lang", "source", "n_chars"))

@@ -1821,3 +1821,162 @@ def q_q11_important_parts(spark, sf_dir):
             .where(F.col("val") * 1000 > F.col("tot"))
             .select(F.col("l_partkey").alias("partkey"),
                     F.round("val", 2).cast("double").alias("part_value")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus-curation extension: near-dup clustering, PII scrubbing,
+# vocabulary/IDF, and the composed quality filter chain.
+# ---------------------------------------------------------------------------
+
+@register("dedup_connected_components", """
+WITH RECURSIVE shingled AS (
+  SELECT doc_id, lang AS block,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3),
+near_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM shingled a JOIN shingled b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))),
+              6) >= 0.5),
+edges AS (SELECT a AS src, b AS dst FROM near_pairs
+          UNION ALL SELECT b, a FROM near_pairs),
+reach(doc_id, member) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.member)
+SELECT doc_id, min(member) AS cluster_id FROM reach GROUP BY doc_id
+""")
+def q_dedup_connected_components(spark, sf_dir):
+    """Near-dup cluster assignment: connected components over the exact
+    ngram-Jaccard pairs (iterative min-label propagation; the oracle is
+    a recursive-CTE transitive closure — same fixpoint)."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return dedup.connected_components(pairs)
+
+
+@register("text_pii_scrub", """
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com ref 123456789' AS text
+  FROM documents)
+SELECT doc_id,
+       regexp_replace(regexp_replace(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}', '<EMAIL>', 'g'),
+         '[0-9]{6,}', '<NUM>', 'g') AS clean_text,
+       len(regexp_extract_all(text,
+         '[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}'))
+       + len(regexp_extract_all(text, '[0-9]{6,}')) AS n_redactions
+FROM seeded
+""")
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrubbing (emails + long digit runs). The synthetic corpus
+    contains no PII, so the query seeds one deterministic email and one
+    account number per document first — the redaction path is then
+    genuinely exercised and oracle-checked end to end."""
+    docs = (_t(spark, sf_dir, "documents")
+            .select("doc_id",
+                    F.concat(F.col("text"), F.lit(" contact user"),
+                             F.col("doc_id").cast("string"),
+                             F.lit("@example.com ref 123456789"))
+                    .alias("text")))
+    return text.pii_scrub(docs)
+
+
+@register("text_vocab_top_terms", """
+SELECT term, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                        t -> t <> '')) AS term
+      FROM documents)
+GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 25
+""")
+def q_text_vocab_top_terms(spark, sf_dir):
+    """Vocabulary head: top-25 terms by occurrences with doc frequency
+    (term tie-break makes the cut deterministic)."""
+    return text.vocab_top_terms(_t(spark, sf_dir, "documents"), k=25)
+
+
+@register("text_idf", """
+WITH df AS (
+  SELECT term, count(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, unnest(list_distinct(
+              list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+            AS term
+        FROM documents)
+  GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents)
+SELECT term, doc_freq,
+       round(ln((n_docs + 1) / (doc_freq + 1)), 6) AS idf
+FROM df, n
+""")
+def q_text_idf(spark, sf_dir):
+    """Smoothed IDF table per term — the TF-IDF weighting join input."""
+    return text.idf_table(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_quality_filter", """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','a','and','of','to','in','is','that','for','it']))
+           AS n_stop
+  FROM base),
+q AS (
+  SELECT doc_id, n_tokens,
+         round(0.3 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (CASE WHEN n_tokens > 0
+                             THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                             ELSE 0.0 END)
+               + 0.2 * (CASE WHEN n_chars > 0
+                             THEN CAST(n_alpha AS DOUBLE) / n_chars
+                             ELSE 0.0 END)
+               + 0.2 * least(n_stop / 5.0, 1.0), 6) AS quality_score
+  FROM m)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d JOIN q ON d.doc_id = q.doc_id
+WHERE q.quality_score >= 0.55
+  AND q.n_tokens BETWEEN 20 AND 1000
+  AND d.lang IN ('en', 'de', 'fr', 'es')
+""")
+def q_corpus_quality_filter(spark, sf_dir):
+    """The composed corpus-curation filter chain (quality threshold +
+    token window + language allowlist) → surviving document rows."""
+    return text.quality_filter(_t(spark, sf_dir, "documents"))
+
+
+@register("stratified_sample", """
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE CASE WHEN lang = 'en'
+           THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+           ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '80' END
+""")
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sampling: per-stratum hash-threshold
+    rates (~10% of the overrepresented 'en' stratum, ~50% elsewhere) —
+    reproducible across engines/runs/partitionings, unlike RNG
+    ``sampleBy``, and exactly re-derivable for audit at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    h = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return (docs.where(F.when(F.col("lang") == "en", h < "1a")
+                       .otherwise(h < "80"))
+            .select("doc_id", "lang", "n_chars"))
