@@ -1,0 +1,102 @@
+"""Property tests for the corpus-curation operators beyond the oracle
+hash-match: cluster-assignment invariants, scrub idempotency, filter
+monotonicity, and sampling determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark import registry
+from s3_elasticsearch_data_pipeline_spark.operators import dedup, text
+from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+
+def test_connected_components_pair_consistency(spark, sf_oracle):
+    """Every near-dup pair must land in the same cluster, and every
+    cluster_id must be the minimum doc_id of its own cluster."""
+    docs = load_table(spark, sf_oracle, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=0.5)
+    labels = dedup.connected_components(pairs)
+    a = labels.select(F.col("doc_id").alias("doc_id_a"),
+                      F.col("cluster_id").alias("ca"))
+    b = labels.select(F.col("doc_id").alias("doc_id_b"),
+                      F.col("cluster_id").alias("cb"))
+    split = (pairs.join(a, "doc_id_a").join(b, "doc_id_b")
+             .where(F.col("ca") != F.col("cb")).count())
+    assert split == 0, f"{split} pairs split across clusters"
+    bad_roots = (labels.groupBy("cluster_id")
+                 .agg(F.min("doc_id").alias("mn"))
+                 .where(F.col("cluster_id") != F.col("mn")).count())
+    assert bad_roots == 0, "cluster_id is not the min doc_id of the cluster"
+
+
+def test_connected_components_empty_pairs(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    no_pairs = dedup.ngram_jaccard_pairs(docs, n=3, threshold=1.1)
+    assert dedup.connected_components(no_pairs).count() == 0
+
+
+def test_pii_scrub_idempotent_and_clean(spark, sf_oracle):
+    """After one scrub pass, a second pass finds nothing to redact."""
+    docs = (load_table(spark, sf_oracle, "documents")
+            .limit(200)
+            .select("doc_id",
+                    F.concat(F.col("text"),
+                             F.lit(" mail to a.b-c_d@sub.example.org or"
+                                   " call 4155550123456"))
+                    .alias("text")))
+    once = text.pii_scrub(docs)
+    assert once.where(F.col("n_redactions") < 2).count() == 0
+    again = text.pii_scrub(
+        once.select("doc_id", F.col("clean_text").alias("text")))
+    assert again.where(F.col("n_redactions") > 0).count() == 0
+    diff = (once.select("doc_id", F.col("clean_text").alias("t1"))
+            .join(again.select("doc_id", F.col("clean_text").alias("t2")),
+                  "doc_id")
+            .where(F.col("t1") != F.col("t2")).count())
+    assert diff == 0, "second scrub pass changed already-clean text"
+
+
+def test_quality_filter_is_subset_and_monotone(spark, sf_oracle):
+    docs = load_table(spark, sf_oracle, "documents")
+    total = docs.count()
+    kept_loose = text.quality_filter(docs, min_quality=0.0)
+    kept_tight = text.quality_filter(docs, min_quality=0.6)
+    n_loose, n_tight = kept_loose.count(), kept_tight.count()
+    assert 0 < n_tight < n_loose <= total
+    # tightening the threshold only removes rows, never adds
+    extra = kept_tight.join(kept_loose.select("doc_id"), "doc_id",
+                            "left_anti").count()
+    assert extra == 0
+
+
+def test_stratified_sample_deterministic_and_stratified(spark, sf_oracle):
+    q = registry.queries()["stratified_sample"]
+    r1 = {r["doc_id"] for r in q(spark, sf_oracle).collect()}
+    r2 = {r["doc_id"] for r in q(spark, sf_oracle).collect()}
+    assert r1 == r2, "hash sampling must be run-invariant"
+    docs = load_table(spark, sf_oracle, "documents")
+    rates = {r["lang"]: r["n"] for r in
+             q(spark, sf_oracle).groupBy("lang")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    totals = {r["lang"]: r["n"] for r in
+              docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    # ~10% of en, ~50% elsewhere — generous bounds, just the ordering
+    assert rates["en"] / totals["en"] < 0.25
+    assert rates["de"] / totals["de"] > 0.3
+
+
+def test_vocab_and_idf_consistency(spark, sf_oracle):
+    """doc_freq in the vocab head must agree with the IDF table."""
+    docs = load_table(spark, sf_oracle, "documents")
+    vocab = text.vocab_top_terms(docs, k=25)
+    idf = text.idf_table(docs)
+    mismatch = (vocab.select("term", "doc_freq")
+                .join(idf.select("term",
+                                 F.col("doc_freq").alias("df2")), "term")
+                .where(F.col("doc_freq") != F.col("df2")).count())
+    assert mismatch == 0
+    n_docs = docs.count()
+    bad = idf.where((F.col("doc_freq") > n_docs)
+                    | (F.col("idf") < 0)).count()
+    assert bad == 0

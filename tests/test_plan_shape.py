@@ -155,3 +155,44 @@ def test_ngram_jaccard_avoids_quadratic_join(spark, sf_oracle):
     n_exchanges = (plan.count("Exchange hashpartitioning")
                    + plan.count("Exchange rangepartitioning"))
     assert n_exchanges <= 3, f"too many shuffles:\n{plan[:800]}"
+
+
+def test_tpch_archetypes_no_cartesian(spark, sf_oracle):
+    """The new TPC-H shapes must plan as pure equi-joins: the scalar
+    subqueries are 1-row broadcasts, EXISTS/NOT IN become semi/anti
+    hash joins — never a nested-loop over the fact table."""
+    for name in ("q2_min_cost_supplier", "q8_market_share",
+                 "q13_order_count_distribution", "q15_top_supplier",
+                 "q16_supplier_part_counts", "q21_waiting_suppliers",
+                 "q22_idle_customers", "q11_important_parts"):
+        df = registry.queries()[name](spark, sf_oracle)
+        plan = plan_of(df)
+        assert "CartesianProduct" not in plan, f"{name} degenerated"
+        # BroadcastNestedLoopJoin is legitimate ONLY for the 1-row
+        # scalar-subquery cross joins (q11/q15/q22); those join a
+        # single-row aggregate, never two fact inputs.
+        if name in ("q2_min_cost_supplier", "q8_market_share",
+                    "q13_order_count_distribution",
+                    "q16_supplier_part_counts", "q21_waiting_suppliers"):
+            assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_q16_not_in_is_broadcast_anti_join(spark, sf_oracle):
+    plan = plan_of(registry.queries()["q16_supplier_part_counts"](
+        spark, sf_oracle))
+    assert "BroadcastHashJoin LeftAnti" in plan, \
+        "NOT IN exclusion should be a broadcast anti-join on the tiny set"
+
+
+def test_connected_components_rounds_are_compact(spark, sf_oracle):
+    """Each propagation round operates on (long, long) label rows —
+    the edge list must not re-materialize document text."""
+    from s3_elasticsearch_data_pipeline_spark.operators import dedup as dd
+    docs = registry.queries()["dedup_exact"](spark, sf_oracle)  # warm
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    pairs = dd.ngram_jaccard_pairs(load_table(spark, sf_oracle, "documents"))
+    labels = dd.connected_components(pairs)
+    # post-fixpoint frame is checkpointed: its plan must be a scan of
+    # the checkpoint RDD, not the full recursive join tree
+    plan = labels._jdf.queryExecution().executedPlan().toString()
+    assert "Scan ExistingRDD" in plan, "labels should be checkpointed"
