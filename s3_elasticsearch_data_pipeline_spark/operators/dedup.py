@@ -79,6 +79,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
                 .select("doc_id", "block", F.size("shingles").alias("n_sh"),
                         F.explode(F.transform(
                             "shingles", lambda s: F.xxhash64(s))).alias("sh")))
+    # Materialize the inverted index once: Spark does not reuse the
+    # scan+shingle subtree across the two sides of a self-join (no
+    # ReusedExchange fires here), so without this the tokenize/shingle/
+    # hash pipeline runs twice. At cluster scale this checkpoint is the
+    # shingle-index table a pipeline would persist anyway.
+    shingled = shingled.localCheckpoint(eager=True)
     a, b = shingled.alias("a"), shingled.alias("b")
     pair_inter = (a.join(b, (F.col("a.block") == F.col("b.block"))
                          & (F.col("a.sh") == F.col("b.sh"))
@@ -154,6 +160,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
                      .alias("bucket"))
             for bi in range(bands)])).alias("bb"))
     banded = banded.select("doc_id", "sig", "bb.band", "bb.bucket")
+    # materialize signatures once — see ngram_jaccard_pairs note
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     est = (F.size(F.filter(
         F.zip_with(F.col("a.sig"), F.col("b.sig"),
@@ -224,6 +232,8 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
                      .bitwiseAND(F.lit(mask)).alias("block"))
             for bi in range(bands)])).alias("bb"))
     banded = banded.select("doc_id", "simhash", "bb.band", "bb.block")
+    # materialize fingerprints once — see ngram_jaccard_pairs note
+    banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
