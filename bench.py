@@ -48,6 +48,11 @@ HEADLINE = (
     "asof_join_events",
     "agg_stats_pack",
     "agg_rollup",
+    "q8_market_share",
+    "q13_order_count_distribution",
+    "q21_waiting_suppliers",
+    "dedup_connected_components",
+    "corpus_quality_filter",
 )
 
 

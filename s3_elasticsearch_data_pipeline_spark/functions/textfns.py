@@ -60,3 +60,25 @@ def word_ngrams(text: Column, n: int = 3) -> Column:
     ``withColumn("toks", tokens(...))`` + ``word_ngrams_from_tokens``
     in hot paths (see that function's note on CSE)."""
     return word_ngrams_from_tokens(tokens(text), n)
+
+
+# Polynomial rolling-hash parameters (Rabin–Karp / Karp–Rabin string
+# fingerprinting): a large prime modulus keeps every intermediate
+# product under 2^63 (acc < 1e9+7, acc*131 + 0x10FFFF < 1.4e11), so
+# the fold is exact under ANSI mode and reproducible in any engine
+# with 64-bit integer arithmetic.
+ROLLING_HASH_MOD = 1_000_000_007
+ROLLING_HASH_BASE = 131
+
+
+def rolling_hash(text: Column) -> Column:
+    """Order-sensitive polynomial fingerprint of the raw text:
+    fold (acc*BASE + codepoint) % MOD over the characters. Unlike the
+    md5 fingerprint this is incrementally maintainable (a sliding
+    window can roll in O(1) per step), which is why training pipelines
+    use it for chunk-level fingerprints. Codepoint-based, so ASCII and
+    BMP scripts hash identically across engines."""
+    codes = F.transform(F.split(text, ""), lambda c: F.ascii(c).cast("long"))
+    return F.aggregate(
+        codes, F.lit(0).cast("long"),
+        lambda acc, c: (acc * ROLLING_HASH_BASE + c) % ROLLING_HASH_MOD)

@@ -170,3 +170,14 @@ def quality_filter(documents: DataFrame, min_quality: float = 0.55,
     return (documents.where(F.col("lang").isin(*langs))
             .join(keep, "doc_id", "left_semi")
             .select("doc_id", "lang", "source", "n_chars"))
+
+
+def rolling_fingerprints(documents: DataFrame) -> DataFrame:
+    """Rabin–Karp rolling-hash fingerprint per document over the
+    normalized text — the order-sensitive sibling of the md5
+    ``fingerprints`` (two docs with permuted words collide under
+    bag-of-words hashing but not here)."""
+    from s3_elasticsearch_data_pipeline_spark.functions.textfns import (
+        normalize, rolling_hash)
+    return documents.select(
+        "doc_id", rolling_hash(normalize(F.col("text"))).alias("rk_hash"))

@@ -1980,3 +1980,21 @@ def q_stratified_sample(spark, sf_dir):
     return (docs.where(F.when(F.col("lang") == "en", h < "1a")
                        .otherwise(h < "80"))
             .select("doc_id", "lang", "n_chars"))
+
+
+@register("text_rolling_fingerprints", """
+SELECT doc_id,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(string_split_regex(norm, ''),
+                        c -> CAST(ascii(c) AS BIGINT))),
+         (acc, c) -> (acc * 131 + c) % 1000000007) AS rk_hash
+FROM (SELECT doc_id,
+             trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g')) AS norm
+      FROM documents)
+""")
+def q_text_rolling_fingerprints(spark, sf_dir):
+    """Rabin–Karp polynomial rolling-hash document fingerprints —
+    order-sensitive, incrementally maintainable, engine-portable
+    (exact 64-bit modular fold on both sides)."""
+    return text.rolling_fingerprints(_t(spark, sf_dir, "documents"))
