@@ -53,6 +53,7 @@ HEADLINE = (
     "q21_waiting_suppliers",
     "dedup_connected_components",
     "corpus_quality_filter",
+    "text_search_bm25",
 )
 
 

@@ -181,3 +181,69 @@ def rolling_fingerprints(documents: DataFrame) -> DataFrame:
         normalize, rolling_hash)
     return documents.select(
         "doc_id", rolling_hash(normalize(F.col("text"))).alias("rk_hash"))
+
+
+def bm25_search(documents: DataFrame, query_terms: tuple[str, ...],
+                k1: float = 1.2, b: float = 0.75, k: int = 10) -> DataFrame:
+    """BM25 top-k full-text search — the serving-store capability the
+    reference delegates to Elasticsearch (its `_search` match query),
+    re-expressed as relational algebra (Robertson/Sparck Jones BM25 as
+    in Lucene: idf = ln(1 + (N-df+0.5)/(df+0.5))).
+
+    Physical shape: the per-(doc, term) tf aggregate is filtered to the
+    query's terms BEFORE its shuffle (the explode feeds a partial agg
+    on a handful of terms), the df/N/avgdl statistics are 1-row or
+    |query|-row broadcasts, and the top-k is TakeOrdered — so the only
+    data-sized shuffle is the tf aggregate, keyed by (doc, term).
+    """
+    terms = F.array(*[F.lit(t) for t in query_terms])
+    toks = (documents
+            .withColumn("__toks", tokens(F.col("text")))
+            .select("doc_id", F.size("__toks").alias("dl"),
+                    F.explode("__toks").alias("term")))
+    tf = (toks.where(F.array_contains(terms, F.col("term")))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf"), F.first("dl").alias("dl")))
+    stats = (documents
+             .select(F.size(tokens(F.col("text"))).alias("dl"))
+             .agg(F.count(F.lit(1)).alias("n_docs"),
+                  F.avg("dl").alias("avgdl")))
+    df_tbl = (toks.where(F.array_contains(terms, F.col("term")))
+              .groupBy("term")
+              .agg(F.countDistinct("doc_id").alias("df")))
+    idf = F.log(F.lit(1.0) + (F.col("n_docs") - F.col("df") + 0.5)
+                / (F.col("df") + 0.5))
+    tf_part = (F.col("tf") * (k1 + 1)
+               / (F.col("tf") + k1 * (1 - b + b * F.col("dl") / F.col("avgdl"))))
+    return (tf
+            .join(F.broadcast(df_tbl), "term")
+            .crossJoin(F.broadcast(stats))
+            .groupBy("doc_id")
+            .agg(F.round(F.sum(idf * tf_part), 6).alias("bm25"))
+            .orderBy(F.col("bm25").desc(), "doc_id")
+            .limit(k))
+
+
+def fuzzy_term_match(documents: DataFrame, query_term: str,
+                     max_distance: int = 1) -> DataFrame:
+    """Fuzzy term search (the Elasticsearch `fuzzy` query): documents
+    containing any token within ``max_distance`` edits of the query
+    term, with the matched vocabulary terms.
+
+    Scale shape: levenshtein runs over the DISTINCT token vocabulary
+    (tiny vs the corpus — Heaps' law), never per occurrence; matching
+    docs come back via an equi-semi-join on the matched terms. The
+    100 TB refinement (unchanged join shape) is restricting candidates
+    by length band / shared prefix before the edit-distance check."""
+    vocab = (documents
+             .select(F.explode(F.array_distinct(tokens(F.col("text"))))
+                     .alias("term"))
+             .distinct()
+             .where(F.levenshtein(F.col("term"), F.lit(query_term))
+                    <= max_distance))
+    occurrences = documents.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text"))))
+        .alias("term"))
+    return (occurrences
+            .join(F.broadcast(vocab), "term")
+            .select("doc_id", F.col("term").alias("matched_term")))

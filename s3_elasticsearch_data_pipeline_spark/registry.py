@@ -1998,3 +1998,56 @@ def q_text_rolling_fingerprints(spark, sf_dir):
     order-sensitive, incrementally maintainable, engine-portable
     (exact 64-bit modular fold on both sides)."""
     return text.rolling_fingerprints(_t(spark, sf_dir, "documents"))
+
+
+@register("text_search_bm25", """
+WITH toks AS (
+  SELECT doc_id, len(t) AS dl, unnest(t) AS term
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'),
+                                   x -> x <> '') AS t
+        FROM documents)),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf, first(dl) AS dl
+  FROM toks WHERE term IN ('spark', 'table', 'query')
+  GROUP BY doc_id, term),
+stats AS (
+  SELECT count(*) AS n_docs, avg(dl) AS avgdl
+  FROM (SELECT len(list_filter(string_split_regex(text, '\\s+'),
+                               x -> x <> '')) AS dl FROM documents)),
+df AS (
+  SELECT term, count(DISTINCT doc_id) AS df
+  FROM toks WHERE term IN ('spark', 'table', 'query') GROUP BY term)
+SELECT doc_id,
+       round(sum(ln(1.0 + (n_docs - df + 0.5) / (df + 0.5))
+                 * (tf * (1.2 + 1)
+                    / (tf + 1.2 * (1 - 0.75 + 0.75 * dl / avgdl)))), 6)
+         AS bm25
+FROM tf JOIN df USING (term), stats
+GROUP BY doc_id
+ORDER BY bm25 DESC, doc_id
+LIMIT 10
+""")
+def q_text_search_bm25(spark, sf_dir):
+    """BM25 top-10 for the query ('spark', 'table', 'query') — the
+    Elasticsearch match-query capability of the reference's serving
+    store, as pure relational algebra."""
+    return text.bm25_search(_t(spark, sf_dir, "documents"),
+                            ("spark", "table", "query"))
+
+
+@register("text_fuzzy_match", """
+WITH occ AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(
+           list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+         AS term
+  FROM documents)
+SELECT doc_id, term AS matched_term
+FROM occ
+WHERE levenshtein(term, 'tble') <= 1
+""")
+def q_text_fuzzy_match(spark, sf_dir):
+    """Fuzzy term search for the misspelling 'tble' (edit distance
+    ≤ 1) — the Elasticsearch fuzzy-query capability; the edit distance
+    runs over the distinct vocabulary, not per token occurrence."""
+    return text.fuzzy_term_match(_t(spark, sf_dir, "documents"),
+                                 "tble", max_distance=1)
