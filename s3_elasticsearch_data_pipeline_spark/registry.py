@@ -2051,3 +2051,37 @@ def q_text_fuzzy_match(spark, sf_dir):
     runs over the distinct vocabulary, not per token occurrence."""
     return text.fuzzy_term_match(_t(spark, sf_dir, "documents"),
                                  "tble", max_distance=1)
+
+
+@register("stream_dedup", """
+SELECT event_id, event_type, round(value, 2) AS value FROM events
+""")
+def q_stream_dedup(spark, sf_dir):
+    """Streaming dedup of a doubled event stream by key within a
+    watermark — must reproduce exactly the distinct source rows
+    (event_id is unique in the fixture), so it is oracle-checkable
+    even though it runs through the state store."""
+    from s3_elasticsearch_data_pipeline_spark.streaming import windowed
+    import os
+    return windowed.stream_dedup_events(
+        spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("stream_purchase_attribution", """
+SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
+       c.event_id AS click_id, c.ts AS click_ts
+FROM (SELECT event_id, user_id, ts FROM events
+      WHERE event_type = 'purchase') p
+JOIN (SELECT event_id, user_id AS click_user, ts FROM events
+      WHERE event_type = 'click') c
+  ON p.user_id = c.click_user
+ AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 60 MINUTES
+""")
+def q_stream_purchase_attribution(spark, sf_dir):
+    """Watermarked stream-stream interval join (purchase→click funnel
+    attribution); batch-equivalent, so the oracle is the plain interval
+    join."""
+    from s3_elasticsearch_data_pipeline_spark.streaming import windowed
+    import os
+    return windowed.stream_stream_purchase_attribution(
+        spark, os.path.join(sf_dir, "events.parquet"))

@@ -100,3 +100,80 @@ def stream_session_agg(spark: SparkSession, events_path: str,
             .select("user_id",
                     F.col("w.start").alias("session_start"),
                     "n_events", "session_value"))
+
+
+def _events_stream(spark: SparkSession, events_path: str):
+    """File-source stream over the events table with the nanos→µs ts
+    conversion (see stream_tumbling_agg)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    stream_path = (events_path if os.path.isdir(events_path)
+                   else events_path + "*")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet").load(stream_path))
+    if any(f.name == "ts" and f.dataType.simpleString() == "bigint"
+           for f in static.schema.fields):
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return stream
+
+
+def _drain(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
+    name = f"{prefix}_{uuid.uuid4().hex[:8]}"
+    q = (df.writeStream.outputMode(output_mode)
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return df.sparkSession.table(name)
+
+
+def stream_dedup_events(spark: SparkSession, events_path: str,
+                        watermark: str = "24 hours") -> DataFrame:
+    """Streaming exact deduplication: the event stream unioned with
+    itself (guaranteed duplicates) deduplicated by key with
+    ``dropDuplicatesWithinWatermark`` — the streaming face of exact
+    dedup. State holds one compact key per event inside the watermark
+    horizon and is evicted past it, which is what keeps this runnable
+    forever on an unbounded 100 TB/day feed (a plain dropDuplicates
+    would accumulate state without bound)."""
+    doubled = _events_stream(spark, events_path).unionByName(
+        _events_stream(spark, events_path))
+    deduped = (doubled
+               .withWatermark("ts", watermark)
+               .dropDuplicatesWithinWatermark(["event_id"])
+               .select("event_id", "event_type",
+                       F.round("value", 2).alias("value")))
+    return _drain(deduped, "stream_dedup", "append")
+
+
+def stream_stream_purchase_attribution(spark: SparkSession,
+                                       events_path: str,
+                                       horizon_minutes: int = 60
+                                       ) -> DataFrame:
+    """Watermarked stream-stream inner join: attribute each purchase
+    to the same user's click events in the preceding hour. The
+    time-range predicate plus both-side watermarks let the state store
+    evict rows once the horizon passes — the unbounded-safe form of
+    funnel attribution."""
+    clicks = (_events_stream(spark, events_path)
+              .where(F.col("event_type") == "click")
+              .select(F.col("event_id").alias("click_id"),
+                      F.col("user_id").alias("click_user"),
+                      F.col("ts").alias("click_ts"))
+              .withWatermark("click_ts", "2 hours"))
+    purchases = (_events_stream(spark, events_path)
+                 .where(F.col("event_type") == "purchase")
+                 .select(F.col("event_id").alias("purchase_id"),
+                         "user_id", F.col("ts").alias("purchase_ts"))
+                 .withWatermark("purchase_ts", "2 hours"))
+    joined = (purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("click_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts")
+           - F.expr(f"INTERVAL {horizon_minutes} MINUTES")))
+        .select("purchase_id", "user_id", "purchase_ts", "click_id",
+                "click_ts"))
+    return _drain(joined, "stream_attr", "append")
