@@ -247,3 +247,24 @@ def fuzzy_term_match(documents: DataFrame, query_term: str,
     return (occurrences
             .join(F.broadcast(vocab), "term")
             .select("doc_id", F.col("term").alias("matched_term")))
+
+
+def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
+    """Per-document TF-IDF head: the k highest-weighted terms per doc
+    (score desc, term asc tie-break) — the sparse document vector a
+    retrieval or clustering stage consumes. The (doc, term) tf
+    aggregate is the only data-sized shuffle; the IDF table broadcasts;
+    ranking is a per-doc window over the already-partitioned frame."""
+    from pyspark.sql.window import Window
+    tf = (documents
+          .select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+          .groupBy("doc_id", "term")
+          .agg(F.count(F.lit(1)).alias("tf")))
+    idf = idf_table(documents).select("term", "idf")
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("tfidf").desc(), F.col("term"))
+    return (tf.join(F.broadcast(idf), "term")
+            .withColumn("tfidf", F.round(F.col("tf") * F.col("idf"), 6))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("doc_id", "term", "tfidf", "rank"))

@@ -2085,3 +2085,33 @@ def q_stream_purchase_attribution(spark, sf_dir):
     import os
     return windowed.stream_stream_purchase_attribution(
         spark, os.path.join(sf_dir, "events.parquet"))
+
+
+@register("text_tfidf_top_terms", """
+WITH tf AS (
+  SELECT doc_id, term, count(*) AS tf
+  FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'),
+                                          x -> x <> '')) AS term
+        FROM documents)
+  GROUP BY doc_id, term),
+df AS (
+  SELECT term, count(*) AS doc_freq
+  FROM (SELECT DISTINCT doc_id, unnest(list_distinct(
+              list_filter(string_split_regex(text, '\\s+'), x -> x <> '')))
+            AS term
+        FROM documents)
+  GROUP BY term),
+n AS (SELECT count(*) AS n_docs FROM documents),
+idf AS (SELECT term, round(ln((n_docs + 1) / (doc_freq + 1)), 6) AS idf
+        FROM df, n),
+scored AS (
+  SELECT doc_id, term, round(tf * idf, 6) AS tfidf,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY round(tf * idf, 6) DESC, term) AS rank
+  FROM tf JOIN idf USING (term))
+SELECT doc_id, term, tfidf, rank FROM scored WHERE rank <= 3
+""")
+def q_text_tfidf_top_terms(spark, sf_dir):
+    """Top-3 TF-IDF terms per document — sparse document vectors with a
+    deterministic (score, term) ranking on both engines."""
+    return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
