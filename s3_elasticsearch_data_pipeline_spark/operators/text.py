@@ -75,26 +75,29 @@ def language_id(documents: DataFrame) -> DataFrame:
     distinct-token overlap with its function-word list; argmax with
     deterministic (alphabetical) tie-break; 'und' (undetermined) when
     no list matches at all."""
-    # distinct-token array via named column (referenced once per
-    # language — inline it would re-split per score; see token_counts)
+    # Stage every expensive expression as a named column so the argmax
+    # projection references attributes: Catalyst's CollapseProject
+    # would otherwise inline each size(array_intersect(...)) tree into
+    # the greatest()/CASE chains — 40 intersects per row instead of 5.
     documents = documents.withColumn(
         "__dt", F.array_distinct(tokens(F.lower(F.col("text")))))
-    distinct_toks = F.col("__dt")
-    scores = {
-        lang: F.size(F.array_intersect(
-            distinct_toks, F.array(*[F.lit(w) for w in words])))
-        for lang, words in sorted(LANG_STOPWORDS.items())
-    }
+    scored = documents.select(
+        "doc_id",
+        *[F.size(F.array_intersect(
+            F.col("__dt"), F.array(*[F.lit(w) for w in words])))
+          .alias(f"score_{lang}")
+          for lang, words in sorted(LANG_STOPWORDS.items())])
+    langs = sorted(LANG_STOPWORDS)
+    scores = {lang: F.col(f"score_{lang}") for lang in langs}
     best = F.greatest(*scores.values())
     predicted = F.lit("und")
     # Reverse alphabetical fold so the earliest language wins ties.
-    for lang in sorted(scores, reverse=True):
+    for lang in reversed(langs):
         predicted = F.when(scores[lang] == best, F.lit(lang)).otherwise(predicted)
     predicted = F.when(best == 0, F.lit("und")).otherwise(predicted)
-    out_cols = [F.col("doc_id")]
-    out_cols += [scores[lang].alias(f"score_{lang}") for lang in sorted(scores)]
-    out_cols.append(predicted.alias("predicted_lang"))
-    return documents.select(*out_cols)
+    return scored.select(
+        "doc_id", *[f"score_{lang}" for lang in langs],
+        predicted.alias("predicted_lang"))
 
 
 def fingerprints(documents: DataFrame) -> DataFrame:
