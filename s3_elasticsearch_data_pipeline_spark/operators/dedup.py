@@ -295,18 +295,19 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         nbr = (edges.join(labels, edges.src == labels.doc_id)
                .groupBy(F.col("dst").alias("nbr_doc"))
                .agg(F.min("cluster_id").alias("nbr_min")))
-        new_labels = (labels
-                      .join(nbr, labels.doc_id == nbr.nbr_doc, "left")
-                      .select("doc_id",
-                              F.least(F.col("cluster_id"),
-                                      F.coalesce("nbr_min", F.col("cluster_id")))
-                              .alias("cluster_id"))
-                      .localCheckpoint(eager=True))
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .where(F.col("n.cluster_id") != F.col("o.cluster_id"))
-                   .count())
-        labels = new_labels
+        # Carry the previous label through the update so convergence is a
+        # filter+count on the already-checkpointed frame — not a second
+        # join per round (halves the per-iteration shuffle count).
+        stepped = (labels
+                   .join(nbr, labels.doc_id == nbr.nbr_doc, "left")
+                   .select("doc_id",
+                           F.col("cluster_id").alias("__prev"),
+                           F.least(F.col("cluster_id"),
+                                   F.coalesce("nbr_min", F.col("cluster_id")))
+                           .alias("cluster_id"))
+                   .localCheckpoint(eager=True))
+        changed = stepped.where(F.col("cluster_id") != F.col("__prev")).count()
+        labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             break
     return labels
