@@ -317,3 +317,37 @@ def conditional_pack(orders: DataFrame) -> DataFrame:
                      .alias("capped_price"),
                     F.greatest(F.col("o_totalprice"), F.lit(1000.0))
                      .alias("floored_price")))
+
+
+def zscore_outliers(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
+    """Per-group z-score outlier detection over ``events.value`` —
+    the data-quality screen a training pipeline runs before ingesting
+    numeric telemetry (the reference has no anomaly surface at all).
+
+    Numeric discipline for a reproducible threshold: the per-group
+    moments (sum, sum-of-squares) are accumulated in DECIMAL, which is
+    exact and therefore independent of partitioning/summation order —
+    a double sum would put border rows on different sides of the
+    threshold from run to run. The z itself is then a fixed-shape
+    double expression and is rounded before the filter so the compare
+    is stable bit-for-bit.
+
+    Scale shape: one partial+final hash aggregate over the fact table
+    (a few dozen groups), broadcast the tiny moments table back, filter
+    executor-side. No second shuffle of the fact table.
+    """
+    val = F.col("value").cast("decimal(18,6)")
+    moments = (events.groupBy("event_type")
+               .agg(F.sum(val).alias("__s"),
+                    F.sum(val * val).alias("__q"),
+                    F.count(F.lit(1)).alias("__n")))
+    s = F.col("__s").cast("double")
+    q = F.col("__q").cast("double")
+    n = F.col("__n").cast("double")
+    mean = s / n
+    var = (q - (s * s) / n) / n
+    z = F.round((F.col("value") - mean) / F.sqrt(var), 4)
+    return (events.join(F.broadcast(moments), "event_type")
+            .withColumn("z", z)
+            .where(F.abs(F.col("z")) >= z_threshold)
+            .select("event_id", "event_type", "value", "z"))

@@ -71,6 +71,51 @@ def asof_join(left: DataFrame, right: DataFrame, key: str,
                                  for c, a in zip(right_cols, carried)}))
 
 
+def scd2_history(events: DataFrame, key: str = "user_id",
+                 attr: str = "event_type", ts: str = "ts",
+                 tiebreak: str = "event_id") -> DataFrame:
+    """Slowly-changing-dimension type-2 history build: collapse each
+    key's attribute timeline into effective-dated versions.
+
+    Consecutive rows with the same ``attr`` value merge into one
+    version; a change opens a new version. Output one row per version
+    with ``effective_from`` / ``effective_to`` (null = still current)
+    and an ``is_current`` flag — the standard warehouse dimension shape
+    the reference's append-only parquet layout cannot express
+    (cf. ``Partition-script.py:34-38``, which only appends).
+
+    Physical design: gaps-and-islands with two window passes, both
+    partitioned by ``key`` — one hash shuffle total. The follow-up
+    group-by on (key, run) and the LEAD over versions reuse the same
+    partitioning (hash on ``key`` satisfies any clustering that
+    includes it), so at 100 TB this is a single exchange of the events
+    table, no matter how many versions per key.
+
+    Ordering within a key is made total with ``tiebreak`` so equal
+    timestamps collapse deterministically.
+    """
+    w = Window.partitionBy(key).orderBy(F.col(ts), F.col(tiebreak))
+    changed = F.when(
+        F.lag(attr).over(w).isNull() | (F.lag(attr).over(w) != F.col(attr)),
+        1).otherwise(0)
+    runs = (events
+            .withColumn("__chg", changed)
+            .withColumn("__run", F.sum("__chg").over(
+                w.rowsBetween(Window.unboundedPreceding, 0))))
+    versions = (runs.groupBy(key, "__run")
+                .agg(F.first(attr).alias(attr),
+                     F.min(ts).alias("effective_from"),
+                     F.count(F.lit(1)).alias("n_events")))
+    wv = Window.partitionBy(key).orderBy("effective_from", "__run")
+    return (versions
+            .withColumn("effective_to", F.lead("effective_from").over(wv))
+            .withColumn("is_current",
+                        F.col("effective_to").isNull().cast("int"))
+            .select(F.col(key), F.col(attr),
+                    "effective_from", "effective_to",
+                    "n_events", "is_current"))
+
+
 def range_join(facts: DataFrame, ranges: DataFrame,
                value_col: str, lo_col: str = "lo", hi_col: str = "hi",
                how: str = "inner") -> DataFrame:

@@ -808,6 +808,63 @@ def q_range_join_tiers(spark, sf_dir):
             .select("event_id", "user_id", "value", "tier"))
 
 
+@register("scd2_user_history", """
+WITH ordered AS (
+  SELECT user_id, event_type, ts, event_id,
+         CASE WHEN lag(event_type) OVER w IS NULL
+                   OR lag(event_type) OVER w <> event_type
+              THEN 1 ELSE 0 END AS chg
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_type, ts, event_id,
+         sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) AS run
+  FROM ordered),
+versions AS (
+  SELECT user_id, run, min(event_type) AS event_type,
+         min(ts) AS effective_from, count(*) AS n_events
+  FROM runs GROUP BY user_id, run)
+SELECT user_id, event_type, effective_from,
+       lead(effective_from) OVER wv AS effective_to,
+       n_events,
+       CASE WHEN lead(effective_from) OVER wv IS NULL
+            THEN 1 ELSE 0 END AS is_current
+FROM versions
+WINDOW wv AS (PARTITION BY user_id ORDER BY effective_from, run)
+""")
+def q_scd2_user_history(spark, sf_dir):
+    """SCD type-2 dimension build: each user's event_type timeline
+    collapsed to effective-dated versions (gaps-and-islands; one
+    shuffle on user_id reused by both window passes and the group-by)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import scd2_history
+    return scd2_history(_t(spark, sf_dir, "events"))
+
+
+@register("outlier_zscore", """
+WITH m AS (
+  SELECT event_type,
+         sum(CAST(value AS DECIMAL(18,6))) AS s,
+         sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS q,
+         count(*) AS n
+  FROM events GROUP BY event_type),
+scored AS (
+  SELECT event_id, e.event_type, value,
+         round((value - CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+               / sqrt((CAST(q AS DOUBLE)
+                       - (CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                         / CAST(n AS DOUBLE)) / CAST(n AS DOUBLE)),
+               4) AS z
+  FROM events e JOIN m USING (event_type))
+SELECT event_id, event_type, value, z
+FROM scored WHERE abs(z) >= 2.0
+""")
+def q_outlier_zscore(spark, sf_dir):
+    """Per-event-type z-score outliers with decimal-exact moments, so
+    the threshold compare is independent of summation order."""
+    return analytics.zscore_outliers(_t(spark, sf_dir, "events"))
+
+
 # ---------------------------------------------------------------------------
 # Extension surface: more windows + scalar packs (M4)
 # ---------------------------------------------------------------------------
