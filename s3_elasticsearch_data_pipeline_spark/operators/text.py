@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from s3_elasticsearch_data_pipeline_spark.functions.textfns import (
-    fingerprint, token_count, tokens)
+    fingerprint, token_count, tokens, word_ngrams_from_tokens)
 
 # Small per-language function-word lists for the n-gram/stopword
 # language heuristic. Deliberately tiny and hardcoded: the operator's
@@ -271,3 +271,66 @@ def tfidf_top_terms(documents: DataFrame, k: int = 3) -> DataFrame:
             .withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("doc_id", "term", "tfidf", "rank"))
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Gopher-style within-document repetition signals: duplicate-bigram
+    fraction and the count of the single most repeated bigram.
+
+    Everything is per-row array algebra inside whole-stage codegen — no
+    explode, no shuffle: the raw (non-distinct) bigram list is built
+    with ``transform`` over an index sequence, and the top-bigram count
+    folds ``filter`` over the distinct list (O(distinct x total) per
+    row, bounded by document length, embarrassingly parallel at 100 TB).
+    """
+    toks = F.col("__toks")  # named column — see token_counts note
+    documents = documents.withColumn("__toks", tokens(F.col("text")))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(toks, i),
+                              F.element_at(toks, i + 1)))
+    documents = documents.withColumn(
+        "__grams",
+        F.when(F.size(toks) >= 2, grams)
+         .otherwise(F.array().cast("array<string>")))
+    g = F.col("__grams")
+    n_grams = F.size(g)
+    n_distinct = F.size(F.array_distinct(g))
+    top_count = F.array_max(F.transform(
+        F.array_distinct(g),
+        lambda d: F.size(F.filter(g, lambda x: x == d))))
+    return documents.select(
+        "doc_id",
+        n_grams.alias("n_bigrams"),
+        n_distinct.alias("n_distinct_bigrams"),
+        F.when(n_grams > 0, F.round(1.0 - n_distinct / n_grams, 6))
+         .otherwise(F.lit(0.0)).alias("dup_bigram_fraction"),
+        F.coalesce(top_count, F.lit(0)).alias("top_bigram_count"))
+
+
+def contamination_overlap(documents: DataFrame,
+                          benchmark_source: str = "src0",
+                          n: int = 4) -> DataFrame:
+    """Benchmark-contamination screen: for every training document,
+    count its distinct word n-grams that also occur anywhere in the
+    held-out benchmark slice (``source == benchmark_source``).
+
+    Scale shape: the benchmark's distinct-gram set is fixed-size and
+    small, so it broadcasts — the 100 TB training corpus streams
+    through a map-side hash join (no shuffle of the corpus), then a
+    partial+final count per doc. This is the standard eval-decontam
+    pass (cf. GPT-3/C4 13-gram filtering) at n=4 for the tiny-vocab
+    test corpus.
+    """
+    grams_col = word_ngrams_from_tokens(F.col("__toks"), n)
+    with_grams = (documents
+                  .withColumn("__toks", tokens(F.col("text")))
+                  .withColumn("__grams", grams_col))
+    bench = (with_grams.where(F.col("source") == benchmark_source)
+             .select(F.explode("__grams").alias("gram"))
+             .distinct())
+    train = (with_grams.where(F.col("source") != benchmark_source)
+             .select("doc_id", "source", F.explode("__grams").alias("gram")))
+    return (train.join(F.broadcast(bench), "gram")
+            .groupBy("doc_id", "source")
+            .agg(F.count(F.lit(1)).alias("n_shared_ngrams")))

@@ -2172,3 +2172,115 @@ def q_text_tfidf_top_terms(spark, sf_dir):
     """Top-3 TF-IDF terms per document — sparse document vectors with a
     deterministic (score, term) ranking on both engines."""
     return text.tfidf_top_terms(_t(spark, sf_dir, "documents"), k=3)
+
+
+@register("embedding_quantize", """
+WITH e AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+s AS (
+  SELECT vec_id, emb,
+         list_max(list_transform(emb, x -> abs(x))) / 127.0 AS scale
+  FROM e)
+SELECT vec_id,
+       round(scale, 9) AS scale,
+       list_reduce(list_prepend(CAST(0 AS BIGINT),
+         list_transform(emb, x -> CAST(floor(x / scale + 0.5) AS BIGINT))),
+         (a, b) -> a + b) AS q_sum,
+       round(list_reduce(list_prepend(0.0,
+         list_transform(emb, x -> (x - floor(x / scale + 0.5) * scale)
+                                  * (x - floor(x / scale + 0.5) * scale))),
+         (a, b) -> a + b) / len(emb), 9) AS mse
+FROM s WHERE scale > 0
+""")
+def q_embedding_quantize(spark, sf_dir):
+    """Int8 scalar quantization of embeddings with reconstruction MSE —
+    per-row sequential folds, reproducible bit-for-bit in both engines."""
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        quantize_embeddings)
+    return quantize_embeddings(_t(spark, sf_dir, "embeddings"))
+
+
+@register("layout_zorder_code", """
+WITH base AS (
+  SELECT o_orderkey,
+         CAST(o_custkey % 65536 AS BIGINT) AS a,
+         CAST(date_diff('day', DATE '1970-01-01',
+                        CAST(o_orderdate AS DATE)) % 65536 AS BIGINT) AS b
+  FROM orders),
+s1 AS (SELECT o_orderkey, (a | (a << 8)) & 16711935 AS a,
+                          (b | (b << 8)) & 16711935 AS b FROM base),
+s2 AS (SELECT o_orderkey, (a | (a << 4)) & 252645135 AS a,
+                          (b | (b << 4)) & 252645135 AS b FROM s1),
+s3 AS (SELECT o_orderkey, (a | (a << 2)) & 858993459 AS a,
+                          (b | (b << 2)) & 858993459 AS b FROM s2),
+s4 AS (SELECT o_orderkey, (a | (a << 1)) & 1431655765 AS a,
+                          (b | (b << 1)) & 1431655765 AS b FROM s3)
+SELECT o_orderkey, (a << 1) | b AS zcode FROM s4
+""")
+def q_layout_zorder_code(spark, sf_dir):
+    """Morton (Z-order) clustering code over (custkey, order day) —
+    the sort key for multi-dimensional data-skipping file layouts."""
+    from s3_elasticsearch_data_pipeline_spark.operators.layout import morton_code
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date"))
+    return orders.select(
+        "o_orderkey",
+        morton_code(F.col("o_custkey") % 65536, day % 65536).alias("zcode"))
+
+
+@register("text_repetition_scores", """
+WITH tok AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) >= 2
+              THEN list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1])
+              ELSE [] END AS grams
+  FROM tok)
+SELECT doc_id,
+       len(grams) AS n_bigrams,
+       len(list_distinct(grams)) AS n_distinct_bigrams,
+       CASE WHEN len(grams) > 0
+            THEN round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE)
+                             / len(grams), 6)
+            ELSE 0.0 END AS dup_bigram_fraction,
+       coalesce(list_max(list_transform(
+           list_distinct(grams),
+           d -> len(list_filter(grams, x -> x = d)))), 0) AS top_bigram_count
+FROM g
+""")
+def q_text_repetition_scores(spark, sf_dir):
+    """Within-document repetition signals (duplicate-bigram fraction,
+    most-repeated-bigram count) — per-row array algebra, no shuffle."""
+    return text.repetition_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("contamination_ngram_overlap", """
+WITH tok AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(
+           range(1, len(toks) - 2),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+                || ' ' || toks[i+3])) AS grams
+  FROM tok WHERE len(toks) >= 4),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+          WHERE source = 'src0'),
+train AS (SELECT doc_id, source, unnest(grams) AS gram FROM sh
+          WHERE source <> 'src0')
+SELECT doc_id, source, count(*) AS n_shared_ngrams
+FROM train JOIN bench USING (gram)
+GROUP BY doc_id, source
+""")
+def q_contamination_ngram_overlap(spark, sf_dir):
+    """Eval-set decontamination: per training doc, how many of its
+    distinct 4-grams appear anywhere in the held-out src0 slice. The
+    benchmark gram set broadcasts; the corpus never shuffles."""
+    return text.contamination_overlap(_t(spark, sf_dir, "documents"))

@@ -196,3 +196,46 @@ def test_connected_components_rounds_are_compact(spark, sf_oracle):
     # the checkpoint RDD, not the full recursive join tree
     plan = labels._jdf.queryExecution().executedPlan().toString()
     assert "Scan ExistingRDD" in plan, "labels should be checkpointed"
+
+
+def test_scd2_single_shuffle(spark, sf_oracle):
+    """The whole SCD2 pipeline (two window passes + run group-by + LEAD)
+    must reuse one hash(user_id) exchange — the 100 TB cost model."""
+    df = registry.queries()["scd2_user_history"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning") <= 1, plan[:1500]
+
+
+def test_contamination_broadcasts_benchmark(spark, sf_oracle):
+    """The benchmark gram set must broadcast; the corpus side must not
+    shuffle before the join."""
+    df = registry.queries()["contamination_ngram_overlap"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_zorder_layout_ranges_disjoint(spark, sf_oracle, tmp_path):
+    """Files produced by the Z-order layout cover disjoint code ranges,
+    so parquet min/max stats prune scans on either clustered key."""
+    from s3_elasticsearch_data_pipeline_spark.operators.layout import (
+        morton_code, zorder_layout)
+    orders = spark.read.parquet(os.path.join(sf_oracle, "orders.parquet"))
+    day = F.datediff(F.col("o_orderdate").cast("date"),
+                     F.lit("1970-01-01").cast("date"))
+    code = morton_code(F.col("o_custkey") % 65536, day % 65536)
+    out = str(tmp_path / "zordered")
+    (zorder_layout(orders.withColumn("zcode", code),
+                   F.col("zcode"), n_files=8)
+     .write.mode("overwrite").parquet(out))
+    import glob
+    ranges = []
+    for f in sorted(glob.glob(out + "/part-*.parquet")):
+        r = (spark.read.parquet(f)
+             .agg(F.min("zcode"), F.max("zcode")).first())
+        if r[0] is not None:
+            ranges.append((r[0], r[1]))
+    ranges.sort()
+    assert len(ranges) >= 4
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, "file z-ranges overlap"
