@@ -311,3 +311,60 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         if changed == 0:
             break
     return labels
+
+
+def embedding_blocked_near_dup(embeddings: DataFrame,
+                               threshold: float = 0.3,
+                               n_cells: int = 8, n_assign: int = 2,
+                               iters: int = 2) -> DataFrame:
+    """Semantic near-dup pairs at scale: k-means cells as blocking keys.
+
+    The exact variant (``embedding_near_dup_pairs``) compares all pairs
+    within a metadata block — quadratic when no natural block exists.
+    Here the blocks are learned: coarse k-means cells (same machinery
+    as the IVF index), with each vector MULTI-ASSIGNED to its
+    ``n_assign`` nearest cells so boundary-straddling pairs still share
+    at least one cell. Cost ~ n_assign^2 x (n/n_cells)^2 per cell vs
+    n^2; recall is probabilistic (tested, not oracle-checked).
+
+    The (cell, vec) frame is materialized once (localCheckpoint) —
+    Spark never reuses an exchange across the two sides of a self-join.
+    """
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        _kmeans_centroids)
+    if embeddings.select("embedding").first() is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id_a long, vec_id_b long, cosine_sim double")
+    import numpy as np
+    centroids = _kmeans_centroids(embeddings, n_cells, iters)
+
+    def assign(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+            order = np.argsort(-(e @ c.T), axis=1,
+                               kind="stable")[:, :n_assign]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy().repeat(n_assign),
+                "cell": order.reshape(-1)})
+
+    cells = (embeddings.select("vec_id", "embedding")
+             .mapInPandas(assign, "vec_id long, cell int")
+             .join(embeddings.select(
+                 "vec_id",
+                 F.col("embedding").cast("array<double>").alias("vec")),
+                 "vec_id")
+             .localCheckpoint(eager=False))
+    a, b = cells.alias("a"), cells.alias("b")
+    return (a.join(b, (F.col("a.cell") == F.col("b.cell"))
+                   & (F.col("a.vec_id") < F.col("b.vec_id")))
+            .select(F.col("a.vec_id").alias("vec_id_a"),
+                    F.col("b.vec_id").alias("vec_id_b"),
+                    F.round(cosine(F.col("a.vec"), F.col("b.vec")), 6)
+                    .alias("cosine_sim"))
+            .where(F.col("cosine_sim") >= threshold)
+            .distinct())

@@ -457,6 +457,13 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
+@register("dedup_embedding_blocked", None)  # learned blocking → rows-only
+def q_dedup_embedding_blocked(spark, sf_dir):
+    """Semantic near-dup with k-means-cell blocking — the sub-quadratic
+    100 TB path; recall/precision pytest-checked vs the exact pairs."""
+    return dedup.embedding_blocked_near_dup(_t(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # Extension surface: similarity search (M4 north star)
 # ---------------------------------------------------------------------------
@@ -2227,6 +2234,68 @@ def q_layout_zorder_code(spark, sf_dir):
     return orders.select(
         "o_orderkey",
         morton_code(F.col("o_custkey") % 65536, day % 65536).alias("zcode"))
+
+
+@register("graph_pagerank_trade", """
+WITH pairs AS (
+  SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                  's' || CAST(l_suppkey AS VARCHAR) AS dst
+  FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+edges AS (SELECT src, dst FROM pairs
+          UNION ALL SELECT dst AS src, src AS dst FROM pairs),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+nodes AS (SELECT DISTINCT src AS node FROM edges),
+nn AS (SELECT count(*) AS n FROM nodes),
+r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / n AS rank FROM nodes, nn),
+c1 AS (SELECT e.dst AS node,
+              sum(CAST(r.rank / d.deg AS DECIMAL(28,14))) AS s
+       FROM edges e JOIN r0 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r1 AS (SELECT n.node,
+              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * coalesce(CAST(c1.s AS DOUBLE), 0.0)
+                AS rank
+       FROM nodes n LEFT JOIN c1 ON n.node = c1.node, nn),
+c2 AS (SELECT e.dst AS node,
+              sum(CAST(r.rank / d.deg AS DECIMAL(28,14))) AS s
+       FROM edges e JOIN r1 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r2 AS (SELECT n.node,
+              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * coalesce(CAST(c2.s AS DOUBLE), 0.0)
+                AS rank
+       FROM nodes n LEFT JOIN c2 ON n.node = c2.node, nn),
+c3 AS (SELECT e.dst AS node,
+              sum(CAST(r.rank / d.deg AS DECIMAL(28,14))) AS s
+       FROM edges e JOIN r2 r ON e.src = r.node
+                    JOIN deg d ON e.src = d.src
+       GROUP BY e.dst),
+r3 AS (SELECT n.node,
+              (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) / nn.n
+              + CAST(0.85 AS DOUBLE) * coalesce(CAST(c3.s AS DOUBLE), 0.0)
+                AS rank
+       FROM nodes n LEFT JOIN c3 ON n.node = c3.node, nn)
+SELECT node, round(rank, 12) AS rank FROM r3
+""")
+def q_graph_pagerank_trade(spark, sf_dir):
+    """3-iteration PageRank over the undirected customer-supplier trade
+    graph — broadcast rank vector, decimal-exact contribution sums,
+    edges materialized once (cf. operators/graph.py)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.graph import pagerank
+    orders = _t(spark, sf_dir, "orders")
+    lineitem = _t(spark, sf_dir, "lineitem")
+    pairs = (orders.join(lineitem,
+                         orders["o_orderkey"] == lineitem["l_orderkey"])
+             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
+                     .alias("dst"))
+             .distinct())
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    return pagerank(edges, iters=3, damping=0.85)
 
 
 @register("text_repetition_scores", """

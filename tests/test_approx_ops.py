@@ -100,3 +100,21 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
              for r in similarity.ivf_topk(embeddings, queries, k=10,
                                           n_cells=8, n_probe=4).collect()}
     assert found == again
+
+
+def test_blocked_semantic_dedup_recall_and_precision(spark, embeddings):
+    """K-means-blocked near-dup must (a) report only true >=threshold
+    pairs — precision 1.0 by construction since it reranks exactly —
+    and (b) recover most of the unblocked brute-force pairs."""
+    blocked = dedup.embedding_blocked_near_dup(
+        embeddings, threshold=0.3, n_cells=8, n_assign=2)
+    got = {(r.vec_id_a, r.vec_id_b): r.cosine_sim for r in blocked.collect()}
+    exact = dedup.embedding_near_dup_pairs(
+        embeddings.withColumn("label", F.lit(0)), threshold=0.3)
+    truth = {(r.vec_id_a, r.vec_id_b): r.cosine_sim for r in exact.collect()}
+    assert set(got) <= set(truth), "blocked dedup reported a false pair"
+    if truth:
+        recall = len(set(got) & set(truth)) / len(truth)
+        assert recall >= 0.5, f"blocked recall {recall} of {len(truth)}"
+    for k in got:
+        assert abs(got[k] - truth[k]) < 1e-9
