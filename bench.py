@@ -54,6 +54,13 @@ HEADLINE = (
     "dedup_connected_components",
     "corpus_quality_filter",
     "text_search_bm25",
+    "scd2_user_history",
+    "outlier_zscore",
+    "graph_pagerank_trade",
+    "contamination_ngram_overlap",
+    "text_repetition_scores",
+    "embedding_quantize",
+    "layout_zorder_code",
 )
 
 

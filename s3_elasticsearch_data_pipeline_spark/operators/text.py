@@ -323,9 +323,15 @@ def contamination_overlap(documents: DataFrame,
     test corpus.
     """
     grams_col = word_ngrams_from_tokens(F.col("__toks"), n)
+    # Materialize the gram lists ONCE before exploding: Spark's Generate
+    # re-evaluates an inlined generator expression instead of CSE-ing
+    # it (measured 8x slower), and both the benchmark and train sides
+    # read the same shingling pass.
     with_grams = (documents
                   .withColumn("__toks", tokens(F.col("text")))
-                  .withColumn("__grams", grams_col))
+                  .withColumn("__grams", grams_col)
+                  .select("doc_id", "source", "__grams")
+                  .localCheckpoint(eager=False))
     bench = (with_grams.where(F.col("source") == benchmark_source)
              .select(F.explode("__grams").alias("gram"))
              .distinct())
