@@ -79,3 +79,10 @@ def scan_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def scan_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan — same columnar pushdown/pruning properties as parquet
+    (vectorized reader, predicate pushdown, column pruning); included
+    so a lake standardized on ORC can run every operator unchanged."""
+    return spark.read.orc(path)

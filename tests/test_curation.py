@@ -100,3 +100,29 @@ def test_vocab_and_idf_consistency(spark, sf_oracle):
     bad = idf.where((F.col("doc_freq") > n_docs)
                     | (F.col("idf") < 0)).count()
     assert bad == 0
+
+
+def test_new_ops_empty_input_guards(spark):
+    """Degenerate inputs: the round-1 additions must return empty
+    frames with the right schema, not throw."""
+    from s3_elasticsearch_data_pipeline_spark.operators import (
+        analytics, dedup, text)
+    from s3_elasticsearch_data_pipeline_spark.operators.graph import pagerank
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        scd2_history)
+
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string, source string, n_chars long")
+    events = spark.createDataFrame(
+        [], "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string")
+    edges = spark.createDataFrame([], "src string, dst string")
+    embs = spark.createDataFrame(
+        [], "vec_id long, embedding array<float>, label int")
+
+    assert text.repetition_scores(docs).count() == 0
+    assert text.contamination_overlap(docs).count() == 0
+    assert analytics.zscore_outliers(events).count() == 0
+    assert scd2_history(events).count() == 0
+    assert pagerank(edges).count() == 0
+    assert dedup.embedding_blocked_near_dup(embs).count() == 0

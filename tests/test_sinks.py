@@ -95,3 +95,16 @@ def test_multimodal_resize_and_frames(spark, sf_smoke):
     for stub in (decode_image, decode_audio):
         with _pytest.raises(NotImplementedError):
             stub(b"xx")
+
+
+def test_orc_round_trip(spark, tmp_path):
+    """ORC sink/source round trip preserves values and schema — the
+    non-parquet columnar format path."""
+    from s3_elasticsearch_data_pipeline_spark.sources.parquet import scan_orc
+    df = spark.createDataFrame(
+        [("a", 1, 2.5), ("b", 2, 3.5)], "k string, n long, v double")
+    p = str(tmp_path / "orc")
+    df.write.orc(p)
+    back = scan_orc(spark, p)
+    assert back.schema == df.schema
+    assert {tuple(r) for r in back.collect()} == {("a", 1, 2.5), ("b", 2, 3.5)}
