@@ -29,6 +29,8 @@ SCALE_QUERIES = (
     "q1_pricing_summary", "q6_forecast_revenue", "a1_group_count_month",
     "j2_missing_ids", "w_running_totals", "dedup_exact",
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "text_quality_scores",
+    "scd2_user_history", "outlier_zscore", "graph_pagerank_trade",
+    "contamination_ngram_overlap", "text_repetition_scores",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),
