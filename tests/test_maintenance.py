@@ -1,0 +1,82 @@
+"""Incremental rollup maintenance + small-file compaction properties:
+maintenance cost tracks the delta, results track a full recompute."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.maintenance import (
+    compact_partitions, partition_file_stats)
+from s3_elasticsearch_data_pipeline_spark.plans.rollup import (
+    maintain_rollup, read_rollup)
+
+
+@pytest.fixture()
+def monthly_events(spark, sf_smoke):
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    ev = load_table(spark, sf_smoke, "events")
+    return ev.withColumn("month", F.date_format("ts", "yyyy-MM-dd"))
+
+
+def _finalized(df):
+    return {(r["month"], r["event_type"]): (r["n_rows"], r["sum_value"])
+            for r in df.collect()}
+
+
+def test_rollup_incremental_matches_full_recompute(spark, monthly_events,
+                                                   tmp_path):
+    months = sorted(r[0] for r in
+                    monthly_events.select("month").distinct().collect())
+    assert len(months) >= 2
+    first, rest = months[0], months[1:]
+    rollup = str(tmp_path / "rollup")
+
+    added = maintain_rollup(
+        spark, monthly_events.where(F.col("month") == first), rollup)
+    assert added == [first]
+    # second run over the SAME source slice is a no-op (idempotent)
+    assert maintain_rollup(
+        spark, monthly_events.where(F.col("month") == first), rollup) == []
+
+    # new months arrive; only they are aggregated
+    assert maintain_rollup(spark, monthly_events, rollup) == sorted(rest)
+
+    want = _finalized(
+        monthly_events.groupBy("month", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value")))
+    got = _finalized(read_rollup(spark, rollup))
+    assert got == want
+
+
+def test_compaction_preserves_rows_and_reduces_files(spark, monthly_events,
+                                                     tmp_path):
+    path = str(tmp_path / "tbl")
+    (monthly_events.repartition(16)
+     .write.partitionBy("month").parquet(path))
+    stats = {r["month"]: r for r in
+             partition_file_stats(spark, path).collect()}
+    months = sorted(stats)
+    target = months[0]
+    assert stats[target]["n_files"] >= 8
+    before = {tuple(r) for r in spark.read.parquet(path)
+              .where(F.col("month") == target).collect()}
+    other_files_before = len(
+        glob.glob(os.path.join(path, f"month={months[-1]}", "*.parquet")))
+
+    compact_partitions(spark, path, [target])
+
+    stats2 = {r["month"]: r for r in
+              partition_file_stats(spark, path).collect()}
+    assert stats2[target]["n_files"] == 1
+    assert stats2[target]["n_rows"] == stats[target]["n_rows"]
+    after = {tuple(r) for r in spark.read.parquet(path)
+             .where(F.col("month") == target).collect()}
+    assert after == before
+    # untouched partitions keep their layout (dynamic overwrite)
+    assert len(glob.glob(os.path.join(
+        path, f"month={months[-1]}", "*.parquet"))) == other_files_before
