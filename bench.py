@@ -61,6 +61,7 @@ HEADLINE = (
     "text_repetition_scores",
     "embedding_quantize",
     "layout_zorder_code",
+    "text_unigram_logprob",
 )
 
 

@@ -340,3 +340,31 @@ def contamination_overlap(documents: DataFrame,
     return (train.join(F.broadcast(bench), "gram")
             .groupBy("doc_id", "source")
             .agg(F.count(F.lit(1)).alias("n_shared_ngrams")))
+
+
+def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Unigram language-model quality proxy (CCNet-style): score each
+    document by its average negative log-probability under the corpus's
+    own unigram distribution. High scores = rare-token-heavy documents
+    (gibberish, boilerplate-stripped residue); the standard cheap stand-
+    in for a KenLM perplexity filter.
+
+    Two corpus passes: (1) build the unigram table (explode + count —
+    one shuffle of compact (term, count) pairs), (2) re-join it
+    broadcast onto the exploded corpus and average per doc. Per-token
+    log-probs are rounded then accumulated in DECIMAL so the per-doc
+    mean is independent of summation order.
+    """
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    freq = tok.groupBy("term").agg(F.count(F.lit(1)).alias("term_count"))
+    total = freq.agg(F.sum("term_count").alias("total"))
+    logp = (freq.crossJoin(F.broadcast(total))
+            .select("term",
+                    F.round(F.log(F.col("term_count") / F.col("total")), 9)
+                    .cast("decimal(18,9)").alias("logp")))
+    return (tok.join(F.broadcast(logp), "term")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_tokens"),
+                 F.round((-F.sum("logp")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))

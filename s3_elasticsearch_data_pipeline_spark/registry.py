@@ -2298,6 +2298,28 @@ def q_graph_pagerank_trade(spark, sf_dir):
     return pagerank(edges, iters=3, damping=0.85)
 
 
+@register("text_unigram_logprob", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+freq AS (SELECT term, count(*) AS term_count FROM tok GROUP BY term),
+tot AS (SELECT sum(term_count) AS total FROM freq),
+lp AS (SELECT term,
+              CAST(round(ln(term_count / total), 9) AS DECIMAL(18,9)) AS logp
+       FROM freq, tot)
+SELECT doc_id, count(*) AS n_tokens,
+       round(CAST(-sum(logp) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+FROM tok JOIN lp USING (term)
+GROUP BY doc_id
+""")
+def q_text_unigram_logprob(spark, sf_dir):
+    """Unigram-LM quality scores (avg negative log-prob per doc) — the
+    perplexity-proxy filter, decimal-exact per-doc accumulation."""
+    return text.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
 @register("text_repetition_scores", """
 WITH tok AS (
   SELECT doc_id,
