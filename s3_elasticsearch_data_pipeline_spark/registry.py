@@ -2320,6 +2320,33 @@ def q_text_unigram_logprob(spark, sf_dir):
     return text.unigram_logprob_scores(_t(spark, sf_dir, "documents"))
 
 
+@register("pack_sequences", """
+WITH t AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         x -> x <> '')) AS n_tokens
+  FROM documents),
+c AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS cum
+  FROM t)
+SELECT doc_id, n_tokens,
+       cum - n_tokens AS stream_start,
+       (cum - n_tokens) // 4096 AS block_id,
+       (cum - n_tokens) % 4096 AS block_offset,
+       ((cum - 1) // 4096) - ((cum - n_tokens) // 4096) + 1 AS n_blocks
+FROM c
+""")
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing via distributed prefix sum: each document's
+    (block, offset) in the concatenated fixed-length training stream —
+    two-phase parallel scan, no single-task global window."""
+    from s3_elasticsearch_data_pipeline_spark.operators.packing import (
+        sequence_pack)
+    return sequence_pack(_t(spark, sf_dir, "documents"), seq_len=4096)
+
+
 @register("text_repetition_scores", """
 WITH tok AS (
   SELECT doc_id,

@@ -126,3 +126,21 @@ def test_new_ops_empty_input_guards(spark):
     assert scd2_history(events).count() == 0
     assert pagerank(edges).count() == 0
     assert dedup.embedding_blocked_near_dup(embs).count() == 0
+
+
+def test_prefix_sums_partition_invariant(spark, sf_smoke):
+    """The two-phase scan must be a pure function of the order key —
+    identical output at any partition count, matching a serial scan."""
+    import os
+    from s3_elasticsearch_data_pipeline_spark.operators.packing import (
+        prefix_sums)
+    docs = spark.read.parquet(os.path.join(sf_smoke, "documents.parquet"))
+    base = docs.select("doc_id", "n_chars")
+    serial = {r["doc_id"]: r["cum"] for r in
+              prefix_sums(base, "doc_id", "n_chars", n_parts=1).collect()}
+    wide = {r["doc_id"]: r["cum"] for r in
+            prefix_sums(base, "doc_id", "n_chars", n_parts=7).collect()}
+    assert serial == wide
+    rows = sorted(serial.items())
+    total = base.agg(F.sum("n_chars")).first()[0]
+    assert rows[-1][1] == total
