@@ -62,6 +62,8 @@ HEADLINE = (
     "embedding_quantize",
     "layout_zorder_code",
     "text_unigram_logprob",
+    "funnel_conversion",
+    "sim_topk_bruteforce_arrow",
 )
 
 

@@ -320,3 +320,63 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
                 F.round(F.aggregate(emb, F.lit(0.0),
                                     lambda acc, x: acc + sq_err(x))
                         / F.size(emb), 9).alias("mse")))
+
+
+def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
+                           k: int = 10) -> DataFrame:
+    """Arrow-vectorized exact top-k: the corpus streams through
+    mapInPandas in batches and each batch scores ALL queries with one
+    numpy matmul (queries broadcast via closure — they are the small
+    side by construction).
+
+    Same answer as ``brute_force_topk`` (tested), ~an order of
+    magnitude faster per row than the per-element HOF fold: the dot
+    products run in BLAS over Arrow-materialized batches instead of
+    interpreted per-element expression eval. This is the "UDFs are the
+    slow path — unless they're vectorized" trade made explicit; the
+    final exact top-k is still a per-query window over (corpus-batch
+    partial top-k)s, so the shuffle carries ≤ k rows per (batch,
+    query), not the full score matrix.
+    """
+    import numpy as np
+    q_rows = (queries.select("vec_id", "embedding").orderBy("vec_id")
+              .collect())
+    if not q_rows:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([list(r["embedding"]) for r in q_rows],
+                     dtype=np.float64)
+    q_unit = q_mat / np.linalg.norm(q_mat, axis=1, keepdims=True)
+    kk = k
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            sims = q_unit @ unit.T                     # (Q, batch)
+            n_ids = pdf["vec_id"].to_numpy()
+            # mask self-matches BEFORE the partial top-k, or the query
+            # vector's own batch yields only k-1 real candidates
+            sims[q_ids[:, None] == n_ids[None, :]] = -np.inf
+            take = min(kk, sims.shape[1])
+            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            yield pd.DataFrame({
+                "query_id": q_ids.repeat(take),
+                "neighbor_id": n_ids[idx].reshape(-1),
+                "sim": np.take_along_axis(sims, idx, axis=1).reshape(-1),
+            })
+
+    partials = (embeddings.select("vec_id", "embedding")
+                .mapInPandas(score,
+                             "query_id long, neighbor_id long, sim double"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (partials.where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= kk)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))

@@ -135,3 +135,40 @@ def sliding_window_agg(events: DataFrame, width_minutes: int = 60,
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "total_value"))
+
+
+def funnel_conversion(events: DataFrame,
+                      steps: tuple[str, str, str] =
+                      ("view", "click", "purchase")) -> DataFrame:
+    """Ordered funnel: per user, the first step-1 event, the first
+    step-2 event at-or-after it, and the first step-3 event at-or-after
+    that; then corpus-level stage counts and conversion rates.
+
+    All three stage timestamps come from chained min-over-window
+    passes with the SAME partition key, so Catalyst plans ONE shuffle
+    of the events table; the final reduction is a single-row global
+    aggregate. No self-joins — at 100 TB the usual 3-way funnel join
+    would shuffle the fact table three times.
+    """
+    s1, s2, s3 = steps
+    w = Window.partitionBy("user_id")
+    t = F.col("ts")
+    staged = (events
+              .withColumn("t1", F.min(F.when(F.col("event_type") == s1, t))
+                          .over(w))
+              .withColumn("t2", F.min(F.when((F.col("event_type") == s2)
+                                             & (t >= F.col("t1")), t))
+                          .over(w))
+              .withColumn("t3", F.min(F.when((F.col("event_type") == s3)
+                                             & (t >= F.col("t2")), t))
+                          .over(w)))
+    per_user = staged.groupBy("user_id").agg(
+        F.max(F.col("t1").isNotNull().cast("int")).alias("r1"),
+        F.max(F.col("t2").isNotNull().cast("int")).alias("r2"),
+        F.max(F.col("t3").isNotNull().cast("int")).alias("r3"))
+    return per_user.agg(
+        F.sum("r1").alias("n_step1"),
+        F.sum("r2").alias("n_step2"),
+        F.sum("r3").alias("n_step3"),
+        F.round(F.sum("r2") / F.sum("r1"), 6).alias("rate_step2"),
+        F.round(F.sum("r3") / F.sum("r2"), 6).alias("rate_step3"))

@@ -502,6 +502,15 @@ def q_sim_topk_ann_lsh(spark, sf_dir):
         emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+@register("sim_topk_bruteforce_arrow", None)  # BLAS sum order → rows-only
+def q_sim_topk_bruteforce_arrow(spark, sf_dir):
+    """Arrow/numpy-vectorized exact top-10 — same answer as the HOF
+    path (equivalence pytest-checked), ~10x the scoring throughput."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.brute_force_topk_arrow(
+        emb, emb.where(F.col("vec_id") < 10), k=10)
+
+
 # ---------------------------------------------------------------------------
 # Extension surface: text analysis (M4 north star)
 # ---------------------------------------------------------------------------
@@ -870,6 +879,39 @@ def q_outlier_zscore(spark, sf_dir):
     """Per-event-type z-score outliers with decimal-exact moments, so
     the threshold compare is independent of summation order."""
     return analytics.zscore_outliers(_t(spark, sf_dir, "events"))
+
+
+@register("funnel_conversion", """
+WITH s1 AS (
+  SELECT user_id, ts, event_type,
+         min(CASE WHEN event_type = 'view' THEN ts END)
+           OVER (PARTITION BY user_id) AS t1
+  FROM events),
+s2 AS (
+  SELECT user_id, ts, event_type, t1,
+         min(CASE WHEN event_type = 'click' AND ts >= t1 THEN ts END)
+           OVER (PARTITION BY user_id) AS t2
+  FROM s1),
+s3 AS (
+  SELECT user_id, t1, t2,
+         min(CASE WHEN event_type = 'purchase' AND ts >= t2 THEN ts END)
+           OVER (PARTITION BY user_id) AS t3
+  FROM s2),
+pu AS (
+  SELECT user_id,
+         max(CASE WHEN t1 IS NOT NULL THEN 1 ELSE 0 END) AS r1,
+         max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
+         max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
+  FROM s3 GROUP BY user_id)
+SELECT sum(r1) AS n_step1, sum(r2) AS n_step2, sum(r3) AS n_step3,
+       round(sum(r2) / sum(r1), 6) AS rate_step2,
+       round(sum(r3) / sum(r2), 6) AS rate_step3
+FROM pu
+""")
+def q_funnel_conversion(spark, sf_dir):
+    """view -> click -> purchase funnel with ordered-step semantics —
+    chained min-over-window passes on one shuffle, no self-joins."""
+    return windows.funnel_conversion(_t(spark, sf_dir, "events"))
 
 
 # ---------------------------------------------------------------------------

@@ -118,3 +118,17 @@ def test_blocked_semantic_dedup_recall_and_precision(spark, embeddings):
         assert recall >= 0.5, f"blocked recall {recall} of {len(truth)}"
     for k in got:
         assert abs(got[k] - truth[k]) < 1e-9
+
+
+def test_arrow_bruteforce_matches_hof_path(spark, embeddings):
+    """The BLAS-vectorized exact top-k must agree with the HOF fold
+    path: same neighbor sets, sims within float tolerance."""
+    queries = embeddings.where(F.col("vec_id") < 10)
+    hof = similarity.brute_force_topk(embeddings, queries, k=10)
+    arrow = similarity.brute_force_topk_arrow(embeddings, queries, k=10)
+    a = {(r.query_id, r.neighbor_id): r.sim for r in hof.collect()}
+    b = {(r.query_id, r.neighbor_id): r.sim for r in arrow.collect()}
+    overlap = len(set(a) & set(b)) / max(len(a), 1)
+    assert overlap >= 0.99, f"top-k sets diverge: {overlap}"
+    for key in set(a) & set(b):
+        assert abs(a[key] - b[key]) < 1e-5
