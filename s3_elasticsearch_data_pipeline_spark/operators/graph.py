@@ -38,7 +38,8 @@ def pagerank(edges: DataFrame, iters: int = 3,
     co-located sort-merge join.
     """
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    edges_d = edges.join(deg, "src").localCheckpoint(eager=False)
+    edges_d = (edges.join(F.broadcast(deg), "src")
+                .localCheckpoint(eager=False))
     nodes = (edges_d.select(F.col("src").alias("node")).distinct()
              .localCheckpoint(eager=False))
     n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
@@ -55,7 +56,7 @@ def pagerank(edges: DataFrame, iters: int = 3,
                    .groupBy("node")
                    .agg(F.sum("__c").alias("__s")))
         ranks = (nodes.crossJoin(n_df)
-                 .join(contrib, "node", "left")
+                 .join(F.broadcast(contrib), "node", "left")
                  .select("node",
                          ((F.lit(1.0) - F.lit(damping)) / F.col("__n")
                           + F.lit(damping)

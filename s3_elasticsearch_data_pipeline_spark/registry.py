@@ -2328,16 +2328,24 @@ def q_graph_pagerank_trade(spark, sf_dir):
     from s3_elasticsearch_data_pipeline_spark.operators.graph import pagerank
     orders = _t(spark, sf_dir, "orders")
     lineitem = _t(spark, sf_dir, "lineitem")
+    # Numeric node encoding (customers even, suppliers odd): the
+    # distinct/shuffle/broadcast all move 8-byte longs instead of
+    # strings; pairs are materialized once so the mirrored union does
+    # not re-run the join+distinct per branch.
     pairs = (orders.join(lineitem,
                          orders["o_orderkey"] == lineitem["l_orderkey"])
-             .select(F.concat(F.lit("c"), F.col("o_custkey").cast("string"))
-                     .alias("src"),
-                     F.concat(F.lit("s"), F.col("l_suppkey").cast("string"))
-                     .alias("dst"))
-             .distinct())
+             .select((F.col("o_custkey") * 2).alias("src"),
+                     (F.col("l_suppkey") * 2 + 1).alias("dst"))
+             .distinct().localCheckpoint(eager=False))
     edges = pairs.unionByName(
         pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    return pagerank(edges, iters=3, damping=0.85)
+    node = F.col("node")
+    label = F.when(node % 2 == 0,
+                   F.concat(F.lit("c"), (node / 2).cast("long").cast("string"))
+                   ).otherwise(
+        F.concat(F.lit("s"), ((node - 1) / 2).cast("long").cast("string")))
+    return (pagerank(edges, iters=3, damping=0.85)
+            .select(label.alias("node"), "rank"))
 
 
 @register("text_unigram_logprob", """
