@@ -1,0 +1,103 @@
+"""CLI — one subcommand per reference entry point, so a reference user
+can switch script-for-script:
+
+    reference script              →  this CLI
+    data-s3-elastic-transfer.py   →  incremental  (month-diff load)
+    ID-based-transfer.py          →  reconcile    (id-level repair)
+    Partition-script.py           →  backfill     (partitioned rewrite)
+    Debug.py                      →  describe     (schema/sample peek)
+    (no reference equivalent)     →  rollup, compact, bench-query
+
+Sources/sinks are parquet paths (S3A URIs work unchanged on a cluster
+with the hadoop-aws jars; Elasticsearch via the es-hadoop connector
+options in sinks/es.py).
+
+Usage examples:
+    python -m s3_elasticsearch_data_pipeline_spark describe --path data.parquet
+    python -m s3_elasticsearch_data_pipeline_spark incremental \
+        --source events.parquet --sink serving --key month --id id
+    python -m s3_elasticsearch_data_pipeline_spark reconcile \
+        --source events.parquet --sink serving
+    python -m s3_elasticsearch_data_pipeline_spark backfill \
+        --source monolith.parquet --out layout --partition month
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _spark():
+    from s3_elasticsearch_data_pipeline_spark.session import get_spark
+    return get_spark("cli")
+
+
+def main(argv: list[str] | None = None) -> int:
+    p = argparse.ArgumentParser(prog="s3_elasticsearch_data_pipeline_spark")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    pi = sub.add_parser("incremental", help="month-diff load (entry point A)")
+    pi.add_argument("--source", required=True)
+    pi.add_argument("--sink", required=True)
+    pi.add_argument("--key", default="month")
+    pi.add_argument("--id", dest="id_col", default="id")
+
+    pr = sub.add_parser("reconcile", help="id-level repair (entry point B)")
+    pr.add_argument("--source", required=True)
+    pr.add_argument("--sink", required=True)
+    pr.add_argument("--key", default="month")
+    pr.add_argument("--id", dest="id_col", default="id")
+
+    pb = sub.add_parser("backfill", help="partitioned rewrite (entry point C)")
+    pb.add_argument("--source", required=True)
+    pb.add_argument("--out", required=True)
+    pb.add_argument("--partition", default="month")
+    pb.add_argument("--only", default=None)
+
+    pd = sub.add_parser("describe", help="schema/sample peek (Debug.py)")
+    pd.add_argument("--path", required=True)
+
+    pq = sub.add_parser("query", help="run a registry query by name")
+    pq.add_argument("--name", required=True)
+    pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+    pq.add_argument("--limit", type=int, default=20)
+
+    args = p.parse_args(argv)
+    spark = _spark()
+
+    if args.cmd == "incremental":
+        from s3_elasticsearch_data_pipeline_spark.plans.incremental import (
+            incremental_load)
+        rep = incremental_load(spark, spark.read.parquet(args.source),
+                               args.sink, key=args.key, id_col=args.id_col)
+        print(json.dumps({"partitions_loaded": rep.partitions_loaded,
+                          "rows_loaded": rep.rows_loaded}))
+    elif args.cmd == "reconcile":
+        from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+            reconcile)
+        rep = reconcile(spark, spark.read.parquet(args.source),
+                        args.sink, key=args.key, id_col=args.id_col)
+        print(json.dumps(rep.__dict__, default=str))
+    elif args.cmd == "backfill":
+        from s3_elasticsearch_data_pipeline_spark.plans.backfill import (
+            backfill_partition)
+        rep = backfill_partition(spark, spark.read.parquet(args.source),
+                                 args.out, partition_col=args.partition,
+                                 only_value=args.only)
+        print(json.dumps(rep.__dict__, default=str))
+    elif args.cmd == "describe":
+        from s3_elasticsearch_data_pipeline_spark.plans.backfill import describe
+        print(json.dumps(describe(spark.read.parquet(args.path)),
+                         default=str))
+    elif args.cmd == "query":
+        from s3_elasticsearch_data_pipeline_spark import registry
+        df = registry.queries()[args.name](spark, args.sf_dir)
+        for row in df.limit(args.limit).collect():
+            print(json.dumps(row.asDict(), default=str))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

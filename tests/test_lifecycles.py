@@ -132,3 +132,35 @@ def test_load_log_tracks_loads(spark, source, tmp_path):
     # second load appends nothing (no missing partitions)
     incremental_load(spark, source, sink)
     assert read_load_log(spark, sink).count() == len(truth)
+
+
+def test_cli_subcommands_cover_reference_scripts(spark, tmp_path, capsys):
+    """Script-for-script parity: each reference entry point has a CLI
+    subcommand; drive describe/backfill/incremental/reconcile in-process
+    against a small source table."""
+    import json
+    from s3_elasticsearch_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "src.parquet")
+    (spark.createDataFrame(
+        [(str(i), f"2024-0{1 + i % 3}", float(i)) for i in range(60)],
+        "id string, month string, value double")
+     .write.parquet(src))
+
+    assert main(["describe", "--path", src]) == 0
+    desc = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(c in str(desc) for c in ("id", "month", "value"))
+
+    out = str(tmp_path / "layout")
+    assert main(["backfill", "--source", src, "--out", out,
+                 "--partition", "month"]) == 0
+    capsys.readouterr()
+
+    sink = str(tmp_path / "serving")
+    assert main(["incremental", "--source", src, "--sink", sink]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert sorted(rep["partitions_loaded"]) == ["2024-01", "2024-02", "2024-03"]
+    assert rep["rows_loaded"] == 60
+
+    assert main(["reconcile", "--source", src, "--sink", sink]) == 0
+    capsys.readouterr()
