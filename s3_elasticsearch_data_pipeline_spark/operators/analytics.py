@@ -17,7 +17,7 @@ round so both engines emit identical canonical values.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -351,3 +351,52 @@ def zscore_outliers(events: DataFrame, z_threshold: float = 2.0) -> DataFrame:
             .withColumn("z", z)
             .where(F.abs(F.col("z")) >= z_threshold)
             .select("event_id", "event_type", "value", "z"))
+
+
+def winsorized_stats(lineitem: DataFrame,
+                     lo_p: float = 0.05, hi_p: float = 0.95) -> DataFrame:
+    """Robust per-group statistics: winsorize ``l_extendedprice`` at the
+    [p05, p95] exact percentiles, then report the clipped mean next to
+    the raw mean and the clip counts — the outlier-resistant summary a
+    data-quality dashboard shows before thresholding on it.
+
+    Two narrow passes: a per-group percentile aggregate (broadcast back
+    — rows = groups) and one clip+aggregate scan. Percentile bounds are
+    rounded before clipping and the clipped sum accumulates in DECIMAL,
+    so both engines agree bit-for-bit.
+    """
+    bounds = (lineitem.groupBy("l_returnflag")
+              .agg(F.round(F.expr(f"percentile(l_extendedprice, {lo_p})"), 6)
+                   .alias("p_lo"),
+                   F.round(F.expr(f"percentile(l_extendedprice, {hi_p})"), 6)
+                   .alias("p_hi")))
+    v = F.col("l_extendedprice")
+    clipped = F.when(v < F.col("p_lo"), F.col("p_lo")) \
+               .when(v > F.col("p_hi"), F.col("p_hi")).otherwise(v)
+    return (lineitem.join(F.broadcast(bounds), "l_returnflag")
+            .groupBy("l_returnflag")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum((v < F.col("p_lo")).cast("int")).alias("n_clip_lo"),
+                 F.sum((v > F.col("p_hi")).cast("int")).alias("n_clip_hi"),
+                 F.round(F.sum(v.cast("decimal(18,4)")).cast("double")
+                         / F.count(F.lit(1)), 4).alias("raw_mean"),
+                 F.round(F.sum(clipped.cast("decimal(18,6)")).cast("double")
+                         / F.count(F.lit(1)), 4).alias("winsor_mean")))
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention: users grouped by first-seen day, counted by
+    day-offset of later activity — the standard growth-analytics
+    triangle. One window pass pins each user's cohort day (single
+    shuffle on user_id), then a (cohort, offset) count whose output is
+    |days|^2 rows regardless of input size."""
+    w = Window.partitionBy("user_id")
+    with_cohort = events.withColumn(
+        "cohort_day", F.min(F.to_date("ts")).over(w))
+    return (with_cohort
+            .select("user_id", "cohort_day",
+                    F.datediff(F.to_date("ts"), F.col("cohort_day"))
+                    .alias("day_offset"))
+            .distinct()
+            .groupBy("cohort_day", "day_offset")
+            .agg(F.count(F.lit(1)).alias("n_users")))

@@ -824,6 +824,50 @@ def q_range_join_tiers(spark, sf_dir):
             .select("event_id", "user_id", "value", "tier"))
 
 
+@register("agg_winsorized_stats", """
+WITH bounds AS (
+  SELECT l_returnflag,
+         round(quantile_cont(l_extendedprice, 0.05), 6) AS p_lo,
+         round(quantile_cont(l_extendedprice, 0.95), 6) AS p_hi
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l.l_returnflag,
+       count(*) AS n_rows,
+       sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END) AS n_clip_lo,
+       sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END) AS n_clip_hi,
+       round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+             / count(*), 4) AS raw_mean,
+       round(CAST(sum(CAST(CASE WHEN l_extendedprice < p_lo THEN p_lo
+                                WHEN l_extendedprice > p_hi THEN p_hi
+                                ELSE l_extendedprice END
+                           AS DECIMAL(18,6))) AS DOUBLE)
+             / count(*), 4) AS winsor_mean
+FROM lineitem l JOIN bounds b ON l.l_returnflag = b.l_returnflag
+GROUP BY l.l_returnflag
+""")
+def q_agg_winsorized_stats(spark, sf_dir):
+    """Winsorized robust stats per group — exact-percentile clipping
+    with decimal-exact clipped means."""
+    return analytics.winsorized_stats(_t(spark, sf_dir, "lineitem"))
+
+
+@register("retention_cohorts", """
+WITH c AS (
+  SELECT user_id, ts,
+         min(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day
+  FROM events),
+d AS (
+  SELECT DISTINCT user_id, cohort_day,
+         date_diff('day', cohort_day, CAST(ts AS DATE)) AS day_offset
+  FROM c)
+SELECT cohort_day, day_offset, count(*) AS n_users
+FROM d GROUP BY cohort_day, day_offset
+""")
+def q_retention_cohorts(spark, sf_dir):
+    """First-seen-day cohort retention triangle — one shuffle to pin
+    cohorts, output size independent of input size."""
+    return analytics.retention_cohorts(_t(spark, sf_dir, "events"))
+
+
 @register("scd2_user_history", """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
