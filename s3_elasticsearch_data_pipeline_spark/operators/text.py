@@ -368,3 +368,18 @@ def unigram_logprob_scores(documents: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_tokens"),
                  F.round((-F.sum("logp")).cast("double")
                          / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))
+
+
+def inverted_index(documents: DataFrame) -> DataFrame:
+    """Term -> posting-list index (the serving-side artifact the
+    reference's Elasticsearch maintains internally): per term, the
+    sorted distinct doc ids and the document frequency. explode +
+    one aggregate; posting arrays are sorted in-engine so the output
+    is deterministic and mergeable (union + flatten + re-sort) across
+    incremental builds."""
+    return (documents
+            .select(F.explode(F.array_distinct(tokens(F.col("text"))))
+                    .alias("term"), "doc_id")
+            .groupBy("term")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"),
+                 F.countDistinct("doc_id").alias("doc_freq")))

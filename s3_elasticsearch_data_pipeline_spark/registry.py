@@ -2441,6 +2441,22 @@ def q_pack_sequences(spark, sf_dir):
     return sequence_pack(_t(spark, sf_dir, "documents"), seq_len=4096)
 
 
+@register("text_inverted_index", """
+SELECT term,
+       list_sort(list(DISTINCT doc_id)) AS postings,
+       count(DISTINCT doc_id) AS doc_freq
+FROM (SELECT doc_id,
+             unnest(list_distinct(list_filter(
+               string_split_regex(text, '\\s+'), t -> t <> ''))) AS term
+      FROM documents)
+GROUP BY term
+""")
+def q_text_inverted_index(spark, sf_dir):
+    """Term -> sorted posting list + doc frequency — the ES-side index
+    structure as relational algebra."""
+    return text.inverted_index(_t(spark, sf_dir, "documents"))
+
+
 @register("text_repetition_scores", """
 WITH tok AS (
   SELECT doc_id,
