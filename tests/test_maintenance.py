@@ -80,3 +80,46 @@ def test_compaction_preserves_rows_and_reduces_files(spark, monthly_events,
     # untouched partitions keep their layout (dynamic overwrite)
     assert len(glob.glob(os.path.join(
         path, f"month={months[-1]}", "*.parquet"))) == other_files_before
+
+
+def test_streaming_rollup_exactly_once_including_late_files(spark,
+                                                            monthly_events,
+                                                            tmp_path):
+    """File-log semantics: re-runs are no-ops, and a LATE file landing
+    in an already-rolled-up partition still counts exactly once —
+    the blind spot the batch partition-diff maintainer documents."""
+    from s3_elasticsearch_data_pipeline_spark.streaming.rollup_stream import (
+        rollup_stream)
+
+    src = str(tmp_path / "src")
+    rollup = str(tmp_path / "rollup")
+    ck = str(tmp_path / "ck")
+    months = sorted(r[0] for r in
+                    monthly_events.select("month").distinct().collect())
+    first = months[0]
+    half1 = monthly_events.where(F.col("event_id") % 2 == 0)
+    half2 = monthly_events.where(F.col("event_id") % 2 == 1)
+
+    half1.write.partitionBy("month").parquet(src)
+    rollup_stream(spark, src, rollup, ck)
+    rollup_stream(spark, src, rollup, ck)  # no-op re-run
+
+    got1 = _finalized(read_rollup(spark, rollup))
+    want1 = _finalized(
+        half1.groupBy("month", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"))
+        .withColumn("month", F.col("month").cast("string")))
+    assert got1 == want1
+
+    # late files arrive in EXISTING partitions
+    half2.write.mode("append").partitionBy("month").parquet(src)
+    rollup_stream(spark, src, rollup, ck)
+    got2 = _finalized(read_rollup(spark, rollup))
+    want2 = _finalized(
+        monthly_events.groupBy("month", "event_type")
+        .agg(F.count(F.lit(1)).alias("n_rows"),
+             F.sum(F.col("value").cast("decimal(28,6)")).alias("sum_value"))
+        .withColumn("month", F.col("month").cast("string")))
+    assert got2 == want2
+    assert first in {k[0] for k in got2}

@@ -239,3 +239,18 @@ def test_zorder_layout_ranges_disjoint(spark, sf_oracle, tmp_path):
     assert len(ranges) >= 4
     for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
         assert hi1 <= lo2, "file z-ranges overlap"
+
+
+def test_funnel_single_shuffle(spark, sf_oracle):
+    """Chained funnel windows + per-user reduce must reuse one
+    hash(user_id) exchange (plus the single-row final aggregate)."""
+    df = registry.queries()["funnel_conversion"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") <= 1, plan[:1200]
+
+
+def test_winsorized_broadcasts_bounds(spark, sf_oracle):
+    df = registry.queries()["agg_winsorized_stats"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
