@@ -78,3 +78,50 @@ def test_range_join_boundaries(spark):
              range_join(facts, tiers, "v", how="left")
              .select("id", "tier").collect()}
     assert outer[5] is None and len(outer) == 5
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+EVENT_ROWS = st.lists(
+    st.tuples(st.integers(0, 3),                    # user_id
+              st.integers(0, 50),                   # ts (seconds)
+              st.sampled_from(["a", "b", "c"])),    # attr
+    min_size=1, max_size=30)
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(rows=EVENT_ROWS)
+def test_scd2_invariants(spark, rows):
+    """SCD2 output must tile each user's timeline: contiguous
+    effective ranges, exactly one current version, consecutive
+    versions differ in the tracked attribute, and n_events sums to
+    the user's event count."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        scd2_history)
+    df = spark.createDataFrame(
+        [(i, u, t, a) for i, (u, t, a) in enumerate(rows)],
+        "event_id long, user_id long, ts long, event_type string")
+    out = scd2_history(df, ts="ts").collect()
+
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r)
+    events_per_user = {}
+    for _i, (u, _t, _a) in enumerate(rows):
+        events_per_user[u] = events_per_user.get(u, 0) + 1
+
+    for u, versions in by_user.items():
+        versions.sort(key=lambda r: (r["effective_from"],
+                                     r["effective_to"] is None,
+                                     r["effective_to"]))
+        assert sum(v["n_events"] for v in versions) == events_per_user[u]
+        assert sum(v["is_current"] for v in versions) == 1
+        assert versions[-1]["is_current"] == 1
+        for a, b in zip(versions, versions[1:]):
+            assert a["effective_to"] == b["effective_from"]
+            if a["effective_from"] != b["effective_from"]:
+                # runs starting at the same instant have no recoverable
+                # order from the output alone; skip the attr check there
+                assert a["event_type"] != b["event_type"]
