@@ -383,3 +383,30 @@ def inverted_index(documents: DataFrame) -> DataFrame:
             .groupBy("term")
             .agg(F.sort_array(F.collect_list("doc_id")).alias("postings"),
                  F.countDistinct("doc_id").alias("doc_freq")))
+
+
+# GPT-2-style pre-tokenizer pattern, simplified to the RE2-compatible
+# subset (no lookarounds) so Spark's Java regex and the DuckDB oracle's
+# RE2 agree: contractions, space-prefixed word/number/symbol runs,
+# residual whitespace.
+BPE_PIECE_RE = ("'(?:[sdmt]|ll|ve|re)"
+                "| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+")
+
+
+def bpe_token_counts(documents: DataFrame) -> DataFrame:
+    """Token counting with a BPE-ish pre-tokenizer regex next to the
+    whitespace count — the fertility estimate (pieces per word) a
+    training pipeline uses to budget sequence lengths before running
+    the real tokenizer."""
+    ws = F.size(tokens(F.col("text")))
+    pieces = F.size(F.filter(
+        F.expr(f"regexp_extract_all(text, \"{BPE_PIECE_RE}\", 0)"),
+        lambda p: p.rlike("\\S")))  # drop pure-whitespace pieces
+    return (documents
+            .withColumn("__n_pieces", pieces)
+            .select("doc_id",
+                    ws.alias("n_ws_tokens"),
+                    F.col("__n_pieces").alias("n_bpe_pieces"),
+                    F.when(ws > 0,
+                           F.round(F.col("__n_pieces") / ws, 6))
+                     .otherwise(F.lit(0.0)).alias("fertility")))

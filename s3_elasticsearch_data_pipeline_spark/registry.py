@@ -2457,6 +2457,28 @@ def q_text_inverted_index(spark, sf_dir):
     return text.inverted_index(_t(spark, sf_dir, "documents"))
 
 
+@register("text_token_counts_bpe", """
+WITH p AS (
+  SELECT doc_id,
+         len(list_filter(string_split_regex(text, '\\s+'),
+                         t -> t <> '')) AS n_ws_tokens,
+         len(list_filter(
+           regexp_extract_all(text,
+             '''(?:[sdmt]|ll|ve|re)| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+',
+             0),
+           x -> regexp_matches(x, '\\S'))) AS n_bpe_pieces
+  FROM documents)
+SELECT doc_id, n_ws_tokens, n_bpe_pieces,
+       CASE WHEN n_ws_tokens > 0
+            THEN round(CAST(n_bpe_pieces AS DOUBLE) / n_ws_tokens, 6)
+            ELSE 0.0 END AS fertility
+FROM p
+""")
+def q_text_token_counts_bpe(spark, sf_dir):
+    """BPE-ish regex piece counts + fertility vs whitespace tokens."""
+    return text.bpe_token_counts(_t(spark, sf_dir, "documents"))
+
+
 @register("text_repetition_scores", """
 WITH tok AS (
   SELECT doc_id,
