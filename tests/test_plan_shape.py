@@ -254,3 +254,12 @@ def test_winsorized_broadcasts_bounds(spark, sf_oracle):
     plan = plan_of(df)
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_pack_no_single_partition_window(spark, sf_oracle):
+    """The prefix sum must never plan the naive global-order window —
+    that is an 'Exchange SinglePartition' collapsing the table onto one
+    task. The two-phase scan keeps every window partition-parallel."""
+    df = registry.queries()["pack_sequences"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "SinglePartition" not in plan, plan[:1200]
