@@ -211,7 +211,7 @@ def _kmeans_centroids(embeddings: DataFrame, n_cells: int,
                 .select("cell", F.posexplode("embedding")
                         .alias("dim", "component"))
                 .groupBy("cell", "dim")
-                .agg(F.avg("component").alias("c"))
+                .agg(F.round(F.avg("component"), 6).alias("c"))  # order-stable
                 .collect())
         new = centroids.copy()
         for r in rows:
