@@ -2013,6 +2013,42 @@ def q_dedup_connected_components(spark, sf_dir):
     return dedup.connected_components(pairs)
 
 
+@register("dedup_connected_components_star", """
+WITH RECURSIVE shingled AS (
+  SELECT doc_id, lang AS block,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3),
+near_pairs AS (
+  SELECT a.doc_id AS a, b.doc_id AS b
+  FROM shingled a JOIN shingled b
+    ON a.block = b.block AND a.doc_id < b.doc_id
+  WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.shingles, b.shingles))),
+              6) >= 0.5),
+edges AS (SELECT a AS src, b AS dst FROM near_pairs
+          UNION ALL SELECT b, a FROM near_pairs),
+reach(doc_id, member) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.member)
+SELECT doc_id, min(member) AS cluster_id FROM reach GROUP BY doc_id
+""")
+def q_dedup_connected_components_star(spark, sf_dir):
+    """Same fixpoint as dedup_connected_components, computed by the
+    O(log^2)-round large-star/small-star contraction (Kiveris et al.,
+    SoCC 2014) — the diameter-robust 100 TB path; shares the
+    recursive-CTE oracle."""
+    pairs = dedup.ngram_jaccard_pairs(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+    return dedup.connected_components_star(pairs)
+
+
 @register("text_pii_scrub", """
 WITH seeded AS (
   SELECT doc_id,

@@ -144,3 +144,28 @@ def test_prefix_sums_partition_invariant(spark, sf_smoke):
     rows = sorted(serial.items())
     total = base.agg(F.sum("n_chars")).first()[0]
     assert rows[-1][1] == total
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+GRAPHS = st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
+                  min_size=1, max_size=40).map(
+    lambda es: [(a, b) for a, b in es if a != b])
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(edges=GRAPHS)
+def test_star_cc_equals_label_propagation(spark, edges):
+    """large-star/small-star must reach the same fixpoint as min-label
+    propagation on arbitrary graphs (paths, cliques, forests...)."""
+    from s3_elasticsearch_data_pipeline_spark.operators import dedup
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    a = {(r.doc_id, r.cluster_id)
+         for r in dedup.connected_components(df).collect()}
+    b = {(r.doc_id, r.cluster_id)
+         for r in dedup.connected_components_star(df).collect()}
+    assert a == b
