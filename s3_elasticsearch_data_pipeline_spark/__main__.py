@@ -64,6 +64,20 @@ def main(argv: list[str] | None = None) -> int:
     pq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
     pq.add_argument("--limit", type=int, default=20)
 
+    pu = sub.add_parser("rollup", help="maintain the continuous aggregate")
+    pu.add_argument("--source", required=True)
+    pu.add_argument("--rollup", required=True)
+    pu.add_argument("--key", default="month")
+    pu.add_argument("--dim", default="event_type")
+    pu.add_argument("--value", default="value")
+
+    pc = sub.add_parser("compact", help="bin-pack small files per partition")
+    pc.add_argument("--path", required=True)
+    pc.add_argument("--key", default="month")
+    pc.add_argument("--target-mb", type=int, default=128)
+    pc.add_argument("--max-avg-mb", type=float, default=32.0,
+                    help="compact partitions averaging under this MB/file")
+
     args = p.parse_args(argv)
     spark = _spark()
 
@@ -96,6 +110,25 @@ def main(argv: list[str] | None = None) -> int:
         df = registry.queries()[args.name](spark, args.sf_dir)
         for row in df.limit(args.limit).collect():
             print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "rollup":
+        from s3_elasticsearch_data_pipeline_spark.plans.rollup import (
+            maintain_rollup)
+        added = maintain_rollup(spark, spark.read.parquet(args.source),
+                                args.rollup, partition_key=args.key,
+                                dim=args.dim, value_col=args.value)
+        print(json.dumps({"partitions_added": added}, default=str))
+    elif args.cmd == "compact":
+        from pyspark.sql import functions as F
+        from s3_elasticsearch_data_pipeline_spark.maintenance import (
+            compact_partitions, partition_file_stats)
+        stats = partition_file_stats(spark, args.path, args.key)
+        todo = [r[0] for r in stats.where(
+            (F.col("bytes") / F.col("n_files"))
+            < args.max_avg_mb * 1024 * 1024).collect()]
+        if todo:
+            compact_partitions(spark, args.path, todo, args.key,
+                               target_bytes=args.target_mb * 1024 * 1024)
+        print(json.dumps({"partitions_compacted": sorted(map(str, todo))}))
     return 0
 
 

@@ -123,3 +123,28 @@ def test_streaming_rollup_exactly_once_including_late_files(spark,
         .withColumn("month", F.col("month").cast("string")))
     assert got2 == want2
     assert first in {k[0] for k in got2}
+
+
+def test_cli_rollup_and_compact(spark, monthly_events, tmp_path, capsys):
+    import json
+    from s3_elasticsearch_data_pipeline_spark.__main__ import main
+
+    src = str(tmp_path / "src")
+    monthly_events.repartition(8).write.partitionBy("month").parquet(src)
+    rollup = str(tmp_path / "rollup")
+
+    assert main(["rollup", "--source", src, "--rollup", rollup]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep["partitions_added"]) >= 2
+    assert main(["rollup", "--source", src, "--rollup", rollup]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["partitions_added"] == []
+
+    assert main(["compact", "--path", src, "--max-avg-mb", "64"]) == 0
+    rep3 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert len(rep3["partitions_compacted"]) >= 2
+    from s3_elasticsearch_data_pipeline_spark.maintenance import (
+        partition_file_stats)
+    after = partition_file_stats(spark, src).collect()
+    assert all(r["n_files"] == 1 for r in after)
+    assert sum(r["n_rows"] for r in after) == monthly_events.count()
