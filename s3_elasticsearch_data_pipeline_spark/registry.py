@@ -1134,6 +1134,46 @@ def q_array_function_pack(spark, sf_dir):
                   .alias("has_purchase")))
 
 
+@register("map_function_pack", """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS cnt
+  FROM events GROUP BY user_id, event_type)
+SELECT user_id,
+       count(*) AS n_types,
+       sum(CASE WHEN event_type = 'view' THEN cnt ELSE 0 END) AS n_views,
+       sum(CASE WHEN event_type = 'purchase' THEN cnt ELSE 0 END)
+         AS n_purchases,
+       sum(cnt) AS n_events,
+       sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS n_frequent_types
+FROM per GROUP BY user_id
+""")
+def q_map_function_pack(spark, sf_dir):
+    """Map-type scalar surface: build a per-user event_type -> count
+    map (map_from_entries over a sorted entry list, so construction is
+    deterministic), then read it back via map_keys/map_values/
+    element_at/map_filter/aggregate. The oracle states the same facts
+    relationally — the map is the Spark-side representation under test."""
+    per = (_t(spark, sf_dir, "events")
+           .groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("cnt")))
+    mp = (per.groupBy("user_id")
+          .agg(F.map_from_entries(
+              F.sort_array(F.collect_list(F.struct("event_type", "cnt"))))
+              .alias("m")))
+    m = F.col("m")
+    return mp.select(
+        "user_id",
+        F.size(F.map_keys(m)).alias("n_types"),
+        F.coalesce(F.element_at(m, F.lit("view")), F.lit(0))
+         .alias("n_views"),
+        F.coalesce(F.element_at(m, F.lit("purchase")), F.lit(0))
+         .alias("n_purchases"),
+        F.aggregate(F.map_values(m), F.lit(0).cast("bigint"),
+                    lambda acc, x: acc + x).alias("n_events"),
+        F.size(F.map_filter(m, lambda _k, v: v >= 5))
+         .alias("n_frequent_types"))
+
+
 @register("setop_union_all", """
 SELECT o_orderkey, 'recent' AS bucket FROM orders
 WHERE o_orderdate >= TIMESTAMP '1998-01-01'
