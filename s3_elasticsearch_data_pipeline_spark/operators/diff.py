@@ -95,3 +95,36 @@ def count_mismatches(source: DataFrame, sink: DataFrame,
                     src_cnt.alias("source_cnt"),
                     snk_cnt.alias("sink_cnt"))
             .where(F.col("source_cnt") != F.col("sink_cnt")))
+
+
+def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
+                  compare_cols: tuple[str, ...]) -> DataFrame:
+    """Change-data-capture diff of two table snapshots: one row per
+    added / removed / changed key, with the sorted list of columns that
+    changed — the input a MERGE/SCD pipeline consumes.
+
+    ONE full-outer join on the key; presence markers (constant 1 per
+    side) distinguish a missing row from legitimately-null compare
+    columns, and the change classification is a pure projection over
+    the joined row. Null-safe equality (`eqNullSafe`) so NULL->value
+    and value->NULL both count as changes. Unchanged keys are dropped
+    by the final filter, so the output is delta-sized.
+    """
+    o = old.select(F.col(key), F.lit(1).alias("__in_old"),
+                   *[F.col(c).alias(f"__o_{c}") for c in compare_cols])
+    n = new.select(F.col(key), F.lit(1).alias("__in_new"),
+                   *[F.col(c).alias(f"__n_{c}") for c in compare_cols])
+    j = o.join(n, key, "full_outer")
+    changed_cols = F.array_sort(F.filter(F.array(*[
+        F.when(~F.col(f"__o_{c}").eqNullSafe(F.col(f"__n_{c}")), F.lit(c))
+        for c in compare_cols]), lambda x: x.isNotNull()))
+    out = j.select(
+        key,
+        F.when(F.col("__in_old").isNull(), F.lit("added"))
+         .when(F.col("__in_new").isNull(), F.lit("removed"))
+         .otherwise(F.lit("changed")).alias("change_type"),
+        F.when(F.col("__in_old").isNull() | F.col("__in_new").isNull(),
+               F.array().cast("array<string>"))
+         .otherwise(changed_cols).alias("changed_cols"))
+    return out.where((F.col("change_type") != "changed")
+                     | (F.size("changed_cols") > 0))

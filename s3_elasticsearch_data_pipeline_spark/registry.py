@@ -868,6 +868,62 @@ def q_retention_cohorts(spark, sf_dir):
     return analytics.retention_cohorts(_t(spark, sf_dir, "events"))
 
 
+@register("cdc_snapshot_diff", """
+WITH o AS (SELECT o_orderkey AS k, o_totalprice, o_orderstatus FROM orders),
+n AS (
+  SELECT o_orderkey AS k,
+         CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+              ELSE o_totalprice END AS o_totalprice,
+         CASE WHEN o_orderkey % 3 = 0 THEN 'X'
+              ELSE o_orderstatus END AS o_orderstatus
+  FROM orders WHERE o_orderkey % 7 <> 0
+  UNION ALL
+  SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+  FROM orders WHERE o_orderkey % 11 = 0),
+j AS (
+  SELECT coalesce(o.k, n.k) AS o_orderkey,
+         o.k IS NOT NULL AS in_old, n.k IS NOT NULL AS in_new,
+         list_sort(list_filter([
+           CASE WHEN NOT (o.o_orderstatus IS NOT DISTINCT FROM n.o_orderstatus)
+                THEN 'o_orderstatus' END,
+           CASE WHEN NOT (o.o_totalprice IS NOT DISTINCT FROM n.o_totalprice)
+                THEN 'o_totalprice' END],
+           x -> x IS NOT NULL)) AS cols
+  FROM o FULL OUTER JOIN n ON o.k = n.k)
+SELECT o_orderkey,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            ELSE 'changed' END AS change_type,
+       CASE WHEN NOT in_old OR NOT in_new THEN []
+            ELSE cols END AS changed_cols
+FROM j
+WHERE NOT in_old OR NOT in_new OR len(cols) > 0
+""")
+def q_cdc_snapshot_diff(spark, sf_dir):
+    """Snapshot CDC: diff the orders table against a deterministically
+    perturbed copy (deletes %7, price bumps %5, status flips %3, adds
+    %11 under shifted keys) — one full-outer join, delta-sized output."""
+    from s3_elasticsearch_data_pipeline_spark.operators.diff import (
+        snapshot_diff)
+    orders = _t(spark, sf_dir, "orders")
+    base = orders.select("o_orderkey", "o_totalprice", "o_orderstatus")
+    modified = (base.where(F.col("o_orderkey") % 7 != 0)
+                .select("o_orderkey",
+                        F.when(F.col("o_orderkey") % 5 == 0,
+                               F.col("o_totalprice") + 1000.0)
+                         .otherwise(F.col("o_totalprice"))
+                         .alias("o_totalprice"),
+                        F.when(F.col("o_orderkey") % 3 == 0, F.lit("X"))
+                         .otherwise(F.col("o_orderstatus"))
+                         .alias("o_orderstatus")))
+    added = (base.where(F.col("o_orderkey") % 11 == 0)
+             .select((F.col("o_orderkey") + 10000000).alias("o_orderkey"),
+                     "o_totalprice", "o_orderstatus"))
+    new = modified.unionByName(added)
+    return snapshot_diff(base, new, "o_orderkey",
+                         ("o_orderstatus", "o_totalprice"))
+
+
 @register("scd2_user_history", """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
