@@ -410,3 +410,19 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
                     F.when(ws > 0,
                            F.round(F.col("__n_pieces") / ws, 6))
                      .otherwise(F.lit(0.0)).alias("fertility")))
+
+
+def dataset_split(documents: DataFrame,
+                  train_hex: str = "cc", val_hex: str = "e6") -> DataFrame:
+    """Deterministic train/val/test assignment: hash the stable doc id
+    (NOT the text — re-crawled/cleaned text must not migrate documents
+    across splits) and threshold the leading md5 hex byte. 'cc'/'e6'
+    give ~79.7/10.2/10.1; membership is reproducible on any engine and
+    any partitioning, and the assignment is a pure per-row projection —
+    no shuffle, no state, safe to recompute at 100 TB."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    return documents.select(
+        "doc_id", bucket.alias("bucket_hex"),
+        F.when(bucket < train_hex, "train")
+         .when(bucket < val_hex, "val")
+         .otherwise("test").alias("split"))

@@ -2611,6 +2611,22 @@ def q_text_token_counts_bpe(spark, sf_dir):
     return text.bpe_token_counts(_t(spark, sf_dir, "documents"))
 
 
+@register("dataset_split", """
+SELECT doc_id,
+       substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+""")
+def q_dataset_split(spark, sf_dir):
+    """Deterministic hash-threshold train/val/test split assignment —
+    stable across engines, partitionings and re-crawls."""
+    return text.dataset_split(_t(spark, sf_dir, "documents"))
+
+
 @register("text_repetition_scores", """
 WITH tok AS (
   SELECT doc_id,
