@@ -17,6 +17,7 @@ round so both engines emit identical canonical values.
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -400,3 +401,33 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
             .distinct()
             .groupBy("cohort_day", "day_offset")
             .agg(F.count(F.lit(1)).alias("n_users")))
+
+
+def geomean_udaf(events: DataFrame) -> DataFrame:
+    """Custom aggregate via an Arrow-batched GROUPED_AGG pandas UDF —
+    the engine's UDAF extension point (everything else in this module
+    is built-ins; this demonstrates the escape hatch for aggregates
+    Catalyst lacks). The input is sorted inside the UDF and reduced
+    with math.fsum, so the result is independent of partitioning and
+    row order; rounded before output like every float aggregate here.
+    """
+    import math
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def geomean(v: pd.Series) -> float:
+        import numpy as np
+        x = np.sort(v.to_numpy(dtype="float64"))
+        x = x[x > 0]
+        if not len(x):
+            return float("nan")
+        return float(math.exp(math.fsum(np.log(x)) / len(x)))
+
+    # A GROUPED_AGG pandas UDF cannot share an agg with JVM aggregates;
+    # the count runs in its own (cheap) aggregate and joins back on the
+    # tiny group key.
+    gm = (events.groupBy("event_type")
+          .agg(F.round(geomean(F.col("value")), 6).alias("geomean_value")))
+    n = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
+    return gm.join(F.broadcast(n), "event_type")

@@ -924,6 +924,20 @@ def q_cdc_snapshot_diff(spark, sf_dir):
                          ("o_orderstatus", "o_totalprice"))
 
 
+@register("agg_geomean_udaf", """
+SELECT event_type,
+       round(exp(sum(ln(value)) / count(*)), 6) AS geomean_value,
+       count(*) AS n_rows
+FROM events WHERE value > 0
+GROUP BY event_type
+""")
+def q_agg_geomean_udaf(spark, sf_dir):
+    """Geometric mean per group via a GROUPED_AGG pandas UDF (the UDAF
+    escape hatch), order-stabilized inside the UDF."""
+    return analytics.geomean_udaf(
+        _t(spark, sf_dir, "events").where(F.col("value") > 0))
+
+
 @register("scd2_user_history", """
 WITH ordered AS (
   SELECT user_id, event_type, ts, event_id,
