@@ -426,3 +426,33 @@ def dataset_split(documents: DataFrame,
         F.when(bucket < train_hex, "train")
          .when(bucket < val_hex, "val")
          .otherwise("test").alias("split"))
+
+
+def chunk_documents_udtf(documents: DataFrame,
+                         chunk_tokens: int = 20) -> DataFrame:
+    """Fixed-size document chunking via a Python UDTF (lateral table
+    function) — the row-to-many-rows extension point, demonstrated on
+    the RAG-style chunking task. Documented slow path: UDTFs run
+    row-at-a-time in Python workers; the built-in equivalent (shingle
+    transform + explode, cf. contamination_overlap) is the hot-path
+    choice — this exists for API parity and for logic a lambda cannot
+    express."""
+    import re
+
+    from pyspark.sql.functions import udtf
+
+    n = chunk_tokens
+
+    @udtf(returnType="doc_id bigint, chunk_idx int, chunk string")
+    class Chunker:
+        def eval(self, doc_id: int, text: str):
+            toks = [t for t in re.split(r"\s+", text or "") if t]
+            for i in range(0, len(toks), n):
+                yield doc_id, i // n, " ".join(toks[i:i + n])
+
+    spark = documents.sparkSession
+    spark.udtf.register("chunk_docs", Chunker)
+    documents.select("doc_id", "text").createOrReplaceTempView("__chunk_in")
+    return spark.sql(
+        "SELECT c.doc_id, c.chunk_idx, c.chunk "
+        "FROM __chunk_in, LATERAL chunk_docs(doc_id, text) c")

@@ -2641,6 +2641,23 @@ def q_dataset_split(spark, sf_dir):
     return text.dataset_split(_t(spark, sf_dir, "documents"))
 
 
+@register("text_chunks_udtf", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS chunk_idx,
+       array_to_string(list_slice(toks, i * 20 + 1, i * 20 + 20), ' ')
+         AS chunk
+FROM t, unnest(range(0, CAST(ceil(len(toks) / 20.0) AS BIGINT))) AS u(i)
+""")
+def q_text_chunks_udtf(spark, sf_dir):
+    """RAG-style 20-token chunking via a Python UDTF (lateral table
+    function) — the row-to-many extension point, oracle-checked."""
+    return text.chunk_documents_udtf(_t(spark, sf_dir, "documents"))
+
+
 @register("text_repetition_scores", """
 WITH tok AS (
   SELECT doc_id,
