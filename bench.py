@@ -64,6 +64,7 @@ HEADLINE = (
     "text_unigram_logprob",
     "funnel_conversion",
     "sim_topk_bruteforce_arrow",
+    "corpus_curation_pipeline",
 )
 
 

@@ -2658,6 +2658,85 @@ def q_text_chunks_udtf(spark, sf_dir):
     return text.chunk_documents_udtf(_t(spark, sf_dir, "documents"))
 
 
+@register("corpus_curation_pipeline", """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','a','and','of','to','in','is','that','for','it']))
+           AS n_stop
+  FROM base),
+q AS (
+  SELECT doc_id, n_tokens,
+         round(0.3 * least(n_tokens / 100.0, 1.0)
+               + 0.3 * (CASE WHEN n_tokens > 0
+                             THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                             ELSE 0.0 END)
+               + 0.2 * (CASE WHEN n_chars > 0
+                             THEN CAST(n_alpha AS DOUBLE) / n_chars
+                             ELSE 0.0 END)
+               + 0.2 * least(n_stop / 5.0, 1.0), 6) AS quality_score
+  FROM m),
+kept AS (
+  SELECT d.doc_id, d.lang, d.source, d.text
+  FROM documents d JOIN q ON d.doc_id = q.doc_id
+  WHERE q.quality_score >= 0.55 AND q.n_tokens BETWEEN 20 AND 1000
+    AND d.lang IN ('en', 'de', 'fr', 'es')),
+surv AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+sh AS (
+  SELECT b.doc_id, d.source,
+         list_distinct(list_transform(range(1, len(b.toks) - 2),
+           i -> b.toks[i] || ' ' || b.toks[i+1] || ' ' || b.toks[i+2]
+                || ' ' || b.toks[i+3])) AS grams
+  FROM base b JOIN documents d ON b.doc_id = d.doc_id
+  WHERE len(b.toks) >= 4),
+bench AS (SELECT DISTINCT unnest(grams) AS gram FROM sh
+          WHERE source = 'src0'),
+contaminated AS (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, unnest(grams) AS gram FROM sh
+        WHERE source <> 'src0') t JOIN bench USING (gram)),
+clean AS (
+  SELECT k.doc_id, k.lang, k.source
+  FROM kept k JOIN surv s ON k.doc_id = s.doc_id
+  WHERE k.source <> 'src0'
+    AND k.doc_id NOT IN (SELECT doc_id FROM contaminated))
+SELECT doc_id, lang, source,
+       CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'cc'
+            THEN 'train'
+            WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+            THEN 'val'
+            ELSE 'test' END AS split
+FROM clean
+""")
+def q_corpus_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation pipeline in ONE plan: quality filter ->
+    exact dedup (min id per content hash) -> eval-set decontamination
+    (drop anything sharing a 4-gram with the src0 benchmark slice) ->
+    deterministic train/val/test split. Every stage is the registered
+    operator composed unchanged; the oracle composes their SQL twins."""
+    docs = _t(spark, sf_dir, "documents")
+    kept = text.quality_filter(docs)                       # id,lang,source,..
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    surv = (kept_docs.select(F.md5("text").alias("h"), "doc_id")
+            .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    contaminated = text.contamination_overlap(docs).select("doc_id")
+    clean = (kept.select("doc_id", "lang", "source")
+             .where(F.col("source") != "src0")
+             .join(surv, "doc_id", "left_semi")
+             .join(contaminated, "doc_id", "left_anti"))
+    split = text.dataset_split(clean).select("doc_id", "split")
+    return clean.join(split, "doc_id").select("doc_id", "lang", "source",
+                                              "split")
+
+
 @register("text_repetition_scores", """
 WITH tok AS (
   SELECT doc_id,
