@@ -431,3 +431,57 @@ def geomean_udaf(events: DataFrame) -> DataFrame:
           .agg(F.round(geomean(F.col("value")), 6).alias("geomean_value")))
     n = events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_rows"))
     return gm.join(F.broadcast(n), "event_type")
+
+
+def regression_pack(lineitem) -> "DataFrame":
+    """Per-group simple linear regression (y = extendedprice over
+    x = quantity) from EXACT decimal moment sums.
+
+    The built-in ``regr_slope``/``regr_r2`` accumulate double
+    covariances whose value depends on partition/merge order; here the
+    five moments (Σx, Σy, Σxy, Σx², Σy²) are summed in DECIMAL — exact,
+    so partition-count-independent — and slope/intercept/r² are then a
+    fixed-shape scalar double expression any IEEE engine evaluates
+    identically. One partial+final hash aggregate, no extra shuffle.
+    """
+    x = F.col("l_quantity").cast("decimal(12,2)")
+    y = F.col("l_extendedprice").cast("decimal(12,2)")
+    m = (lineitem.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy")))
+    cov_n = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov_n / var_x
+    return m.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_rows"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6)
+         .alias("intercept"),
+        F.round(cov_n * cov_n / (var_x * var_y), 6).alias("r2"))
+
+
+def percentile_pack(events) -> "DataFrame":
+    """Exact interpolated percentiles of ``value`` per event type.
+
+    Spark's ``percentile`` (exact, sort-based within the aggregate) ==
+    DuckDB/ANSI ``quantile_cont``. Exact percentiles at 100 TB mean a
+    per-group sort — acceptable for bounded groups like these; for
+    unbounded cardinality switch to ``approx_percentile`` (t-digest
+    sketch, mergeable, one pass) and accept the error bound.
+    """
+    pcts = F.percentile(
+        F.col("value"), F.array(F.lit(0.25), F.lit(0.5),
+                                F.lit(0.75), F.lit(0.95)))
+    return (events.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_rows"), pcts.alias("p"))
+            .select("event_type", "n_rows",
+                    F.round(F.col("p")[0], 4).alias("p25"),
+                    F.round(F.col("p")[1], 4).alias("p50"),
+                    F.round(F.col("p")[2], 4).alias("p75"),
+                    F.round(F.col("p")[3], 4).alias("p95")))

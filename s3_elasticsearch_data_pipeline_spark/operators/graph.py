@@ -63,3 +63,47 @@ def pagerank(edges: DataFrame, iters: int = 3,
                           * F.coalesce(F.col("__s").cast("double"),
                                        F.lit(0.0))).alias("rank")))
     return ranks.select("node", F.round("rank", 12).alias("rank"))
+
+
+def copurchase_edges(lineitem: DataFrame) -> DataFrame:
+    """Undirected part↔part co-purchase edges: two parts are linked when
+    some order contains both. Emitted once per pair with ``src < dst``
+    (canonical orientation, each undirected edge exactly once).
+
+    Scale shape: one self-join of lineitem on orderkey — co-located if
+    the table is bucketed by orderkey; otherwise a single sort-merge
+    shuffle on the join key — followed by a distinct on (src, dst).
+    Orders are small baskets, so the pair blow-up is bounded by
+    (lines-per-order choose 2), not by table size.
+    """
+    a = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("src"))
+    b = lineitem.select(F.col("l_orderkey").alias("ok"),
+                        F.col("l_partkey").alias("dst"))
+    return (a.join(b, "ok")
+            .where(F.col("src") < F.col("dst"))
+            .select("src", "dst")
+            .distinct())
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Global triangle count over canonical edges (``src < dst``).
+
+    Classic two-join closure: wedges (a<b<c via edges a-b, b-c) checked
+    against the edge set a-c. Both joins shuffle on a single long key;
+    the a<b<c orientation counts each triangle exactly once and keeps
+    the wedge set minimal (only forward wedges are materialized). The
+    edge frame is materialized once (localCheckpoint) because it feeds
+    three plan branches — Spark would otherwise recompute the distinct
+    per branch.
+    """
+    e = edges.localCheckpoint(eager=False)
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    e2 = e.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    e3 = e.select(F.col("src").alias("a"), F.col("dst").alias("c"))
+    wedges = e1.join(e2, "b")
+    tris = wedges.join(e3, ["a", "c"])
+    return tris.agg(
+        F.count(F.lit(1)).alias("n_triangles"),
+        F.count_distinct(F.col("a")).alias("n_apex_nodes"))
+

@@ -131,3 +131,41 @@ def range_join(facts: DataFrame, ranges: DataFrame,
     pred = ((F.col(value_col) >= F.col(lo_col))
             & (F.col(value_col) < F.col(hi_col)))
     return facts.join(F.broadcast(ranges), pred, how)
+
+
+def gapfill_daily(events: DataFrame, ts_col: str = "ts",
+                  key_col: str = "user_id",
+                  value_col: str = "value") -> DataFrame:
+    """Calendar gap-fill + LOCF: a dense daily grid per key over the
+    globally observed day span, missing days filled with a zero count
+    and the last observed daily mean carried forward
+    (timeseries resampling — the hypertable ``time_bucket_gapfill`` /
+    ``locf`` shape, rebuilt as DataFrame algebra).
+
+    Physical design: the day spine is ``sequence(min_day, max_day)``
+    exploded from a ONE-ROW global aggregate — a broadcast cross join
+    against the distinct-key frame, never a driver loop. The actual
+    daily aggregate shuffles once on (key, day); the spine left-join
+    is a second co-partitioned shuffle on the same key pair, and LOCF
+    is a window ``last(ignorenulls)`` over the already-sorted
+    partitions. Day counts are bounded (span ≤ a few thousand), so the
+    grid is |keys| × span — linear in keys, never quadratic in rows.
+    """
+    day = F.to_date(F.col(ts_col))
+    daily = (events
+             .groupBy(F.col(key_col).alias("key"), day.alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_events"),
+                  F.round(F.avg(value_col), 4).alias("day_avg")))
+    span = F.broadcast(events.agg(
+        F.min(day).alias("d0"), F.max(day).alias("d1")))
+    keys = events.select(F.col(key_col).alias("key")).distinct()
+    spine = (keys.crossJoin(span)
+             .select("key", F.explode(
+                 F.sequence(F.col("d0"), F.col("d1"))).alias("day")))
+    w = (Window.partitionBy("key").orderBy("day")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    return (spine.join(daily, ["key", "day"], "left")
+            .select("key", "day",
+                    F.coalesce("n_events", F.lit(0)).alias("n_events"),
+                    F.last("day_avg", ignorenulls=True).over(w)
+                     .alias("locf_avg")))

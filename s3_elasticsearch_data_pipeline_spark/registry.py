@@ -2792,3 +2792,207 @@ def q_contamination_ngram_overlap(spark, sf_dir):
     distinct 4-grams appear anywhere in the held-out src0 slice. The
     benchmark gram set broadcasts; the corpus never shuffles."""
     return text.contamination_overlap(_t(spark, sf_dir, "documents"))
+
+
+# ---------------------------------------------------------------------------
+# Extension surface: row-format sources, bucketed layout, regression /
+# percentile aggregates, timeseries gap-fill, co-purchase triangles
+# ---------------------------------------------------------------------------
+
+@register("source_csv_roundtrip", """
+SELECT o_orderstatus, count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total
+FROM orders GROUP BY o_orderstatus
+""")
+def q_source_csv_roundtrip(spark, sf_dir):
+    """CSV sink+source roundtrip (the reference's Athena-result wire
+    format, ID-based-transfer.py:42-48): executor-parallel CSV write,
+    re-read with an EXPLICIT schema (no inference pass), aggregate.
+    Values must survive the text roundtrip bit-for-bit."""
+    import tempfile
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType)
+    from s3_elasticsearch_data_pipeline_spark.sources import formats
+    subset = (_t(spark, sf_dir, "orders")
+              .select("o_orderkey", "o_custkey", "o_orderstatus",
+                      "o_totalprice"))
+    out = tempfile.mkdtemp(prefix="src_csv_")
+    formats.write_csv(subset, out)
+    schema = StructType([
+        StructField("o_orderkey", LongType()),
+        StructField("o_custkey", LongType()),
+        StructField("o_orderstatus", StringType()),
+        StructField("o_totalprice", DoubleType())])
+    back = formats.read_csv(spark, out, schema)
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("total")))
+
+
+@register("source_json_roundtrip", """
+SELECT event_type, count(*) AS n_events,
+       count(DISTINCT CAST(ts AS DATE)) AS n_days,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE) AS total
+FROM events GROUP BY event_type
+""")
+def q_source_json_roundtrip(spark, sf_dir):
+    """JSON-lines sink+source roundtrip (the reference's NDJSON doc
+    shape, data-s3-elastic-transfer.py:192-196): parallel write, re-read
+    with explicit schema incl. timestamp, aggregate. The distinct-day
+    count proves timestamps survive the text roundtrip."""
+    import tempfile
+    from pyspark.sql.types import (DoubleType, LongType, StringType,
+                                   StructField, StructType, TimestampType)
+    from s3_elasticsearch_data_pipeline_spark.sources import formats
+    subset = (_t(spark, sf_dir, "events")
+              .select("event_id", "user_id", "event_type", "value", "ts"))
+    out = tempfile.mkdtemp(prefix="src_json_")
+    formats.write_json(subset, out)
+    schema = StructType([
+        StructField("event_id", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("ts", TimestampType())])
+    back = formats.read_json(spark, out, schema)
+    return (back.groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.count_distinct(F.to_date("ts")).alias("n_days"),
+                 F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+                  .cast("double").alias("total")))
+
+
+@register("bucketed_join_colocated", """
+SELECT o_orderpriority, count(*) AS n_lines,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                      * (1 - CAST(l_discount AS DECIMAL(4,2)))), 2)
+            AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderpriority
+""")
+def q_bucketed_join_colocated(spark, sf_dir):
+    """Shuffle-free co-located join via bucketed layout: both tables
+    written bucketBy(orderkey) once, then the orderkey join plans with
+    ZERO Exchange (plan asserted in tests/test_plan_shape.py). The
+    100 TB answer to the reference's per-key join core — pay the
+    bucket shuffle once at ingest, never again per query."""
+    from s3_elasticsearch_data_pipeline_spark.sinks.bucketed import (
+        cojoin_bucketed, write_bucketed)
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority")
+    lineitem = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_extendedprice", "l_discount")
+    write_bucketed(orders, "orders_bucketed", "o_orderkey",
+                   sort_by="o_orderkey")
+    write_bucketed(lineitem, "lineitem_bucketed", "o_orderkey",
+                   sort_by="o_orderkey")
+    revenue = (F.col("l_extendedprice").cast("decimal(12,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    return (cojoin_bucketed(spark, "orders_bucketed", "lineitem_bucketed",
+                            "o_orderkey")
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum(revenue), 2).cast("double").alias("revenue")))
+
+
+@register("agg_regression", """
+WITH m AS (
+  SELECT l_returnflag,
+         CAST(count(*) AS DOUBLE) AS n,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sxy,
+         CAST(sum(CAST(l_quantity AS DECIMAL(12,2))
+                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sxx,
+         CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))
+                  * CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS syy
+  FROM lineitem GROUP BY l_returnflag)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+       round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+         AS intercept,
+       round(((n*sxy - sx*sy) * (n*sxy - sx*sy))
+             / ((n*sxx - sx*sx) * (n*syy - sy*sy)), 6) AS r2
+FROM m
+""")
+def q_agg_regression(spark, sf_dir):
+    """Linear-regression aggregates from exact decimal moment sums —
+    partition-order-independent where the built-in regr_* double
+    accumulators are not (cf. operators/analytics.py:regression_pack)."""
+    return analytics.regression_pack(_t(spark, sf_dir, "lineitem"))
+
+
+@register("agg_percentiles", """
+SELECT event_type, count(*) AS n_rows,
+       round(quantile_cont(value, 0.25), 4) AS p25,
+       round(quantile_cont(value, 0.5), 4) AS p50,
+       round(quantile_cont(value, 0.75), 4) AS p75,
+       round(quantile_cont(value, 0.95), 4) AS p95
+FROM events GROUP BY event_type
+""")
+def q_agg_percentiles(spark, sf_dir):
+    """Exact interpolated percentiles (Spark ``percentile`` ==
+    ANSI ``quantile_cont``); the mergeable-sketch alternative for
+    unbounded groups is approx_percentile (agg_approx_distinct pack)."""
+    return analytics.percentile_pack(_t(spark, sf_dir, "events"))
+
+
+@register("timeseries_gapfill", """
+WITH daily AS (
+  SELECT user_id AS key, CAST(ts AS DATE) AS day, count(*) AS n_events,
+         round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+               / count(*), 4) AS day_avg
+  FROM events GROUP BY 1, 2),
+span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
+         FROM events),
+spine AS (
+  SELECT k.key, CAST(d.day AS DATE) AS day
+  FROM (SELECT DISTINCT user_id AS key FROM events) k,
+       (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        FROM span) d)
+SELECT s.key, s.day, coalesce(dy.n_events, 0) AS n_events,
+       last_value(dy.day_avg IGNORE NULLS) OVER (
+         PARTITION BY s.key ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf_avg
+FROM spine s LEFT JOIN daily dy ON s.key = dy.key AND s.day = dy.day
+""")
+def q_timeseries_gapfill(spark, sf_dir):
+    """Dense daily grid per user with zero-filled gaps and
+    last-observation-carried-forward daily means (hypertable
+    ``time_bucket_gapfill``/``locf`` semantics as DataFrame algebra;
+    cf. operators/temporal.py:gapfill_daily)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        gapfill_daily)
+    return gapfill_daily(_t(spark, sf_dir, "events"))
+
+
+@register("graph_triangle_count", """
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey)
+SELECT count(*) AS n_triangles, count(DISTINCT e1.src) AS n_apex_nodes
+FROM e e1 JOIN e e2 ON e1.dst = e2.src
+          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+""")
+def q_graph_triangle_count(spark, sf_dir):
+    """Triangle count over the part co-purchase graph (canonical
+    src<dst edges, two-join wedge closure — cf. operators/graph.py).
+    The customer-supplier trade graph is bipartite (triangle-free), so
+    the co-purchase projection is the meaningful triangle surface."""
+    from s3_elasticsearch_data_pipeline_spark.operators.graph import (
+        copurchase_edges, triangle_count)
+    return triangle_count(copurchase_edges(_t(spark, sf_dir, "lineitem")))
+
+
+@register("multimodal_frame_sample", None)  # binary plumbing → rows-only
+def q_multimodal_frame_sample(spark, sf_dir):
+    """Video-style frame sampling over opaque binary payloads via
+    Arrow-batched mapInPandas (decode stubbed — no media libs here;
+    the schema/batching/partitioning plumbing is real)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.sample_frames(multimodal.attach_payload(docs))

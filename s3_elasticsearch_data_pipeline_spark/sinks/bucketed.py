@@ -20,7 +20,17 @@ def write_bucketed(df: DataFrame, table_name: str, key: str,
                    sort_by: str | None = None) -> None:
     """Persist as a bucketed (and optionally sorted) catalog table.
     Sorting within buckets upgrades later sort-merge joins to zero-sort
-    merges."""
+    merges. Idempotent across sessions: a previous session's orphaned
+    managed-table directory (in-memory catalog is gone, files are not)
+    is removed before the write, else saveAsTable refuses the location.
+    """
+    import shutil
+    from urllib.parse import urlparse
+
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table_name}")
+    warehouse = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{warehouse}/{table_name.lower()}", ignore_errors=True)
     writer = (df.write.mode("overwrite")
               .bucketBy(buckets, key))
     if sort_by is not None:
