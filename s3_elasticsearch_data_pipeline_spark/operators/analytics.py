@@ -485,3 +485,62 @@ def percentile_pack(events) -> "DataFrame":
                     F.round(F.col("p")[1], 4).alias("p50"),
                     F.round(F.col("p")[2], 4).alias("p75"),
                     F.round(F.col("p")[3], 4).alias("p95")))
+
+
+def unpivot_measures(lineitem) -> "DataFrame":
+    """Wide→long reshape (melt) of the four lineitem measures via the
+    built-in ``unpivot`` — a zero-shuffle generator expression (each
+    input row yields 4 rows in-place), then one hash aggregate per
+    measure. The inverse of the pivot in ``pivot_status_by_priority``.
+    """
+    long = lineitem.unpivot(
+        ids=["l_orderkey"],
+        values=["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        variableColumnName="measure", valueColumnName="val")
+    return (long.groupBy("measure")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.round(F.sum(F.col("val").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("total")))
+
+
+def _group_moments(events, masked=None):
+    """Per-type exact decimal moments of ``value`` (n, Σx, Σx²) —
+    shared by scaling/imputation; sums are decimal-exact so results
+    are partition-order-independent."""
+    x = (masked if masked is not None else F.col("value")) \
+        .cast("decimal(12,2)")
+    return (events.groupBy("event_type").agg(
+        F.count(x).cast("double").alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(x * x).cast("double").alias("sxx")))
+
+
+def feature_scaling(events) -> "DataFrame":
+    """Per-group z-score standardization (the feature-scaling pass an
+    ML-prep pipeline runs before training): join each row to its
+    group's broadcast moment row, scale with a fixed-shape double
+    expression. One partial+final aggregate + one broadcast join —
+    the fact stream itself never shuffles."""
+    stats = _group_moments(events)
+    n, sx, sxx = F.col("n"), F.col("sx"), F.col("sxx")
+    sigma = F.sqrt((n * sxx - sx * sx) / (n * (n - F.lit(1.0))))
+    return (events.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type",
+                    F.round((F.col("value") - sx / n) / sigma, 4)
+                     .alias("z")))
+
+
+def impute_group_mean(events) -> "DataFrame":
+    """Null imputation with the per-group mean (Spark has fillna only
+    for global constants — the grouped variant is a broadcast-join
+    compose). Nulls are synthesized deterministically (every 7th
+    event) since the fixtures are dense; the mean comes from the
+    surviving rows' exact decimal sums."""
+    masked = F.when(F.col("event_id") % 7 == 0, F.lit(None)) \
+        .otherwise(F.col("value"))
+    stats = _group_moments(events, masked)
+    mean = F.col("sx") / F.col("n")
+    return (events.join(F.broadcast(stats), "event_type")
+            .select("event_id", "event_type",
+                    (F.col("event_id") % 7 == 0).alias("was_imputed"),
+                    F.round(F.coalesce(masked, mean), 4).alias("value_filled")))

@@ -2996,3 +2996,95 @@ def q_multimodal_frame_sample(spark, sf_dir):
     the schema/batching/partitioning plumbing is real)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(docs))
+
+
+@register("reshape_unpivot", """
+WITH m AS (
+  SELECT 'l_quantity' AS measure, l_quantity AS val FROM lineitem
+  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+  UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+SELECT measure, count(*) AS n_rows,
+       CAST(round(sum(CAST(val AS DECIMAL(18,4))), 2) AS DOUBLE) AS total
+FROM m GROUP BY measure
+""")
+def q_reshape_unpivot(spark, sf_dir):
+    """Wide→long melt via built-in ``unpivot`` (zero-shuffle generator)
+    + per-measure aggregate — the inverse of agg_pivot."""
+    return analytics.unpivot_measures(_t(spark, sf_dir, "lineitem"))
+
+
+@register("feature_scaling", """
+WITH s AS (
+  SELECT event_type, CAST(count(value) AS DOUBLE) AS n,
+         CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sx,
+         CAST(sum(CAST(value AS DECIMAL(12,2))
+                  * CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sxx
+  FROM events GROUP BY event_type)
+SELECT event_id, e.event_type,
+       round((value - sx / n)
+             / sqrt((n * sxx - sx * sx) / (n * (n - 1.0))), 4) AS z
+FROM events e JOIN s ON e.event_type = s.event_type
+""")
+def q_feature_scaling(spark, sf_dir):
+    """Per-group z-score standardization from exact decimal moments —
+    broadcast stats join, fact stream never shuffles (ML feature-prep
+    pass; cf. operators/analytics.py:feature_scaling)."""
+    return analytics.feature_scaling(_t(spark, sf_dir, "events"))
+
+
+@register("impute_group_mean", """
+WITH mk AS (
+  SELECT event_id, event_type,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS mv
+  FROM events),
+s AS (
+  SELECT event_type, CAST(count(mv) AS DOUBLE) AS n,
+         CAST(sum(CAST(mv AS DECIMAL(12,2))) AS DOUBLE) AS sx
+  FROM mk GROUP BY event_type)
+SELECT event_id, mk.event_type, (event_id % 7 = 0) AS was_imputed,
+       round(coalesce(mv, sx / n), 4) AS value_filled
+FROM mk JOIN s ON mk.event_type = s.event_type
+""")
+def q_impute_group_mean(spark, sf_dir):
+    """Grouped-mean null imputation (deterministically synthesized
+    nulls — fixtures are dense); the grouped fillna Spark lacks
+    natively, composed as broadcast join + coalesce."""
+    return analytics.impute_group_mean(_t(spark, sf_dir, "events"))
+
+
+@register("dq_expectations", """
+SELECT expectation, n_violations, n_violations = 0 AS passed FROM (
+  SELECT 'orders_orderkey_unique' AS expectation,
+         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+           AS n_violations
+  UNION ALL SELECT 'orders_custkey_not_null',
+         (SELECT count(*) - count(o_custkey) FROM orders)
+  UNION ALL SELECT 'orders_totalprice_positive',
+         (SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders)
+  UNION ALL SELECT 'orders_orderdate_in_range',
+         (SELECT count(*) FILTER (WHERE o_orderdate NOT BETWEEN
+            TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31') FROM orders)
+  UNION ALL SELECT 'lineitem_quantity_positive',
+         (SELECT count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem)
+  UNION ALL SELECT 'lineitem_discount_in_unit_interval',
+         (SELECT count(*) FILTER (WHERE l_discount NOT BETWEEN 0.0 AND 1.0)
+          FROM lineitem)
+  UNION ALL SELECT 'events_value_not_null',
+         (SELECT count(*) - count(value) FROM events)
+  UNION ALL SELECT 'orders_custkey_fk_customer',
+         (SELECT count(*) FROM orders o LEFT JOIN customer c
+          ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+  UNION ALL SELECT 'lineitem_orderkey_fk_orders',
+         (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+          ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL))
+""")
+def q_dq_expectations(spark, sf_dir):
+    """Declarative data-quality suite: all of a table's constraints
+    fused into ONE aggregate pass, FK checks as anti-joins; 9 result
+    rows total (cf. operators/expectations.py)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.expectations import (
+        dq_expectations)
+    return dq_expectations(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"),
+        _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "events"))
