@@ -65,6 +65,9 @@ HEADLINE = (
     "funnel_conversion",
     "sim_topk_bruteforce_arrow",
     "corpus_curation_pipeline",
+    "timeseries_gapfill",
+    "feature_scaling",
+    "dq_expectations",
 )
 
 

@@ -544,3 +544,70 @@ def impute_group_mean(events) -> "DataFrame":
             .select("event_id", "event_type",
                     (F.col("event_id") % 7 == 0).alias("was_imputed"),
                     F.round(F.coalesce(masked, mean), 4).alias("value_filled")))
+
+
+def hll_rollup(orders) -> "DataFrame":
+    """Mergeable distinct-count rollup via Datasketches HLL: one
+    sketch per month, merged into the grand total WITHOUT rescanning
+    (``hll_union_agg``) — the scale pattern for incremental distinct
+    users/customers where exact count-distinct would re-shuffle all
+    history every refresh. Estimates are deterministic (no RNG) but
+    engine-specific → rows-only check + tolerance tests
+    (tests/test_approx_ops.py)."""
+    monthly = (orders
+               .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("month"))
+               .agg(F.hll_sketch_agg("o_custkey").alias("sk"),
+                    F.count(F.lit(1)).alias("n_orders")))
+    per_month = monthly.select(
+        "month", "n_orders",
+        F.hll_sketch_estimate("sk").alias("approx_customers"))
+    total = monthly.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk"))
+         .alias("merged_total_customers"))
+    return per_month.crossJoin(F.broadcast(total))
+
+
+def interarrival_grouped_map(events: DataFrame) -> DataFrame:
+    """Per-user inter-arrival-time stats via ``applyInPandas`` — the
+    grouped-MAP pandas extension point (one pandas frame per group in,
+    one out), completing the UDF surface next to the grouped-agg UDAF
+    (geomean_udaf), mapInPandas (multimodal) and the UDTF (chunking).
+
+    Escape-hatch rules applied: groups are user-sized (bounded memory);
+    the frame is sorted inside the UDF so the result is independent of
+    partitioning and arrival order. Kept off the hot path — the same
+    stats ARE expressible relationally (lag + percentile); the pandas
+    body exists to prove the grouped-map plumbing with a
+    deterministically checkable computation (oracle-checked).
+    """
+
+    import math
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        # integer microseconds end-to-end: no float division → no
+        # decimal-rounding boundary where engines can disagree
+        t_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+        gaps = t_us.sort_values().diff().dropna().sort_values().to_numpy()
+        if len(gaps) == 0:
+            return pd.DataFrame({
+                "user_id": [pdf["user_id"].iloc[0]],
+                "n_events": [len(pdf)],
+                "median_gap_us": [float("nan")],
+                "max_gap_us": [0]})
+        # ANSI quantile_cont interpolation (lo + f*(hi-lo)); on int
+        # inputs with f ∈ {0, .5} the result is exact in any engine
+        k = (len(gaps) - 1) * 0.5
+        lo, hi = gaps[math.floor(k)], gaps[math.ceil(k)]
+        med = lo + (k - math.floor(k)) * (hi - lo)
+        return pd.DataFrame({
+            "user_id": [pdf["user_id"].iloc[0]],
+            "n_events": [len(pdf)],
+            "median_gap_us": [float(med)],
+            "max_gap_us": [int(gaps[-1])]})
+
+    return (events.select("user_id", "ts")
+            .groupBy("user_id")
+            .applyInPandas(stats,
+                           "user_id long, n_events long, "
+                           "median_gap_us double, max_gap_us long"))

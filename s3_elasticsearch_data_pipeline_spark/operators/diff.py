@@ -128,3 +128,23 @@ def snapshot_diff(old: DataFrame, new: DataFrame, key: str,
          .otherwise(changed_cols).alias("changed_cols"))
     return out.where((F.col("change_type") != "changed")
                      | (F.size("changed_cols") > 0))
+
+
+def apply_changes(old: DataFrame, changes: DataFrame, key: str,
+                  payload_cols: tuple[str, ...]) -> DataFrame:
+    """Apply a keyed change feed (``op`` ∈ {'upsert','delete'} +
+    payload columns) to a snapshot — MERGE INTO semantics as pure
+    DataFrame algebra, the write-side twin of ``snapshot_diff``.
+
+    ONE anti-join (drop every keyed-in-feed row from the snapshot) +
+    one union of the upsert payloads. The change feed is delta-sized
+    by construction, so it is explicitly broadcast: the 100 TB
+    snapshot streams through untouched, shuffle-free. For a feed too
+    large to broadcast, drop the hint and the same plan runs as a
+    shuffled anti-join.
+    """
+    feed_keys = changes.select(key)
+    kept = old.join(F.broadcast(feed_keys), key, "left_anti")
+    upserts = (changes.where(F.col("op") == "upsert")
+               .select(key, *payload_cols))
+    return kept.select(key, *payload_cols).unionByName(upserts)

@@ -155,7 +155,11 @@ def gapfill_daily(events: DataFrame, ts_col: str = "ts",
     daily = (events
              .groupBy(F.col(key_col).alias("key"), day.alias("day"))
              .agg(F.count(F.lit(1)).alias("n_events"),
-                  F.round(F.avg(value_col), 4).alias("day_avg")))
+                  # decimal sum / count, not avg(): exact accumulation →
+                  # result independent of partitioning and merge order
+                  F.round(F.sum(F.col(value_col).cast("decimal(12,2)"))
+                           .cast("double") / F.count(F.lit(1)), 4)
+                   .alias("day_avg")))
     span = F.broadcast(events.agg(
         F.min(day).alias("d0"), F.max(day).alias("d1")))
     keys = events.select(F.col(key_col).alias("key")).distinct()

@@ -8,7 +8,7 @@ exact ANSI-SQL twin for the DuckDB oracle. No Python in the hot path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from s3_elasticsearch_data_pipeline_spark.functions.textfns import (
@@ -456,3 +456,33 @@ def chunk_documents_udtf(documents: DataFrame,
     return spark.sql(
         "SELECT c.doc_id, c.chunk_idx, c.chunk "
         "FROM __chunk_in, LATERAL chunk_docs(doc_id, text) c")
+
+
+def encode_token_ids(documents: DataFrame) -> DataFrame:
+    """Tokenizer-style id encoding: build the corpus vocabulary (ids
+    dense-ranked by frequency desc, term asc — the order real BPE/WP
+    vocabs use) and re-emit every document as its ``array<int>`` of
+    token ids — the final materialization step of a training-data
+    pipeline.
+
+    Scale shape: the vocab aggregate is a partial+final count; its
+    ranking window is a single partition, acceptable because vocabs
+    are ~10⁵-10⁶ rows regardless of corpus size (they do NOT grow with
+    the 100 TB). The vocab then broadcasts into the posexploded token
+    stream, and per-doc arrays reassemble via collect_list of
+    (pos, id) structs sorted in-place — no second shuffle beyond the
+    doc_id aggregate.
+    """
+    tok0 = documents.select("doc_id", tokens(F.col("text")).alias("__toks"))
+    vocab = (tok0.select(F.explode("__toks").alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("n_occ")))
+    rank_w = Window.orderBy(F.col("n_occ").desc(), "term")
+    vocab_ids = vocab.select(
+        "term", F.row_number().over(rank_w).alias("tid"))
+    pos = tok0.select("doc_id", F.size("__toks").alias("n_tokens"),
+                      F.posexplode("__toks").alias("pos", "term"))
+    return (pos.join(F.broadcast(vocab_ids), "term")
+            .groupBy("doc_id", "n_tokens")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                lambda x: x.tid).alias("token_ids")))

@@ -3088,3 +3088,111 @@ def q_dq_expectations(spark, sf_dir):
     return dq_expectations(
         _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"),
         _t(spark, sf_dir, "lineitem"), _t(spark, sf_dir, "events"))
+
+
+@register("cdc_apply_changes", """
+SELECT o_orderkey,
+       CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1000.0
+            ELSE o_totalprice END AS o_totalprice,
+       CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderstatus END
+         AS o_orderstatus
+FROM orders WHERE o_orderkey % 7 <> 0
+UNION ALL
+SELECT o_orderkey + 10000000, o_totalprice, o_orderstatus
+FROM orders WHERE o_orderkey % 11 = 0
+""")
+def q_cdc_apply_changes(spark, sf_dir):
+    """MERGE INTO semantics: apply a delta-sized keyed change feed
+    (deletes %7, updates %5/%3, inserts %11 under shifted keys — the
+    same perturbation cdc_snapshot_diff detects) to the snapshot via
+    one broadcast anti-join + union; the oracle is the target
+    snapshot itself, so the check proves diff→apply round-trips."""
+    from s3_elasticsearch_data_pipeline_spark.operators.diff import (
+        apply_changes)
+    base = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    k = F.col("o_orderkey")
+    deletes = (base.where(k % 7 == 0)
+               .select("o_orderkey", F.lit("delete").alias("op"),
+                       F.lit(None).cast("double").alias("o_totalprice"),
+                       F.lit(None).cast("string").alias("o_orderstatus")))
+    updates = (base.where((k % 7 != 0) & ((k % 5 == 0) | (k % 3 == 0)))
+               .select("o_orderkey", F.lit("upsert").alias("op"),
+                       F.when(k % 5 == 0, F.col("o_totalprice") + 1000.0)
+                        .otherwise(F.col("o_totalprice"))
+                        .alias("o_totalprice"),
+                       F.when(k % 3 == 0, F.lit("X"))
+                        .otherwise(F.col("o_orderstatus"))
+                        .alias("o_orderstatus")))
+    inserts = (base.where(k % 11 == 0)
+               .select((k + 10000000).alias("o_orderkey"),
+                       F.lit("upsert").alias("op"),
+                       "o_totalprice", "o_orderstatus"))
+    feed = deletes.unionByName(updates).unionByName(inserts)
+    return apply_changes(base, feed, "o_orderkey",
+                         ("o_totalprice", "o_orderstatus"))
+
+
+@register("agg_hll_mergeable_rollup", None)  # sketch estimates → rows-only
+def q_agg_hll_mergeable_rollup(spark, sf_dir):
+    """Per-month HLL distinct-customer sketches merged into the grand
+    total without rescanning history (cf. analytics.hll_rollup;
+    tolerance-tested in tests/test_approx_ops.py)."""
+    return analytics.hll_rollup(_t(spark, sf_dir, "orders"))
+
+
+@register("udf_grouped_map_interarrival", """
+WITH us AS (
+  -- truncate to microseconds: the engine reads this TIMESTAMP(NANOS)
+  -- column as micros (nanosAsLong div 1000), DuckDB keeps nanos
+  SELECT user_id, epoch_ns(ts) // 1000 AS t_us FROM events),
+g AS (
+  SELECT user_id,
+         t_us - lag(t_us) OVER (PARTITION BY user_id ORDER BY t_us)
+           AS gap_us
+  FROM us)
+SELECT user_id, count(*) AS n_events,
+       quantile_cont(gap_us, 0.5) AS median_gap_us,
+       max(gap_us) AS max_gap_us
+FROM g GROUP BY user_id
+""")
+def q_udf_grouped_map_interarrival(spark, sf_dir):
+    """Grouped-MAP applyInPandas (one pandas frame per user in/out) —
+    the 4th and last pandas-UDF extension point, oracle-checked
+    against the relational lag+quantile formulation."""
+    return analytics.interarrival_grouped_map(_t(spark, sf_dir, "events"))
+
+
+@register("text_encode_ids", """
+WITH tok0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents),
+vocab AS (
+  SELECT term,
+         CAST(row_number() OVER (ORDER BY count(*) DESC, term)
+              AS INTEGER) AS tid
+  FROM (SELECT unnest(toks) AS term FROM tok0) GROUP BY term),
+pos AS (
+  SELECT doc_id, len(toks) AS n_tokens, unnest(toks) AS term,
+         generate_subscripts(toks, 1) AS pos
+  FROM tok0)
+SELECT doc_id, n_tokens, list(tid ORDER BY pos) AS token_ids
+FROM pos JOIN vocab USING (term)
+GROUP BY doc_id, n_tokens
+""")
+def q_text_encode_ids(spark, sf_dir):
+    """Vocabulary-id encoding of every document (frequency-ranked
+    vocab broadcast into the posexploded token stream — cf.
+    operators/text.py:encode_token_ids)."""
+    return text.encode_token_ids(_t(spark, sf_dir, "documents"))
+
+
+@register("multimodal_resize", None)  # binary plumbing → rows-only
+def q_multimodal_resize(spark, sf_dir):
+    """Image-resize plumbing over binary payloads via Arrow-batched
+    mapInPandas (decode/resample stubbed deterministically — no media
+    libs in this container; batch shape and schema are real)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.resize_images(multimodal.attach_payload(docs))

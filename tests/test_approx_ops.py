@@ -132,3 +132,25 @@ def test_arrow_bruteforce_matches_hof_path(spark, embeddings):
     assert overlap >= 0.99, f"top-k sets diverge: {overlap}"
     for key in set(a) & set(b):
         assert abs(a[key] - b[key]) < 1e-5
+
+
+def test_hll_rollup_estimates_and_merge(spark, sf_oracle):
+    """HLL per-month estimates within 5% of exact; the merged sketch
+    matches the exact global distinct within 5% (mergeability — the
+    reason to keep sketches instead of exact counts at scale)."""
+    import pyspark.sql.functions as F
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        hll_rollup)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    orders = load_table(spark, sf_oracle, "orders")
+    got = {r["month"]: r for r in hll_rollup(orders).collect()}
+    exact = {r["month"]: r["n"] for r in
+             (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                             .alias("month"))
+              .agg(F.count_distinct("o_custkey").alias("n"))).collect()}
+    assert set(got) == set(exact)
+    for m, n in exact.items():
+        assert abs(got[m]["approx_customers"] - n) <= max(0.05 * n, 2), m
+    global_exact = orders.select("o_custkey").distinct().count()
+    merged = next(iter(got.values()))["merged_total_customers"]
+    assert abs(merged - global_exact) <= 0.05 * global_exact

@@ -263,3 +263,37 @@ def test_sequence_pack_no_single_partition_window(spark, sf_oracle):
     df = registry.queries()["pack_sequences"](spark, sf_oracle)
     plan = plan_of(df)
     assert "SinglePartition" not in plan, plan[:1200]
+
+
+# Escape hatches that INTENTIONALLY run Python (documented as such);
+# everything else oracle-checked must stay JVM-side / codegen-able.
+_PYTHON_ALLOWED = {
+    "agg_geomean_udaf",            # GROUPED_AGG pandas UDAF demo
+    "udf_grouped_map_interarrival",  # grouped-map applyInPandas demo
+    "text_chunks_udtf",            # Python UDTF demo
+    "multimodal_features",         # mapInPandas media plumbing
+}
+# Queries whose *construction* performs work (writes, streams,
+# checkpoints) — plan text is checked for the pure-relational rest.
+_PLAN_SKIP_PREFIXES = ("s8_", "s10_", "source_", "bucketed_",
+                       "stream_", "corpus_curation", "dedup_",
+                       "sim_", "graph_", "text_rolling")
+
+
+def test_relational_queries_have_no_python_in_plan(spark, sf_oracle):
+    """The hot path stays JVM-side: no row-at-a-time or Arrow Python
+    evaluation node may appear in any oracle-checked relational plan
+    (SURVEY.md §4 anti-pattern 3 — the reference's rdd.map is exactly
+    what this guards against reintroducing)."""
+    python_nodes = ("BatchEvalPython", "ArrowEvalPython",
+                    "FlatMapGroupsInPandas", "MapInPandas",
+                    "PythonUDTF", "FlatMapGroupsInPandasWithState")
+    checked = 0
+    for name in sorted(registry.oracle_sql()):
+        if name in _PYTHON_ALLOWED or name.startswith(_PLAN_SKIP_PREFIXES):
+            continue
+        plan = plan_of(registry.queries()[name](spark, sf_oracle))
+        for node in python_nodes:
+            assert node not in plan, f"{name} runs Python: {node}"
+        checked += 1
+    assert checked > 80, f"only {checked} plans checked"
