@@ -172,3 +172,21 @@ def funnel_conversion(events: DataFrame,
         F.sum("r3").alias("n_step3"),
         F.round(F.sum("r2") / F.sum("r1"), 6).alias("rate_step2"),
         F.round(F.sum("r3") / F.sum("r2"), 6).alias("rate_step3"))
+
+
+def value_functions(events: DataFrame) -> DataFrame:
+    """The window value-function family missing from the rank pack:
+    first/last/nth value, percent_rank, cume_dist — all over one
+    window spec, so Spark plans ONE shuffle + sort and evaluates the
+    whole family in a single Window operator (verify: one Window node,
+    one Exchange in the plan)."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_all = w.rowsBetween(Window.unboundedPreceding,
+                          Window.unboundedFollowing)
+    return (events
+            .select("event_id", "user_id", "value",
+                    F.first("value").over(w_all).alias("first_value"),
+                    F.last("value").over(w_all).alias("last_value"),
+                    F.nth_value("value", 3).over(w_all).alias("third_value"),
+                    F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+                    F.round(F.cume_dist().over(w), 6).alias("cume")))

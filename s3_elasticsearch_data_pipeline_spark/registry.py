@@ -3196,3 +3196,52 @@ def q_multimodal_resize(spark, sf_dir):
     libs in this container; batch shape and schema are real)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.resize_images(multimodal.attach_payload(docs))
+
+
+@register("w_value_functions", """
+SELECT event_id, user_id, value,
+       first_value(value) OVER w_all AS first_value,
+       last_value(value) OVER w_all AS last_value,
+       nth_value(value, 3) OVER w_all AS third_value,
+       round(percent_rank() OVER w_ord, 6) AS pct_rank,
+       round(cume_dist() OVER w_ord, 6) AS cume
+FROM events
+WINDOW
+  w_ord AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id),
+  w_all AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+""")
+def q_w_value_functions(spark, sf_dir):
+    """Window value-function family (first/last/nth value,
+    percent_rank, cume_dist) in ONE window spec — single shuffle+sort
+    (cf. operators/windows.py:value_functions)."""
+    return windows.value_functions(_t(spark, sf_dir, "events"))
+
+
+@register("setop_except_all", """
+SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+EXCEPT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def q_setop_except_all(spark, sf_dir):
+    """EXCEPT ALL (bag semantics — per-key multiplicity subtraction),
+    completing the set-op family next to the distinct variants."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.where(F.col("o_orderstatus") != "F")
+            .select("o_custkey")
+            .exceptAll(orders.where(F.col("o_orderpriority") == "1-URGENT")
+                       .select("o_custkey")))
+
+
+@register("setop_intersect_all", """
+SELECT o_custkey FROM orders WHERE o_orderstatus <> 'F'
+INTERSECT ALL
+SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+""")
+def q_setop_intersect_all(spark, sf_dir):
+    """INTERSECT ALL (bag semantics — min of per-key multiplicities)."""
+    orders = _t(spark, sf_dir, "orders")
+    return (orders.where(F.col("o_orderstatus") != "F")
+            .select("o_custkey")
+            .intersectAll(orders.where(F.col("o_orderpriority") == "1-URGENT")
+                          .select("o_custkey")))

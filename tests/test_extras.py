@@ -1,0 +1,98 @@
+"""Edge-case properties for the round-1 extension operators: CDC
+apply, calendar gap-fill, DQ expectations, token-id encoding."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators.diff import apply_changes
+from s3_elasticsearch_data_pipeline_spark.operators.expectations import (
+    dq_expectations)
+from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+    gapfill_daily)
+from s3_elasticsearch_data_pipeline_spark.operators.text import (
+    encode_token_ids)
+from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+
+def test_cdc_apply_empty_feed_is_identity(spark, sf_smoke):
+    base = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    empty = base.where(F.lit(False)).select(
+        "o_orderkey", F.lit("upsert").alias("op"),
+        "o_totalprice", "o_orderstatus")
+    out = apply_changes(base, empty, "o_orderkey",
+                        ("o_totalprice", "o_orderstatus"))
+    assert out.exceptAll(base).count() == 0
+    assert base.exceptAll(out).count() == 0
+
+
+def test_cdc_apply_delete_all_empties_snapshot(spark, sf_smoke):
+    base = load_table(spark, sf_smoke, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus")
+    feed = base.select("o_orderkey", F.lit("delete").alias("op"),
+                       "o_totalprice", "o_orderstatus")
+    assert apply_changes(base, feed, "o_orderkey",
+                         ("o_totalprice", "o_orderstatus")).count() == 0
+
+
+def test_gapfill_grid_is_dense_and_zero_filled(spark, sf_smoke):
+    events = load_table(spark, sf_smoke, "events")
+    out = gapfill_daily(events).cache()
+    span = events.select(
+        (F.datediff(F.max(F.to_date("ts")), F.min(F.to_date("ts"))) + 1)
+        .alias("days")).first()["days"]
+    n_keys = events.select("user_id").distinct().count()
+    # dense grid: every key × every day, exactly once
+    assert out.count() == span * n_keys
+    assert out.groupBy("key", "day").count().where("count > 1").count() == 0
+    # gap rows are zero-events and LOCF never null after first activity
+    first_active = out.where(F.col("n_events") > 0) \
+        .groupBy("key").agg(F.min("day").alias("d0"))
+    gaps_after = (out.join(first_active, "key")
+                  .where((F.col("day") >= F.col("d0"))
+                         & (F.col("n_events") == 0)))
+    assert gaps_after.where(F.col("locf_avg").isNull()).count() == 0
+    out.unpersist()
+
+
+def test_dq_expectations_detect_seeded_violations(spark, sf_smoke):
+    orders = load_table(spark, sf_smoke, "orders")
+    customer = load_table(spark, sf_smoke, "customer")
+    lineitem = load_table(spark, sf_smoke, "lineitem")
+    events = load_table(spark, sf_smoke, "events")
+    # corrupt: duplicate one orderkey, orphan one custkey, negative price
+    bad_orders = orders.unionByName(
+        orders.limit(1).select(
+            "o_orderkey", F.lit(-99).alias("o_custkey"),
+            "o_orderstatus", F.lit(-5.0).alias("o_totalprice"),
+            "o_orderdate", "o_orderpriority"))
+    got = {r["expectation"]: r["n_violations"]
+           for r in dq_expectations(bad_orders, customer,
+                                    lineitem, events).collect()}
+    assert got["orders_orderkey_unique"] == 1
+    assert got["orders_totalprice_positive"] == 1
+    assert got["orders_custkey_fk_customer"] == 1
+    assert got["lineitem_orderkey_fk_orders"] == 0
+
+
+def test_encode_ids_roundtrip_decodes_to_tokens(spark, sf_smoke):
+    """Decoding the id arrays through the vocab reproduces the exact
+    token stream — the encoding is lossless."""
+    docs = load_table(spark, sf_smoke, "documents")
+    enc = encode_token_ids(docs)
+    # rebuild vocab the same way to decode
+    from s3_elasticsearch_data_pipeline_spark.functions.textfns import tokens
+    from pyspark.sql import Window
+    vocab = (docs.select(F.explode(tokens(F.col("text"))).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("n")))
+    vocab = vocab.select(
+        "term", F.row_number().over(
+            Window.orderBy(F.col("n").desc(), "term")).alias("tid"))
+    id2term = {r["tid"]: r["term"] for r in vocab.collect()}
+    orig = {r["doc_id"]: r["toks"] for r in
+            docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+            .collect() if r["toks"]}
+    for r in enc.collect():
+        assert [id2term[i] for i in r["token_ids"]] == orig[r["doc_id"]]
+        assert r["n_tokens"] == len(orig[r["doc_id"]])

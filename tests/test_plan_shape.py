@@ -297,3 +297,30 @@ def test_relational_queries_have_no_python_in_plan(spark, sf_oracle):
             assert node not in plan, f"{name} runs Python: {node}"
         checked += 1
     assert checked > 80, f"only {checked} plans checked"
+
+
+def test_runtime_bloom_filter_prereduces_semi_join(spark, sf_oracle):
+    """Spark's runtime bloom filter (enabled in session.py) injects a
+    bloom_filter_agg on the selective build side and pre-filters the
+    big probe side BEFORE its shuffle — the built-in realization of
+    SURVEY.md §4's 'bloom-filter pre-reduction for J2/J3'. Thresholds
+    are lowered here because local test data is tiny; on a cluster the
+    defaults engage at real sizes."""
+    tweaks = {
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1"}
+    old = {k: spark.conf.get(k, None) for k in tweaks}
+    try:
+        for k, v in tweaks.items():
+            spark.conf.set(k, v)
+        li = spark.read.parquet(os.path.join(sf_oracle, "lineitem.parquet"))
+        orders = (spark.read.parquet(os.path.join(sf_oracle, "orders.parquet"))
+                  .where(F.col("o_orderstatus") == "P"))
+        j = li.join(orders, li.l_orderkey == orders.o_orderkey, "left_semi")
+        plan = plan_of(j)
+        assert "bloom_filter_agg" in plan, "bloom filter not injected"
+        assert "might_contain" in plan, "probe side not pre-filtered"
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
