@@ -69,3 +69,29 @@ def compact_partitions(spark: SparkSession, path: str,
          .repartition(n_files)
          .write.mode("overwrite").partitionBy(partition_key)
          .format("parquet").save(path))
+
+
+def observed_write(df, path: str, mode: str = "overwrite",
+                   metric_cols: dict | None = None):
+    """Write with in-flight metrics via ``df.observe`` — row counts and
+    data-quality aggregates collected DURING the write job, zero extra
+    passes over the data (the reference re-scans or re-queries the sink
+    to learn what it loaded — data-s3-elastic-transfer.py:309,322; at
+    100 TB a second pass is a second 100 TB scan).
+
+    Returns the observed metrics dict, e.g. ``{"n_rows": ..., ...}``.
+    ``metric_cols`` maps metric name → aggregate Column; default counts
+    rows and null keys of the first column.
+    """
+    from pyspark.sql import Observation
+    from pyspark.sql import functions as F
+
+    first = df.columns[0]
+    if metric_cols is None:
+        metric_cols = {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_first_col": F.count(F.lit(1)) - F.count(F.col(first))}
+    obs = Observation("load_metrics")
+    observed = df.observe(obs, *[c.alias(n) for n, c in metric_cols.items()])
+    observed.write.mode(mode).format("parquet").save(path)
+    return obs.get

@@ -173,3 +173,48 @@ def gapfill_daily(events: DataFrame, ts_col: str = "ts",
                     F.coalesce("n_events", F.lit(0)).alias("n_events"),
                     F.last("day_avg", ignorenulls=True).over(w)
                      .alias("locf_avg")))
+
+
+def cogroup_asof_pandas(purchases: DataFrame, views: DataFrame) -> DataFrame:
+    """As-of attribution via cogrouped ``applyInPandas`` — the last of
+    the pandas extension points (grouped-agg, grouped-map, mapInPandas,
+    UDTF, cogroup): both sides shuffle once on the key, and each user's
+    (purchases, views) frame pair meets in one ``pd.merge_asof``.
+
+    The relational union-and-carry ``asof_join`` above is the hot-path
+    implementation; this exists for per-key logic a window can't
+    express (bespoke matching, model scoring against history, ...) and
+    is oracle-checked to agree with the relational semantics.
+    Timestamps travel as integer microseconds end-to-end (exact, no
+    float rounding boundary); ties break to the highest view event_id,
+    matching merge_asof's last-row-wins on a (ts, event_id) sort.
+    """
+    import pandas as pd
+
+    def merge(l: pd.DataFrame, r: pd.DataFrame) -> pd.DataFrame:
+        if len(l) == 0:
+            return pd.DataFrame(columns=["event_id", "user_id",
+                                         "purchase_us", "view_event_id",
+                                         "view_value"])
+        l = l.assign(
+            purchase_us=l["ts"].astype("datetime64[us]").astype("int64"))
+        out = l[["event_id", "user_id", "purchase_us"]] \
+            .sort_values(["purchase_us", "event_id"])
+        if len(r) == 0:
+            return out.assign(view_event_id=pd.Series(dtype="Int64"),
+                              view_value=pd.Series(dtype="float64"))
+        r = (r.assign(t_us=r["ts"].astype("datetime64[us]").astype("int64"))
+             .rename(columns={"event_id": "view_event_id",
+                              "value": "view_value"})
+             .sort_values(["t_us", "view_event_id"]))
+        merged = pd.merge_asof(
+            out, r[["t_us", "view_event_id", "view_value"]],
+            left_on="purchase_us", right_on="t_us", direction="backward")
+        merged["view_event_id"] = merged["view_event_id"].astype("Int64")
+        return merged.drop(columns=["t_us"])
+
+    return (purchases.groupBy("user_id")
+            .cogroup(views.groupBy("user_id"))
+            .applyInPandas(merge,
+                           "event_id long, user_id long, purchase_us long, "
+                           "view_event_id long, view_value double"))

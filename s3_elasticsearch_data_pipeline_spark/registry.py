@@ -3245,3 +3245,59 @@ def q_setop_intersect_all(spark, sf_dir):
             .select("o_custkey")
             .intersectAll(orders.where(F.col("o_orderpriority") == "1-URGENT")
                           .select("o_custkey")))
+
+
+@register("udf_cogroup_asof", """
+WITH us AS (
+  SELECT event_id, user_id, event_type, value,
+         epoch_ns(ts) // 1000 AS t_us
+  FROM events),
+v AS (SELECT user_id, t_us, event_id, value FROM us
+      WHERE event_type = 'view'),
+p AS (SELECT event_id, user_id, t_us FROM us
+      WHERE event_type = 'purchase')
+SELECT p.event_id, p.user_id, p.t_us AS purchase_us,
+       (SELECT v.event_id FROM v
+        WHERE v.user_id = p.user_id AND v.t_us <= p.t_us
+        ORDER BY v.t_us DESC, v.event_id DESC LIMIT 1) AS view_event_id,
+       (SELECT v.value FROM v
+        WHERE v.user_id = p.user_id AND v.t_us <= p.t_us
+        ORDER BY v.t_us DESC, v.event_id DESC LIMIT 1) AS view_value
+FROM p
+""")
+def q_udf_cogroup_asof(spark, sf_dir):
+    """Cogrouped applyInPandas as-of attribution (pd.merge_asof per
+    user) — the cogroup pandas extension point, oracle-checked against
+    the relational as-of semantics (cf. temporal.cogroup_asof_pandas;
+    the hot-path variant is asof_join_events)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        cogroup_asof_pandas)
+    events = _t(spark, sf_dir, "events")
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select("event_id", "user_id", "ts"))
+    views = (events.where(F.col("event_type") == "view")
+             .select("user_id", "ts", "event_id", "value"))
+    return cogroup_asof_pandas(purchases, views)
+
+
+@register("stream_sliding_agg", """
+WITH starts AS (
+  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, event_type, value
+  FROM events
+  UNION ALL
+  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes',
+         event_type, value
+  FROM events)
+SELECT ws AS window_start, ws + INTERVAL '60 minutes' AS window_end,
+       event_type, count(*) AS n,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
+FROM starts GROUP BY 1, 2, 3
+""")
+def q_stream_sliding_agg(spark, sf_dir):
+    """Streaming sliding-window (60/30) aggregate driven to completion
+    over the bounded events table — same oracle as the batch sliding
+    twin (w_sliding_agg)."""
+    import os
+    return stream_windowed.stream_sliding_agg(
+        spark, os.path.join(sf_dir, "events.parquet"), 60, 30)

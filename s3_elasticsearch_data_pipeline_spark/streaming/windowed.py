@@ -177,3 +177,43 @@ def stream_stream_purchase_attribution(spark: SparkSession,
         .select("purchase_id", "user_id", "purchase_ts", "click_id",
                 "click_ts"))
     return _drain(joined, "stream_attr", "append")
+
+
+def stream_sliding_agg(spark: SparkSession, events_path: str,
+                       width_minutes: int = 60, slide_minutes: int = 30,
+                       watermark: str = "2 hours") -> DataFrame:
+    """Sliding-window streaming aggregate (width > slide ⇒ each event
+    lands in width/slide windows). Same bounded-drain harness as the
+    tumbling variant; at scale the watermark evicts expired windows so
+    state stays proportional to the active window count, not history.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    nanos = [f.name for f in static.schema.fields
+             if f.dataType.simpleString() == "bigint" and f.name == "ts"]
+    stream_path = (events_path if os.path.isdir(events_path)
+                   else events_path + "*")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet").load(stream_path))
+    if nanos:
+        stream = stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    agg = (stream
+           .withWatermark("ts", watermark)
+           .groupBy(F.window("ts", f"{width_minutes} minutes",
+                             f"{slide_minutes} minutes").alias("w"),
+                    F.col("event_type"))
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("total_value")))
+    name = f"stream_sliding_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .select(F.col("w.start").alias("window_start"),
+                    F.col("w.end").alias("window_end"),
+                    "event_type", "n", "total_value"))

@@ -148,3 +148,26 @@ def test_cli_rollup_and_compact(spark, monthly_events, tmp_path, capsys):
     after = partition_file_stats(spark, src).collect()
     assert all(r["n_files"] == 1 for r in after)
     assert sum(r["n_rows"] for r in after) == monthly_events.count()
+
+
+def test_observed_write_collects_metrics_in_flight(spark, sf_smoke, tmp_path):
+    """df.observe metrics arrive with the write job itself — no second
+    scan to learn row counts / null counts."""
+    import pyspark.sql.functions as F
+
+    from s3_elasticsearch_data_pipeline_spark.maintenance import observed_write
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    orders = load_table(spark, sf_smoke, "orders")
+    got = observed_write(
+        orders, str(tmp_path / "obs_out"),
+        metric_cols={
+            "n_rows": F.count(F.lit(1)),
+            "n_open": F.count_if(F.col("o_orderstatus") == "O"),
+            "total_price": F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                .cast("double")})
+    expect_rows = orders.count()
+    expect_open = orders.where(F.col("o_orderstatus") == "O").count()
+    assert got["n_rows"] == expect_rows
+    assert got["n_open"] == expect_open
+    assert spark.read.parquet(str(tmp_path / "obs_out")).count() == expect_rows
