@@ -78,6 +78,10 @@ def main(argv: list[str] | None = None) -> int:
     pc.add_argument("--max-avg-mb", type=float, default=32.0,
                     help="compact partitions averaging under this MB/file")
 
+    pdq = sub.add_parser(
+        "dq", help="run the data-quality expectation suite (exit 1 on fail)")
+    pdq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
+
     args = p.parse_args(argv)
     spark = _spark()
 
@@ -129,6 +133,18 @@ def main(argv: list[str] | None = None) -> int:
             compact_partitions(spark, args.path, todo, args.key,
                                target_bytes=args.target_mb * 1024 * 1024)
         print(json.dumps({"partitions_compacted": sorted(map(str, todo))}))
+    elif args.cmd == "dq":
+        from s3_elasticsearch_data_pipeline_spark.operators.expectations import (
+            dq_expectations)
+        from s3_elasticsearch_data_pipeline_spark.tables import load_table
+        rows = dq_expectations(
+            load_table(spark, args.sf_dir, "orders"),
+            load_table(spark, args.sf_dir, "customer"),
+            load_table(spark, args.sf_dir, "lineitem"),
+            load_table(spark, args.sf_dir, "events")).collect()
+        for r in rows:
+            print(json.dumps(r.asDict()))
+        return 0 if all(r["passed"] for r in rows) else 1
     return 0
 
 

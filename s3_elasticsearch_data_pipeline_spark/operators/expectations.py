@@ -44,7 +44,7 @@ def dq_expectations(orders: DataFrame, customer: DataFrame,
                F.count_if(F.col("o_totalprice") <= 0)),
         _check("orders_orderdate_in_range",
                F.count_if(~F.col("o_orderdate").between(
-                   "1992-01-01", "1998-12-31")))).alias("c"))
+                   "1995-01-01", "2001-12-31")))).alias("c"))
     li = lineitem.agg(F.array(
         _check("lineitem_quantity_positive",
                F.count_if(F.col("l_quantity") <= 0)),

@@ -486,3 +486,34 @@ def encode_token_ids(documents: DataFrame) -> DataFrame:
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "tid"))),
                 lambda x: x.tid).alias("token_ids")))
+
+
+def vocab_top_p(documents: DataFrame, p: float = 0.9) -> DataFrame:
+    """Nucleus (top-p) vocabulary truncation: the smallest
+    frequency-ranked prefix of the vocabulary whose cumulative token
+    share reaches ``p`` — the standard cut when sizing a tokenizer
+    vocab from a corpus. Keeps every term whose PRECEDING cumulative
+    mass is still under ``p`` (so the crossing term is included).
+
+    Shapes: one explode+count aggregate, a single-partition window
+    over the vocab (vocab size does not grow with corpus size), and a
+    one-row total broadcast. All mass arithmetic on exact longs; the
+    only float op is the final share division — deterministic in any
+    IEEE engine.
+    """
+    vocab = (documents
+             .select(F.explode(tokens(F.col("text"))).alias("term"))
+             .groupBy("term").agg(F.count(F.lit(1)).alias("n_occ")))
+    w = (Window.orderBy(F.col("n_occ").desc(), "term")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = vocab.select(
+        F.row_number().over(Window.orderBy(F.col("n_occ").desc(), "term"))
+         .alias("rank"),
+        "term", "n_occ", F.sum("n_occ").over(w).alias("__cum"))
+    total = F.broadcast(vocab.agg(F.sum("n_occ").alias("__total")))
+    return (ranked.crossJoin(total)
+            .where((F.col("__cum") - F.col("n_occ")).cast("double")
+                   < F.lit(p) * F.col("__total"))
+            .select("rank", "term", "n_occ",
+                    F.round(F.col("__cum").cast("double")
+                            / F.col("__total"), 6).alias("cum_share")))

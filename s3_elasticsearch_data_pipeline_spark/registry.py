@@ -3064,7 +3064,7 @@ SELECT expectation, n_violations, n_violations = 0 AS passed FROM (
          (SELECT count(*) FILTER (WHERE o_totalprice <= 0) FROM orders)
   UNION ALL SELECT 'orders_orderdate_in_range',
          (SELECT count(*) FILTER (WHERE o_orderdate NOT BETWEEN
-            TIMESTAMP '1992-01-01' AND TIMESTAMP '1998-12-31') FROM orders)
+            TIMESTAMP '1995-01-01' AND TIMESTAMP '2001-12-31') FROM orders)
   UNION ALL SELECT 'lineitem_quantity_positive',
          (SELECT count(*) FILTER (WHERE l_quantity <= 0) FROM lineitem)
   UNION ALL SELECT 'lineitem_discount_in_unit_interval',
@@ -3301,3 +3301,26 @@ def q_stream_sliding_agg(spark, sf_dir):
     import os
     return stream_windowed.stream_sliding_agg(
         spark, os.path.join(sf_dir, "events.parquet"), 60, 30)
+
+
+@register("vocab_top_p_coverage", """
+WITH v AS (
+  SELECT term, count(*) AS n_occ
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'),
+                                  t -> t <> '')) AS term
+        FROM documents)
+  GROUP BY term),
+t AS (SELECT sum(n_occ) AS total FROM v),
+c AS (SELECT term, n_occ,
+             sum(n_occ) OVER (ORDER BY n_occ DESC, term
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             row_number() OVER (ORDER BY n_occ DESC, term) AS rank
+      FROM v)
+SELECT rank, term, n_occ,
+       round(CAST(cum AS DOUBLE) / total, 6) AS cum_share
+FROM c, t WHERE CAST(cum - n_occ AS DOUBLE) < 0.9 * total
+""")
+def q_vocab_top_p_coverage(spark, sf_dir):
+    """Top-p (nucleus) vocabulary truncation: frequency-ranked prefix
+    covering 90% of token mass (cf. operators/text.py:vocab_top_p)."""
+    return text.vocab_top_p(_t(spark, sf_dir, "documents"))
