@@ -324,3 +324,38 @@ def test_runtime_bloom_filter_prereduces_semi_join(spark, sf_oracle):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """AQE skew-join handling (enabled in session.py) splits a hot-key
+    shuffle partition into parallel sub-partitions at runtime —
+    SortMergeJoin(skew=true) + 'AQEShuffleRead coalesced and skewed'
+    in the final adaptive plan. Thresholds lowered because local test
+    data is tiny; at cluster scale the defaults (256MB) engage on real
+    hot keys. This is the automatic path; operators/skew.py holds the
+    manual salting tools for aggregate skew."""
+    tweaks = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "64KB"}
+    old = {k: spark.conf.get(k, None) for k in tweaks}
+    try:
+        for k, v in tweaks.items():
+            spark.conf.set(k, v)
+        big = spark.range(400000).select(
+            F.when(F.col("id") < 200000, F.lit(0))
+             .otherwise(F.col("id") % 1000).alias("k"),
+            F.rand(7).alias("v"))
+        right = spark.range(1000).select(
+            F.col("id").alias("k"), F.rand(9).alias("w"))
+        j = big.join(right, "k")
+        j.collect()  # finalize THIS df's adaptive plan
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, "hot partition not split by AQE"
+        assert "skewed" in plan, "no skewed AQEShuffleRead"
+    finally:
+        for k, v in old.items():
+            (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
