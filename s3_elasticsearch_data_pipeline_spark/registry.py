@@ -3324,3 +3324,75 @@ def q_vocab_top_p_coverage(spark, sf_dir):
     """Top-p (nucleus) vocabulary truncation: frequency-ranked prefix
     covering 90% of token mass (cf. operators/text.py:vocab_top_p)."""
     return text.vocab_top_p(_t(spark, sf_dir, "documents"))
+
+
+@register("sql_recursive_cte", """
+WITH RECURSIVE walk(node, anc, depth) AS (
+  SELECT c_custkey, c_custkey, 0 FROM customer
+  WHERE c_custkey BETWEEN 1 AND 127
+  UNION ALL
+  SELECT node, anc // 2, depth + 1 FROM walk WHERE anc > 1)
+SELECT node, max(depth) AS depth_to_root, count(*) AS n_ancestors
+FROM walk GROUP BY node
+""")
+def q_sql_recursive_cte(spark, sf_dir):
+    """Recursive CTE (Spark 4): ancestor walk up the implicit binary
+    hierarchy parent(n)=n div 2 — iterative transitive closure the
+    engine runs natively in SQL (the same shape the connected-
+    components oracle unrolls by hand)."""
+    from s3_elasticsearch_data_pipeline_spark.tables import register_views
+    register_views(spark, sf_dir, ("customer",))
+    return spark.sql("""
+        WITH RECURSIVE walk(node, anc, depth) AS (
+          SELECT c_custkey, c_custkey, 0 FROM customer
+          WHERE c_custkey BETWEEN 1 AND 127
+          UNION ALL
+          SELECT node, anc DIV 2, depth + 1 FROM walk WHERE anc > 1)
+        SELECT node, max(depth) AS depth_to_root, count(*) AS n_ancestors
+        FROM walk GROUP BY node""")
+
+
+@register("json_variant_pack", """
+SELECT event_type, count(*) AS n,
+       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       count(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT)
+                        > 50) AS n_high
+FROM events GROUP BY event_type
+""")
+def q_json_variant_pack(spark, sf_dir):
+    """Semi-structured VARIANT path (Spark 4): parse_json once, typed
+    variant_get extraction — the engine-native JSON column story
+    (vs get_json_object string re-parsing in json_extraction)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'long')")
+    return (ev.select("event_type", k.alias("__k"))
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum("__k").alias("sum_k"),
+                 F.count_if(F.col("__k") > 50).alias("n_high")))
+
+
+@register("sql_parameterized", """
+SELECT o_orderstatus, count(*) AS n_orders
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+""")
+def q_sql_parameterized(spark, sf_dir):
+    """Named-parameter SQL — the injection-safe replacement for the
+    reference's f-string WHERE clauses (ID-based-transfer.py:161,
+    184-187): values bind as literals through the parser, never by
+    string concatenation; the IN-list binds as an array parameter."""
+    from s3_elasticsearch_data_pipeline_spark.tables import register_views
+    register_views(spark, sf_dir, ("orders",))
+    return spark.sql(
+        """SELECT o_orderstatus, count(*) AS n_orders
+           FROM orders
+           WHERE o_orderdate >= CAST(:lo AS TIMESTAMP)
+             AND o_orderdate < CAST(:hi AS TIMESTAMP)
+             AND array_contains(:prios, o_orderpriority)
+           GROUP BY o_orderstatus""",
+        args={"lo": "1996-01-01", "hi": "1997-01-01",
+              "prios": ["1-URGENT", "2-HIGH"]})
