@@ -96,3 +96,27 @@ def test_encode_ids_roundtrip_decodes_to_tokens(spark, sf_smoke):
     for r in enc.collect():
         assert [id2term[i] for i in r["token_ids"]] == orig[r["doc_id"]]
         assert r["n_tokens"] == len(orig[r["doc_id"]])
+
+
+def test_python_datasource_generates_reference_schema(spark):
+    """Custom Python DataSource (Spark 4): parallel, deterministic,
+    partition-count-invariant generation of the reference's record
+    schema (SURVEY.md §1.3)."""
+    from s3_elasticsearch_data_pipeline_spark.sources.synthetic import register
+    register(spark)
+    df = (spark.read.format("reference_synthetic")
+          .option("rows", 1000).option("rowsperpartition", 250).load())
+    assert df.rdd.getNumPartitions() == 4
+    assert df.count() == 1000
+    assert df.columns == ["id", "month", "month_num", "value",
+                          "temperature", "humidity", "ts", "city", "date"]
+    # deterministic + partition-invariant: different split, same rows
+    df2 = (spark.read.format("reference_synthetic")
+           .option("rows", 1000).option("rowsperpartition", 100).load())
+    assert df2.rdd.getNumPartitions() == 10
+    assert df.exceptAll(df2).count() == 0 and df2.exceptAll(df).count() == 0
+    # typed projection consumes it like any table (P3 parity path)
+    from s3_elasticsearch_data_pipeline_spark.operators.projection import (
+        validate_and_clean)
+    cleaned = validate_and_clean(df)
+    assert cleaned.where(F.col("id") == "unknown").count() == 0
