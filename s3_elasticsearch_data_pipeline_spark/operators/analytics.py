@@ -611,3 +611,51 @@ def interarrival_grouped_map(events: DataFrame) -> DataFrame:
             .applyInPandas(stats,
                            "user_id long, n_events long, "
                            "median_gap_us double, max_gap_us long"))
+
+
+def rfm_segmentation(orders) -> "DataFrame":
+    """RFM customer segmentation: quintile scores for recency (latest
+    order), frequency (order count), monetary (exact decimal spend),
+    combined into the classic 'champion/loyal/at-risk/other' buckets.
+    One aggregate + three ntile windows over the per-customer rollup
+    (customer-cardinality frame, cheap after the first shuffle)."""
+    per_cust = (orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,4)")).alias("spend")))
+    r = F.ntile(5).over(Window.orderBy(F.col("last_order").desc(),
+                                       F.col("o_custkey")))
+    fm = F.ntile(5).over(Window.orderBy(F.col("n_orders").desc(),
+                                        F.col("o_custkey")))
+    m = F.ntile(5).over(Window.orderBy(F.col("spend").desc(),
+                                       F.col("o_custkey")))
+    scored = per_cust.select(
+        "o_custkey", r.alias("r_score"), fm.alias("f_score"),
+        m.alias("m_score"))
+    segment = (F.when((F.col("r_score") <= 2) & (F.col("f_score") <= 2)
+                      & (F.col("m_score") <= 2), "champion")
+               .when((F.col("f_score") <= 2) & (F.col("m_score") <= 3),
+                     "loyal")
+               .when(F.col("r_score") >= 4, "at_risk")
+               .otherwise("other"))
+    return (scored.select("o_custkey", "r_score", "f_score", "m_score",
+                          segment.alias("segment")))
+
+
+def mom_growth(orders) -> "DataFrame":
+    """Month-over-month revenue growth: monthly decimal-exact revenue,
+    lag window for the previous month, growth ratio as a fixed-shape
+    double expression (NULL for the first month). Monthly frame is
+    tiny — the window costs nothing after the one aggregate shuffle."""
+    monthly = (orders
+               .groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                        .alias("month"))
+               .agg(F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+                     .alias("__rev"), F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("month")
+    prev = F.lag("__rev").over(w)
+    return monthly.select(
+        "month", "n_orders",
+        F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
+        F.round((F.col("__rev").cast("double") - prev.cast("double"))
+                / prev.cast("double") * 100.0, 4).alias("mom_growth_pct"))

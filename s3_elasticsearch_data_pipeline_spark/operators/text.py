@@ -517,3 +517,19 @@ def vocab_top_p(documents: DataFrame, p: float = 0.9) -> DataFrame:
             .select("rank", "term", "n_occ",
                     F.round(F.col("__cum").cast("double")
                             / F.col("__total"), 6).alias("cum_share")))
+
+
+def sentence_split(documents: DataFrame) -> DataFrame:
+    """Sentence segmentation (regex boundary split) with per-sentence
+    position and token count — the chunking granularity between
+    whole-document and fixed-token windows (text_chunks_udtf). Pure
+    split+posexplode: vectorized, shuffle-free, output grows with
+    sentence count only."""
+    sents = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+\s+|[.!?]+$"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    return (documents
+            .select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
+            .select("doc_id", "sent_idx", "sentence",
+                    F.size(tokens(F.col("sentence"))).alias("n_tokens")))

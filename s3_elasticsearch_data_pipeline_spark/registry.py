@@ -3396,3 +3396,71 @@ def q_sql_parameterized(spark, sf_dir):
            GROUP BY o_orderstatus""",
         args={"lo": "1996-01-01", "hi": "1997-01-01",
               "prios": ["1-URGENT", "2-HIGH"]})
+
+
+@register("text_sentence_split", """
+WITH s AS (
+  SELECT doc_id,
+         list_filter(list_transform(
+           string_split_regex(text, '[.!?]+\\s+|[.!?]+$'),
+           x -> trim(x)), x -> x <> '') AS sents
+  FROM documents),
+x AS (
+  SELECT doc_id, unnest(sents) AS sentence,
+         generate_subscripts(sents, 1) - 1 AS sent_idx
+  FROM s)
+SELECT doc_id, sent_idx, sentence,
+       len(list_filter(string_split_regex(sentence, '\\s+'), t -> t <> ''))
+         AS n_tokens
+FROM x
+""")
+def q_text_sentence_split(spark, sf_dir):
+    """Regex sentence segmentation with position + token count — the
+    chunking granularity between whole-doc and fixed-token windows
+    (cf. operators/text.py:sentence_split)."""
+    return text.sentence_split(_t(spark, sf_dir, "documents"))
+
+
+@register("rfm_segmentation", """
+WITH pc AS (
+  SELECT o_custkey, max(o_orderdate) AS last_order, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS spend
+  FROM orders GROUP BY o_custkey),
+sc AS (
+  SELECT o_custkey,
+         ntile(5) OVER (ORDER BY last_order DESC, o_custkey) AS r_score,
+         ntile(5) OVER (ORDER BY n_orders DESC, o_custkey) AS f_score,
+         ntile(5) OVER (ORDER BY spend DESC, o_custkey) AS m_score
+  FROM pc)
+SELECT o_custkey, r_score, f_score, m_score,
+       CASE WHEN r_score <= 2 AND f_score <= 2 AND m_score <= 2
+              THEN 'champion'
+            WHEN f_score <= 2 AND m_score <= 3 THEN 'loyal'
+            WHEN r_score >= 4 THEN 'at_risk'
+            ELSE 'other' END AS segment
+FROM sc
+""")
+def q_rfm_segmentation(spark, sf_dir):
+    """RFM quintile segmentation of customers (recency / frequency /
+    exact-decimal monetary), deterministic tie-breaks
+    (cf. operators/analytics.py:rfm_segmentation)."""
+    return analytics.rfm_segmentation(_t(spark, sf_dir, "orders"))
+
+
+@register("agg_mom_growth", """
+WITH m AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month, count(*) AS n_orders,
+         sum(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+  FROM orders GROUP BY 1)
+SELECT month, n_orders,
+       CAST(round(rev, 2) AS DOUBLE) AS revenue,
+       round((CAST(rev AS DOUBLE) - CAST(lag(rev) OVER (ORDER BY month)
+                                         AS DOUBLE))
+             / CAST(lag(rev) OVER (ORDER BY month) AS DOUBLE) * 100.0, 4)
+         AS mom_growth_pct
+FROM m
+""")
+def q_agg_mom_growth(spark, sf_dir):
+    """Month-over-month revenue growth: lag window over the monthly
+    decimal-exact rollup (cf. operators/analytics.py:mom_growth)."""
+    return analytics.mom_growth(_t(spark, sf_dir, "orders"))
