@@ -533,3 +533,27 @@ def sentence_split(documents: DataFrame) -> DataFrame:
             .select("doc_id", F.posexplode(sents).alias("sent_idx", "sentence"))
             .select("doc_id", "sent_idx", "sentence",
                     F.size(tokens(F.col("sentence"))).alias("n_tokens")))
+
+
+def stem_terms(documents: DataFrame) -> DataFrame:
+    """Porter-lite suffix stripping (ing/ed/es/s with minimal-stem
+    guards) over the vocabulary, with per-stem collapsed counts — the
+    normalization step between raw tokens and vocab/IDF builds. One
+    regex per token on the exploded stream (vectorized, no UDF); the
+    re-aggregate merges surface forms into stems."""
+    term = F.col("term")
+    stem = (F.when(term.rlike("^[a-z]{3,}ing$"),
+                   F.regexp_replace(term, "ing$", ""))
+            .when(term.rlike("^[a-z]{3,}ed$"),
+                  F.regexp_replace(term, "ed$", ""))
+            .when(term.rlike("^[a-z]{2,}es$"),
+                  F.regexp_replace(term, "es$", ""))
+            .when(term.rlike("^[a-z]{2,}s$") & ~term.rlike("ss$"),
+                  F.regexp_replace(term, "s$", ""))
+            .otherwise(term))
+    exploded = documents.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    return (exploded.select(stem.alias("stem"), "term")
+            .groupBy("stem")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                 F.count_distinct("term").alias("n_surface_forms")))

@@ -3464,3 +3464,59 @@ def q_agg_mom_growth(spark, sf_dir):
     """Month-over-month revenue growth: lag window over the monthly
     decimal-exact rollup (cf. operators/analytics.py:mom_growth)."""
     return analytics.mom_growth(_t(spark, sf_dir, "orders"))
+
+
+@register("text_stemming", """
+WITH tok AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+st AS (
+  SELECT term,
+         CASE WHEN regexp_matches(term, '^[a-z]{3,}ing$')
+                THEN regexp_replace(term, 'ing$', '')
+              WHEN regexp_matches(term, '^[a-z]{3,}ed$')
+                THEN regexp_replace(term, 'ed$', '')
+              WHEN regexp_matches(term, '^[a-z]{2,}es$')
+                THEN regexp_replace(term, 'es$', '')
+              WHEN regexp_matches(term, '^[a-z]{2,}s$')
+                   AND NOT regexp_matches(term, 'ss$')
+                THEN regexp_replace(term, 's$', '')
+              ELSE term END AS stem
+  FROM tok)
+SELECT stem, count(*) AS n_occurrences,
+       count(DISTINCT term) AS n_surface_forms
+FROM st GROUP BY stem
+""")
+def q_text_stemming(spark, sf_dir):
+    """Porter-lite suffix stripping with surface-form collapse counts
+    (cf. operators/text.py:stem_terms)."""
+    return text.stem_terms(_t(spark, sf_dir, "documents"))
+
+
+@register("agg_mode", """
+WITH c AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS n
+  FROM events GROUP BY 1, 2),
+r AS (
+  SELECT event_type, day, n,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY n DESC, day) AS rk
+  FROM c)
+SELECT event_type, day AS modal_day, n AS n_on_modal_day
+FROM r WHERE rk = 1
+""")
+def q_agg_mode(spark, sf_dir):
+    """Deterministic mode (most frequent day per event type): count +
+    rank with an explicit tie-break — the builtin ``mode()`` breaks
+    ties arbitrarily, so the engine's canonical mode is this
+    composable, reproducible form."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    c = (ev.groupBy("event_type", F.to_date("ts").alias("day"))
+         .agg(F.count(F.lit(1)).alias("n")))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), "day")
+    return (c.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") == 1)
+            .select("event_type", F.col("day").alias("modal_day"),
+                    F.col("n").alias("n_on_modal_day")))
