@@ -659,3 +659,29 @@ def mom_growth(orders) -> "DataFrame":
         F.round(F.col("__rev"), 2).cast("double").alias("revenue"),
         F.round((F.col("__rev").cast("double") - prev.cast("double"))
                 / prev.cast("double") * 100.0, 4).alias("mom_growth_pct"))
+
+
+def outlier_mad(events) -> "DataFrame":
+    """Robust outlier stats via median absolute deviation — the
+    median/MAD twin of the mean/σ ``zscore_outliers`` (robust to the
+    very outliers it hunts). Two exact-percentile passes per group
+    (median of values, then median of absolute deviations), broadcast
+    back; the threshold compare runs on raw doubles with the same
+    fixed-shape expression the oracle uses."""
+    med = (events.groupBy("event_type")
+           .agg(F.percentile(F.col("value"), F.lit(0.5)).alias("med")))
+    dev = (events.join(F.broadcast(med), "event_type")
+           .withColumn("__ad", F.abs(F.col("value") - F.col("med"))))
+    mad = (dev.groupBy("event_type")
+           .agg(F.first("med").alias("med"),
+                F.percentile(F.col("__ad"), F.lit(0.5)).alias("mad")))
+    flagged = (dev.drop("med")
+               .join(F.broadcast(mad), "event_type")
+               .withColumn("__is_out",
+                           F.col("__ad") > F.lit(3.0) * F.lit(1.4826)
+                           * F.col("mad")))
+    return (flagged.groupBy("event_type")
+            .agg(F.round(F.first("med"), 4).alias("median_value"),
+                 F.round(F.first("mad"), 4).alias("mad"),
+                 F.count(F.lit(1)).alias("n_rows"),
+                 F.count_if(F.col("__is_out")).alias("n_outliers")))

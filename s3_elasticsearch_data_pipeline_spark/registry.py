@@ -3520,3 +3520,47 @@ def q_agg_mode(spark, sf_dir):
             .where(F.col("rk") == 1)
             .select("event_type", F.col("day").alias("modal_day"),
                     F.col("n").alias("n_on_modal_day")))
+
+
+@register("outlier_mad", """
+WITH med AS (
+  SELECT event_type, quantile_cont(value, 0.5) AS med
+  FROM events GROUP BY event_type),
+dev AS (
+  SELECT e.event_type, e.value, med, abs(e.value - med) AS ad
+  FROM events e JOIN med USING (event_type)),
+mad AS (
+  SELECT event_type, any_value(med) AS med,
+         quantile_cont(ad, 0.5) AS mad
+  FROM dev GROUP BY event_type)
+SELECT d.event_type,
+       round(any_value(m.med), 4) AS median_value,
+       round(any_value(m.mad), 4) AS mad,
+       count(*) AS n_rows,
+       count(*) FILTER (WHERE d.ad > 3.0 * 1.4826 * m.mad) AS n_outliers
+FROM dev d JOIN mad m ON d.event_type = m.event_type
+GROUP BY d.event_type
+""")
+def q_outlier_mad(spark, sf_dir):
+    """Median-absolute-deviation robust outliers per event type — the
+    resistant twin of outlier_zscore (cf. analytics.outlier_mad)."""
+    return analytics.outlier_mad(_t(spark, sf_dir, "events"))
+
+
+@register("events_heatmap", """
+SELECT isodow(ts) AS dow, extract(hour FROM ts) AS hour,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(12,2))), 2) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY 1, 2
+""")
+def q_events_heatmap(spark, sf_dir):
+    """Hour-of-day × ISO-weekday activity matrix (the ops dashboard
+    heatmap) — one aggregate, 168-cell output regardless of scale.
+    Spark weekday() is 0=Monday; +1 aligns with ISO dow."""
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy((F.weekday("ts") + 1).alias("dow"),
+                       F.hour("ts").alias("hour"))
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
+                  .cast("double").alias("total_value")))
