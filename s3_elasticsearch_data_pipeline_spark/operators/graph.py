@@ -44,7 +44,10 @@ def pagerank(edges: DataFrame, iters: int = 3,
              .localCheckpoint(eager=False))
     n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
 
-    ranks = nodes.crossJoin(n_df).select(
+    # (node, __n) hoisted out of the loop and materialized once — each
+    # iteration otherwise re-runs the distinct+crossJoin lineage
+    base = nodes.crossJoin(n_df).localCheckpoint(eager=False)
+    ranks = base.select(
         "node", (F.lit(1.0) / F.col("__n")).alias("rank"))
     for _ in range(iters):
         contrib = (edges_d
@@ -55,7 +58,7 @@ def pagerank(edges: DataFrame, iters: int = 3,
                            .cast("decimal(28,14)").alias("__c"))
                    .groupBy("node")
                    .agg(F.sum("__c").alias("__s")))
-        ranks = (nodes.crossJoin(n_df)
+        ranks = (base
                  .join(F.broadcast(contrib), "node", "left")
                  .select("node",
                          ((F.lit(1.0) - F.lit(damping)) / F.col("__n")
