@@ -3564,3 +3564,87 @@ def q_events_heatmap(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(12,2)")), 2)
                   .cast("double").alias("total_value")))
+
+
+@register("basket_top_pairs", """
+WITH pairs AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM lineitem a JOIN lineitem b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey)
+SELECT p1, p2, count(*) AS n_orders_together
+FROM pairs GROUP BY p1, p2
+ORDER BY n_orders_together DESC, p1, p2 LIMIT 20
+""")
+def q_basket_top_pairs(spark, sf_dir):
+    """Market-basket top pairs: parts most often bought in the same
+    order — the co-purchase self-join counted per pair, top-k as
+    TakeOrdered (per-partition heaps, no global sort). Basket sizes
+    bound the pair blow-up (choose-2 per order, not table-squared)."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p1"))
+    b = li.select(F.col("l_orderkey").alias("ok"),
+                  F.col("l_partkey").alias("p2"))
+    return (a.join(b, "ok").where(F.col("p1") < F.col("p2"))
+            .groupBy("p1", "p2")
+            .agg(F.count(F.lit(1)).alias("n_orders_together"))
+            .orderBy(F.col("n_orders_together").desc(), "p1", "p2")
+            .limit(20))
+
+
+@register("event_transitions", """
+WITH us AS (
+  SELECT user_id, event_type, epoch_ns(ts) // 1000 AS t_us, event_id
+  FROM events),
+seq AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY t_us, event_id) AS to_type
+  FROM us)
+SELECT from_type, to_type, count(*) AS n_transitions
+FROM seq WHERE to_type IS NOT NULL
+GROUP BY from_type, to_type
+""")
+def q_event_transitions(spark, sf_dir):
+    """First-order event-type transition matrix (Markov counts): lead
+    window per user ordered by time — one shuffle on user, 25-cell
+    output regardless of scale. The sequence-analytics primitive
+    behind funnel and next-action models."""
+    from pyspark.sql.window import Window
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return (ev.select(F.col("event_type").alias("from_type"),
+                      F.lead("event_type").over(w).alias("to_type"))
+            .where(F.col("to_type").isNotNull())
+            .groupBy("from_type", "to_type")
+            .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+@register("fulfillment_latency", """
+WITH lat AS (
+  SELECT o_orderpriority,
+         date_diff('day', o_orderdate, l_shipdate) AS days
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey)
+SELECT o_orderpriority, count(*) AS n_lines,
+       round(CAST(sum(days) AS DOUBLE) / count(*), 4) AS avg_days,
+       quantile_cont(days, 0.5) AS p50_days,
+       quantile_cont(days, 0.95) AS p95_days,
+       max(days) AS max_days
+FROM lat GROUP BY o_orderpriority
+""")
+def q_fulfillment_latency(spark, sf_dir):
+    """Order→ship latency distribution per priority: integer day
+    deltas (exact sums — no float accumulation), exact percentiles.
+    The operational-SLA rollup shape."""
+    orders = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    days = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    return (li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select("o_orderpriority", days.alias("days"))
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_lines"),
+                 F.round(F.sum("days").cast("double")
+                         / F.count(F.lit(1)), 4).alias("avg_days"),
+                 F.percentile(F.col("days"), F.lit(0.5)).alias("p50_days"),
+                 F.percentile(F.col("days"), F.lit(0.95)).alias("p95_days"),
+                 F.max("days").alias("max_days")))
