@@ -380,3 +380,57 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
             .where(F.col("rank") <= kk)
             .select("query_id", "neighbor_id",
                     F.round("sim", 6).alias("sim"), "rank"))
+
+
+def pca_project(embeddings: DataFrame, k: int = 2) -> DataFrame:
+    """Distributed PCA projection: per-partition moment matrices
+    (n, Σx, ΣxᵀX — Arrow-batched numpy, the right tool for dense BLAS
+    work) combine on the driver into the d×d covariance (d=64: tiny,
+    driver-side eigh is free), then the top-k components broadcast
+    back as literal arrays and the projection runs JVM-side per row.
+
+    Scale shape: the 100 TB of vectors is touched ONCE, emitting one
+    (d + d²)-double row per partition; nothing else leaves the
+    executors. Classic two-phase moment reduction — same pattern as
+    the prefix-sum packer, applied to matrices. Sign convention: each
+    component's largest-|loading| entry is made positive, so output is
+    deterministic across eigensolvers.
+    """
+    import numpy as np
+
+    def partial(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["embedding"].to_numpy()).astype("float64")
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "ss": [(X.T @ X).ravel().tolist()]})
+
+    parts = (embeddings.select("embedding")
+             .mapInPandas(partial, "n long, s array<double>, ss array<double>")
+             .collect())
+    n = sum(p["n"] for p in parts)
+    d = len(parts[0]["s"])
+    S = np.sum([np.asarray(p["s"]) for p in parts], axis=0)
+    SS = np.sum([np.asarray(p["ss"]).reshape(d, d) for p in parts], axis=0)
+    mu = S / n
+    cov = SS / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)          # ascending
+    comps = vecs[:, ::-1][:, :k].T            # top-k rows
+    for i in range(k):                        # deterministic sign
+        j = int(np.abs(comps[i]).argmax())
+        if comps[i, j] < 0:
+            comps[i] = -comps[i]
+
+    out = embeddings.select("vec_id", "label", "embedding")
+    for i in range(k):
+        comp = F.array(*[F.lit(float(c)) for c in comps[i]])
+        mu_dot = float(np.dot(mu, comps[i]))
+        proj = F.aggregate(
+            F.zip_with(F.col("embedding").cast("array<double>"), comp,
+                       lambda x, w: x * w),
+            F.lit(0.0), lambda acc, v: acc + v) - F.lit(mu_dot)
+        out = out.withColumn(f"pc{i + 1}", F.round(proj, 6))
+    return out.drop("embedding")

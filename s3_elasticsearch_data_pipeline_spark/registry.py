@@ -3648,3 +3648,62 @@ def q_fulfillment_latency(spark, sf_dir):
                  F.percentile(F.col("days"), F.lit(0.5)).alias("p50_days"),
                  F.percentile(F.col("days"), F.lit(0.95)).alias("p95_days"),
                  F.max("days").alias("max_days")))
+
+
+@register("text_term_pmi", """
+WITH dt AS (
+  SELECT DISTINCT doc_id, unnest(list_distinct(
+           list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+         AS term
+  FROM documents),
+nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+tf AS (SELECT term, count(*) AS df FROM dt GROUP BY term),
+pairs AS (
+  SELECT a.term AS t1, b.term AS t2, count(*) AS co_df
+  FROM dt a JOIN dt b ON a.doc_id = b.doc_id AND a.term < b.term
+  GROUP BY a.term, b.term)
+SELECT t1, t2, co_df,
+       round(ln((CAST(co_df AS DOUBLE) * nd.n_docs)
+                / (CAST(f1.df AS DOUBLE) * f2.df)), 6) AS pmi
+FROM pairs JOIN tf f1 ON t1 = f1.term
+           JOIN tf f2 ON t2 = f2.term, nd
+WHERE co_df >= 50
+""")
+def q_text_term_pmi(spark, sf_dir):
+    """Pointwise mutual information of term pairs co-occurring in the
+    same document — the co-occurrence statistic under word-embedding /
+    collocation mining. Distinct (doc, term) pairs self-join on doc
+    (bounded: distinct-terms-per-doc choose 2); marginals broadcast;
+    fixed-shape ln expression (engines' ln agree on identical
+    doubles)."""
+    from s3_elasticsearch_data_pipeline_spark.functions.textfns import tokens
+    docs = _t(spark, sf_dir, "documents")
+    dt = (docs.select("doc_id",
+                      F.explode(F.array_distinct(tokens(F.col("text"))))
+                      .alias("term"))
+          .distinct().localCheckpoint(eager=False))
+    nd = F.broadcast(docs.agg(F.count_distinct("doc_id").alias("n_docs")))
+    tf = dt.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    a = dt.select(F.col("doc_id").alias("d"), F.col("term").alias("t1"))
+    b = dt.select(F.col("doc_id").alias("d"), F.col("term").alias("t2"))
+    pairs = (a.join(b, "d").where(F.col("t1") < F.col("t2"))
+             .groupBy("t1", "t2").agg(F.count(F.lit(1)).alias("co_df"))
+             .where(F.col("co_df") >= 50))
+    f1 = tf.select(F.col("term").alias("t1"), F.col("df").alias("df1"))
+    f2 = tf.select(F.col("term").alias("t2"), F.col("df").alias("df2"))
+    return (pairs.join(F.broadcast(f1), "t1").join(F.broadcast(f2), "t2")
+            .crossJoin(nd)
+            .select("t1", "t2", "co_df",
+                    F.round(F.log((F.col("co_df").cast("double")
+                                   * F.col("n_docs"))
+                                  / (F.col("df1").cast("double")
+                                     * F.col("df2"))), 6).alias("pmi")))
+
+
+@register("embedding_pca_project", None)  # eigensolver-specific → rows-only
+def q_embedding_pca_project(spark, sf_dir):
+    """Two-phase distributed PCA (per-partition moment matrices →
+    driver eigh → broadcast literal components → JVM-side projection);
+    variance ordering and sign determinism pytest-verified
+    (cf. operators/similarity.py:pca_project)."""
+    return similarity.pca_project(_t(spark, sf_dir, "embeddings"))

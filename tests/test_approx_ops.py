@@ -154,3 +154,30 @@ def test_hll_rollup_estimates_and_merge(spark, sf_oracle):
     global_exact = orders.select("o_custkey").distinct().count()
     merged = next(iter(got.values()))["merged_total_customers"]
     assert abs(merged - global_exact) <= 0.05 * global_exact
+
+
+def test_pca_projection_properties(spark, sf_oracle):
+    """PCA invariants: pc1 captures >= pc2 variance, projections are
+    uncorrelated, output deterministic across runs (sign convention)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        pca_project)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    emb = load_table(spark, sf_oracle, "embeddings")
+    out = pca_project(emb).cache()
+    assert out.count() == emb.count()
+    stats = out.agg(
+        F.var_samp("pc1").alias("v1"), F.var_samp("pc2").alias("v2"),
+        F.corr("pc1", "pc2").alias("c")).first()
+    assert stats["v1"] >= stats["v2"] > 0
+    assert abs(stats["c"]) < 0.15, "principal projections correlated"
+    again = {r["vec_id"]: (r["pc1"], r["pc2"])
+             for r in pca_project(emb).collect()}
+    for r in out.collect():
+        a, b = again[r["vec_id"]]
+        assert math.isclose(a, r["pc1"], abs_tol=1e-9)
+        assert math.isclose(b, r["pc2"], abs_tol=1e-9)
+    out.unpersist()
