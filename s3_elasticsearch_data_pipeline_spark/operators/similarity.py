@@ -399,6 +399,8 @@ def pca_project(embeddings: DataFrame, k: int = 2) -> DataFrame:
     import numpy as np
 
     def partial(batches):
+        import numpy as np
+        import pandas as pd
         for pdf in batches:
             if not len(pdf):
                 continue

@@ -55,10 +55,8 @@ def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
                    else events_path + "*")
     stream = (spark.readStream.schema(static.schema)
               .format("parquet").load(stream_path))
-    if dict((f.name, f.dataType.simpleString())
-            for f in static.schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from .windowed import _with_utc_ts
+    stream = _with_utc_ts(stream, static.schema)
     updated = (stream
                .select("user_id", "ts", "value")
                .groupBy("user_id")

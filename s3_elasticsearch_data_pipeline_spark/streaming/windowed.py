@@ -16,6 +16,21 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _with_utc_ts(stream: DataFrame, static_schema) -> DataFrame:
+    """Normalize ``ts`` to a µs TimestampType regardless of how the
+    generator wrote it: long nanos (legacy ``nanosAsLong`` read) get
+    the ns→µs integer-div conversion; native TIMESTAMP_NTZ is cast
+    wall-clock-preserving (session tz pinned to UTC, session.py)."""
+    kind = dict((f.name, f.dataType.simpleString())
+                for f in static_schema.fields).get("ts")
+    if kind == "bigint":
+        return stream.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if kind == "timestamp_ntz":
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
+
+
 def stream_tumbling_agg(spark: SparkSession, events_path: str,
                         minutes: int = 60,
                         watermark: str = "2 hours") -> DataFrame:
@@ -31,16 +46,12 @@ def stream_tumbling_agg(spark: SparkSession, events_path: str,
     # (see tables.NANOS_TS_COLS), converted to µs below.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
-    nanos = [f.name for f in static.schema.fields
-             if f.dataType.simpleString() == "bigint" and f.name == "ts"]
     # The file-stream source wants a directory or glob, not a bare
     # file — turn a single-file path into an exact-match glob.
     stream_path = events_path if os.path.isdir(events_path) else events_path + "*"
     stream = (spark.readStream.schema(static.schema)
               .format("parquet").load(stream_path))
-    if nanos:  # events.ts read as long nanos (see tables.NANOS_TS_COLS)
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _with_utc_ts(stream, static.schema)
     agg = (stream
            .withWatermark("ts", watermark)
            .groupBy(F.window("ts", f"{minutes} minutes").alias("w"),
@@ -77,10 +88,7 @@ def stream_session_agg(spark: SparkSession, events_path: str,
                    else events_path + "*")
     stream = (spark.readStream.schema(static.schema)
               .format("parquet").load(stream_path))
-    if dict((f.name, f.dataType.simpleString())
-            for f in static.schema.fields).get("ts") == "bigint":
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _with_utc_ts(stream, static.schema)
     agg = (stream
            .withWatermark("ts", watermark)
            .groupBy(F.session_window("ts", f"{gap_minutes} minutes")
@@ -111,11 +119,7 @@ def _events_stream(spark: SparkSession, events_path: str):
                    else events_path + "*")
     stream = (spark.readStream.schema(static.schema)
               .format("parquet").load(stream_path))
-    if any(f.name == "ts" and f.dataType.simpleString() == "bigint"
-           for f in static.schema.fields):
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
-    return stream
+    return _with_utc_ts(stream, static.schema)
 
 
 def _drain(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
@@ -189,15 +193,11 @@ def stream_sliding_agg(spark: SparkSession, events_path: str,
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
-    nanos = [f.name for f in static.schema.fields
-             if f.dataType.simpleString() == "bigint" and f.name == "ts"]
     stream_path = (events_path if os.path.isdir(events_path)
                    else events_path + "*")
     stream = (spark.readStream.schema(static.schema)
               .format("parquet").load(stream_path))
-    if nanos:
-        stream = stream.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000")))
+    stream = _with_utc_ts(stream, static.schema)
     agg = (stream
            .withWatermark("ts", watermark)
            .groupBy(F.window("ts", f"{width_minutes} minutes",

@@ -25,9 +25,12 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns stored as parquet TIMESTAMP(NANOS) — Spark's reader rejects
-# nanos natively; we read them as long and convert to microsecond
-# timestamps (identical to DuckDB's ns→µs truncation).
+# Columns that MAY be stored as parquet TIMESTAMP(NANOS) — Spark's
+# reader rejects nanos natively; with ``nanosAsLong`` they surface as
+# long and we convert to microsecond timestamps (identical to DuckDB's
+# ns→µs truncation). Newer generator versions write plain µs
+# timestamps, which arrive as TimestampType already — handled
+# adaptively below so both layouts load identically.
 NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -36,10 +39,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(table_path(sf_dir, name))
+    dtypes = dict(df.dtypes)
     for c in nanos_cols:
-        # integer div — a float division would round the µs up at ns
-        # magnitudes (double has 53 mantissa bits, ns epochs need 61)
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        if dtypes.get(c) == "bigint":
+            # integer div — a float division would round the µs up at
+            # ns magnitudes (double has 53 mantissa bits, ns epochs
+            # need 61)
+            df = df.withColumn(
+                c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtypes.get(c) == "timestamp_ntz":
+            # session tz is pinned to UTC (session.py), so this cast is
+            # wall-clock-preserving; keeps one TimestampType everywhere
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
