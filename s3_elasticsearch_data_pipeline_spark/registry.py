@@ -3707,3 +3707,40 @@ def q_embedding_pca_project(spark, sf_dir):
     variance ordering and sign determinism pytest-verified
     (cf. operators/similarity.py:pca_project)."""
     return similarity.pca_project(_t(spark, sf_dir, "embeddings"))
+
+
+@register("stream_static_enrich", """
+SELECT c_mktsegment AS segment, count(*) AS n_events,
+       round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+FROM events JOIN customer ON user_id = c_custkey
+GROUP BY c_mktsegment
+""")
+def q_stream_static_enrich(spark, sf_dir):
+    """Stream-static broadcast enrichment join + per-segment aggregate —
+    the query-time form of the reference's load-time denormalization
+    (every ES doc carries its dim fields,
+    ``data-s3-elastic-transfer.py:154-186``). Stateless join (static
+    side rebroadcast per micro-batch), state bounded by segment
+    cardinality (cf. streaming/windowed.py:stream_static_enrich)."""
+    from s3_elasticsearch_data_pipeline_spark.tables import table_path
+    return stream_windowed.stream_static_enrich(
+        spark, table_path(sf_dir, "events"),
+        _t(spark, sf_dir, "customer"))
+
+
+@register("agg_approx_quantiles", None)  # sketch-specific → rows-only
+def q_agg_approx_quantiles(spark, sf_dir):
+    """Approximate percentiles per group via Spark's built-in
+    Greenwald-Khanna sketch (``percentile_approx``): mergeable
+    fixed-size per-partition state, one narrow shuffle of sketches —
+    the scale path when the exact interpolated percentiles
+    (``agg_percentiles``) would need a full sort. Accuracy vs the
+    exact answer is pytest-bounded (tests/test_approx_ops.py)."""
+    li = _t(spark, sf_dir, "lineitem")
+    acc = 10_000
+    return (li.groupBy("l_returnflag")
+            .agg(*[F.round(F.percentile_approx("l_extendedprice",
+                                               p, acc), 2)
+                   .alias(f"p{int(p * 100)}")
+                   for p in (0.5, 0.9, 0.99)],
+                 F.count(F.lit(1)).alias("n")))

@@ -217,3 +217,32 @@ def stream_sliding_agg(spark: SparkSession, events_path: str,
             .select(F.col("w.start").alias("window_start"),
                     F.col("w.end").alias("window_end"),
                     "event_type", "n", "total_value"))
+
+
+def stream_static_enrich(spark: SparkSession, events_path: str,
+                         dim: DataFrame,
+                         join_expr=None) -> DataFrame:
+    """Stream-static enrichment join: the unbounded event stream joined
+    to a bounded dimension table, then aggregated per dimension
+    attribute.
+
+    This is the serving-layer shape the reference builds by denorm-ing
+    at load time (every ES doc carries its dimension fields,
+    ``data-s3-elastic-transfer.py:154-186``); Spark instead joins at
+    query time. The static side is broadcast — stateless, replayed
+    against every micro-batch — so NO stream state is held for the join
+    itself (unlike stream-stream joins); only the downstream aggregate
+    keeps state, bounded by the dimension's attribute cardinality.
+    At 100 TB/day the same plan holds as long as the dim fits the
+    broadcast budget; a big dim instead pre-buckets both sides.
+    """
+    stream = _events_stream(spark, events_path)
+    if join_expr is None:
+        join_expr = stream["user_id"] == dim["c_custkey"]
+    enriched = stream.join(F.broadcast(dim), join_expr)
+    agg = (enriched
+           .groupBy(F.col("c_mktsegment").alias("segment"))
+           .agg(F.count(F.lit(1)).alias("n_events"),
+                F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                 .cast("double").alias("total_value")))
+    return _drain(agg, "stream_enrich", "complete")

@@ -181,3 +181,27 @@ def test_pca_projection_properties(spark, sf_oracle):
         assert math.isclose(a, r["pc1"], abs_tol=1e-9)
         assert math.isclose(b, r["pc2"], abs_tol=1e-9)
     out.unpersist()
+
+
+def test_approx_quantiles_close_to_exact(spark, sf_oracle):
+    """GK-sketch percentiles must land within 1% relative error of the
+    exact per-group percentile at 10k accuracy."""
+    import pyspark.sql.functions as F
+
+    from s3_elasticsearch_data_pipeline_spark import registry
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    approx = {r["l_returnflag"]: r for r in
+              registry.queries()["agg_approx_quantiles"](
+                  spark, sf_oracle).collect()}
+    li = load_table(spark, sf_oracle, "lineitem")
+    exact = {r["l_returnflag"]: r for r in
+             (li.groupBy("l_returnflag")
+              .agg(*[F.expr(f"percentile(l_extendedprice, {p})")
+                     .alias(f"p{int(p * 100)}")
+                     for p in (0.5, 0.9, 0.99)])).collect()}
+    assert set(approx) == set(exact) and approx
+    for flag, a in approx.items():
+        for c in ("p50", "p90", "p99"):
+            e = exact[flag][c]
+            assert abs(a[c] - e) <= 0.01 * abs(e), (flag, c, a[c], e)
