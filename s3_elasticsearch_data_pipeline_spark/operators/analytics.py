@@ -685,3 +685,57 @@ def outlier_mad(events) -> "DataFrame":
                  F.round(F.first("mad"), 4).alias("mad"),
                  F.count(F.lit(1)).alias("n_rows"),
                  F.count_if(F.col("__is_out")).alias("n_outliers")))
+
+
+def countmin_heavy_hitters(events: DataFrame, key: str = "user_id",
+                           width: int = 64, depth: int = 4,
+                           top_n: int = 20) -> DataFrame:
+    """Count-min-sketch frequency estimates for the heaviest keys,
+    expressed as pure relational algebra.
+
+    The sketch is the classic d×w counter grid: each key increments one
+    bucket per row via independent universal hashes
+    ``((a·x + b) mod p) mod w`` (Carter-Wegman; p = 2^31 − 1). Building
+    it is ONE hash aggregate over (row, bucket) — d·w counters total,
+    mergeable across partitions/days by cell-wise addition, which is
+    the whole point at 100 TB: the sketch is a few KB regardless of key
+    cardinality, and historical sketches sum. The estimate for a key is
+    the MIN over its d buckets (overestimates only — collisions add).
+
+    The arithmetic hash (no engine-specific xxhash) makes the entire
+    computation oracle-checkable in ANSI SQL bit-for-bit. The top-n
+    keys to report are taken exactly (small per-group count) so the
+    output is deterministic; the pytest bound checks est ≥ true count
+    (one-sided CMS guarantee) and the ε·N overestimate bound.
+    """
+    p = 2_147_483_647
+    hashes = [(2 * i + 1, 3 * i + 7) for i in range(depth)]
+    rows = events.select(F.col(key).cast("long").alias("k"))
+
+    def bucket(a: int, b: int):
+        return (((F.lit(a) * F.col("k") + F.lit(b)) % F.lit(p))
+                % F.lit(width))
+
+    # one scan: the d buckets fan out in-place (posexplode), then one
+    # partial+final hash aggregate builds the whole d×w grid
+    sketch = (rows
+              .select(F.posexplode(F.array(*[bucket(a, b)
+                                             for a, b in hashes]))
+                      .alias("row", "bucket"))
+              .groupBy("row", "bucket").agg(F.count(F.lit(1)).alias("c")))
+
+    top = (rows.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+           .orderBy(F.col("true_count").desc(), F.col("k"))
+           .limit(top_n))
+    probes = None
+    for d, (a, b) in enumerate(hashes):
+        pr = top.select(
+            "k", "true_count", F.lit(d).alias("row"),
+            (((F.lit(a) * F.col("k") + F.lit(b)) % F.lit(p))
+             % F.lit(width)).alias("bucket"))
+        probes = pr if probes is None else probes.unionByName(pr)
+    return (probes.join(F.broadcast(sketch), ["row", "bucket"])
+            .groupBy("k", "true_count")
+            .agg(F.min("c").alias("cms_estimate"))
+            .orderBy(F.col("true_count").desc(), F.col("k"))
+            .select(F.col("k").alias(key), "true_count", "cms_estimate"))

@@ -150,3 +150,49 @@ def sample_frames(payloads: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(run, FRAME_SCHEMA)
+
+
+AUDIO_CHUNK_SCHEMA = ("doc_id long, chunk_index int, start_ms double, "
+                      "end_ms double, n_chunk_bytes long, chunk_md5 string")
+
+
+def chunk_audio(payloads: DataFrame, window_ms: float = 1.0,
+                hop_ms: float = 0.5, sample_rate: int = 16_000,
+                bytes_per_sample: int = 2) -> DataFrame:
+    """Sliding-window audio chunking plumbing (the STFT/feature front
+    end of a speech pipeline): each binary payload is treated as PCM at
+    ``sample_rate``×``bytes_per_sample`` and fanned out into
+    overlapping windows of ``window_ms`` every ``hop_ms``.
+
+    Same fan-out shape as ``sample_frames`` (one row → many), same
+    Arrow-batched memory bound; a real decoder replaces the byte-slice
+    with decoded samples without touching schema or partitioning. The
+    digests are deterministic so tests pin exact outputs.
+    """
+    bytes_per_ms = sample_rate * bytes_per_sample / 1000.0
+    win = max(int(window_ms * bytes_per_ms), 1)
+    hop = max(int(hop_ms * bytes_per_ms), 1)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "chunk_index": [], "start_ms": [],
+                   "end_ms": [], "n_chunk_bytes": [], "chunk_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                data = bytes(payload)
+                n_chunks = max((max(len(data) - win, 0) + hop - 1) // hop,
+                               0) + 1
+                for i in range(n_chunks):
+                    off = i * hop
+                    window = data[off:off + win]
+                    if not window:
+                        break
+                    out["doc_id"].append(doc_id)
+                    out["chunk_index"].append(i)
+                    out["start_ms"].append(off / bytes_per_ms)
+                    out["end_ms"].append((off + len(window)) / bytes_per_ms)
+                    out["n_chunk_bytes"].append(len(window))
+                    out["chunk_md5"].append(
+                        hashlib.md5(window).hexdigest())
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, AUDIO_CHUNK_SCHEMA)

@@ -3744,3 +3744,70 @@ def q_agg_approx_quantiles(spark, sf_dir):
                    .alias(f"p{int(p * 100)}")
                    for p in (0.5, 0.9, 0.99)],
                  F.count(F.lit(1)).alias("n")))
+
+
+@register("multimodal_audio_chunks", None)  # binary plumbing → rows-only
+def q_multimodal_audio_chunks(spark, sf_dir):
+    """Sliding-window audio chunking over opaque binary payloads
+    (overlapping windows, window > hop) via Arrow-batched mapInPandas —
+    completes the modality set next to image resize and video frame
+    sampling; decode stubbed, plumbing real
+    (cf. operators/multimodal.py:chunk_audio)."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.chunk_audio(
+        multimodal.attach_payload(docs, media_type="audio/fake"))
+
+
+@register("agg_countmin_heavy_hitters", """
+WITH r AS (SELECT CAST(user_id AS BIGINT) AS k FROM events),
+grid AS (
+  SELECT row, bucket, count(*) AS c FROM (
+    SELECT 0 AS row, ((1*k+7)  % 2147483647) % 64 AS bucket FROM r
+    UNION ALL SELECT 1, ((3*k+10) % 2147483647) % 64 FROM r
+    UNION ALL SELECT 2, ((5*k+13) % 2147483647) % 64 FROM r
+    UNION ALL SELECT 3, ((7*k+16) % 2147483647) % 64 FROM r) g
+  GROUP BY row, bucket),
+top AS (
+  SELECT k, count(*) AS true_count FROM r GROUP BY k
+  ORDER BY true_count DESC, k LIMIT 20),
+probes AS (
+  SELECT k, true_count, 0 AS row, ((1*k+7)  % 2147483647) % 64 AS bucket FROM top
+  UNION ALL SELECT k, true_count, 1, ((3*k+10) % 2147483647) % 64 FROM top
+  UNION ALL SELECT k, true_count, 2, ((5*k+13) % 2147483647) % 64 FROM top
+  UNION ALL SELECT k, true_count, 3, ((7*k+16) % 2147483647) % 64 FROM top)
+SELECT p.k AS user_id, p.true_count, min(g.c) AS cms_estimate
+FROM probes p JOIN grid g ON p.row = g.row AND p.bucket = g.bucket
+GROUP BY p.k, p.true_count
+""")
+def q_agg_countmin_heavy_hitters(spark, sf_dir):
+    """Count-min-sketch heavy hitters as relational algebra: the d×w
+    counter grid is ONE hash aggregate (posexplode fan-out, mergeable
+    cell-wise at 100 TB), estimates are min-over-d probes. Arithmetic
+    Carter-Wegman hashes keep it bit-for-bit oracle-checkable
+    (cf. operators/analytics.py:countmin_heavy_hitters)."""
+    return analytics.countmin_heavy_hitters(_t(spark, sf_dir, "events"))
+
+
+@register("source_orc_roundtrip", """
+SELECT l_returnflag, l_linestatus, count(*) AS n,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS sum_qty
+FROM lineitem GROUP BY l_returnflag, l_linestatus
+""")
+def q_source_orc_roundtrip(spark, sf_dir):
+    """ORC sink+source roundtrip — Spark's second native columnar
+    format, same vectorized-scan/pushdown properties as parquet;
+    proves the engine is storage-format agnostic at the source API
+    (cf. sources/formats.py:write_orc)."""
+    import tempfile
+    from s3_elasticsearch_data_pipeline_spark.sources import formats
+    subset = (_t(spark, sf_dir, "lineitem")
+              .select("l_orderkey", "l_returnflag", "l_linestatus",
+                      "l_quantity"))
+    out = tempfile.mkdtemp(prefix="src_orc_")
+    formats.write_orc(subset, out)
+    back = formats.read_orc(spark, out)
+    return (back.groupBy("l_returnflag", "l_linestatus")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("sum_qty")))

@@ -39,3 +39,16 @@ def write_json(df: DataFrame, path: str, mode: str = "overwrite") -> None:
 def read_json(spark: SparkSession, path: str, schema: StructType) -> DataFrame:
     """JSON-lines scan with explicit schema — no sampling pass."""
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Columnar ORC sink — Spark's second native columnar format;
+    same executor-parallel write path as parquet (S8)."""
+    df.write.mode(mode).format("orc").save(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC scan: self-describing footer schema, vectorized reader,
+    predicate pushdown — the parquet properties the engine relies on,
+    available unchanged (format interchangeability at the source API)."""
+    return spark.read.format("orc").load(path)

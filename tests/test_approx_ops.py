@@ -205,3 +205,57 @@ def test_approx_quantiles_close_to_exact(spark, sf_oracle):
         for c in ("p50", "p90", "p99"):
             e = exact[flag][c]
             assert abs(a[c] - e) <= 0.01 * abs(e), (flag, c, a[c], e)
+
+
+def test_audio_chunking_windows(spark, sf_oracle):
+    """Audio chunk fan-out: per-doc chunk count matches the sliding
+    window formula, offsets advance by the hop, every byte of the
+    payload is covered, and digests are deterministic across runs."""
+    from s3_elasticsearch_data_pipeline_spark.operators.multimodal import (
+        attach_payload, chunk_audio)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents").limit(200)
+    payloads = attach_payload(docs, media_type="audio/fake")
+    sizes = {r["doc_id"]: r["n_bytes"] for r in payloads.collect()}
+    win, hop = 32, 16  # 1 ms / 0.5 ms at 16 kHz × 2 B
+    out = chunk_audio(payloads).collect()
+    by_doc: dict = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert set(by_doc) == set(sizes)
+    for doc_id, rows in by_doc.items():
+        rows.sort(key=lambda r: r["chunk_index"])
+        n = sizes[doc_id]
+        expected = max((max(n - win, 0) + hop - 1) // hop, 0) + 1
+        assert len(rows) == expected, (doc_id, n, len(rows), expected)
+        for i, r in enumerate(rows):
+            assert r["chunk_index"] == i
+            assert r["n_chunk_bytes"] <= win
+        # full coverage: last chunk reaches the end of the payload
+        last = rows[-1]
+        assert round(last["end_ms"] * 32) == n
+    again = {(r["doc_id"], r["chunk_index"]): r["chunk_md5"]
+             for r in chunk_audio(payloads).collect()}
+    for r in out:
+        assert again[(r["doc_id"], r["chunk_index"])] == r["chunk_md5"]
+
+
+def test_countmin_overestimates_within_bound(spark, sf_oracle):
+    """CMS one-sided guarantee: estimate >= true count, and the
+    overestimate stays within the eps*N = (e/width)*N classic bound."""
+    import math
+
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        countmin_heavy_hitters)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, sf_oracle, "events")
+    n = events.count()
+    width = 64
+    out = countmin_heavy_hitters(events, width=width).collect()
+    assert out, "no heavy hitters returned"
+    bound = math.e / width * n
+    for r in out:
+        assert r["cms_estimate"] >= r["true_count"], r
+        assert r["cms_estimate"] - r["true_count"] <= bound, (r, bound)
