@@ -68,6 +68,8 @@ HEADLINE = (
     "timeseries_gapfill",
     "feature_scaling",
     "dq_expectations",
+    "agg_countmin_heavy_hitters",
+    "source_orc_roundtrip",
 )
 
 

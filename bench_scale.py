@@ -65,13 +65,25 @@ def replicate(spark, out_dir: str, n: int) -> None:
 
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     qs = registry.queries()
+    jsc = spark.sparkContext._jsc.sc()
+
+    def cleanup() -> None:
+        # drop localCheckpoint blocks so pinned frames from one query
+        # don't squeeze the next one's memory (same hygiene as bench.py)
+        it = jsc.getPersistentRDDs().valuesIterator()
+        while it.hasNext():
+            it.next().unpersist(False)
+
     out = {}
     for name in SCALE_QUERIES:
+        qs[name](spark, sf_dir).collect()  # untimed warm pass (codegen)
+        cleanup()
         best = float("inf")
         for _ in range(2):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             best = min(best, time.perf_counter() - t0)
+        cleanup()
         out[name] = round(best, 3)
     return out
 
