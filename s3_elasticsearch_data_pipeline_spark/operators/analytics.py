@@ -727,13 +727,12 @@ def countmin_heavy_hitters(events: DataFrame, key: str = "user_id",
     top = (rows.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
            .orderBy(F.col("true_count").desc(), F.col("k"))
            .limit(top_n))
-    probes = None
-    for d, (a, b) in enumerate(hashes):
-        pr = top.select(
-            "k", "true_count", F.lit(d).alias("row"),
-            (((F.lit(a) * F.col("k") + F.lit(b)) % F.lit(p))
-             % F.lit(width)).alias("bucket"))
-        probes = pr if probes is None else probes.unionByName(pr)
+    # probe buckets fan out in-place too — a per-hash union would
+    # re-run the top-n aggregate (and its events scan) d times
+    probes = top.select(
+        "k", "true_count",
+        F.posexplode(F.array(*[bucket(a, b) for a, b in hashes]))
+        .alias("row", "bucket"))
     return (probes.join(F.broadcast(sketch), ["row", "bucket"])
             .groupBy("k", "true_count")
             .agg(F.min("c").alias("cms_estimate"))

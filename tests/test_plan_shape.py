@@ -359,3 +359,25 @@ def test_aqe_splits_skewed_join_partitions(spark):
     finally:
         for k, v in old.items():
             (spark.conf.set(k, v) if v is not None else spark.conf.unset(k))
+
+
+def test_countmin_sketch_is_one_aggregate(spark, sf_oracle):
+    """The CMS grid build must be a single partial+final hash aggregate
+    over the posexplode fan-out — d passes over the data (a union of
+    per-hash scans) or a join-based build would defeat the sketch's
+    one-scan mergeability contract."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        countmin_heavy_hitters)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    events = load_table(spark, sf_oracle, "events")
+    plan = plan_of(countmin_heavy_hitters(events))
+    # two in-place fan-outs (grid build + probe list), never a union of
+    # per-hash branches
+    # "(n) Node" detail headers appear once per node instance
+    assert plan.count(") Generate") == 2, plan
+    assert plan.count("posexplode") >= 2, plan
+    assert "Union" not in plan, "per-hash union re-scans the input"
+    # the events relation is scanned exactly twice: once for the grid,
+    # once for the exact top-n probe list (never d+1 times)
+    assert plan.count(") Scan parquet") == 2, plan
