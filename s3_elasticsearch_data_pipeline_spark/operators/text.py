@@ -557,3 +557,57 @@ def stem_terms(documents: DataFrame) -> DataFrame:
             .groupBy("stem")
             .agg(F.count(F.lit(1)).alias("n_occurrences"),
                  F.count_distinct("term").alias("n_surface_forms")))
+
+
+def dataset_shuffle(documents: DataFrame, n_shards: int = 16) -> DataFrame:
+    """Deterministic global shuffle: assign every document a
+    pseudorandom shard and an ordinal inside it — the corpus
+    randomization step before sequence packing (neighboring crawl/source
+    rows must not land in the same training batch).
+
+    Shard = arithmetic hash of the stable id (reproducible on any
+    engine); position = rank of the md5 order key within the shard. One
+    hash shuffle on shard, per-shard sort — at 100 TB each shard is an
+    independent sortable unit (no global total order, which would
+    funnel through a single range-partition boundary computation), and
+    the layout maps 1:1 onto a sharded training-set write."""
+    p = 2_147_483_647
+    shard = (((F.lit(2_654_435_761) * F.col("doc_id") + F.lit(11))
+              % F.lit(p)) % F.lit(n_shards)).cast("int")
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (documents
+            .select("doc_id", shard.alias("shard"),
+                    order_key.alias("order_key"))
+            .withColumn("pos",
+                        (F.row_number().over(w) - F.lit(1)).cast("long"))
+            .select("doc_id", "shard", "pos"))
+
+
+def dataset_mixture(documents: DataFrame,
+                    weights: dict[str, float] | None = None,
+                    default_weight: float = 0.1) -> DataFrame:
+    """Deterministic weighted source mixture: keep each document with
+    its source's sampling rate, decided by an arithmetic hash of the
+    stable id — the up/down-weighting step that turns curated sources
+    into a training mixture (e.g. wiki 2 epochs, crawl 0.3).
+
+    Pure per-row projection + filter: no shuffle, no RNG state,
+    identical membership on any engine/partitioning, safe to recompute
+    incrementally at 100 TB. Rates are exact in the limit and
+    reproducible row-for-row (unlike ``df.sample``, whose membership
+    depends on partition layout)."""
+    if weights is None:
+        weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+    p = 2_147_483_647
+    u = (((F.lit(48_271) * F.col("doc_id") + F.lit(7)) % F.lit(p))
+         % F.lit(1000)) / F.lit(1000.0)
+    rate = F.lit(default_weight)
+    for src, wt in sorted(weights.items()):
+        rate = F.when(F.col("source") == src, F.lit(wt)).otherwise(rate)
+    return (documents
+            .select("doc_id", "source", u.alias("u"),
+                    rate.alias("sample_rate"))
+            .where(F.col("u") < F.col("sample_rate"))
+            .select("doc_id", "source",
+                    F.round("sample_rate", 3).alias("sample_rate")))

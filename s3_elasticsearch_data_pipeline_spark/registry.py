@@ -3811,3 +3811,42 @@ def q_source_orc_roundtrip(spark, sf_dir):
             .agg(F.count(F.lit(1)).alias("n"),
                  F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2)
                   .cast("double").alias("sum_qty")))
+
+
+@register("dataset_shuffle", """
+WITH s AS (
+  SELECT doc_id,
+         CAST(((2654435761 * doc_id + 11) % 2147483647) % 16 AS INTEGER)
+           AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS order_key
+  FROM documents)
+SELECT doc_id, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+         AS pos
+FROM s
+""")
+def q_dataset_shuffle(spark, sf_dir):
+    """Deterministic global corpus shuffle: arithmetic-hash shard +
+    md5-ordered position within shard — the randomization step before
+    sequence packing; one shuffle, per-shard independent sort, no
+    global total order (cf. operators/text.py:dataset_shuffle)."""
+    return text.dataset_shuffle(_t(spark, sf_dir, "documents"))
+
+
+@register("dataset_mixture", """
+WITH m AS (
+  SELECT doc_id, source,
+         (((48271 * doc_id + 7) % 2147483647) % 1000) / 1000.0 AS u,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 ELSE 0.1 END AS sample_rate
+  FROM documents)
+SELECT doc_id, source,
+       CAST(round(sample_rate, 3) AS DOUBLE) AS sample_rate
+FROM m WHERE u < sample_rate
+""")
+def q_dataset_mixture(spark, sf_dir):
+    """Deterministic weighted source mixture (upsample wiki-ish, heavy
+    downsample crawl-ish): membership decided per-row by an arithmetic
+    id hash — reproducible on any engine/partitioning, unlike
+    df.sample (cf. operators/text.py:dataset_mixture)."""
+    return text.dataset_mixture(_t(spark, sf_dir, "documents"))
