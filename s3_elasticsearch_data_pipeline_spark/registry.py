@@ -3850,3 +3850,43 @@ def q_dataset_mixture(spark, sf_dir):
     id hash — reproducible on any engine/partitioning, unlike
     df.sample (cf. operators/text.py:dataset_mixture)."""
     return text.dataset_mixture(_t(spark, sf_dir, "documents"))
+
+
+_CURATED_SQL = _REGISTRY["corpus_curation_pipeline"][1]
+
+@register("corpus_training_set", f"""
+WITH curated AS ({_CURATED_SQL}),
+train AS (SELECT doc_id, source FROM curated WHERE split = 'train'),
+mixed AS (
+  SELECT doc_id, source,
+         (((48271 * doc_id + 7) % 2147483647) % 1000) / 1000.0 AS u,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 ELSE 0.1 END AS sample_rate
+  FROM train),
+kept AS (SELECT doc_id, source FROM mixed WHERE u < sample_rate),
+sh AS (
+  SELECT doc_id, source,
+         CAST(((2654435761 * doc_id + 11) % 2147483647) % 16 AS INTEGER)
+           AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS order_key
+  FROM kept)
+SELECT doc_id, source, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id) - 1
+         AS pos
+FROM sh
+""")
+def q_corpus_training_set(spark, sf_dir):
+    """The COMPLETE corpus-to-training-set path in one lazy plan:
+    curation (quality filter -> exact dedup -> decontamination ->
+    split) -> train slice -> deterministic weighted source mixture ->
+    deterministic global shuffle (shard + in-shard position). Each
+    stage is the registered operator composed unchanged; the oracle
+    splices their SQL twins. This is the layout a sharded training-set
+    writer consumes directly."""
+    curated = q_corpus_curation_pipeline(spark, sf_dir)
+    train = curated.where(F.col("split") == "train")
+    mixed = text.dataset_mixture(train.select("doc_id", "source"))
+    shuf = text.dataset_shuffle(mixed.select("doc_id"))
+    return (mixed.select("doc_id", "source")
+            .join(shuf, "doc_id")
+            .select("doc_id", "source", "shard", "pos"))
