@@ -120,3 +120,35 @@ def test_python_datasource_generates_reference_schema(spark):
         validate_and_clean)
     cleaned = validate_and_clean(df)
     assert cleaned.where(F.col("id") == "unknown").count() == 0
+
+
+def test_python_datasource_streams_with_offsets(spark):
+    """Streaming face of the custom DataSource: micro-batches advance a
+    monotonic index offset (the reference's search_after resume-token
+    pattern, ID-based-transfer.py:119-151); the drained stream must
+    equal the batch read of the same range, and arrive across multiple
+    micro-batches."""
+    import uuid
+
+    from s3_elasticsearch_data_pipeline_spark.sources.synthetic import (
+        register)
+    register(spark)
+    name = f"synthstream_{uuid.uuid4().hex[:8]}"
+    stream = (spark.readStream.format("reference_synthetic")
+              .option("maxrows", 500).option("rowsperbatch", 200)
+              .option("rowsperpartition", 50).load())
+    q = (stream.writeStream.outputMode("append")
+         .format("memory").queryName(name).start())
+    try:
+        # drains until latestOffset stops advancing (the maxrows cap)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    got = spark.table(name)
+    batch = (spark.read.format("reference_synthetic")
+             .option("rows", 500).load())
+    assert got.count() == 500
+    assert got.exceptAll(batch).count() == 0
+    assert batch.exceptAll(got).count() == 0
+    n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert n_batches >= 2, "offset pagination collapsed to one batch"
