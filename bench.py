@@ -70,6 +70,7 @@ HEADLINE = (
     "dq_expectations",
     "agg_countmin_heavy_hitters",
     "source_orc_roundtrip",
+    "corpus_training_set",
 )
 
 
