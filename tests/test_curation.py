@@ -169,3 +169,49 @@ def test_star_cc_equals_label_propagation(spark, edges):
     b = {(r.doc_id, r.cluster_id)
          for r in dedup.connected_components_star(df).collect()}
     assert a == b
+
+
+def test_dataset_shuffle_positions_are_dense_permutations(spark, sf_oracle):
+    """Within every shard the positions must be exactly 0..n-1 (dense,
+    no gaps/dupes) — the property a sharded training-set writer relies
+    on — and assignment must be reproducible across partitionings."""
+    import pyspark.sql.functions as F
+
+    from s3_elasticsearch_data_pipeline_spark.operators.text import (
+        dataset_shuffle)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    out = dataset_shuffle(docs)
+    stats = (out.groupBy("shard")
+             .agg(F.count(F.lit(1)).alias("n"), F.min("pos").alias("lo"),
+                  F.max("pos").alias("hi"),
+                  F.count_distinct("pos").alias("n_distinct"))
+             .collect())
+    assert stats
+    for r in stats:
+        assert r["lo"] == 0 and r["hi"] == r["n"] - 1
+        assert r["n_distinct"] == r["n"]
+    again = dataset_shuffle(docs.repartition(7))
+    assert out.exceptAll(again).count() == 0
+
+
+def test_dataset_mixture_rates_are_monotone_and_exact_at_bounds(
+        spark, sf_oracle):
+    """Weight 1.0 keeps every document of the source, weight 0.0 keeps
+    none, and a higher weight never keeps fewer documents."""
+    from s3_elasticsearch_data_pipeline_spark.operators.text import (
+        dataset_mixture)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    docs = load_table(spark, sf_oracle, "documents")
+    total_src1 = docs.where("source = 'src1'").count()
+
+    def kept(w: float) -> int:
+        out = dataset_mixture(docs, weights={"src1": w}, default_weight=0.0)
+        return out.where("source = 'src1'").count()
+
+    assert kept(1.0) == total_src1
+    assert kept(0.0) == 0
+    counts = [kept(w) for w in (0.1, 0.3, 0.5, 0.8)]
+    assert counts == sorted(counts), counts
