@@ -190,3 +190,27 @@ def value_functions(events: DataFrame) -> DataFrame:
                     F.nth_value("value", 3).over(w_all).alias("third_value"),
                     F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
                     F.round(F.cume_dist().over(w), 6).alias("cume")))
+
+
+def time_range_average(events: DataFrame,
+                       window_micros: int = 3_600_000_000) -> DataFrame:
+    """Trailing time-RANGE window aggregate: for every event, the count
+    and average value of the same user's events in the preceding hour —
+    a RANGE frame over the (numeric) event time, which a row-count
+    frame cannot express when event spacing is irregular.
+
+    Same scale shape as every other window here: one hash shuffle on
+    the partition key, one sort per partition; the frame is evaluated
+    with a sliding aggregate over the sorted run (no per-row rescan).
+    The sum is decimal-stabilized so the result is identical at any
+    partitioning/order of execution.
+    """
+    t = F.unix_micros(F.col("ts"))
+    w = (Window.partitionBy("user_id").orderBy(t)
+         .rangeBetween(-window_micros, Window.currentRow))
+    n = F.count(F.lit(1)).over(w)
+    s = F.sum(F.col("value").cast("decimal(18,2)")).over(w)
+    return events.select(
+        "event_id", "user_id",
+        n.alias("n_1h"),
+        F.round((s / n).cast("double"), 6).alias("avg_1h"))

@@ -3890,3 +3890,20 @@ def q_corpus_training_set(spark, sf_dir):
     return (mixed.select("doc_id", "source")
             .join(shuf, "doc_id")
             .select("doc_id", "source", "shard", "pos"))
+
+
+@register("w_time_range_average", """
+SELECT event_id, user_id,
+       count(*) OVER w AS n_1h,
+       round(CAST(sum(CAST(value AS DECIMAL(18,2))) OVER w
+                  / count(*) OVER w AS DOUBLE), 6) AS avg_1h
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000
+             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+""")
+def q_w_time_range_average(spark, sf_dir):
+    """Trailing 1-hour RANGE-frame window (count + decimal-stable avg
+    per user) — the time-based frame a rowsBetween cannot express over
+    irregular event spacing (cf. operators/windows.py:
+    time_range_average)."""
+    return windows.time_range_average(_t(spark, sf_dir, "events"))
