@@ -40,8 +40,15 @@ class ReconcileReport:
 def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
               key: str = "month", id_col: str = "id") -> ReconcileReport:
     """Find partitions whose counts disagree, restore exactly the rows
-    whose ids are missing from the sink. Idempotent: a second run finds
-    no mismatches."""
+    whose ids are missing from the sink. Idempotent for missing-row
+    damage: a second run finds no mismatches.
+
+    Reference parity note: like the reference (which only re-uploads
+    missing ids, ``ID-based-transfer.py:241,295-323``), this is
+    add-only — rows present in the SINK but absent from the source are
+    reported as a count mismatch every run but never deleted. Removing
+    them is a deliberate non-goal of the lifecycle; the keyed sink's
+    last-write-wins upsert already prevents duplicates."""
     if not os.path.exists(sink_path):
         raise FileNotFoundError(
             f"serving table {sink_path} does not exist; run incremental_load first")

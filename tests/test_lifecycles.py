@@ -164,3 +164,36 @@ def test_cli_subcommands_cover_reference_scripts(spark, tmp_path, capsys):
 
     assert main(["reconcile", "--source", src, "--sink", sink]) == 0
     capsys.readouterr()
+
+
+def test_incremental_load_empty_source_is_noop(spark, source, tmp_path):
+    """An empty source (or a source whose partitions are all loaded)
+    must no-op cleanly, including on the very first run when the sink
+    does not exist yet."""
+    sink = str(tmp_path / "serving")
+    empty = source.where(F.lit(False))
+    rep = incremental_load(spark, empty, sink)
+    assert rep.partitions_loaded == [] and rep.rows_loaded == 0
+    assert not os.path.exists(sink)  # nothing was written
+
+
+def test_reconcile_is_add_only_for_sink_extra_rows(spark, source, tmp_path):
+    """Reference parity (ID-based-transfer.py:241): reconciliation only
+    re-adds missing ids — rows in the sink that the source never had
+    are reported as a mismatch but NOT deleted."""
+    sink = str(tmp_path / "serving")
+    incremental_load(spark, source, sink)
+    # inject a foreign row into one partition of the sink
+    some_month = source.select("month").distinct().limit(1).collect()[0][0]
+    foreign = spark.createDataFrame(
+        [("ghost-row", some_month, 1.0)], "id string, month string, value double")
+    foreign.write.mode("append").partitionBy("month").parquet(sink)
+    before = spark.read.parquet(sink).count()
+    assert spark.read.parquet(sink).where(
+        F.col("id") == "ghost-row").count() == 1
+    rep = reconcile(spark, source, sink)
+    assert rep.mismatched_partitions == [str(some_month)]
+    assert rep.rows_repaired == 0
+    after = spark.read.parquet(sink)
+    assert after.count() == before
+    assert after.where(F.col("id") == "ghost-row").count() == 1
