@@ -58,14 +58,22 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     length_score = F.least(n_tok / F.lit(100.0), F.lit(1.0))
     stop_score = F.least(n_stop / F.lit(5.0), F.lit(1.0))
-    quality = F.round(
-        0.3 * length_score + 0.3 * diversity
-        + 0.2 * alpha_ratio + 0.2 * stop_score, 6)
+
+    def round6(x):
+        # floor(x*1e6 + 0.5)/1e6 instead of F.round: both engines then
+        # run the SAME IEEE double ops, so a score sitting exactly on a
+        # half-way point (observed at sf0.1) cannot round differently
+        # here vs in the DuckDB oracle (whose round() is float-scaled,
+        # unlike Spark's exact BigDecimal HALF_UP)
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    quality = round6(0.3 * length_score + 0.3 * diversity
+                     + 0.2 * alpha_ratio + 0.2 * stop_score)
     return documents.select(
         "doc_id",
         n_tok.alias("n_tokens"),
-        F.round(diversity, 6).alias("lexical_diversity"),
-        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        round6(diversity).alias("lexical_diversity"),
+        round6(alpha_ratio).alias("alpha_ratio"),
         n_stop.alias("n_stopword_hits"),
         quality.alias("quality_score"))
 

@@ -543,21 +543,21 @@ WITH base AS (
            AS n_stop
   FROM base)
 SELECT doc_id, n_tokens,
-       round(CASE WHEN n_tokens > 0
+       floor((CASE WHEN n_tokens > 0
                   THEN CAST(n_distinct AS DOUBLE) / n_tokens
-                  ELSE 0.0 END, 6) AS lexical_diversity,
-       round(CASE WHEN n_chars > 0
+                  ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS lexical_diversity,
+       floor((CASE WHEN n_chars > 0
                   THEN CAST(n_alpha AS DOUBLE) / n_chars
-                  ELSE 0.0 END, 6) AS alpha_ratio,
+                  ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS alpha_ratio,
        n_stop AS n_stopword_hits,
-       round(0.3 * least(n_tokens / 100.0, 1.0)
+       floor((0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
              + 0.3 * (CASE WHEN n_tokens > 0
                            THEN CAST(n_distinct AS DOUBLE) / n_tokens
                            ELSE 0.0 END)
              + 0.2 * (CASE WHEN n_chars > 0
                            THEN CAST(n_alpha AS DOUBLE) / n_chars
                            ELSE 0.0 END)
-             + 0.2 * least(n_stop / 5.0, 1.0), 6) AS quality_score
+             + 0.2 * least(CAST(n_stop AS DOUBLE) / 5.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
 FROM m
 """)
 def q_text_quality_scores(spark, sf_dir):
@@ -2238,14 +2238,14 @@ m AS (
   FROM base),
 q AS (
   SELECT doc_id, n_tokens,
-         round(0.3 * least(n_tokens / 100.0, 1.0)
+         floor((0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                + 0.3 * (CASE WHEN n_tokens > 0
                              THEN CAST(n_distinct AS DOUBLE) / n_tokens
                              ELSE 0.0 END)
                + 0.2 * (CASE WHEN n_chars > 0
                              THEN CAST(n_alpha AS DOUBLE) / n_chars
                              ELSE 0.0 END)
-               + 0.2 * least(n_stop / 5.0, 1.0), 6) AS quality_score
+               + 0.2 * least(CAST(n_stop AS DOUBLE) / 5.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
   FROM m)
 SELECT d.doc_id, d.lang, d.source, d.n_chars
 FROM documents d JOIN q ON d.doc_id = q.doc_id
@@ -2674,14 +2674,14 @@ m AS (
   FROM base),
 q AS (
   SELECT doc_id, n_tokens,
-         round(0.3 * least(n_tokens / 100.0, 1.0)
+         floor((0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
                + 0.3 * (CASE WHEN n_tokens > 0
                              THEN CAST(n_distinct AS DOUBLE) / n_tokens
                              ELSE 0.0 END)
                + 0.2 * (CASE WHEN n_chars > 0
                              THEN CAST(n_alpha AS DOUBLE) / n_chars
                              ELSE 0.0 END)
-               + 0.2 * least(n_stop / 5.0, 1.0), 6) AS quality_score
+               + 0.2 * least(CAST(n_stop AS DOUBLE) / 5.0, 1.0)) * 1000000.0 + 0.5) / 1000000.0 AS quality_score
   FROM m),
 kept AS (
   SELECT d.doc_id, d.lang, d.source, d.text
@@ -3711,7 +3711,8 @@ def q_embedding_pca_project(spark, sf_dir):
 
 @register("stream_static_enrich", """
 SELECT c_mktsegment AS segment, count(*) AS n_events,
-       round(sum(CAST(value AS DECIMAL(18,2))), 2) AS total_value
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
 FROM events JOIN customer ON user_id = c_custkey
 GROUP BY c_mktsegment
 """)
