@@ -156,10 +156,16 @@ def gapfill_daily(events: DataFrame, ts_col: str = "ts",
              .groupBy(F.col(key_col).alias("key"), day.alias("day"))
              .agg(F.count(F.lit(1)).alias("n_events"),
                   # decimal sum / count, not avg(): exact accumulation →
-                  # result independent of partitioning and merge order
-                  F.round(F.sum(F.col(value_col).cast("decimal(12,2)"))
-                           .cast("double") / F.count(F.lit(1)), 4)
-                   .alias("day_avg")))
+                  # result independent of partitioning and merge order.
+                  # floor(x*1e4+0.5)/1e4, not F.round: the quotient can
+                  # land exactly on a half-way point (e.g. 539.93/8),
+                  # where Spark's BigDecimal HALF_UP and DuckDB's
+                  # float-scaled round() disagree by 1 ulp — this form
+                  # runs the same IEEE ops on both engines
+                  (F.floor((F.sum(F.col(value_col).cast("decimal(12,2)"))
+                            .cast("double") / F.count(F.lit(1)))
+                           * F.lit(10000.0) + F.lit(0.5))
+                   / F.lit(10000.0)).alias("day_avg")))
     span = F.broadcast(events.agg(
         F.min(day).alias("d0"), F.max(day).alias("d1")))
     keys = events.select(F.col(key_col).alias("key")).distinct()

@@ -2944,8 +2944,8 @@ def q_agg_percentiles(spark, sf_dir):
 @register("timeseries_gapfill", """
 WITH daily AS (
   SELECT user_id AS key, CAST(ts AS DATE) AS day, count(*) AS n_events,
-         round(CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
-               / count(*), 4) AS day_avg
+         floor((CAST(sum(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+                / count(*)) * 10000.0 + 0.5) / 10000.0 AS day_avg
   FROM events GROUP BY 1, 2),
 span AS (SELECT min(CAST(ts AS DATE)) AS d0, max(CAST(ts AS DATE)) AS d1
          FROM events),
