@@ -381,3 +381,30 @@ def test_countmin_sketch_is_one_aggregate(spark, sf_oracle):
     # the events relation is scanned exactly twice: once for the grid,
     # once for the exact top-n probe list (never d+1 times)
     assert plan.count(") Scan parquet") == 2, plan
+
+
+def test_dataset_shuffle_has_no_global_sort(spark, sf_oracle):
+    """The corpus shuffle must hash-partition on shard (independent
+    per-shard sorts) — a global ORDER BY (rangepartitioning) would
+    funnel a 100 TB corpus through one range-boundary computation."""
+    from s3_elasticsearch_data_pipeline_spark.operators.text import (
+        dataset_shuffle)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    plan = plan_of(dataset_shuffle(load_table(spark, sf_oracle, "documents")))
+    assert "hashpartitioning(shard" in plan, plan
+    assert "rangepartitioning" not in plan, "global sort leaked in"
+
+
+def test_time_range_window_single_shuffle(spark, sf_oracle):
+    """The RANGE-frame window runs on ONE hash exchange (user_id) —
+    frame evaluation is a sliding pass over each sorted partition, not
+    a per-row rescan or a self-join."""
+    from s3_elasticsearch_data_pipeline_spark.operators.windows import (
+        time_range_average)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+    plan = plan_of(time_range_average(load_table(spark, sf_oracle, "events")))
+    assert plan.count(") Exchange") == 1, plan
+    assert "hashpartitioning(user_id" in plan, plan
+    assert ") Join" not in plan and "CartesianProduct" not in plan
