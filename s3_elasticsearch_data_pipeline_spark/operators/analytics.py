@@ -738,3 +738,54 @@ def countmin_heavy_hitters(events: DataFrame, key: str = "user_id",
             .agg(F.min("c").alias("cms_estimate"))
             .orderBy(F.col("true_count").desc(), F.col("k"))
             .select(F.col("k").alias(key), "true_count", "cms_estimate"))
+
+
+def welch_ttest(events: DataFrame, group_a: str = "purchase",
+                group_b: str = "click",
+                value_col: str = "value") -> DataFrame:
+    """Welch's unequal-variance t-test between two event groups — the
+    A/B experimentation primitive (does `purchase` value differ from
+    `click` value?).
+
+    One partial+final hash aggregate computes n/Σx/Σx² per group with
+    DECIMAL accumulation (order-independent), then the t-statistic and
+    Welch–Satterthwaite degrees of freedom are a scalar projection over
+    the two-row aggregate — nothing but the 6 moments ever leaves the
+    executors, at any data size. Rounding uses floor(x·10⁶+0.5)/10⁶ so
+    the DuckDB oracle (same IEEE ops) matches bit-for-bit.
+    """
+    dec = F.col(value_col).cast("decimal(18,2)")
+    stats = (events
+             .where(F.col("event_type").isin(group_a, group_b))
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("n"),
+                  F.sum(dec).alias("s"),
+                  F.sum(dec * dec).alias("q")))
+
+    def side(tag, alias):
+        f = stats.where(F.col("event_type") == tag)
+        return f.select(F.lit(1).alias("__j"),
+                        F.col("n").alias(f"n_{alias}"),
+                        F.col("s").cast("double").alias(f"s_{alias}"),
+                        F.col("q").cast("double").alias(f"q_{alias}"))
+
+    both = side(group_a, "a").join(side(group_b, "b"), "__j")
+    n1, n2 = F.col("n_a"), F.col("n_b")
+    m1 = F.col("s_a") / n1
+    m2 = F.col("s_b") / n2
+    # unbiased sample variance from the moments
+    v1 = (F.col("q_a") - F.col("s_a") * F.col("s_a") / n1) / (n1 - 1)
+    v2 = (F.col("q_b") - F.col("s_b") * F.col("s_b") / n2) / (n2 - 1)
+    se2 = v1 / n1 + v2 / n2
+    t = (m1 - m2) / F.sqrt(se2)
+    df = (se2 * se2) / ((v1 / n1) * (v1 / n1) / (n1 - 1)
+                        + (v2 / n2) * (v2 / n2) / (n2 - 1))
+
+    def round6(x):
+        return F.floor(x * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+
+    return both.select(
+        F.lit(group_a).alias("group_a"), F.lit(group_b).alias("group_b"),
+        n1.alias("n_a"), n2.alias("n_b"),
+        round6(m1).alias("mean_a"), round6(m2).alias("mean_b"),
+        round6(t).alias("t_stat"), round6(df).alias("welch_df"))

@@ -3908,3 +3908,43 @@ def q_w_time_range_average(spark, sf_dir):
     irregular event spacing (cf. operators/windows.py:
     time_range_average)."""
     return windows.time_range_average(_t(spark, sf_dir, "events"))
+
+
+@register("agg_welch_ttest", """
+WITH stats AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(value AS DECIMAL(18,2))
+                  * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS q
+  FROM events WHERE event_type IN ('purchase', 'click')
+  GROUP BY event_type),
+a AS (SELECT n AS n_a, s AS s_a, q AS q_a FROM stats
+      WHERE event_type = 'purchase'),
+b AS (SELECT n AS n_b, s AS s_b, q AS q_b FROM stats
+      WHERE event_type = 'click'),
+m AS (
+  SELECT n_a, n_b,
+         s_a / n_a AS m1, s_b / n_b AS m2,
+         (q_a - s_a * s_a / n_a) / (n_a - 1) AS v1,
+         (q_b - s_b * s_b / n_b) / (n_b - 1) AS v2
+  FROM a, b),
+f AS (
+  SELECT n_a, n_b, m1, m2, v1, v2,
+         v1 / n_a + v2 / n_b AS se2
+  FROM m)
+SELECT 'purchase' AS group_a, 'click' AS group_b, n_a, n_b,
+       floor(m1 * 1000000.0 + 0.5) / 1000000.0 AS mean_a,
+       floor(m2 * 1000000.0 + 0.5) / 1000000.0 AS mean_b,
+       floor(((m1 - m2) / sqrt(se2)) * 1000000.0 + 0.5) / 1000000.0
+         AS t_stat,
+       floor(((se2 * se2) / ((v1 / n_a) * (v1 / n_a) / (n_a - 1)
+                             + (v2 / n_b) * (v2 / n_b) / (n_b - 1)))
+             * 1000000.0 + 0.5) / 1000000.0 AS welch_df
+FROM f
+""")
+def q_agg_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between the purchase and click
+    value distributions — the A/B experimentation primitive as one
+    moment aggregate + scalar projection; floor-stabilized rounding
+    (cf. operators/analytics.py:welch_ttest)."""
+    return analytics.welch_ttest(_t(spark, sf_dir, "events"))
