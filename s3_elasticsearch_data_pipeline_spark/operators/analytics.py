@@ -789,3 +789,41 @@ def welch_ttest(events: DataFrame, group_a: str = "purchase",
         n1.alias("n_a"), n2.alias("n_b"),
         round6(m1).alias("mean_a"), round6(m2).alias("mean_b"),
         round6(t).alias("t_stat"), round6(df).alias("welch_df"))
+
+
+def chi2_independence(events: DataFrame) -> DataFrame:
+    """Chi-square test of independence between event type and ISO
+    weekday — "does activity mix shift by day?" as one relational plan.
+
+    The contingency table is a single hash aggregate (|types|×7 cells
+    regardless of data size); marginals re-aggregate the CELLS, not the
+    raw data, so the fact table is scanned once. Expected counts
+    e = row·col/N use exact integer products (counts), and each cell's
+    (o−e)²/e contribution is floor-rounded to 6 digits BEFORE the final
+    sum, which then runs in exact DECIMAL — the total is therefore
+    independent of cell summation order, the trap that makes naive
+    float chi-squares engine- and partitioning-dependent.
+    """
+    cells = (events
+             .groupBy(F.col("event_type").alias("r"),
+                      (F.weekday("ts") + 1).alias("c"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("rn"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("cn"))
+    n = cells.agg(F.sum("o").alias("nn"))
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("nn")
+    contrib = ((F.col("o") - e) * (F.col("o") - e)) / e
+    contrib6 = F.floor(contrib * F.lit(1000000.0) + F.lit(0.5)) \
+        / F.lit(1000000.0)
+    scored = (cells.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c")
+              .crossJoin(F.broadcast(n))
+              .select(contrib6.cast("decimal(18,6)").alias("contrib")))
+    return (scored.agg(
+        F.sum("contrib").cast("double").alias("chi2"),
+        F.count(F.lit(1)).alias("n_cells"))
+        .crossJoin(F.broadcast(
+            rt.agg(F.count(F.lit(1)).alias("__r"))
+              .crossJoin(ct.agg(F.count(F.lit(1)).alias("__c")))
+              .select(((F.col("__r") - 1) * (F.col("__c") - 1))
+                      .alias("dof"))))
+        .select("chi2", "dof", "n_cells"))

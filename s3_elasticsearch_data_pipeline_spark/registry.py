@@ -3948,3 +3948,31 @@ def q_agg_welch_ttest(spark, sf_dir):
     moment aggregate + scalar projection; floor-stabilized rounding
     (cf. operators/analytics.py:welch_ttest)."""
     return analytics.welch_ttest(_t(spark, sf_dir, "events"))
+
+
+@register("agg_chi2_independence", """
+WITH cells AS (
+  SELECT event_type AS r, isodow(ts) AS c, count(*) AS o
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT r, sum(o) AS rn FROM cells GROUP BY r),
+ct AS (SELECT c, sum(o) AS cn FROM cells GROUP BY c),
+n AS (SELECT sum(o) AS nn FROM cells),
+scored AS (
+  SELECT CAST(floor(((o - CAST(rn * cn AS DOUBLE) / nn)
+                     * (o - CAST(rn * cn AS DOUBLE) / nn))
+                    / (CAST(rn * cn AS DOUBLE) / nn)
+                    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))
+           AS contrib
+  FROM cells JOIN rt USING (r) JOIN ct USING (c), n),
+dof AS (SELECT (count(DISTINCT r) - 1) * (count(DISTINCT c) - 1) AS dof
+        FROM cells)
+SELECT CAST(sum(contrib) AS DOUBLE) AS chi2, dof.dof, count(*) AS n_cells
+FROM scored, dof GROUP BY dof.dof
+""")
+def q_agg_chi2_independence(spark, sf_dir):
+    """Chi-square independence test (event type × ISO weekday): the
+    contingency table is one aggregate, marginals re-aggregate the
+    cells, per-cell contributions are floor-rounded then summed in
+    exact decimal so the statistic is order- and engine-independent
+    (cf. operators/analytics.py:chi2_independence)."""
+    return analytics.chi2_independence(_t(spark, sf_dir, "events"))
