@@ -31,6 +31,7 @@ SCALE_QUERIES = (
     "dedup_ngram_jaccard", "dedup_minhash_lsh", "text_quality_scores",
     "scd2_user_history", "outlier_zscore", "graph_pagerank_trade",
     "contamination_ngram_overlap", "text_repetition_scores",
+    "corpus_training_set",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),

@@ -580,7 +580,12 @@ def dataset_shuffle(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     funnel through a single range-partition boundary computation), and
     the layout maps 1:1 onto a sharded training-set write."""
     p = 2_147_483_647
-    shard = (((F.lit(2_654_435_761) * F.col("doc_id") + F.lit(11))
+    # reduce the id mod p BEFORE multiplying: (a·x) mod p ≡
+    # ((a mod p)·(x mod p)) mod p, and the direct product overflows
+    # long under ANSI mode once ids pass ~3.5e9 (snowflake-scale ids —
+    # caught by the 5× key-shifted scale smoke)
+    a = 2_654_435_761 % p
+    shard = ((((F.col("doc_id") % F.lit(p)) * F.lit(a) + F.lit(11))
               % F.lit(p)) % F.lit(n_shards)).cast("int")
     order_key = F.md5(F.col("doc_id").cast("string"))
     w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
@@ -608,8 +613,10 @@ def dataset_mixture(documents: DataFrame,
     if weights is None:
         weights = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
     p = 2_147_483_647
-    u = (((F.lit(48_271) * F.col("doc_id") + F.lit(7)) % F.lit(p))
-         % F.lit(1000)) / F.lit(1000.0)
+    # mod-first like dataset_shuffle: identical values for ids < p,
+    # no long overflow for snowflake-scale ids
+    u = ((((F.col("doc_id") % F.lit(p)) * F.lit(48_271) + F.lit(7))
+          % F.lit(p)) % F.lit(1000)) / F.lit(1000.0)
     rate = F.lit(default_weight)
     for src, wt in sorted(weights.items()):
         rate = F.when(F.col("source") == src, F.lit(wt)).otherwise(rate)

@@ -3817,7 +3817,7 @@ def q_source_orc_roundtrip(spark, sf_dir):
 @register("dataset_shuffle", """
 WITH s AS (
   SELECT doc_id,
-         CAST(((2654435761 * doc_id + 11) % 2147483647) % 16 AS INTEGER)
+         CAST((((doc_id % 2147483647) * 506952114 + 11) % 2147483647) % 16 AS INTEGER)
            AS shard,
          md5(CAST(doc_id AS VARCHAR)) AS order_key
   FROM documents)
@@ -3837,7 +3837,7 @@ def q_dataset_shuffle(spark, sf_dir):
 @register("dataset_mixture", """
 WITH m AS (
   SELECT doc_id, source,
-         (((48271 * doc_id + 7) % 2147483647) % 1000) / 1000.0 AS u,
+         ((((doc_id % 2147483647) * 48271 + 7) % 2147483647) % 1000) / 1000.0 AS u,
          CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                      WHEN 'src2' THEN 0.25 ELSE 0.1 END AS sample_rate
   FROM documents)
@@ -3860,14 +3860,14 @@ WITH curated AS ({_CURATED_SQL}),
 train AS (SELECT doc_id, source FROM curated WHERE split = 'train'),
 mixed AS (
   SELECT doc_id, source,
-         (((48271 * doc_id + 7) % 2147483647) % 1000) / 1000.0 AS u,
+         ((((doc_id % 2147483647) * 48271 + 7) % 2147483647) % 1000) / 1000.0 AS u,
          CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
                      WHEN 'src2' THEN 0.25 ELSE 0.1 END AS sample_rate
   FROM train),
 kept AS (SELECT doc_id, source FROM mixed WHERE u < sample_rate),
 sh AS (
   SELECT doc_id, source,
-         CAST(((2654435761 * doc_id + 11) % 2147483647) % 16 AS INTEGER)
+         CAST((((doc_id % 2147483647) * 506952114 + 11) % 2147483647) % 16 AS INTEGER)
            AS shard,
          md5(CAST(doc_id AS VARCHAR)) AS order_key
   FROM kept)
