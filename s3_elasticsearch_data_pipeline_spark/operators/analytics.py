@@ -827,3 +827,153 @@ def chi2_independence(events: DataFrame) -> DataFrame:
               .select(((F.col("__r") - 1) * (F.col("__c") - 1))
                       .alias("dof"))))
         .select("chi2", "dof", "n_cells"))
+
+
+def abc_classification(lineitem: DataFrame) -> DataFrame:
+    """ABC inventory classification: parts ranked by revenue, labelled
+    A/B/C at 80% / 95% cumulative revenue share.
+
+    The heavy scan is ONE hash aggregate (lineitem → per-part revenue,
+    exact decimal); the cumulative window then runs over dimension-
+    sized data (one row per part — thousands, not billions — so the
+    single-partition ordered window is deliberate and cheap). The
+    share divide happens in identical IEEE double ops on both engines;
+    the label compares the floor-rounded share so an engine cannot
+    disagree at a bucket boundary.
+    """
+    revenue = (F.col("l_extendedprice").cast("decimal(12,2)")
+               * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)")))
+    per_part = (lineitem.groupBy("l_partkey")
+                .agg(F.sum(revenue).alias("rev")))
+    w = Window.orderBy(F.col("rev").desc(), F.col("l_partkey"))
+    tot = per_part.agg(F.sum("rev").alias("tot"))
+    share = (F.sum("rev").over(w).cast("double")
+             / F.col("tot").cast("double"))
+    rounded = F.floor(share * 1000000.0 + F.lit(0.5)) / 1000000.0
+    return (per_part.crossJoin(F.broadcast(tot))
+            .select("l_partkey",
+                    F.col("rev").cast("double").alias("revenue"),
+                    rounded.alias("cum_share"))
+            .withColumn("abc_class",
+                        F.when(F.col("cum_share") <= 0.80, F.lit("A"))
+                         .when(F.col("cum_share") <= 0.95, F.lit("B"))
+                         .otherwise(F.lit("C"))))
+
+
+def skyline_pareto(part: DataFrame) -> DataFrame:
+    """Pareto frontier (skyline) of parts: minimize retail price,
+    maximize size; a part survives iff nothing is at-most-as-expensive
+    AND at-least-as-large with strict improvement in one dimension.
+
+    Naive skyline is a quadratic self-join; here the dominance test
+    collapses to a running max over distinct prices: (price, size) is
+    on the frontier iff size is the max at its price AND strictly
+    beats the max size over all strictly cheaper prices. The groupBy
+    shrinks the input to distinct-price cardinality before the ordered
+    window, which is the scale trick — the window never sees raw rows.
+    """
+    per_price = (part.groupBy(F.col("p_retailprice").alias("price"))
+                 .agg(F.max("p_size").alias("mx")))
+    w = (Window.orderBy("price")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    frontier = (per_price
+                .withColumn("prev_mx", F.max("mx").over(w))
+                .where(F.col("prev_mx").isNull()
+                       | (F.col("mx") > F.col("prev_mx"))))
+    return (part.join(F.broadcast(frontier),
+                      (part.p_retailprice == frontier.price)
+                      & (part.p_size == frontier.mx))
+            .select("p_partkey", "p_retailprice", "p_size"))
+
+
+def higher_moments(events: DataFrame) -> DataFrame:
+    """Skewness and excess kurtosis per event type from exact decimal
+    power sums (Σx..Σx⁴) — one hash aggregate, mergeable across
+    partitions, then scalar double math identical on any engine.
+
+    Values carry two decimal digits, so x²/x³/x⁴ stay exact at scales
+    4/6/8 and every partial sum is an integer-scaled decimal: the
+    moment sums are bit-identical regardless of partitioning. The
+    derived g1/g2 use the population (biased) convention.
+    """
+    x = F.col("value").cast("decimal(14,2)")
+    x2 = (x * x).cast("decimal(18,4)")
+    x3 = (x2 * x).cast("decimal(22,6)")
+    x4 = (x2 * x2).cast("decimal(26,8)")
+    agg = (events.groupBy("event_type")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum(x).cast("double").alias("s1"),
+                F.sum(x2).cast("double").alias("s2"),
+                F.sum(x3).cast("double").alias("s3"),
+                F.sum(x4).cast("double").alias("s4")))
+    n = F.col("n").cast("double")
+    m = F.col("s1") / n
+    m2 = F.col("s2") / n - m * m
+    m3 = F.col("s3") / n - 3 * m * F.col("s2") / n + 2 * m * m * m
+    m4 = (F.col("s4") / n - 4 * m * F.col("s3") / n
+          + 6 * m * m * F.col("s2") / n - 3 * m * m * m * m)
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return agg.select(
+        "event_type", "n",
+        stab(m).alias("mean_value"),
+        stab(F.sqrt(m2)).alias("stddev_pop"),
+        stab(m3 / (m2 * F.sqrt(m2))).alias("skewness"),
+        stab(m4 / (m2 * m2) - 3).alias("excess_kurtosis"))
+
+
+def bloom_filter_probe(orders: DataFrame, lineitem: DataFrame,
+                       n_bits: int = 65536, depth: int = 3) -> DataFrame:
+    """A Bloom filter built and probed as relational algebra — the
+    runtime-filter pattern (pre-reduce a big probe side against a
+    compact membership sketch before the real join) made explicit and
+    oracle-checkable.
+
+    Build: hash each build-side key (orders with status 'F') into
+    ``depth`` bit positions via Carter-Wegman hashes, fold into 32-bit
+    words with bit_or — ONE hash aggregate, ≤ n_bits/32 rows, a few KB
+    regardless of build cardinality (and mergeable cell-wise, like any
+    sketch). Probe: each lineitem key fans out its d probe bits
+    in-place, broadcast-joins the word table, and passes iff all d
+    bits are set. The output compares bloom verdicts against the exact
+    semi-join: false positives > 0, false negatives = 0 (the one-sided
+    Bloom guarantee, asserted in pytest).
+    """
+    p = 2_147_483_647
+    hashes = [(2 * i + 3, 5 * i + 11) for i in range(depth)]
+
+    def bit_pos(a: int, b: int, key):
+        return ((F.lit(a) * key + F.lit(b)) % F.lit(p)) % F.lit(n_bits)
+
+    build = orders.where(F.col("o_orderstatus") == "F") \
+        .select(F.col("o_orderkey").alias("k"))
+    bits = F.array(*[bit_pos(a, b, F.col("k")) for a, b in hashes])
+    words = (build
+             .select(F.explode(bits).alias("pos"))
+             .select((F.col("pos") / 32).cast("long").alias("word"),
+                     F.expr("shiftleft(CAST(1 AS BIGINT), "
+                            "CAST(pos % 32 AS INT))").alias("mask"))
+             .groupBy("word")
+             .agg(F.expr("bit_or(mask)").alias("bitmap")))
+
+    probe_keys = lineitem.select(F.col("l_orderkey").alias("k")).distinct()
+    probes = probe_keys.select(
+        "k", F.posexplode(F.array(*[bit_pos(a, b, F.col("k"))
+                                    for a, b in hashes])).alias("i", "pos"))
+    hit = (probes
+           .select("k", (F.col("pos") / 32).cast("long").alias("word"),
+                   F.expr("shiftleft(CAST(1 AS BIGINT), "
+                          "CAST(pos % 32 AS INT))").alias("mask"))
+           .join(F.broadcast(words), "word", "left")
+           .groupBy("k")
+           .agg(F.min(
+               F.when(F.col("bitmap").isNotNull()
+                      & ((F.col("bitmap").bitwiseAND(F.col("mask"))) != 0),
+                      F.lit(1)).otherwise(F.lit(0))).alias("bloom_pass")))
+    truth = (probe_keys.join(build.distinct(),
+                             probe_keys.k == build.k, "left_semi")
+             .select(F.col("k"), F.lit(1).alias("is_member")))
+    return (hit.join(truth, "k", "left")
+            .select("k", "bloom_pass",
+                    F.coalesce("is_member", F.lit(0)).alias("is_member"))
+            .groupBy("bloom_pass", "is_member")
+            .agg(F.count(F.lit(1)).alias("n_keys")))

@@ -224,3 +224,92 @@ def cogroup_asof_pandas(purchases: DataFrame, views: DataFrame) -> DataFrame:
             .applyInPandas(merge,
                            "event_id long, user_id long, purchase_us long, "
                            "view_event_id long, view_value double"))
+
+
+def ohlc_downsample(events: DataFrame) -> DataFrame:
+    """Per-user hourly OHLC (open/high/low/close) resampling — the
+    canonical timeseries downsample.
+
+    Open/close are picked with row_number over (ts, event_id) — a total
+    order, so ties in ts cannot flip the answer — in both sort
+    directions; both windows share the (user, bucket) hash partitioning
+    so the plan pays ONE shuffle and two in-partition sorts, then a
+    hash aggregate collapses each bucket. min/max/count are exact; no
+    float arithmetic happens, so no rounding stabilization is needed.
+    """
+    b = events.select(
+        "user_id", F.date_trunc("hour", "ts").alias("bucket"),
+        "ts", "event_id", "value")
+    wa = Window.partitionBy("user_id", "bucket").orderBy("ts", "event_id")
+    wd = Window.partitionBy("user_id", "bucket").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc())
+    r = (b.withColumn("rn_a", F.row_number().over(wa))
+          .withColumn("rn_d", F.row_number().over(wd)))
+    return (r.groupBy("user_id", "bucket")
+            .agg(F.max(F.when(F.col("rn_a") == 1, F.col("value")))
+                  .alias("open"),
+                 F.max("value").alias("high"),
+                 F.min("value").alias("low"),
+                 F.max(F.when(F.col("rn_d") == 1, F.col("value")))
+                  .alias("close"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+def time_weighted_avg(events: DataFrame) -> DataFrame:
+    """TimescaleDB-style time-weighted average of ``value`` per user:
+    trapezoidal integral between consecutive observations divided by
+    the observed span.
+
+    One partitioned lag window (scales on user_id), integer-microsecond
+    segment widths, and a decimal-stabilized segment sum so the
+    integral is bit-identical under any partitioning. Users with a
+    single observation have no segments and drop out (span 0).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    t = F.unix_micros(F.col("ts"))
+    seg = (events
+           .select("user_id", "ts", "event_id", "value")
+           .withColumn("dt_us", t - F.lag(t).over(w))
+           .withColumn("height",
+                       ((F.col("value") + F.lag("value").over(w)) / 2)
+                       .cast("decimal(18,6)"))
+           .where(F.col("dt_us").isNotNull()))
+    area = (F.col("dt_us").cast("decimal(14,0)") * F.col("height")) \
+        .cast("decimal(38,6)")
+    agg = (seg.groupBy("user_id")
+           .agg(F.sum(area).alias("area"),
+                F.sum("dt_us").alias("span_us"),
+                F.count(F.lit(1)).alias("n_segments")))
+    twa = F.col("area").cast("double") / F.col("span_us").cast("double")
+    return agg.select(
+        "user_id", "n_segments", "span_us",
+        (F.floor(twa * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("twa"))
+
+
+def ewma_smooth(events: DataFrame, alpha: float = 0.25,
+                n_lags: int = 8) -> DataFrame:
+    """Truncated exponentially-weighted moving average per user: the
+    last ``n_lags`` observations folded with weights α·(1−α)^k,
+    renormalized over the lags actually present.
+
+    The infinite-memory EWMA recurrence is inherently sequential; the
+    truncated form is ONE window pass (all lags share a single
+    shuffle+sort on user_id) and an explicit left-to-right summation
+    tree, so the float result is bit-identical across engines and
+    partitionings. α=0.25 keeps every weight an exact binary fraction
+    (3^k / 4^(k+1)), so the literals round-trip exactly.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    lagged = [F.lag("value", k).over(w) for k in range(n_lags)]
+    weights = [alpha * (1 - alpha) ** k for k in range(n_lags)]
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for x, wt in zip(lagged, weights):
+        num = num + F.when(x.isNotNull(), F.lit(wt) * x).otherwise(F.lit(0.0))
+        den = den + F.when(x.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return (events
+            .select("event_id", "user_id", "ts", "value")
+            .withColumn(
+                "ewma",
+                F.floor(num / den * 1000000.0 + F.lit(0.5)) / 1000000.0)
+            .select("event_id", "user_id", "value", "ewma"))

@@ -214,3 +214,71 @@ def time_range_average(events: DataFrame,
         "event_id", "user_id",
         n.alias("n_1h"),
         F.round((s / n).cast("double"), 6).alias("avg_1h"))
+
+
+def activity_islands(events: DataFrame) -> DataFrame:
+    """Gaps-and-islands: per-user runs of consecutive active days.
+
+    Classic row_number difference trick: distinct active days minus
+    their per-user rank is constant within a consecutive run, so one
+    partitioned window + two hash aggregates produce streak lengths —
+    no self-join, no iteration. The window partitions by user, so it
+    scales horizontally; the distinct() pre-reduction shrinks the
+    windowed input to (user × active-day) cardinality first.
+    """
+    days = (events.select("user_id", F.to_date("ts").alias("d"))
+            .distinct())
+    w = Window.partitionBy("user_id").orderBy("d")
+    isl = days.withColumn(
+        "grp",
+        F.datediff("d", F.lit("1970-01-01").cast("date"))
+        - F.row_number().over(w))
+    streaks = (isl.groupBy("user_id", "grp")
+               .agg(F.count(F.lit(1)).alias("len")))
+    return (streaks.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_streaks"),
+                 F.max("len").alias("longest_streak"),
+                 F.sum("len").alias("active_days")))
+
+
+def session_paths(events: DataFrame, gap_minutes: int = 30,
+                  max_steps: int = 5, top_n: int = 25) -> DataFrame:
+    """Top navigation paths: the most frequent ordered event-type
+    sequences (first ``max_steps`` steps) across 30-minute sessions.
+
+    Reuses the sessionize lag-gap trick for session ids, keeps the
+    first ``max_steps`` rows per session via a row_number over the SAME
+    (user, ts) sort — so both windows share one shuffle+sort — then
+    reassembles each session's path with sort_array over collected
+    (step, type) structs (deterministic: the struct sort key is the
+    step number, not executor arrival order). The final path count is
+    a low-cardinality hash aggregate; top_n is an exact ordered limit.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_sec = gap_minutes * 60
+    with_gap = (events
+                .select("event_id", "user_id", "ts", "event_type")
+                .withColumn("prev_ts", F.lag("ts").over(w))
+                .withColumn(
+                    "is_new",
+                    F.when(F.col("prev_ts").isNull(), F.lit(1))
+                     .when(F.unix_timestamp("ts") - F.unix_timestamp("prev_ts")
+                           > gap_sec, F.lit(1))
+                     .otherwise(F.lit(0))))
+    sess = with_gap.withColumn(
+        "session_id",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ws = Window.partitionBy("user_id", "session_id").orderBy("ts", "event_id")
+    steps = (sess.withColumn("step", F.row_number().over(ws))
+             .where(F.col("step") <= max_steps))
+    paths = (steps.groupBy("user_id", "session_id")
+             .agg(F.array_join(
+                 F.transform(
+                     F.sort_array(F.collect_list(
+                         F.struct("step", "event_type"))),
+                     lambda s: s["event_type"]),
+                 ">").alias("path")))
+    return (paths.groupBy("path")
+            .agg(F.count(F.lit(1)).alias("n_sessions"))
+            .orderBy(F.col("n_sessions").desc(), "path")
+            .limit(top_n))

@@ -3976,3 +3976,274 @@ def q_agg_chi2_independence(spark, sf_dir):
     exact decimal so the statistic is order- and engine-independent
     (cf. operators/analytics.py:chi2_independence)."""
     return analytics.chi2_independence(_t(spark, sf_dir, "events"))
+
+
+@register("gaps_islands", """
+WITH days AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+isl AS (
+  SELECT user_id, d,
+         datediff('day', DATE '1970-01-01', d)
+         - row_number() OVER (PARTITION BY user_id ORDER BY d) AS grp
+  FROM days),
+streaks AS (SELECT user_id, grp, count(*) AS len FROM isl GROUP BY 1, 2)
+SELECT user_id, count(*) AS n_streaks, max(len) AS longest_streak,
+       CAST(sum(len) AS BIGINT) AS active_days
+FROM streaks GROUP BY user_id
+""")
+def q_gaps_islands(spark, sf_dir):
+    """Gaps-and-islands: per-user consecutive-active-day streaks via
+    the row_number-difference trick — no self-join, one partitioned
+    window over the (user × day) pre-reduction
+    (cf. operators/windows.py:activity_islands)."""
+    return windows.activity_islands(_t(spark, sf_dir, "events"))
+
+
+@register("session_paths", """
+WITH gapped AS (
+  SELECT event_id, user_id, ts, event_type,
+         CASE WHEN lag(ts) OVER w IS NULL THEN 1
+              WHEN date_diff('second', lag(ts) OVER w, ts) > 1800 THEN 1
+              ELSE 0 END AS is_new
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+sessioned AS (
+  SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM gapped),
+stepped AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, session_id
+                               ORDER BY ts, event_id) AS step
+  FROM sessioned),
+paths AS (
+  SELECT user_id, session_id,
+         string_agg(event_type, '>' ORDER BY step) AS path
+  FROM stepped WHERE step <= 5 GROUP BY 1, 2)
+SELECT path, count(*) AS n_sessions
+FROM paths GROUP BY path
+ORDER BY n_sessions DESC, path
+LIMIT 25
+""")
+def q_session_paths(spark, sf_dir):
+    """Top session navigation paths: ordered event-type sequences
+    (first 5 steps of each 30-min session), counted — the clickstream
+    path-analysis staple; deterministic path assembly via sort_array
+    over (step, type) structs (cf. operators/windows.py:
+    session_paths)."""
+    return windows.session_paths(_t(spark, sf_dir, "events"))
+
+
+@register("abc_classification", """
+WITH pp AS (
+  SELECT l_partkey,
+         sum(CAST(l_extendedprice AS DECIMAL(12,2))
+             * (1 - CAST(l_discount AS DECIMAL(4,2)))) AS rev
+  FROM lineitem GROUP BY l_partkey),
+tot AS (SELECT sum(rev) AS tot FROM pp),
+c AS (
+  SELECT l_partkey, rev,
+         floor(CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey) AS DOUBLE)
+               / CAST(tot AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0 AS share
+  FROM pp, tot)
+SELECT l_partkey, CAST(rev AS DOUBLE) AS revenue, share AS cum_share,
+       CASE WHEN share <= 0.80 THEN 'A'
+            WHEN share <= 0.95 THEN 'B'
+            ELSE 'C' END AS abc_class
+FROM c
+""")
+def q_abc_classification(spark, sf_dir):
+    """ABC (Pareto 80/95) inventory classification of parts by
+    cumulative revenue share — heavy scan is one hash aggregate; the
+    ordered window runs over dimension-sized data only
+    (cf. operators/analytics.py:abc_classification)."""
+    return analytics.abc_classification(_t(spark, sf_dir, "lineitem"))
+
+
+@register("skyline_pareto", """
+SELECT p.p_partkey, p.p_retailprice, p.p_size
+FROM part p
+WHERE NOT EXISTS (
+  SELECT 1 FROM part o
+  WHERE o.p_retailprice <= p.p_retailprice AND o.p_size >= p.p_size
+    AND (o.p_retailprice < p.p_retailprice OR o.p_size > p.p_size))
+""")
+def q_skyline_pareto(spark, sf_dir):
+    """Pareto-frontier (skyline) query — cheapest-vs-largest
+    non-dominated parts. The oracle states dominance as the quadratic
+    NOT EXISTS; the engine computes it with a groupBy pre-reduction +
+    running-max window over distinct prices
+    (cf. operators/analytics.py:skyline_pareto)."""
+    return analytics.skyline_pareto(_t(spark, sf_dir, "part"))
+
+
+@register("agg_higher_moments", """
+WITH raw AS (
+  SELECT event_type, CAST(value AS DECIMAL(14,2)) AS x FROM events),
+pw AS (
+  SELECT event_type, x, CAST(x * x AS DECIMAL(18,4)) AS x2 FROM raw),
+pw2 AS (
+  SELECT event_type, x, x2,
+         CAST(CAST(x2 AS DECIMAL(19,4)) * x AS DECIMAL(22,6)) AS x3,
+         CAST(CAST(x2 AS DECIMAL(19,4)) * x2 AS DECIMAL(26,8)) AS x4
+  FROM pw),
+agg AS (
+  SELECT event_type, count(*) AS n,
+         CAST(sum(x) AS DOUBLE) AS s1, CAST(sum(x2) AS DOUBLE) AS s2,
+         CAST(sum(x3) AS DOUBLE) AS s3, CAST(sum(x4) AS DOUBLE) AS s4
+  FROM pw2 GROUP BY event_type),
+d AS (
+  SELECT event_type, n, CAST(n AS DOUBLE) AS nd,
+         s1 / CAST(n AS DOUBLE) AS m, s2, s3, s4
+  FROM agg),
+mm AS (
+  SELECT event_type, n, m,
+         s2 / nd - m * m AS m2,
+         s3 / nd - 3 * m * s2 / nd + 2 * m * m * m AS m3,
+         s4 / nd - 4 * m * s3 / nd + 6 * m * m * s2 / nd
+           - 3 * m * m * m * m AS m4
+  FROM d)
+SELECT event_type, n,
+       floor(m * 1000000.0 + 0.5) / 1000000.0 AS mean_value,
+       floor(sqrt(m2) * 1000000.0 + 0.5) / 1000000.0 AS stddev_pop,
+       floor(m3 / (m2 * sqrt(m2)) * 1000000.0 + 0.5) / 1000000.0 AS skewness,
+       floor((m4 / (m2 * m2) - 3) * 1000000.0 + 0.5) / 1000000.0
+         AS excess_kurtosis
+FROM mm
+""")
+def q_agg_higher_moments(spark, sf_dir):
+    """Skewness / excess kurtosis per event type from exact decimal
+    power sums — one mergeable hash aggregate, identical scalar double
+    math on both engines (cf. operators/analytics.py:higher_moments)."""
+    return analytics.higher_moments(_t(spark, sf_dir, "events"))
+
+
+@register("sketch_bloom_filter", """
+WITH build AS (SELECT o_orderkey AS k FROM orders WHERE o_orderstatus = 'F'),
+h(a, b) AS (VALUES (3, 11), (5, 16), (7, 21)),
+bits AS (
+  SELECT ((a * k + b) % 2147483647) % 65536 AS pos FROM build, h),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(CAST(1 AS BIGINT) << CAST(pos % 32 AS INT)) AS bitmap
+  FROM bits GROUP BY 1),
+probe AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+pb AS (
+  SELECT k, ((a * k + b) % 2147483647) % 65536 AS pos FROM probe, h),
+pj AS (
+  SELECT pb.k,
+         CASE WHEN w.bitmap IS NOT NULL
+              AND (w.bitmap & (CAST(1 AS BIGINT)
+                               << CAST(pos % 32 AS INT))) <> 0
+              THEN 1 ELSE 0 END AS bit_ok
+  FROM pb LEFT JOIN words w ON pos // 32 = w.word),
+hit AS (SELECT k, min(bit_ok) AS bloom_pass FROM pj GROUP BY k),
+truth AS (
+  SELECT p.k, CASE WHEN EXISTS (SELECT 1 FROM build b WHERE b.k = p.k)
+                   THEN 1 ELSE 0 END AS is_member
+  FROM probe p)
+SELECT bloom_pass, truth.is_member, count(*) AS n_keys
+FROM hit JOIN truth ON hit.k = truth.k
+GROUP BY 1, 2
+""")
+def q_sketch_bloom_filter(spark, sf_dir):
+    """Bloom-filter runtime-join-filter semantics as relational
+    algebra: build a 64Ki-bit / 3-hash filter (32-bit words) over 'F'-status order
+    keys (one bit_or aggregate, KBs regardless of cardinality), probe
+    every distinct lineitem key, and cross-tabulate bloom verdict vs
+    the exact semi-join — false negatives provably zero
+    (cf. operators/analytics.py:bloom_filter_probe)."""
+    return analytics.bloom_filter_probe(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "lineitem"))
+
+
+@register("timeseries_ohlc", """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b)
+SELECT user_id, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM r GROUP BY 1, 2
+""")
+def q_timeseries_ohlc(spark, sf_dir):
+    """Per-user hourly OHLC resampling — open/close picked under a
+    total (ts, event_id) order; both direction windows share one
+    shuffle (cf. operators/temporal.py:ohlc_downsample)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        ohlc_downsample)
+    return ohlc_downsample(_t(spark, sf_dir, "events"))
+
+
+@register("timeseries_twa", """
+WITH l AS (
+  SELECT user_id, ts, event_id, value,
+         lag(epoch_us(ts)) OVER w AS prev_t,
+         lag(value) OVER w AS prev_v,
+         epoch_us(ts) AS t
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+seg AS (
+  SELECT user_id, t - prev_t AS dt_us,
+         CAST((value + prev_v) / 2 AS DECIMAL(18,6)) AS height
+  FROM l WHERE prev_t IS NOT NULL),
+agg AS (
+  SELECT user_id,
+         sum(CAST(CAST(dt_us AS DECIMAL(19,0)) * height AS DECIMAL(38,6)))
+           AS area,
+         CAST(sum(dt_us) AS BIGINT) AS span_us, count(*) AS n_segments
+  FROM seg GROUP BY user_id)
+SELECT user_id, n_segments, span_us,
+       floor(CAST(area AS DOUBLE) / CAST(span_us AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS twa
+FROM agg
+""")
+def q_timeseries_twa(spark, sf_dir):
+    """Time-weighted average per user (trapezoidal integral over
+    integer-microsecond segments, decimal-stabilized) — the
+    irregular-sampling mean the plain avg() gets wrong
+    (cf. operators/temporal.py:time_weighted_avg)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        time_weighted_avg)
+    return time_weighted_avg(_t(spark, sf_dir, "events"))
+
+
+def _ewma_oracle(alpha: float = 0.25, n_lags: int = 8) -> str:
+    """Mirror of temporal.ewma_smooth: identical left-to-right float
+    summation tree with exact-binary weight literals (α=0.25)."""
+    def lag(k):
+        return ("value" if k == 0
+                else f"lag(value, {k}) OVER w")
+    terms, wts = [], []
+    for k in range(n_lags):
+        wt = repr(alpha * (1 - alpha) ** k)
+        terms.append(f"CASE WHEN {lag(k)} IS NOT NULL "
+                     f"THEN {wt} * {lag(k)} ELSE 0.0 END")
+        wts.append(f"CASE WHEN {lag(k)} IS NOT NULL "
+                   f"THEN {wt} ELSE 0.0 END")
+    num = " + ".join(["0.0"] + terms)
+    den = " + ".join(["0.0"] + wts)
+    return f"""
+SELECT event_id, user_id, value,
+       floor(({num}) / ({den}) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("timeseries_ewma", _ewma_oracle())
+def q_timeseries_ewma(spark, sf_dir):
+    """Truncated EWMA smoothing per user (8 taps, α=0.25): the
+    sequential recurrence re-expressed as one shared window pass with
+    an explicit summation tree — bit-identical across engines and
+    partitionings (cf. operators/temporal.py:ewma_smooth)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        ewma_smooth)
+    return ewma_smooth(_t(spark, sf_dir, "events"))

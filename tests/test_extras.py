@@ -152,3 +152,84 @@ def test_python_datasource_streams_with_offsets(spark):
     assert batch.exceptAll(got).count() == 0
     n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
     assert n_batches >= 2, "offset pagination collapsed to one batch"
+
+
+def test_bloom_filter_one_sided_guarantee(spark, sf_smoke):
+    """Bloom membership can overestimate, never underestimate: the
+    (bloom_pass=0, is_member=1) cell must be empty, and every true
+    member must land in the pass bucket."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        bloom_filter_probe)
+    rows = {(r["bloom_pass"], r["is_member"]): r["n_keys"]
+            for r in bloom_filter_probe(
+                load_table(spark, sf_smoke, "orders"),
+                load_table(spark, sf_smoke, "lineitem")).collect()}
+    assert (0, 1) not in rows, "false negatives break the Bloom contract"
+    assert rows.get((1, 1), 0) > 0
+
+
+def test_skyline_frontier_mutually_nondominated(spark, sf_smoke):
+    """No frontier point may dominate another frontier point."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        skyline_pareto)
+    pts = [(r["p_retailprice"], r["p_size"])
+           for r in skyline_pareto(load_table(spark, sf_smoke, "part")).collect()]
+    assert pts
+    for p, s in pts:
+        for q, t in pts:
+            dominated = (q <= p and t >= s and (q < p or t > s))
+            assert not dominated, f"({q},{t}) dominates ({p},{s})"
+
+
+def test_ewma_first_observation_and_bounds(spark, sf_smoke):
+    """For each user's first event the (renormalized) EWMA equals the
+    raw value; every EWMA lies within the running min/max envelope of
+    that user's values (convex-combination property)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        ewma_smooth)
+    ev = load_table(spark, sf_smoke, "events")
+    out = ewma_smooth(ev)
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first = (ev.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") == 1).select("event_id"))
+    bad_first = (out.join(first, "event_id")
+                 .where(F.abs(F.col("ewma") - F.col("value")) > 1e-6).count())
+    assert bad_first == 0
+    env = (ev.withColumn("lo", F.min("value").over(
+               w.rowsBetween(-7, 0)))
+             .withColumn("hi", F.max("value").over(w.rowsBetween(-7, 0)))
+             .select("event_id", "lo", "hi"))
+    bad_env = (out.join(env, "event_id")
+               .where((F.col("ewma") < F.col("lo") - 1e-6)
+                      | (F.col("ewma") > F.col("hi") + 1e-6)).count())
+    assert bad_env == 0
+
+
+def test_twa_constant_signal_is_the_constant(spark):
+    """Time-weighted average of a constant signal is that constant,
+    regardless of irregular spacing."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        time_weighted_avg)
+    rows = [(1, f"2024-01-01 00:{m:02d}:00", i, 7.5)
+            for i, m in enumerate([0, 1, 5, 6, 59])]
+    df = (spark.createDataFrame(rows, "user_id long, ts string, "
+                                "event_id long, value double")
+          .withColumn("ts", F.col("ts").cast("timestamp")))
+    out = time_weighted_avg(df).collect()
+    assert len(out) == 1 and abs(out[0]["twa"] - 7.5) < 1e-9
+    assert out[0]["n_segments"] == 4
+
+
+def test_activity_islands_invariants(spark, sf_smoke):
+    """Longest streak ≤ active days; Σ active_days over users equals
+    the distinct (user, day) cardinality."""
+    from s3_elasticsearch_data_pipeline_spark.operators.windows import (
+        activity_islands)
+    ev = load_table(spark, sf_smoke, "events")
+    isl = activity_islands(ev)
+    assert isl.where(F.col("longest_streak") > F.col("active_days")).count() == 0
+    total = isl.agg(F.sum("active_days")).first()[0]
+    expect = (ev.select("user_id", F.to_date("ts").alias("d"))
+              .distinct().count())
+    assert total == expect
