@@ -977,3 +977,26 @@ def bloom_filter_probe(orders: DataFrame, lineitem: DataFrame,
                     F.coalesce("is_member", F.lit(0)).alias("is_member"))
             .groupBy("bloom_pass", "is_member")
             .agg(F.count(F.lit(1)).alias("n_keys")))
+
+
+def equidepth_histogram(lineitem: DataFrame) -> DataFrame:
+    """Equi-depth (quartile) histogram of extended price: exact
+    interpolated quartile boundaries (one aggregate), broadcast back
+    over the scan for the per-bucket counts — two passes, no global
+    sort, no single-partition ntile.
+    """
+    q = lineitem.agg(
+        F.percentile("l_extendedprice", F.lit(0.25)).alias("q1"),
+        F.percentile("l_extendedprice", F.lit(0.5)).alias("q2"),
+        F.percentile("l_extendedprice", F.lit(0.75)).alias("q3"))
+    x = F.col("l_extendedprice")
+    bucket = (F.when(x <= F.col("q1"), F.lit(1))
+               .when(x <= F.col("q2"), F.lit(2))
+               .when(x <= F.col("q3"), F.lit(3))
+               .otherwise(F.lit(4)))
+    return (lineitem.select("l_extendedprice")
+            .crossJoin(F.broadcast(q))
+            .groupBy(bucket.alias("bucket"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.min(x).alias("lo"),
+                 F.max(x).alias("hi")))

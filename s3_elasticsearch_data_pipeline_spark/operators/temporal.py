@@ -313,3 +313,36 @@ def ewma_smooth(events: DataFrame, alpha: float = 0.25,
                 "ewma",
                 F.floor(num / den * 1000000.0 + F.lit(0.5)) / 1000000.0)
             .select("event_id", "user_id", "value", "ewma"))
+
+
+def cusum_drawdown(events: DataFrame) -> DataFrame:
+    """Per-user CUSUM drift statistics and maximum drawdown of the
+    cumulative deviation path — the change-detection primitive.
+
+    The per-user mean is fixed to a stabilized double (exact decimal
+    sum, one rounded division), each deviation is re-cast to decimal
+    before the running sum, and running max/min are decimal — so every
+    path statistic is exact and order-independent despite being built
+    from a sequential-looking recurrence. One shuffle (user_id);
+    the window and both aggregates share it.
+    """
+    sums = (events.groupBy("user_id")
+            .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+                 F.count(F.lit(1)).alias("n")))
+    mean = (F.floor(F.col("s").cast("double") / F.col("n").cast("double")
+                    * 1000000.0 + F.lit(0.5)) / 1000000.0)
+    base = (events.select("user_id", "ts", "event_id", "value")
+            .join(sums.select("user_id", mean.alias("mean_u")), "user_id"))
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    path = base.withColumn(
+        "cusum",
+        F.sum((F.col("value") - F.col("mean_u")).cast("decimal(18,6)"))
+         .over(w))
+    path = path.withColumn("runmax", F.max("cusum").over(w))
+    return (path.groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.max("cusum").cast("double").alias("max_cusum"),
+                 F.min("cusum").cast("double").alias("min_cusum"),
+                 F.max(F.col("runmax") - F.col("cusum")).cast("double")
+                  .alias("max_drawdown")))

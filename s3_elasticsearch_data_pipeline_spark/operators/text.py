@@ -626,3 +626,28 @@ def dataset_mixture(documents: DataFrame,
             .where(F.col("u") < F.col("sample_rate"))
             .select("doc_id", "source",
                     F.round("sample_rate", 3).alias("sample_rate")))
+
+
+def bpe_pair_counts(documents: DataFrame, top_n: int = 30) -> DataFrame:
+    """One BPE-training merge step: the corpus-wide frequency of every
+    adjacent token pair, ranked — choosing argmax IS the merge rule.
+
+    Adjacency is materialized with arrays_zip of the token array
+    against its own 1-shifted slice — zero shuffles until the final
+    pair count (one hash aggregate over (left, right)); no window, no
+    self-join. The top-n is an exact ordered limit with a full
+    tie-break so the merge choice is deterministic.
+    """
+    d = (documents
+         .withColumn("__toks", tokens(F.col("text")))
+         .where(F.size("__toks") >= 2))
+    left = F.slice(F.col("__toks"), F.lit(1), F.size("__toks") - 1)
+    right = F.slice(F.col("__toks"), F.lit(2), F.size("__toks") - 1)
+    return (d.withColumn("__l", left).withColumn("__r", right)
+            .select(F.explode(F.arrays_zip("__l", "__r")).alias("pr"))
+            .select(F.col("pr.__l").alias("left_tok"),
+                    F.col("pr.__r").alias("right_tok"))
+            .groupBy("left_tok", "right_tok")
+            .agg(F.count(F.lit(1)).alias("n_pairs"))
+            .orderBy(F.col("n_pairs").desc(), "left_tok", "right_tok")
+            .limit(top_n))

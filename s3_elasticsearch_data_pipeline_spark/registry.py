@@ -4247,3 +4247,84 @@ def q_timeseries_ewma(spark, sf_dir):
     from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
         ewma_smooth)
     return ewma_smooth(_t(spark, sf_dir, "events"))
+
+
+@register("text_bpe_merge_step", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_slice(tk, 1, len(tk) - 1)) AS left_tok,
+         unnest(list_slice(tk, 2, len(tk))) AS right_tok
+  FROM toks WHERE len(tk) >= 2)
+SELECT left_tok, right_tok, count(*) AS n_pairs
+FROM pairs GROUP BY 1, 2
+ORDER BY n_pairs DESC, left_tok, right_tok
+LIMIT 30
+""")
+def q_text_bpe_merge_step(spark, sf_dir):
+    """One BPE-training merge step: corpus-wide adjacent token-pair
+    frequencies via arrays_zip of the token array against its own
+    shifted slice — zero shuffles before the pair count
+    (cf. operators/text.py:bpe_pair_counts)."""
+    return text.bpe_pair_counts(_t(spark, sf_dir, "documents"))
+
+
+@register("timeseries_cusum", """
+WITH sums AS (
+  SELECT user_id, sum(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS n
+  FROM events GROUP BY user_id),
+m AS (
+  SELECT user_id,
+         floor(CAST(s AS DOUBLE) / CAST(n AS DOUBLE) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_u
+  FROM sums),
+path AS (
+  SELECT e.user_id, e.ts, e.event_id,
+         sum(CAST(e.value - m.mean_u AS DECIMAL(18,6)))
+           OVER (PARTITION BY e.user_id ORDER BY e.ts, e.event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cusum
+  FROM events e JOIN m ON e.user_id = m.user_id),
+dd AS (
+  SELECT user_id, cusum,
+         max(cusum) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS runmax
+  FROM path)
+SELECT user_id, count(*) AS n_events,
+       CAST(max(cusum) AS DOUBLE) AS max_cusum,
+       CAST(min(cusum) AS DOUBLE) AS min_cusum,
+       CAST(max(runmax - cusum) AS DOUBLE) AS max_drawdown
+FROM dd GROUP BY user_id
+""")
+def q_timeseries_cusum(spark, sf_dir):
+    """Per-user CUSUM drift path + maximum drawdown — change-detection
+    statistics with decimal-exact running sums, one user_id shuffle
+    (cf. operators/temporal.py:cusum_drawdown)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        cusum_drawdown)
+    return cusum_drawdown(_t(spark, sf_dir, "events"))
+
+
+@register("agg_equidepth_histogram", """
+WITH q AS (
+  SELECT quantile_cont(l_extendedprice, 0.25) AS q1,
+         quantile_cont(l_extendedprice, 0.5) AS q2,
+         quantile_cont(l_extendedprice, 0.75) AS q3
+  FROM lineitem)
+SELECT CASE WHEN l_extendedprice <= q1 THEN 1
+            WHEN l_extendedprice <= q2 THEN 2
+            WHEN l_extendedprice <= q3 THEN 3
+            ELSE 4 END AS bucket,
+       count(*) AS n_rows,
+       min(l_extendedprice) AS lo, max(l_extendedprice) AS hi
+FROM lineitem, q
+GROUP BY 1
+""")
+def q_agg_equidepth_histogram(spark, sf_dir):
+    """Equi-depth quartile histogram: exact interpolated boundaries
+    (Spark percentile == quantile_cont), broadcast back over the scan
+    — no global sort / single-partition ntile
+    (cf. operators/analytics.py:equidepth_histogram)."""
+    return analytics.equidepth_histogram(_t(spark, sf_dir, "lineitem"))

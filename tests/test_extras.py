@@ -233,3 +233,30 @@ def test_activity_islands_invariants(spark, sf_smoke):
     expect = (ev.select("user_id", F.to_date("ts").alias("d"))
               .distinct().count())
     assert total == expect
+
+
+def test_cusum_drawdown_invariants(spark, sf_smoke):
+    """Drawdown is non-negative and bounded by the cusum range."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        cusum_drawdown)
+    out = cusum_drawdown(load_table(spark, sf_smoke, "events"))
+    bad = out.where(
+        (F.col("max_drawdown") < -1e-9)
+        | (F.col("max_drawdown")
+           > F.col("max_cusum") - F.col("min_cusum") + 1e-9)).count()
+    assert bad == 0
+
+
+def test_equidepth_buckets_are_balanced(spark, sf_smoke):
+    """Quartile buckets each hold roughly a quarter of the rows (ties
+    at boundaries allowed a wide margin) and partition the total."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        equidepth_histogram)
+    li = load_table(spark, sf_smoke, "lineitem")
+    rows = {r["bucket"]: r["n_rows"]
+            for r in equidepth_histogram(li).collect()}
+    total = li.count()
+    assert sum(rows.values()) == total
+    assert set(rows) == {1, 2, 3, 4}
+    for b, n in rows.items():
+        assert 0.15 * total <= n <= 0.35 * total, (b, n, total)
