@@ -71,6 +71,9 @@ HEADLINE = (
     "agg_countmin_heavy_hitters",
     "source_orc_roundtrip",
     "corpus_training_set",
+    "sketch_bloom_filter",
+    "timeseries_ohlc",
+    "gaps_islands",
 )
 
 

@@ -1000,3 +1000,54 @@ def equidepth_histogram(lineitem: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_rows"),
                  F.min(x).alias("lo"),
                  F.max(x).alias("hi")))
+
+
+def mann_whitney_u(events: DataFrame, group_a: str = "purchase",
+                   group_b: str = "click") -> DataFrame:
+    """Mann–Whitney U rank-sum test (normal approximation, tie
+    correction) between two event types — the nonparametric sibling of
+    welch_ttest.
+
+    Ranks are never assigned per row: the input reduces to per-distinct-
+    value counts first (2-decimal values → bounded cardinality), average
+    ranks come from a running count over that reduced frame, and the
+    rank sum folds in exact 0.5-granular decimals — so the statistic is
+    bit-identical at any partitioning, and the single-partition window
+    only ever sees distinct values, not rows.
+    """
+    two = events.where(F.col("event_type").isin(group_a, group_b))
+    vals = (two.groupBy(F.col("value").alias("v"))
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.count(F.when(F.col("event_type") == group_a, 1))
+                  .alias("ca")))
+    w = (Window.orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    ranked = vals.withColumn("cum", F.sum("c").over(w))
+    # avg rank of a tie block ending at cum with size c: cum − c + (c+1)/2
+    avg_rank = (F.col("cum") - F.col("c")
+                + (F.col("c") + 1).cast("decimal(18,1)") / 2)
+    agg = ranked.agg(
+        F.sum(F.col("ca").cast("decimal(18,1)")
+              * avg_rank.cast("decimal(18,1)")).alias("rank_sum_a"),
+        F.sum("ca").alias("n_a"),
+        F.sum(F.col("c") - F.col("ca")).alias("n_b"),
+        # cube in decimal — a long cube overflows once a tie block
+        # passes ~2 M rows, exactly the 100 TB regime
+        F.sum(F.col("c").cast("decimal(12,0)")
+              * F.col("c").cast("decimal(12,0)")
+              * F.col("c").cast("decimal(12,0)")
+              - F.col("c").cast("decimal(12,0)")).alias("ties"))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    n = n_a + n_b
+    u = (F.col("rank_sum_a").cast("double")
+         - n_a * (n_a + 1) / 2)
+    mu = n_a * n_b / 2
+    var = (n_a * n_b / 12
+           * ((n + 1) - F.col("ties").cast("double") / (n * (n - 1))))
+    z = (u - mu) / F.sqrt(var)
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return agg.select(
+        F.col("n_a"), F.col("n_b"),
+        F.col("rank_sum_a").cast("double").alias("rank_sum_a"),
+        u.alias("u_stat"), stab(z).alias("z_score"))

@@ -282,3 +282,17 @@ def session_paths(events: DataFrame, gap_minutes: int = 30,
             .agg(F.count(F.lit(1)).alias("n_sessions"))
             .orderBy(F.col("n_sessions").desc(), "path")
             .limit(top_n))
+
+
+def distribution_ranks(events: DataFrame) -> DataFrame:
+    """percent_rank + cume_dist per event type over a total
+    (value, event_id) order — the distribution-position window family
+    complementing rank/dense_rank/ntile. Partitioned by event_type →
+    shuffle-parallel; the total order removes peer groups so both
+    functions are engine-independent."""
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return (events
+            .select("event_id", "event_type", "value",
+                    stab(F.percent_rank().over(w)).alias("pct_rank"),
+                    stab(F.cume_dist().over(w)).alias("cume_dist")))

@@ -4328,3 +4328,149 @@ def q_agg_equidepth_histogram(spark, sf_dir):
     — no global sort / single-partition ntile
     (cf. operators/analytics.py:equidepth_histogram)."""
     return analytics.equidepth_histogram(_t(spark, sf_dir, "lineitem"))
+
+
+@register("source_schema_evolution", """
+SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END AS o_orderstatus,
+       count(*) AS n_orders,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE)
+         AS total
+FROM orders GROUP BY 1
+""")
+def q_source_schema_evolution(spark, sf_dir):
+    """Schema-drift read: two parquet batches written with different
+    column sets (the later batch adds o_orderstatus) unified by
+    mergeSchema — missing columns surface as nulls, exactly how a
+    100 TB lake absorbs schema evolution without rewriting history.
+    The oracle states the same semantics directly over orders."""
+    import tempfile
+    orders = _t(spark, sf_dir, "orders")
+    out = tempfile.mkdtemp(prefix="src_evo_")
+    (orders.where(F.col("o_orderkey") % 2 == 0)
+     .select("o_orderkey", "o_totalprice")
+     .write.mode("overwrite").parquet(f"{out}/b1"))
+    (orders.where(F.col("o_orderkey") % 2 == 1)
+     .select("o_orderkey", "o_orderstatus", "o_totalprice")
+     .write.mode("overwrite").parquet(f"{out}/b2"))
+    back = (spark.read.option("mergeSchema", "true")
+            .parquet(f"{out}/b1", f"{out}/b2"))
+    return (back.groupBy("o_orderstatus")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), 2)
+                  .cast("double").alias("total")))
+
+
+@register("json_malformed_handling", """
+WITH lines AS (
+  SELECT o_orderkey AS k0,
+         '{"k": ' || CAST(o_orderkey AS VARCHAR) || ', "p": ' ||
+         CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR) || '}' AS line0
+  FROM orders),
+c AS (
+  SELECT CASE WHEN k0 % 97 = 0 THEN substring(line0, 1, length(line0) - 1)
+              ELSE line0 END AS line
+  FROM lines),
+p AS (
+  SELECT CASE WHEN json_valid(line)
+              THEN CAST(json_extract(line, '$.k') AS BIGINT) END AS k,
+         CASE WHEN json_valid(line)
+              THEN CAST(json_extract(line, '$.p') AS DOUBLE) END AS p
+  FROM c)
+SELECT count(*) AS n_lines, count(k) AS n_parsed,
+       count(*) - count(k) AS n_corrupt,
+       CAST(round(sum(CAST(p AS DECIMAL(18,2))), 2) AS DOUBLE) AS total_p
+FROM p
+""")
+def q_json_malformed_handling(spark, sf_dir):
+    """Malformed-record tolerance on an NDJSON wire format (the
+    reference ships NDJSON to its sink, data-s3-elastic-transfer.py:
+    192-196): deterministically corrupt every 97th line, parse with
+    from_json (malformed → null), account both populations. The parse
+    never aborts the job — the corrupt tail is quarantined, counted,
+    and auditable."""
+    orders = _t(spark, sf_dir, "orders")
+    line0 = F.concat(
+        F.lit('{"k": '), F.col("o_orderkey").cast("string"),
+        F.lit(', "p": '),
+        F.col("o_totalprice").cast("decimal(12,2)").cast("string"),
+        F.lit("}"))
+    line = F.when(F.col("k0") % 97 == 0,
+                  F.expr("substring(line0, 1, length(line0) - 1)")
+                  ).otherwise(F.col("line0"))
+    parsed = (orders.select(F.col("o_orderkey").alias("k0"),
+                            line0.alias("line0"))
+              .select(line.alias("line"))
+              .select(F.from_json("line", "k long, p double").alias("j"))
+              .select(F.col("j.k").alias("k"), F.col("j.p").alias("p")))
+    return parsed.agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.count("k").alias("n_parsed"),
+        (F.count(F.lit(1)) - F.count("k")).alias("n_corrupt"),
+        F.round(F.sum(F.col("p").cast("decimal(18,2)")), 2)
+         .cast("double").alias("total_p"))
+
+
+@register("w_distribution_ranks", """
+SELECT event_id, event_type, value,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0
+         AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0
+         AS cume_dist
+FROM events
+WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+""")
+def q_w_distribution_ranks(spark, sf_dir):
+    """percent_rank / cume_dist distribution positions per event type
+    under a total order (cf. operators/windows.py:
+    distribution_ranks)."""
+    return windows.distribution_ranks(_t(spark, sf_dir, "events"))
+
+
+@register("agg_mann_whitney", """
+WITH two AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('purchase', 'click')),
+vals AS (
+  SELECT value AS v, count(*) AS c,
+         count(*) FILTER (WHERE event_type = 'purchase') AS ca
+  FROM two GROUP BY value),
+ranked AS (
+  SELECT v, c, ca,
+         sum(c) OVER (ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM vals),
+ar AS (
+  SELECT ca, c,
+         CAST(cum - c + CAST(c + 1 AS DECIMAL(18,1)) / 2 AS DECIMAL(18,1))
+           AS avg_rank
+  FROM ranked),
+agg AS (
+  SELECT sum(CAST(ca AS DECIMAL(18,1)) * avg_rank) AS rank_sum_a,
+         CAST(sum(ca) AS BIGINT) AS n_a,
+         CAST(sum(c - ca) AS BIGINT) AS n_b,
+         sum(CAST(c AS DECIMAL(12,0)) * CAST(c AS DECIMAL(12,0))
+             * CAST(c AS DECIMAL(12,0)) - CAST(c AS DECIMAL(12,0))) AS ties
+  FROM ar)
+SELECT n_a, n_b,
+       CAST(rank_sum_a AS DOUBLE) AS rank_sum_a,
+       CAST(rank_sum_a AS DOUBLE)
+         - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2 AS u_stat,
+       floor((CAST(rank_sum_a AS DOUBLE)
+              - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1) / 2
+              - CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2)
+             / sqrt(CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12
+                    * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+                       - CAST(ties AS DOUBLE)
+                         / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)
+                               - 1))))
+             * 1000000.0 + 0.5) / 1000000.0 AS z_score
+FROM agg
+""")
+def q_agg_mann_whitney(spark, sf_dir):
+    """Mann–Whitney U rank-sum test (tie-corrected normal approx)
+    between purchase and click values — rank assignment reduced to
+    per-distinct-value counts, exact decimal rank sums
+    (cf. operators/analytics.py:mann_whitney_u)."""
+    return analytics.mann_whitney_u(_t(spark, sf_dir, "events"))

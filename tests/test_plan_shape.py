@@ -408,3 +408,41 @@ def test_time_range_window_single_shuffle(spark, sf_oracle):
     assert plan.count(") Exchange") == 1, plan
     assert "hashpartitioning(user_id" in plan, plan
     assert ") Join" not in plan and "CartesianProduct" not in plan
+
+
+def test_bloom_filter_broadcasts_word_table(spark, sf_oracle):
+    """The Bloom word table (≤2 Ki rows) must broadcast to the probe
+    side — never shuffle the distinct-key probe for it."""
+    df = registry.queries()["sketch_bloom_filter"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "BroadcastHashJoin" in plan, plan[:1200]
+
+
+def test_ohlc_windows_share_one_exchange(spark, sf_oracle):
+    """Both row_number directions partition by (user, bucket): the plan
+    must hash-exchange the events once, not once per direction."""
+    df = registry.queries()["timeseries_ohlc"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id") <= 1, plan[:1500]
+
+
+def test_session_paths_single_user_shuffle(spark, sf_oracle):
+    """Gap-window, session window, and step filter all partition by
+    user_id (or its superset) — one user_id exchange feeds them all;
+    the only later exchange is the tiny path-count aggregate."""
+    df = registry.queries()["session_paths"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert plan.count("hashpartitioning(user_id#") <= 1, plan[:1500]
+
+
+def test_skyline_window_input_is_reduced(spark, sf_oracle):
+    """The deliberate single-partition running-max window must consume
+    the price-level aggregate, not raw part rows: a HashAggregate has
+    to sit below the Window node in the plan."""
+    df = registry.queries()["skyline_pareto"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "Window" in plan and "HashAggregate" in plan
+    # the Window's input must be the aggregated (price, mx) frame —
+    # never raw part columns like p_partkey
+    win_section = plan.split(") Window")[1].split("\n\n")[0]
+    assert "mx#" in win_section and "p_partkey" not in win_section, win_section
