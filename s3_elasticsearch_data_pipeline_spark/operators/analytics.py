@@ -1051,3 +1051,71 @@ def mann_whitney_u(events: DataFrame, group_a: str = "purchase",
         F.col("n_a"), F.col("n_b"),
         F.col("rank_sum_a").cast("double").alias("rank_sum_a"),
         u.alias("u_stat"), stab(z).alias("z_score"))
+
+
+def keyset_page(orders: DataFrame, page_size: int = 100,
+                page: int = 3) -> DataFrame:
+    """Keyset (cursor) pagination as relational algebra — the engine
+    form of the reference's ES ``search_after`` scan
+    (``ID-based-transfer.py:111-157``): page N is fetched by a cursor
+    PREDICATE on the total order (o_totalprice DESC, o_orderkey), not
+    by OFFSET.
+
+    The cursor row (last row of page N−1) is itself computed
+    relationally — top-(N−1)·size, then the order-extreme of that tiny
+    frame — and broadcast into the filter, so the page query is a
+    pruned top-k: no OFFSET scan that re-reads an ever-growing prefix,
+    which is the whole point of keyset pagination at scale.
+    """
+    skip = (page - 1) * page_size
+    base = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    cursor = (base
+              .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+              .limit(skip)
+              .orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").desc())
+              .limit(1)
+              .select(F.col("o_totalprice").alias("cur_price"),
+                      F.col("o_orderkey").alias("cur_key")))
+    after_cursor = ((F.col("o_totalprice") < F.col("cur_price"))
+                    | ((F.col("o_totalprice") == F.col("cur_price"))
+                       & (F.col("o_orderkey") > F.col("cur_key"))))
+    return (base.crossJoin(F.broadcast(cursor))
+            .where(after_cursor)
+            .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+            .limit(page_size)
+            .select("o_orderkey", "o_custkey", "o_totalprice"))
+
+
+def seasonal_anomalies(events: DataFrame,
+                       z_threshold: float = 3.0) -> DataFrame:
+    """Seasonal-baseline anomaly counts: each (ISO weekday × hour)
+    cell gets a mean/variance baseline from exact decimal moments;
+    events deviating more than z·σ from their cell's baseline are
+    anomalies. The baseline is 168 rows (broadcast back); the flag
+    compares squared deviation against z²·σ² — same IEEE ops on any
+    engine, no sqrt at the row level.
+    """
+    cell = [(F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hour")]
+    x = F.col("value").cast("decimal(18,2)")
+    base = (events.groupBy(*cell)
+            .agg(F.count(F.lit(1)).alias("n"),
+                 F.sum(x).cast("double").alias("s"),
+                 F.sum((x * x).cast("decimal(38,4)")).cast("double")
+                  .alias("q")))
+    nd = F.col("n").cast("double")
+    mean = F.col("s") / nd
+    var = F.col("q") / nd - mean * mean
+    base = base.select("dow", "hour", "n", mean.alias("mean_v"),
+                       var.alias("var_v"))
+    dev = F.col("value") - F.col("mean_v")
+    is_anom = (dev * dev) > (F.lit(z_threshold * z_threshold)
+                             * F.col("var_v"))
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return (events
+            .select(*cell, "value")
+            .join(F.broadcast(base), ["dow", "hour"])
+            .groupBy("dow", "hour")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
+                 stab(F.max("mean_v")).alias("mean_v"),
+                 stab(F.max("var_v")).alias("var_v")))

@@ -4474,3 +4474,52 @@ def q_agg_mann_whitney(spark, sf_dir):
     per-distinct-value counts, exact decimal rank sums
     (cf. operators/analytics.py:mann_whitney_u)."""
     return analytics.mann_whitney_u(_t(spark, sf_dir, "events"))
+
+
+@register("keyset_pagination", """
+SELECT o_orderkey, o_custkey, o_totalprice
+FROM orders
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 100 OFFSET 200
+""")
+def q_keyset_pagination(spark, sf_dir):
+    """Keyset (cursor) pagination — the reference's ES search_after
+    scan (ID-based-transfer.py:111-157) as a cursor PREDICATE on the
+    total order instead of an OFFSET re-scan; the oracle states the
+    OFFSET form, the engine computes the cursor relationally and
+    prunes (cf. operators/analytics.py:keyset_page)."""
+    return analytics.keyset_page(_t(spark, sf_dir, "orders"))
+
+
+@register("anomaly_seasonal_baseline", """
+WITH base AS (
+  SELECT isodow(ts) AS dow, extract(hour FROM ts) AS hour,
+         count(*) AS n,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS s,
+         CAST(sum(CAST(CAST(value AS DECIMAL(18,2))
+                       * CAST(value AS DECIMAL(18,2)) AS DECIMAL(38,4)))
+              AS DOUBLE) AS q
+  FROM events GROUP BY 1, 2),
+b AS (
+  SELECT dow, hour,
+         s / CAST(n AS DOUBLE) AS mean_v,
+         q / CAST(n AS DOUBLE)
+           - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE)) AS var_v
+  FROM base),
+j AS (
+  SELECT b.dow, b.hour, e.value, b.mean_v, b.var_v
+  FROM events e
+  JOIN b ON isodow(e.ts) = b.dow AND extract(hour FROM e.ts) = b.hour)
+SELECT dow, hour, count(*) AS n_events,
+       sum(CASE WHEN (value - mean_v) * (value - mean_v)
+                     > 9.0 * var_v THEN 1 ELSE 0 END) AS n_anomalies,
+       floor(max(mean_v) * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
+       floor(max(var_v) * 1000000.0 + 0.5) / 1000000.0 AS var_v
+FROM j GROUP BY dow, hour
+""")
+def q_anomaly_seasonal_baseline(spark, sf_dir):
+    """Seasonal-baseline anomaly detection: (weekday × hour) cells get
+    decimal-exact mean/variance baselines (168 rows, broadcast back);
+    events beyond 3σ of their cell are counted as anomalies
+    (cf. operators/analytics.py:seasonal_anomalies)."""
+    return analytics.seasonal_anomalies(_t(spark, sf_dir, "events"))
