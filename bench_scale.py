@@ -32,6 +32,8 @@ SCALE_QUERIES = (
     "scd2_user_history", "outlier_zscore", "graph_pagerank_trade",
     "contamination_ngram_overlap", "text_repetition_scores",
     "corpus_training_set",
+    "timeseries_ohlc", "timeseries_cusum", "text_bpe_merge_step",
+    "sketch_bloom_filter", "gaps_islands", "session_paths",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),

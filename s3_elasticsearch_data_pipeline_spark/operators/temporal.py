@@ -346,3 +346,41 @@ def cusum_drawdown(events: DataFrame) -> DataFrame:
                  F.min("cusum").cast("double").alias("min_cusum"),
                  F.max(F.col("runmax") - F.col("cusum")).cast("double")
                   .alias("max_drawdown")))
+
+
+def interval_join_grid(events: DataFrame,
+                       window_sec: int = 3600) -> DataFrame:
+    """Big-big interval join via time-grid bucketing: each purchase
+    matches the same user's views in the trailing hour.
+
+    A range predicate alone forces a broadcast nested-loop or a range
+    cross-join; bucketizing both sides onto a window-sized grid turns
+    it into an EQUI-join on (user, bucket) — the probe side fans out to
+    the (at most) two buckets its window overlaps, the join shuffles
+    on the composite key like any other equi-join, and the exact
+    interval predicate filters the candidates. Both sides scale: no
+    broadcast, no quadratic pairing beyond genuine bucket co-residents.
+    """
+    t = F.unix_timestamp("ts")
+    purchases = (events.where(F.col("event_type") == "purchase")
+                 .select(F.col("user_id"),
+                         F.col("event_id").alias("purchase_id"),
+                         t.alias("p_sec")))
+    views = (events.where(F.col("event_type") == "view")
+             .select(F.col("user_id"),
+                     F.col("event_id").alias("view_id"),
+                     t.alias("v_sec")))
+    probe = purchases.select(
+        "user_id", "purchase_id", "p_sec",
+        F.explode(F.array_distinct(F.array(
+            F.floor((F.col("p_sec") - window_sec) / window_sec),
+            F.floor(F.col("p_sec") / window_sec)))).alias("bucket"))
+    build = views.withColumn(
+        "bucket", F.floor(F.col("v_sec") / window_sec))
+    pairs = (probe.join(build, ["user_id", "bucket"])
+             .where((F.col("v_sec") >= F.col("p_sec") - window_sec)
+                    & (F.col("v_sec") < F.col("p_sec"))))
+    return (pairs.groupBy("user_id")
+            .agg(F.countDistinct("purchase_id").alias("n_purchases"),
+                 F.count(F.lit(1)).alias("n_pairs"),
+                 F.min("view_id").alias("first_view_id")))

@@ -4523,3 +4523,28 @@ def q_anomaly_seasonal_baseline(spark, sf_dir):
     events beyond 3σ of their cell are counted as anomalies
     (cf. operators/analytics.py:seasonal_anomalies)."""
     return analytics.seasonal_anomalies(_t(spark, sf_dir, "events"))
+
+
+@register("interval_join_grid", """
+WITH p AS (
+  SELECT user_id, event_id AS purchase_id, epoch(ts) AS p_sec
+  FROM events WHERE event_type = 'purchase'),
+v AS (
+  SELECT user_id, event_id AS view_id, epoch(ts) AS v_sec
+  FROM events WHERE event_type = 'view'),
+pairs AS (
+  SELECT p.user_id, p.purchase_id, v.view_id
+  FROM p JOIN v ON p.user_id = v.user_id
+   AND v.v_sec >= p.p_sec - 3600 AND v.v_sec < p.p_sec)
+SELECT user_id, count(DISTINCT purchase_id) AS n_purchases,
+       count(*) AS n_pairs, min(view_id) AS first_view_id
+FROM pairs GROUP BY user_id
+""")
+def q_interval_join_grid(spark, sf_dir):
+    """Big-big interval join via time-grid bucketing (equi-join on
+    (user, bucket) + exact predicate) — the scale path where neither
+    side broadcasts; the oracle states the plain range join
+    (cf. operators/temporal.py:interval_join_grid)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        interval_join_grid)
+    return interval_join_grid(_t(spark, sf_dir, "events"))

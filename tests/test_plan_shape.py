@@ -446,3 +446,14 @@ def test_skyline_window_input_is_reduced(spark, sf_oracle):
     # never raw part columns like p_partkey
     win_section = plan.split(") Window")[1].split("\n\n")[0]
     assert "mx#" in win_section and "p_partkey" not in win_section, win_section
+
+
+def test_interval_grid_join_is_equi_not_nested_loop(spark, sf_oracle):
+    """The bucketized interval join must plan as a shuffled equi-join
+    on (user, bucket) — never the BroadcastNestedLoopJoin a bare range
+    predicate would force."""
+    df = registry.queries()["interval_join_grid"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
+    assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+            or "BroadcastHashJoin" in plan), plan[:1500]
