@@ -651,3 +651,39 @@ def bpe_pair_counts(documents: DataFrame, top_n: int = 30) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_pairs"))
             .orderBy(F.col("n_pairs").desc(), "left_tok", "right_tok")
             .limit(top_n))
+
+
+def bigram_logprob_scores(documents: DataFrame) -> DataFrame:
+    """Bigram language-model quality proxy: average negative
+    log-probability of each document's adjacent token pairs under the
+    corpus's own MLE bigram distribution p(r|l) = c(l,r) / c(l·) —
+    the context-aware step up from unigram_logprob_scores that CCNet-
+    style pipelines take before paying for a real KenLM.
+
+    Same numeric discipline as the unigram scorer (ln rounded to 9dp,
+    decimal accumulation → order-independent per-doc means). The pair
+    stream comes from the shifted-slice zip (no window, no shuffle
+    before the counts); the probability table joins back on the
+    bigram key as a plain hash join — both sides scale.
+    """
+    d = (documents
+         .withColumn("__toks", tokens(F.col("text")))
+         .where(F.size("__toks") >= 2))
+    left = F.slice(F.col("__toks"), F.lit(1), F.size("__toks") - 1)
+    right = F.slice(F.col("__toks"), F.lit(2), F.size("__toks") - 1)
+    pairs = (d.withColumn("__l", left).withColumn("__r", right)
+             .select("doc_id",
+                     F.explode(F.arrays_zip("__l", "__r")).alias("pr"))
+             .select("doc_id", F.col("pr.__l").alias("l"),
+                     F.col("pr.__r").alias("r")))
+    big = pairs.groupBy("l", "r").agg(F.count(F.lit(1)).alias("c_pair"))
+    lft = pairs.groupBy("l").agg(F.count(F.lit(1)).alias("c_left"))
+    logp = (big.join(lft, "l")
+            .select("l", "r",
+                    F.round(F.log(F.col("c_pair") / F.col("c_left")), 9)
+                    .cast("decimal(18,9)").alias("logp")))
+    return (pairs.join(logp, ["l", "r"])
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_bigrams"),
+                 F.round((-F.sum("logp")).cast("double")
+                         / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))

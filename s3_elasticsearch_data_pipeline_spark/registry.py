@@ -4548,3 +4548,30 @@ def q_interval_join_grid(spark, sf_dir):
     from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
         interval_join_grid)
     return interval_join_grid(_t(spark, sf_dir, "events"))
+
+
+@register("text_bigram_logprob", """
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS tk
+  FROM documents),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_slice(tk, 1, len(tk) - 1)) AS l,
+         unnest(list_slice(tk, 2, len(tk))) AS r
+  FROM toks WHERE len(tk) >= 2),
+big AS (SELECT l, r, count(*) AS c_pair FROM pairs GROUP BY 1, 2),
+lft AS (SELECT l, count(*) AS c_left FROM pairs GROUP BY 1),
+lp AS (
+  SELECT l, r, CAST(round(ln(c_pair / c_left), 9) AS DECIMAL(18,9)) AS logp
+  FROM big JOIN lft USING (l))
+SELECT doc_id, count(*) AS n_bigrams,
+       round(CAST(-sum(logp) AS DOUBLE) / count(*), 6) AS avg_neg_logprob
+FROM pairs JOIN lp USING (l, r)
+GROUP BY doc_id
+""")
+def q_text_bigram_logprob(spark, sf_dir):
+    """Bigram-LM quality scores (avg negative conditional log-prob per
+    doc) — the context-aware perplexity proxy over the unigram one
+    (cf. operators/text.py:bigram_logprob_scores)."""
+    return text.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
