@@ -1119,3 +1119,47 @@ def seasonal_anomalies(events: DataFrame,
                  F.sum(F.when(is_anom, 1).otherwise(0)).alias("n_anomalies"),
                  stab(F.max("mean_v")).alias("mean_v"),
                  stab(F.max("var_v")).alias("var_v")))
+
+
+def ks_test(events: DataFrame, group_a: str = "purchase",
+            group_b: str = "click") -> DataFrame:
+    """Two-sample Kolmogorov–Smirnov test between two event types:
+    the max ECDF gap, its location, and the 5% decision — completing
+    the hypothesis-test family (Welch t, chi², Mann–Whitney U).
+
+    Same scale discipline as mann_whitney_u: rows reduce to
+    per-distinct-value counts before any ordered work, ECDFs are
+    running integer counts over that reduced frame, and the gap is one
+    fixed-shape double expression — identical on any engine; the max
+    and its (min-value) location are exact aggregates.
+    """
+    two = events.where(F.col("event_type").isin(group_a, group_b))
+    vals = (two.groupBy(F.col("value").alias("v"))
+            .agg(F.count(F.when(F.col("event_type") == group_a, 1))
+                  .alias("ca"),
+                 F.count(F.when(F.col("event_type") == group_b, 1))
+                  .alias("cb")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    tot = vals.agg(F.sum("ca").alias("n_a"), F.sum("cb").alias("n_b"))
+    ecdf = (vals
+            .withColumn("cum_a", F.sum("ca").over(w))
+            .withColumn("cum_b", F.sum("cb").over(w))
+            .crossJoin(F.broadcast(tot)))
+    gap = F.abs(F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("cum_b").cast("double") / F.col("n_b").cast("double"))
+    scored = ecdf.select("v", "n_a", "n_b", gap.alias("d"))
+    peak = scored.agg(F.max("d").alias("ks_raw"),
+                      F.max("n_a").alias("n_a"), F.max("n_b").alias("n_b"))
+    at_peak = (scored.select("v", "d")
+               .join(F.broadcast(peak.select("ks_raw")),
+                     F.col("d") == F.col("ks_raw"))
+               .agg(F.min("v").alias("ks_location")))
+    n_a = F.col("n_a").cast("double")
+    n_b = F.col("n_b").cast("double")
+    crit = F.lit(1.3581015157406195) * F.sqrt((n_a + n_b) / (n_a * n_b))
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return (peak.crossJoin(at_peak)
+            .select("n_a", "n_b",
+                    stab(F.col("ks_raw")).alias("ks_stat"),
+                    "ks_location",
+                    (F.col("ks_raw") > crit).cast("int").alias("reject_05")))

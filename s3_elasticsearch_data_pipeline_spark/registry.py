@@ -4575,3 +4575,77 @@ def q_text_bigram_logprob(spark, sf_dir):
     doc) — the context-aware perplexity proxy over the unigram one
     (cf. operators/text.py:bigram_logprob_scores)."""
     return text.bigram_logprob_scores(_t(spark, sf_dir, "documents"))
+
+
+@register("agg_ks_test", """
+WITH two AS (
+  SELECT event_type, value FROM events
+  WHERE event_type IN ('purchase', 'click')),
+vals AS (
+  SELECT value AS v,
+         count(*) FILTER (WHERE event_type = 'purchase') AS ca,
+         count(*) FILTER (WHERE event_type = 'click') AS cb
+  FROM two GROUP BY value),
+tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+               CAST(sum(cb) AS BIGINT) AS n_b FROM vals),
+ecdf AS (
+  SELECT v,
+         sum(ca) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_a,
+         sum(cb) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_b
+  FROM vals),
+scored AS (
+  SELECT v,
+         abs(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+             - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE)) AS d,
+         n_a, n_b
+  FROM ecdf, tot),
+peak AS (SELECT max(d) AS ks_raw, max(n_a) AS n_a, max(n_b) AS n_b
+         FROM scored),
+loc AS (SELECT min(v) AS ks_location FROM scored, peak
+        WHERE scored.d = peak.ks_raw)
+SELECT n_a, n_b,
+       floor(ks_raw * 1000000.0 + 0.5) / 1000000.0 AS ks_stat,
+       ks_location,
+       CASE WHEN ks_raw > 1.3581015157406195
+                 * sqrt((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                        / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+            THEN 1 ELSE 0 END AS reject_05
+FROM peak, loc
+""")
+def q_agg_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov–Smirnov test (max ECDF gap + location +
+    5% decision) between purchase and click values — ECDFs from
+    per-distinct-value counts, no per-row ranking
+    (cf. operators/analytics.py:ks_test)."""
+    return analytics.ks_test(_t(spark, sf_dir, "events"))
+
+
+@register("stream_ohlc", """
+WITH b AS (
+  SELECT user_id, date_trunc('hour', ts) AS bucket, ts, event_id, value
+  FROM events),
+r AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts, event_id) AS rn_a,
+         row_number() OVER (PARTITION BY user_id, bucket
+                            ORDER BY ts DESC, event_id DESC) AS rn_d
+  FROM b)
+SELECT user_id, bucket,
+       max(CASE WHEN rn_a = 1 THEN value END) AS open,
+       max(value) AS high, min(value) AS low,
+       max(CASE WHEN rn_d = 1 THEN value END) AS close,
+       count(*) AS n_events
+FROM r GROUP BY 1, 2
+""")
+def q_stream_ohlc(spark, sf_dir):
+    """Streaming hourly OHLC (tumbling window + min_by/max_by under a
+    total order), drained to completion — oracle is the batch resample
+    (cf. streaming/windowed.py:stream_ohlc)."""
+    from s3_elasticsearch_data_pipeline_spark.tables import table_path
+    return stream_windowed.stream_ohlc(
+        spark, table_path(sf_dir, "events"))

@@ -246,3 +246,45 @@ def stream_static_enrich(spark: SparkSession, events_path: str,
                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
                  .cast("double").alias("total_value")))
     return _drain(agg, "stream_enrich", "complete")
+
+
+def stream_ohlc(spark: SparkSession, events_path: str,
+                watermark: str = "4 hours") -> DataFrame:
+    """Streaming per-user hourly OHLC: the batch resample
+    (temporal.ohlc_downsample) as an incremental tumbling-window
+    aggregate — open/close via min_by/max_by under the total
+    (ts, event_id) order, so late-arriving rows within the watermark
+    still converge to the batch answer.
+
+    Batch equivalence is the contract: drained to completion, the
+    result equals the batch dual-window form — windows are unavailable
+    under streaming, but an order-picking aggregate is, and both
+    select the same deterministic endpoints.
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    static = spark.read.parquet(events_path)
+    stream_path = (events_path if os.path.isdir(events_path)
+                   else events_path + "*")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet").load(stream_path))
+    stream = _with_utc_ts(stream, static.schema)
+    order = F.struct("ts", "event_id")
+    agg = (stream
+           .withWatermark("ts", watermark)
+           .groupBy(F.col("user_id"),
+                    F.window("ts", "60 minutes").alias("w"))
+           .agg(F.min_by("value", order).alias("open"),
+                F.max("value").alias("high"),
+                F.min("value").alias("low"),
+                F.max_by("value", order).alias("close"),
+                F.count(F.lit(1)).alias("n_events")))
+    name = f"stream_ohlc_{uuid.uuid4().hex[:8]}"
+    q = (agg.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return (spark.table(name)
+            .select("user_id", F.col("w.start").alias("bucket"),
+                    "open", "high", "low", "close", "n_events"))
