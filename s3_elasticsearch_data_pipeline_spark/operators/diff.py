@@ -148,3 +148,28 @@ def apply_changes(old: DataFrame, changes: DataFrame, key: str,
     upserts = (changes.where(F.col("op") == "upsert")
                .select(key, *payload_cols))
     return kept.select(key, *payload_cols).unionByName(upserts)
+
+
+def null_safe_join_counts(events: DataFrame) -> DataFrame:
+    """Null-safe equality join (``<=>`` / IS NOT DISTINCT FROM) vs
+    plain ``=``: nulls match each other under <=> and never under =.
+
+    Demonstrated on a deterministically nulled key (user_id % 13 == 0
+    → NULL on both sides): the output contrasts pair counts under the
+    two semantics, a one-row audit of how much of a join would
+    silently vanish with plain equality. Both joins are ordinary hash
+    shuffles — <=> hashes null as a regular key value.
+    """
+    nulled = F.when(F.col("user_id") % 13 == 0, F.lit(None)) \
+        .otherwise(F.col("user_id"))
+    a = (events.where(F.col("event_type") == "purchase")
+         .select(nulled.alias("k"), F.col("event_id").alias("pid")))
+    b = (events.where(F.col("event_type") == "signup")
+         .select(nulled.alias("k"), F.col("event_id").alias("sid")))
+    eq = a.join(b, a["k"] == b["k"]).agg(
+        F.count(F.lit(1)).alias("n"))
+    nseq = a.join(b, a["k"].eqNullSafe(b["k"])).agg(
+        F.count(F.lit(1)).alias("n"))
+    return (eq.select(F.lit("equals").alias("semantics"), "n")
+            .unionByName(nseq.select(
+                F.lit("null_safe").alias("semantics"), "n")))

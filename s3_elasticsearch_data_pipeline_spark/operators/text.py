@@ -687,3 +687,32 @@ def bigram_logprob_scores(documents: DataFrame) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("n_bigrams"),
                  F.round((-F.sum("logp")).cast("double")
                          / F.count(F.lit(1)), 6).alias("avg_neg_logprob")))
+
+
+def weighted_sample(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement
+    (Efraimidis–Spirakis A-ES): select k documents with probability
+    proportional to length, reproducibly.
+
+    Each doc gets key = ln(u)/w where u ∈ (0,1] comes from an
+    arithmetic Carter-Wegman hash of doc_id (no RNG — same sample on
+    any engine, run, or partitioning) and w = n_chars; the k largest
+    keys win. One scan + an exact top-k (per-partition heaps, no
+    global sort): the reproducible form of the weighted subset
+    selection a corpus mixture pays for at 100 TB.
+    """
+    p = 2_147_483_647
+    # reduce the id mod p BEFORE multiplying: (a·x) mod p ≡
+    # ((a mod p)·(x mod p)) mod p — identical here, overflow-free at
+    # snowflake-scale ids (same fix as the corpus shuffle hashes)
+    h = (F.lit(1103515245) * (F.col("doc_id") % F.lit(p))
+         + F.lit(12345)) % F.lit(p)
+    u = (h + 1).cast("double") / F.lit(float(p + 1))
+    key = F.log(u) / F.col("n_chars")
+    return (documents
+            .select("doc_id", "n_chars", key.alias("key"))
+            .orderBy(F.col("key").desc(), "doc_id")
+            .limit(k)
+            .select("doc_id", "n_chars",
+                    (F.floor(F.col("key") * 1000000000.0 + F.lit(0.5))
+                     / 1000000000.0).alias("es_key")))

@@ -4649,3 +4649,48 @@ def q_stream_ohlc(spark, sf_dir):
     from s3_elasticsearch_data_pipeline_spark.tables import table_path
     return stream_windowed.stream_ohlc(
         spark, table_path(sf_dir, "events"))
+
+
+@register("dataset_weighted_sample", """
+WITH keyed AS (
+  SELECT doc_id, n_chars,
+         ln(CAST((1103515245 * (doc_id % 2147483647) + 12345)
+                 % 2147483647 + 1 AS DOUBLE)
+            / 2147483648.0) / n_chars AS key
+  FROM documents)
+SELECT doc_id, n_chars,
+       floor(key * 1000000000.0 + 0.5) / 1000000000.0 AS es_key
+FROM keyed
+ORDER BY key DESC, doc_id
+LIMIT 50
+""")
+def q_dataset_weighted_sample(spark, sf_dir):
+    """Deterministic weighted sampling without replacement
+    (Efraimidis–Spirakis keys from an arithmetic hash, top-k): the
+    reproducible form of probability-proportional-to-length corpus
+    selection (cf. operators/text.py:weighted_sample)."""
+    return text.weighted_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("join_null_safe", """
+WITH a AS (
+  SELECT CASE WHEN user_id % 13 = 0 THEN NULL ELSE user_id END AS k,
+         event_id AS pid
+  FROM events WHERE event_type = 'purchase'),
+b AS (
+  SELECT CASE WHEN user_id % 13 = 0 THEN NULL ELSE user_id END AS k,
+         event_id AS sid
+  FROM events WHERE event_type = 'signup')
+SELECT 'equals' AS semantics, count(*) AS n
+FROM a JOIN b ON a.k = b.k
+UNION ALL
+SELECT 'null_safe' AS semantics, count(*) AS n
+FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+""")
+def q_join_null_safe(spark, sf_dir):
+    """Null-safe equality join (<=>) vs plain = on a deterministically
+    nulled key — the one-row audit of rows a plain equi-join silently
+    drops (cf. operators/diff.py:null_safe_join_counts)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.diff import (
+        null_safe_join_counts)
+    return null_safe_join_counts(_t(spark, sf_dir, "events"))
