@@ -716,3 +716,48 @@ def weighted_sample(documents: DataFrame, k: int = 50) -> DataFrame:
             .select("doc_id", "n_chars",
                     (F.floor(F.col("key") * 1000000000.0 + F.lit(0.5))
                      / 1000000000.0).alias("es_key")))
+
+
+def feature_hashing(documents: DataFrame, n_buckets: int = 256) -> DataFrame:
+    """The hashing trick: project each document's token multiset into a
+    fixed ``n_buckets``-dim signed sparse vector — the ML-prep step
+    that makes unbounded vocabularies trainable without a fitted
+    vocabulary table (no global state, perfectly shardable).
+
+    Bucket and sign come from two arithmetic string hashes (char-code
+    polynomial mod p — engine-portable, unlike murmur), so the exact
+    vector is oracle-checkable. Output is the sparse (doc, bucket,
+    weight) triple stream; one explode + one hash aggregate.
+    """
+    p = 2_147_483_647
+    # polynomial rolling hash of the token text: fold 31·h + code,
+    # chars reduced via their code points (ASCII-safe, deterministic)
+    codes = F.transform(F.split(F.col("term"), ""),
+                        lambda ch: F.ascii(ch))
+    h = F.aggregate(codes, F.lit(0).cast("long"),
+                    lambda acc, c: (acc * 31 + c) % F.lit(p))
+    tok = documents.select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    hashed = tok.select(
+        "doc_id",
+        (h % F.lit(n_buckets)).alias("bucket"),
+        (F.when((h % 2) == 0, F.lit(1)).otherwise(F.lit(-1))).alias("sign"))
+    return (hashed.groupBy("doc_id", "bucket")
+            .agg(F.sum("sign").alias("weight"))
+            .where(F.col("weight") != 0))
+
+
+def onehot_behavior_vectors(events: DataFrame) -> DataFrame:
+    """Per-user one-hot behavioral feature vector: event-type counts
+    pivoted into fixed columns plus decimal-exact value totals — the
+    canonical wide feature frame a downstream trainer consumes. One
+    hash aggregate; the type list is fixed so the schema is static at
+    any scale (no dynamic pivot pass)."""
+    types = ("click", "purchase", "signup", "view")
+    cnt = [F.sum(F.when(F.col("event_type") == t, 1).otherwise(0))
+           .alias(f"n_{t}") for t in types]
+    return (events.groupBy("user_id")
+            .agg(*cnt,
+                 F.count(F.lit(1)).alias("n_events"),
+                 F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
+                  .cast("double").alias("total_value")))

@@ -4694,3 +4694,47 @@ def q_join_null_safe(spark, sf_dir):
     from s3_elasticsearch_data_pipeline_spark.operators.diff import (
         null_safe_join_counts)
     return null_safe_join_counts(_t(spark, sf_dir, "events"))
+
+
+@register("feature_hashing", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+hashed AS (
+  SELECT doc_id,
+         list_reduce(list_transform(string_split(term, ''),
+                                    c -> CAST(ascii(c) AS BIGINT)),
+                     (acc, c) -> (acc * 31 + c) % 2147483647) AS h
+  FROM tok)
+SELECT doc_id, h % 256 AS bucket,
+       CAST(sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT)
+         AS weight
+FROM hashed
+GROUP BY doc_id, h % 256
+HAVING sum(CASE WHEN h % 2 = 0 THEN 1 ELSE -1 END) <> 0
+""")
+def q_feature_hashing(spark, sf_dir):
+    """The hashing trick: tokens → fixed 256-dim signed sparse vectors
+    via portable polynomial char hashes; no fitted vocabulary, no
+    global state (cf. operators/text.py:feature_hashing)."""
+    return text.feature_hashing(_t(spark, sf_dir, "documents"))
+
+
+@register("feature_onehot_behavior", """
+SELECT user_id,
+       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_value
+FROM events GROUP BY user_id
+""")
+def q_feature_onehot_behavior(spark, sf_dir):
+    """Per-user one-hot behavioral feature vector (fixed event-type
+    columns + exact totals) — the wide ML-prep frame in one aggregate
+    (cf. operators/text.py:onehot_behavior_vectors)."""
+    return text.onehot_behavior_vectors(_t(spark, sf_dir, "events"))
