@@ -761,3 +761,80 @@ def onehot_behavior_vectors(events: DataFrame) -> DataFrame:
                  F.count(F.lit(1)).alias("n_events"),
                  F.round(F.sum(F.col("value").cast("decimal(18,2)")), 2)
                   .cast("double").alias("total_value")))
+
+
+def significant_terms(documents: DataFrame, fg_source: str = "src1",
+                      min_fg_docs: int = 3, top_n: int = 25) -> DataFrame:
+    """Significant-terms scoring (the Elasticsearch signature agg the
+    reference's sink offers): terms overrepresented in a foreground
+    slice vs the whole corpus, by JLH score
+    (fg% − bg%) · (fg% / bg%) over distinct-document frequencies.
+
+    Two document-frequency aggregates (foreground slice + background)
+    joined on term — each one explode of array_distinct tokens, so a
+    (doc, term) pair shuffles once; the score is a fixed-shape double
+    expression; exact ordered top-n with a term tie-break.
+    """
+    toks = documents.select(
+        "doc_id", "source",
+        F.explode(F.array_distinct(tokens(F.lower(F.col("text")))))
+         .alias("term"))
+    n_fg = F.count(F.when(F.col("source") == fg_source, 1))
+    fg = (toks.groupBy("term")
+          .agg(F.count(F.when(F.col("source") == fg_source, 1))
+                .alias("df_fg"),
+               F.count(F.lit(1)).alias("df_bg")))
+    totals = documents.agg(
+        F.count(F.when(F.col("source") == fg_source, 1)).alias("n_fg"),
+        F.count(F.lit(1)).alias("n_bg"))
+    fgp = F.col("df_fg").cast("double") / F.col("n_fg").cast("double")
+    bgp = F.col("df_bg").cast("double") / F.col("n_bg").cast("double")
+    score = (fgp - bgp) * (fgp / bgp)
+    return (fg.where(F.col("df_fg") >= min_fg_docs)
+            .crossJoin(F.broadcast(totals))
+            .select("term", "df_fg", "df_bg",
+                    (F.floor(score * 1000000.0 + F.lit(0.5)) / 1000000.0)
+                    .alias("jlh_score"))
+            .orderBy(F.col("jlh_score").desc(), "term")
+            .limit(top_n))
+
+
+def autocomplete_prefix(documents: DataFrame, prefix: str = "s",
+                        k: int = 10) -> DataFrame:
+    """Prefix autocomplete (the search-box suggester): top-k corpus
+    terms completing a prefix, ranked by occurrences with a term
+    tie-break. The prefix filter applies before the aggregate, so only
+    matching tokens shuffle; a real deployment serves this from the
+    pre-built inverted index (text_inverted_index) instead of the raw
+    corpus."""
+    toks = documents.select(
+        F.explode(tokens(F.lower(F.col("text")))).alias("term"))
+    return (toks.where(F.col("term").startswith(prefix))
+            .groupBy("term")
+            .agg(F.count(F.lit(1)).alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "term")
+            .limit(k))
+
+
+def search_highlight(documents: DataFrame, term: str = "spark",
+                     context: int = 20) -> DataFrame:
+    """Search-hit highlighting: for documents containing the term,
+    the match position, total match count, and a context snippet
+    around the first occurrence — the serving-side result decoration
+    Elasticsearch performs per hit, as plain string algebra
+    (position/substring/regexp_count — codegen'd, no UDF)."""
+    lowered = F.lower(F.col("text"))
+    pos = F.instr(lowered, term)
+    snippet = F.substring(
+        F.col("text"),
+        F.greatest(F.lit(1), pos - context).cast("int"),
+        context * 2 + len(term))
+    # replace-based occurrence count (integer ops only) — portable to
+    # engines without regexp_count
+    n_hits = ((F.length(lowered)
+               - F.length(F.replace(lowered, F.lit(term), F.lit(""))))
+              / len(term)).cast("long")
+    return (documents
+            .where(pos > 0)
+            .select("doc_id", pos.alias("first_pos"),
+                    n_hits.alias("n_hits"), snippet.alias("snippet")))

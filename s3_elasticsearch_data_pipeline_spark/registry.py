@@ -4738,3 +4738,73 @@ def q_feature_onehot_behavior(spark, sf_dir):
     columns + exact totals) — the wide ML-prep frame in one aggregate
     (cf. operators/text.py:onehot_behavior_vectors)."""
     return text.onehot_behavior_vectors(_t(spark, sf_dir, "events"))
+
+
+@register("text_significant_terms", """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_distinct(list_filter(
+             string_split_regex(lower(text), '\\s+'), t -> t <> '')))
+           AS term
+  FROM documents),
+fg AS (
+  SELECT term,
+         count(*) FILTER (WHERE source = 'src1') AS df_fg,
+         count(*) AS df_bg
+  FROM toks GROUP BY term),
+tot AS (
+  SELECT count(*) FILTER (WHERE source = 'src1') AS n_fg,
+         count(*) AS n_bg
+  FROM documents)
+SELECT term, CAST(df_fg AS BIGINT) AS df_fg, CAST(df_bg AS BIGINT) AS df_bg,
+       floor((df_fg / CAST(n_fg AS DOUBLE) - df_bg / CAST(n_bg AS DOUBLE))
+             * ((df_fg / CAST(n_fg AS DOUBLE))
+                / (df_bg / CAST(n_bg AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS jlh_score
+FROM fg, tot
+WHERE df_fg >= 3
+ORDER BY jlh_score DESC, term
+LIMIT 25
+""")
+def q_text_significant_terms(spark, sf_dir):
+    """Significant-terms (JLH) scoring — Elasticsearch's signature
+    discovery agg over a foreground slice vs the background corpus
+    (cf. operators/text.py:significant_terms)."""
+    return text.significant_terms(_t(spark, sf_dir, "documents"))
+
+
+@register("text_autocomplete_prefix", """
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(lower(text), '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents)
+SELECT term, count(*) AS n_occurrences
+FROM toks WHERE term LIKE 's%'
+GROUP BY term ORDER BY n_occurrences DESC, term
+LIMIT 10
+""")
+def q_text_autocomplete_prefix(spark, sf_dir):
+    """Prefix autocomplete suggester: top-k completions by frequency
+    (cf. operators/text.py:autocomplete_prefix)."""
+    return text.autocomplete_prefix(_t(spark, sf_dir, "documents"))
+
+
+@register("text_search_highlight", """
+SELECT doc_id,
+       strpos(lower(text), 'spark') AS first_pos,
+       CAST((length(lower(text))
+             - length(replace(lower(text), 'spark', ''))) / 5 AS BIGINT)
+         AS n_hits,
+       substring(text,
+                 CAST(greatest(1, strpos(lower(text), 'spark') - 20)
+                      AS INT),
+                 45) AS snippet
+FROM documents
+WHERE strpos(lower(text), 'spark') > 0
+""")
+def q_text_search_highlight(spark, sf_dir):
+    """Search-hit highlighting: match position, hit count, context
+    snippet per matching doc — the per-hit result decoration the
+    reference's ES sink performs (cf. operators/text.py:
+    search_highlight)."""
+    return text.search_highlight(_t(spark, sf_dir, "documents"))
