@@ -1,0 +1,134 @@
+"""Predicate fuzzing: deterministically generated WHERE clauses run as
+the SAME SQL text on Spark (temp views) and DuckDB, compared exactly.
+
+Fixed queries prove the operators; the fuzzer probes the long tail of
+predicate semantics — comparison/BETWEEN/IN/LIKE over numeric, string
+and timestamp columns, composed with AND/OR/NOT — where engine
+differences (null handling, cast edges, date literals) would hide.
+Seeded RNG → the same 48 predicates every run, on any machine.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+
+from s3_elasticsearch_data_pipeline_spark.tables import load_table
+from tests.oracle import duckdb_conn, oracle_result, spark_result
+
+N_CASES = 48
+
+
+def _predicates() -> list[str]:
+    rng = random.Random(20260814)
+
+    def num(lo, hi, nd=2):
+        return f"{rng.uniform(lo, hi):.{nd}f}"
+
+    def day():
+        return (f"TIMESTAMP '199{rng.randint(2, 8)}-"
+                f"{rng.randint(1, 12):02d}-{rng.randint(1, 28):02d}'")
+
+    def atom():
+        kind = rng.randrange(8)
+        if kind == 0:
+            return f"l_quantity {rng.choice(['<', '<=', '>', '>=', '='])} " \
+                   f"{rng.randint(1, 50)}"
+        if kind == 1:
+            return f"l_extendedprice BETWEEN {num(900, 30000)} " \
+                   f"AND {num(30000, 95000)}"
+        if kind == 2:
+            return f"l_discount {rng.choice(['<', '>='])} {num(0.0, 0.1)}"
+        if kind == 3:
+            flags = rng.sample(["'A'", "'N'", "'R'"], rng.randint(1, 2))
+            return f"l_returnflag IN ({', '.join(flags)})"
+        if kind == 4:
+            return f"l_shipdate {rng.choice(['<', '>='])} {day()}"
+        if kind == 5:
+            status = rng.choice(["'O'", "'F'"])
+            return f"l_linestatus = {status}"
+        if kind == 6:
+            return f"l_orderkey % {rng.randint(2, 97)} = 0"
+        return f"l_tax <= {num(0.0, 0.08)}"
+
+    preds = []
+    for _ in range(N_CASES):
+        parts = [atom() for _ in range(rng.randint(1, 3))]
+        ops = [rng.choice([" AND ", " OR "]) for _ in range(len(parts) - 1)]
+        sql = parts[0]
+        for op, part in zip(ops, parts[1:]):
+            nxt = f"NOT ({part})" if rng.random() < 0.2 else part
+            sql = f"({sql}){op}{nxt}"
+        preds.append(sql)
+    return preds
+
+
+PREDICATES = _predicates()
+
+
+@pytest.fixture(scope="module")
+def fuzz_env(spark, sf_oracle):
+    load_table(spark, sf_oracle, "lineitem").createOrReplaceTempView(
+        "lineitem_fuzz")
+    con = duckdb_conn(sf_oracle)
+    con.execute("CREATE VIEW lineitem_fuzz AS SELECT * FROM lineitem")
+    yield spark, con
+    con.close()
+
+
+@pytest.mark.parametrize("i", range(N_CASES))
+def test_fuzzed_predicate_matches_duckdb(fuzz_env, i):
+    spark, con = fuzz_env
+    sql = (
+        "SELECT count(*) AS n, "
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE) "
+        "AS qty, "
+        "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+        "AS DOUBLE) AS price "
+        f"FROM lineitem_fuzz WHERE {PREDICATES[i]}")
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {PREDICATES[i]}"
+
+
+N_GROUP_CASES = 24
+
+
+def _group_cases() -> list[str]:
+    rng = random.Random(97531)
+    keys = ("l_returnflag", "l_linestatus",
+            "l_orderkey % 7", "l_orderkey % 13",
+            "extract(year FROM l_shipdate)",
+            "extract(month FROM l_shipdate)",
+            "CAST(l_quantity AS BIGINT) % 5")
+    aggs = (
+        "count(*) AS n",
+        "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) AS DOUBLE)"
+        " AS qty",
+        "CAST(round(sum(CAST(l_discount AS DECIMAL(8,2))), 2) AS DOUBLE)"
+        " AS disc",
+        "min(l_orderkey) AS min_key", "max(l_orderkey) AS max_key",
+        "round(min(l_extendedprice), 2) AS min_price",
+        "round(max(l_extendedprice), 2) AS max_price",
+    )
+    cases = []
+    for _ in range(N_GROUP_CASES):
+        key = rng.choice(keys)
+        chosen = ["count(*) AS n"] + rng.sample(
+            [a for a in aggs if not a.startswith("count")],
+            rng.randint(1, 3))
+        cases.append(
+            f"SELECT {key} AS grp, {', '.join(chosen)} "
+            f"FROM lineitem_fuzz GROUP BY {key}")
+    return cases
+
+
+GROUP_CASES = _group_cases()
+
+
+@pytest.mark.parametrize("i", range(N_GROUP_CASES))
+def test_fuzzed_group_aggregate_matches_duckdb(fuzz_env, i):
+    spark, con = fuzz_env
+    sql = GROUP_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
