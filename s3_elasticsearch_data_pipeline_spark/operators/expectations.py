@@ -68,3 +68,34 @@ def dq_expectations(orders: DataFrame, customer: DataFrame,
     return (packs.select(F.explode("c").alias("c"))
             .select("c.expectation", "c.n_violations",
                     (F.col("c.n_violations") == 0).alias("passed")))
+
+
+def benford_digit_audit(orders: DataFrame,
+                        col: str = "o_totalprice") -> DataFrame:
+    """Benford first-digit audit: the leading-digit distribution of a
+    money column against Benford's law — the classic fraud/synthetic-
+    data screen, as one hash aggregate plus fixed scalar math.
+
+    First digit via string head of the integral part (no log10 on the
+    row path); expected share is log10(1+1/d) evaluated identically on
+    both engines; the chi-square-style distance folds per-digit
+    contributions in exact decimal so the statistic is
+    order-independent.
+    """
+    from pyspark.sql import functions as F
+    digit = F.substring(F.floor(F.col(col)).cast("string"), 1, 1) \
+        .cast("int")
+    per = (orders.where(F.col(col) >= 1)
+           .groupBy(digit.alias("digit"))
+           .agg(F.count(F.lit(1)).alias("n")))
+    tot = per.agg(F.sum("n").alias("total"))
+    expected = F.log10(1 + 1 / F.col("digit").cast("double"))
+    share = F.col("n").cast("double") / F.col("total").cast("double")
+    dev = share - expected
+    contrib = (dev * dev / expected).cast("decimal(18,12)")
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return (per.crossJoin(F.broadcast(tot))
+            .select("digit", "n",
+                    stab(share).alias("observed_share"),
+                    stab(expected).alias("benford_share"),
+                    stab(contrib.cast("double")).alias("chi2_contrib")))

@@ -4808,3 +4808,34 @@ def q_text_search_highlight(spark, sf_dir):
     reference's ES sink performs (cf. operators/text.py:
     search_highlight)."""
     return text.search_highlight(_t(spark, sf_dir, "documents"))
+
+
+@register("dq_benford_digits", """
+WITH per AS (
+  SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                             AS VARCHAR), 1, 1) AS INT) AS digit,
+         count(*) AS n
+  FROM orders WHERE o_totalprice >= 1
+  GROUP BY 1),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM per)
+SELECT digit, n,
+       floor(CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS observed_share,
+       floor(log10(1 + 1 / CAST(digit AS DOUBLE)) * 1000000.0 + 0.5)
+         / 1000000.0 AS benford_share,
+       floor(CAST(CAST((CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                        - log10(1 + 1 / CAST(digit AS DOUBLE)))
+                       * (CAST(n AS DOUBLE) / CAST(total AS DOUBLE)
+                          - log10(1 + 1 / CAST(digit AS DOUBLE)))
+                       / log10(1 + 1 / CAST(digit AS DOUBLE))
+                       AS DECIMAL(18,12)) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS chi2_contrib
+FROM per, tot
+""")
+def q_dq_benford_digits(spark, sf_dir):
+    """Benford first-digit audit of order totals — the fraud /
+    synthetic-data screen as one aggregate + fixed scalar math
+    (cf. operators/expectations.py:benford_digit_audit)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.expectations import (
+        benford_digit_audit)
+    return benford_digit_audit(_t(spark, sf_dir, "orders"))

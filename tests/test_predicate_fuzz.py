@@ -132,3 +132,58 @@ def test_fuzzed_group_aggregate_matches_duckdb(fuzz_env, i):
     sql = GROUP_CASES[i]
     assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
         f"divergence on: {sql}"
+
+
+N_JOIN_CASES = 24
+
+
+def _join_cases() -> list[str]:
+    rng = random.Random(424242)
+    li_preds = (
+        "l_quantity > 25", "l_discount >= 0.05", "l_returnflag = 'R'",
+        "l_shipdate < TIMESTAMP '1996-06-01'", "l_tax <= 0.04",
+        "l_linenumber <= 3", "TRUE")
+    o_preds = (
+        "o_orderstatus = 'F'", "o_totalprice > 50000",
+        "o_orderdate >= TIMESTAMP '1994-01-01'",
+        "o_orderpriority IN ('1-URGENT', '2-HIGH')", "TRUE")
+    c_preds = ("c_acctbal > 0", "c_mktsegment = 'BUILDING'", "TRUE")
+    cases = []
+    for _ in range(N_JOIN_CASES):
+        with_cust = rng.random() < 0.5
+        group = rng.choice((
+            "o_orderstatus", "l_returnflag",
+            "extract(year FROM o_orderdate)"))
+        joins = ("JOIN orders_fuzz ON l_orderkey = o_orderkey"
+                 + (" JOIN customer_fuzz ON o_custkey = c_custkey"
+                    if with_cust else ""))
+        where = (f"({rng.choice(li_preds)}) AND ({rng.choice(o_preds)})"
+                 + (f" AND ({rng.choice(c_preds)})" if with_cust else ""))
+        cases.append(
+            f"SELECT {group} AS grp, count(*) AS n, "
+            "CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS price "
+            f"FROM lineitem_fuzz {joins} WHERE {where} GROUP BY {group}")
+    return cases
+
+
+JOIN_CASES = _join_cases()
+
+
+@pytest.fixture(scope="module")
+def join_env(spark, sf_oracle):
+    for t in ("lineitem", "orders", "customer"):
+        load_table(spark, sf_oracle, t).createOrReplaceTempView(f"{t}_fuzz")
+    con = duckdb_conn(sf_oracle)
+    for t in ("lineitem", "orders", "customer"):
+        con.execute(f"CREATE VIEW {t}_fuzz AS SELECT * FROM {t}")
+    yield spark, con
+    con.close()
+
+
+@pytest.mark.parametrize("i", range(N_JOIN_CASES))
+def test_fuzzed_join_matches_duckdb(join_env, i):
+    spark, con = join_env
+    sql = JOIN_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
