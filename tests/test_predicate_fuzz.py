@@ -187,3 +187,82 @@ def test_fuzzed_join_matches_duckdb(join_env, i):
     sql = JOIN_CASES[i]
     assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
         f"divergence on: {sql}"
+
+
+N_WINDOW_CASES = 16
+
+
+def _window_cases() -> list[str]:
+    rng = random.Random(13579)
+    parts = ("l_returnflag", "l_linestatus", "l_orderkey % 11",
+             "l_returnflag, l_linestatus")
+    # total order inside every partition: unique (orderkey, linenumber)
+    orders_ = ("l_extendedprice, l_orderkey, l_linenumber",
+               "l_shipdate, l_orderkey, l_linenumber",
+               "l_quantity DESC, l_orderkey, l_linenumber")
+    # Spark's parser cannot refine a named window with a frame
+    # (OVER (w ROWS ...)), so frame cases inline the full spec.
+    fns = (
+        "row_number() OVER w AS v",
+        "rank() OVER w AS v",
+        "CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER "
+        "(PARTITION BY {p} ORDER BY {o} "
+        "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) "
+        "AS DOUBLE) AS v",
+        "lag(l_orderkey, 1, -1) OVER w AS v",
+        "lead(l_linenumber, 2, 0) OVER w AS v",
+        "count(*) OVER (PARTITION BY {p} ORDER BY {o} "
+        "ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS v",
+    )
+    cases = []
+    for _ in range(N_WINDOW_CASES):
+        part, order = rng.choice(parts), rng.choice(orders_)
+        fn = rng.choice(fns).format(p=part, o=order)
+        cases.append(
+            f"SELECT l_orderkey, l_linenumber, {fn} "
+            "FROM lineitem_fuzz "
+            f"WHERE l_orderkey % {rng.randint(5, 23)} = 0 "
+            f"WINDOW w AS (PARTITION BY {part} ORDER BY {order})")
+    return cases
+
+
+WINDOW_CASES = _window_cases()
+
+
+@pytest.mark.parametrize("i", range(N_WINDOW_CASES))
+def test_fuzzed_window_matches_duckdb(fuzz_env, i):
+    spark, con = fuzz_env
+    sql = WINDOW_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
+
+
+N_ORDER_CASES = 12
+
+
+def _order_cases() -> list[str]:
+    rng = random.Random(8642)
+    sorts = ("l_extendedprice DESC, l_orderkey, l_linenumber",
+             "l_shipdate, l_orderkey, l_linenumber",
+             "l_quantity, l_extendedprice DESC, l_orderkey, l_linenumber")
+    cases = []
+    for _ in range(N_ORDER_CASES):
+        lim = rng.choice((10, 50, 100))
+        off = rng.choice((0, 25, 200))
+        cases.append(
+            "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice "
+            f"FROM lineitem_fuzz WHERE l_discount >= "
+            f"{rng.choice(('0.0', '0.03', '0.07'))} "
+            f"ORDER BY {rng.choice(sorts)} LIMIT {lim} OFFSET {off}")
+    return cases
+
+
+ORDER_CASES = _order_cases()
+
+
+@pytest.mark.parametrize("i", range(N_ORDER_CASES))
+def test_fuzzed_order_limit_matches_duckdb(fuzz_env, i):
+    spark, con = fuzz_env
+    sql = ORDER_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
