@@ -32,6 +32,8 @@ _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
 def register(name: str, oracle: str | None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in _REGISTRY:  # a duplicate would silently shadow its twin
+            raise ValueError(f"duplicate registry entry: {name}")
         _REGISTRY[name] = (fn, oracle)
         return fn
     return deco
