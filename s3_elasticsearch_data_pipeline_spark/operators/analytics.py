@@ -1163,3 +1163,25 @@ def ks_test(events: DataFrame, group_a: str = "purchase",
                     stab(F.col("ks_raw")).alias("ks_stat"),
                     "ks_location",
                     (F.col("ks_raw") > crit).cast("int").alias("reject_05")))
+
+
+def type_entropy(events: DataFrame) -> DataFrame:
+    """Per-user Shannon entropy of the event-type distribution — the
+    behavioral-diversity feature (0 = monotone user, ln(4) ≈ 1.386 =
+    uniform over four types). Two hash aggregates; each −p·ln p term
+    is floor-stabilized then summed in exact decimal, so the entropy
+    is bit-identical at any partitioning."""
+    per = (events.groupBy("user_id", "event_type")
+           .agg(F.count(F.lit(1)).alias("c")))
+    tot = per.groupBy("user_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = (F.floor(p * F.log(p) * 1000000000.0 + F.lit(0.5))
+            / 1000000000.0).cast("decimal(18,9)")
+    return (per.join(tot, "user_id")
+            .groupBy("user_id")
+            .agg(F.max("n").alias("n_events"),
+                 F.count(F.lit(1)).alias("n_types"),
+                 F.floor((-F.sum(term)).cast("double") * 1000000.0
+                         + F.lit(0.5)).cast("double").alias("_t"))
+            .select("user_id", "n_events", "n_types",
+                    (F.col("_t") / 1000000.0).alias("entropy")))

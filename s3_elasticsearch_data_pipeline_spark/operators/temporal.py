@@ -384,3 +384,42 @@ def interval_join_grid(events: DataFrame,
             .agg(F.countDistinct("purchase_id").alias("n_purchases"),
                  F.count(F.lit(1)).alias("n_pairs"),
                  F.min("view_id").alias("first_view_id")))
+
+
+def additive_decompose(events: DataFrame) -> DataFrame:
+    """Naive additive timeseries decomposition:
+    value = trend + seasonal + residual.
+
+    trend is the ±3-day centered moving average of the (stabilized)
+    global daily mean — the ordered window runs over the distinct-day
+    spine (hundreds of rows, dimension-sized by construction), with
+    daily means re-cast to decimal so the sliding sum is exact.
+    seasonal is the (ISO weekday × hour) cell mean of the detrended
+    values (one hash aggregate, 168 cells). residual is what's left,
+    per event. Every component is floor-stabilized → engine- and
+    partitioning-independent.
+    """
+    day = F.to_date("ts")
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    daily = (events.groupBy(day.alias("d"))
+             .agg(stab(F.sum(F.col("value").cast("decimal(18,2)"))
+                       .cast("double") / F.count(F.lit(1)))
+                  .alias("daily_mean")))
+    wd = (Window.orderBy("d").rowsBetween(-3, 3))
+    trend_tbl = daily.select(
+        "d",
+        stab(F.sum(F.col("daily_mean").cast("decimal(18,6)")).over(wd)
+             .cast("double")
+             / F.count(F.lit(1)).over(wd)).alias("trend"))
+    cell = [(F.weekday("ts") + 1).alias("dow"), F.hour("ts").alias("hour")]
+    base = (events.select("event_id", "ts", "value", day.alias("d"),
+                          *cell)
+            .join(F.broadcast(trend_tbl), "d"))
+    detr = (F.col("value") - F.col("trend")).cast("decimal(18,6)")
+    seasonal_tbl = (base.groupBy("dow", "hour")
+                    .agg(stab(F.sum(detr).cast("double")
+                              / F.count(F.lit(1))).alias("seasonal")))
+    return (base.join(F.broadcast(seasonal_tbl), ["dow", "hour"])
+            .select("event_id", "value", "trend", "seasonal",
+                    stab(F.col("value") - F.col("trend")
+                         - F.col("seasonal")).alias("residual")))

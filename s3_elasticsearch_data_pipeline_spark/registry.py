@@ -4841,3 +4841,66 @@ def q_dq_benford_digits(spark, sf_dir):
     from s3_elasticsearch_data_pipeline_spark.operators.expectations import (
         benford_digit_audit)
     return benford_digit_audit(_t(spark, sf_dir, "orders"))
+
+
+@register("timeseries_decompose", """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         floor(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+               / count(*) * 1000000.0 + 0.5) / 1000000.0 AS daily_mean
+  FROM events GROUP BY 1),
+trend_tbl AS (
+  SELECT d,
+         floor(CAST(sum(CAST(daily_mean AS DECIMAL(18,6)))
+                    OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                          AND 3 FOLLOWING) AS DOUBLE)
+               / count(*) OVER (ORDER BY d ROWS BETWEEN 3 PRECEDING
+                                AND 3 FOLLOWING)
+               * 1000000.0 + 0.5) / 1000000.0 AS trend
+  FROM daily),
+base AS (
+  SELECT e.event_id, e.value, isodow(e.ts) AS dow,
+         extract(hour FROM e.ts) AS hour, t.trend
+  FROM events e JOIN trend_tbl t ON CAST(e.ts AS DATE) = t.d),
+seasonal_tbl AS (
+  SELECT dow, hour,
+         floor(CAST(sum(CAST(value - trend AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*) * 1000000.0 + 0.5) / 1000000.0 AS seasonal
+  FROM base GROUP BY 1, 2)
+SELECT b.event_id, b.value, b.trend, s.seasonal,
+       floor((b.value - b.trend - s.seasonal) * 1000000.0 + 0.5)
+         / 1000000.0 AS residual
+FROM base b JOIN seasonal_tbl s ON b.dow = s.dow AND b.hour = s.hour
+""")
+def q_timeseries_decompose(spark, sf_dir):
+    """Naive additive decomposition (trend = ±3-day MA of stabilized
+    daily means over the dimension-sized day spine; seasonal =
+    weekday×hour cell means of detrended values; residual the rest)
+    (cf. operators/temporal.py:additive_decompose)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.temporal import (
+        additive_decompose)
+    return additive_decompose(_t(spark, sf_dir, "events"))
+
+
+@register("agg_entropy", """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2),
+tot AS (SELECT user_id, CAST(sum(c) AS BIGINT) AS n FROM per GROUP BY 1),
+terms AS (
+  SELECT per.user_id, n,
+         CAST(floor(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+                    * ln(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                    * 1000000000.0 + 0.5) / 1000000000.0
+              AS DECIMAL(18,9)) AS term
+  FROM per JOIN tot ON per.user_id = tot.user_id)
+SELECT user_id, max(n) AS n_events, count(*) AS n_types,
+       floor(CAST(-sum(term) AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+         AS entropy
+FROM terms GROUP BY user_id
+""")
+def q_agg_entropy(spark, sf_dir):
+    """Per-user Shannon entropy of event-type mix (behavioral
+    diversity), decimal-exact term accumulation
+    (cf. operators/analytics.py:type_entropy)."""
+    return analytics.type_entropy(_t(spark, sf_dir, "events"))
