@@ -4904,3 +4904,44 @@ def q_agg_entropy(spark, sf_dir):
     diversity), decimal-exact term accumulation
     (cf. operators/analytics.py:type_entropy)."""
     return analytics.type_entropy(_t(spark, sf_dir, "events"))
+
+
+@register("safe_arithmetic_pack", """
+SELECT l_orderkey, l_linenumber,
+       CASE WHEN l_quantity - l_quantity = 0 THEN NULL
+            ELSE round(l_extendedprice / (l_quantity - l_quantity), 4)
+            END AS div_by_zero,
+       round(l_extendedprice / l_quantity, 4) AS unit_price,
+       CASE WHEN l_orderkey = 0 THEN 9223372036854775807
+            ELSE CAST(NULL AS BIGINT) END AS add_overflow,
+       CASE WHEN l_orderkey = 0 THEN 0 ELSE NULL END AS mul_overflow,
+       TRY_CAST(l_returnflag AS INTEGER) AS flag_as_int,
+       TRY_CAST(CAST(l_linenumber AS VARCHAR) AS INTEGER) AS line_roundtrip
+FROM lineitem
+WHERE l_orderkey % 1000 = 0
+""")
+def q_safe_arithmetic_pack(spark, sf_dir):
+    """ANSI-safe arithmetic surface: try_divide / try_add /
+    try_multiply / try_cast return NULL instead of raising under ANSI
+    mode — the arithmetic extension of the reference's cast-with-
+    default discipline (P3/P5, data-s3-elastic-transfer.py:154-186).
+    The oracle states each outcome as explicit CASE/NULL semantics
+    (the add/multiply overflows are unconditional for every key ≥ 1).
+    """
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") % 1000 == 0)
+    long_max = 9223372036854775807
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.try_divide(F.col("l_extendedprice"),
+                             F.col("l_quantity") - F.col("l_quantity")), 4)
+         .alias("div_by_zero"),
+        F.round(F.try_divide("l_extendedprice", "l_quantity"), 4)
+         .alias("unit_price"),
+        F.try_add(F.lit(long_max).cast("long"),
+                  F.col("l_orderkey")).alias("add_overflow"),
+        F.try_multiply(F.col("l_orderkey"),
+                       F.lit(long_max).cast("long")).alias("mul_overflow"),
+        F.try_to_number("l_returnflag", F.lit("9")).cast("int")
+         .alias("flag_as_int"),
+        F.col("l_linenumber").cast("string").cast("int")
+         .alias("line_roundtrip"))
