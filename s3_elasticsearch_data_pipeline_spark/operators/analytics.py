@@ -1185,3 +1185,92 @@ def type_entropy(events: DataFrame) -> DataFrame:
                          + F.lit(0.5)).cast("double").alias("_t"))
             .select("user_id", "n_events", "n_types",
                     (F.col("_t") / 1000000.0).alias("entropy")))
+
+
+def gini_concentration(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Gini coefficient of order-value concentration per market
+    segment — the inequality/concentration metric, from the
+    rank-weighted form G = Σ(2i − n − 1)·x_i / (n·Σx) over values
+    sorted ascending within each segment.
+
+    The window partitions by segment (shuffle-parallel); the
+    rank-weighted terms are exact decimals, so both sums are
+    order-independent; the final ratio is one stabilized double op.
+    """
+    seg = (orders.join(F.broadcast(customer),
+                       orders.o_custkey == customer.c_custkey)
+           .select("c_mktsegment",
+                   F.col("o_totalprice").cast("decimal(12,2)").alias("x"),
+                   "o_orderkey"))
+    w = Window.partitionBy("c_mktsegment").orderBy("x", "o_orderkey")
+    i = F.row_number().over(w)
+    ranked = seg.select(
+        "c_mktsegment", "x",
+        ((2 * i).cast("decimal(18,0)")).alias("two_i"))
+    agg = (ranked.groupBy("c_mktsegment")
+           .agg(F.count(F.lit(1)).alias("n"),
+                F.sum("x").alias("sx"),
+                F.sum((F.col("two_i") * F.col("x")).cast("decimal(38,2)"))
+                 .alias("swx")))
+    n = F.col("n").cast("double")
+    gini = ((F.col("swx").cast("double")
+             - (n + 1) * F.col("sx").cast("double"))
+            / (n * F.col("sx").cast("double")))
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return agg.select("c_mktsegment", "n",
+                      F.round(F.col("sx"), 2).cast("double").alias("total"),
+                      stab(gini).alias("gini"))
+
+
+def kaplan_meier(events: DataFrame, horizon_days: int = 60) -> DataFrame:
+    """Kaplan–Meier survival curve for signup → first-purchase
+    conversion (right-censored at each user's last observed event).
+
+    Per-user durations are two aggregates; the risk table reduces to
+    one row per distinct day, so the ordered survival product runs
+    over a dimension-sized frame. The product is computed as
+    exp(Σ ln(1 − d/n)) with 9dp-rounded decimal accumulation — the
+    same ln discipline as the LM scorers, so the curve is
+    engine-identical.
+    """
+    per_user = (events.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+         .alias("signup_ts"),
+        F.max("ts").alias("last_ts")))
+    first_purchase = (events.where(F.col("event_type") == "purchase")
+                      .groupBy("user_id")
+                      .agg(F.min("ts").alias("purchase_ts")))
+    base = (per_user.where(F.col("signup_ts").isNotNull())
+            .join(first_purchase, "user_id", "left")
+            .select(
+                "user_id",
+                F.when(F.col("purchase_ts") >= F.col("signup_ts"),
+                       F.datediff("purchase_ts", "signup_ts"))
+                 .alias("event_day"),
+                F.datediff("last_ts", "signup_ts").alias("censor_day")))
+    # duration observed: event day if converted, else censoring day
+    obs = base.select(
+        F.coalesce("event_day", "censor_day").alias("t"),
+        F.col("event_day").isNotNull().cast("int").alias("converted"))
+    risk = (obs.where(F.col("t") <= horizon_days)
+            .groupBy("t")
+            .agg(F.sum("converted").alias("d"),
+                 F.count(F.lit(1)).alias("leaving")))
+    n_total = obs.agg(F.count(F.lit(1)).alias("n0"))
+    w = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, -1)
+    wc = Window.orderBy("t").rowsBetween(Window.unboundedPreceding, 0)
+    tbl = (risk.crossJoin(F.broadcast(n_total))
+           .withColumn("at_risk",
+                       F.col("n0") - F.coalesce(F.sum("leaving").over(w),
+                                                F.lit(0)))
+           # d == at_risk would be ln(0): survival hits exactly 0 and
+           # the curve ends — excluded on both engines identically
+           .where((F.col("d") > 0) & (F.col("d") < F.col("at_risk"))))
+    term = (F.floor(
+        F.log(1 - F.col("d").cast("double") / F.col("at_risk").cast("double"))
+        * 1000000000.0 + F.lit(0.5)) / 1000000000.0).cast("decimal(18,9)")
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return (tbl.withColumn("logsum", F.sum(term).over(wc))
+            .select("t", "d", "at_risk",
+                    stab(F.exp(F.col("logsum").cast("double")))
+                    .alias("survival")))

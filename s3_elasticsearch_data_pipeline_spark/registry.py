@@ -4945,3 +4945,84 @@ def q_safe_arithmetic_pack(spark, sf_dir):
          .alias("flag_as_int"),
         F.col("l_linenumber").cast("string").cast("int")
          .alias("line_roundtrip"))
+
+
+@register("agg_gini_concentration", """
+WITH seg AS (
+  SELECT c_mktsegment, CAST(o_totalprice AS DECIMAL(12,2)) AS x, o_orderkey
+  FROM orders JOIN customer ON o_custkey = c_custkey),
+ranked AS (
+  SELECT c_mktsegment, x,
+         CAST(2 * row_number() OVER (PARTITION BY c_mktsegment
+                                     ORDER BY x, o_orderkey)
+              AS DECIMAL(18,0)) AS two_i
+  FROM seg),
+agg AS (
+  SELECT c_mktsegment, count(*) AS n, sum(x) AS sx,
+         sum(CAST(CAST(two_i AS DECIMAL(19,0)) * x AS DECIMAL(38,2))) AS swx
+  FROM ranked GROUP BY c_mktsegment)
+SELECT c_mktsegment, n,
+       CAST(round(sx, 2) AS DOUBLE) AS total,
+       floor((CAST(swx AS DOUBLE)
+              - (CAST(n AS DOUBLE) + 1) * CAST(sx AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sx AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS gini
+FROM agg
+""")
+def q_agg_gini_concentration(spark, sf_dir):
+    """Gini coefficient of order-value concentration per market
+    segment (rank-weighted form, segment-partitioned window, exact
+    decimal sums) (cf. operators/analytics.py:gini_concentration)."""
+    return analytics.gini_concentration(
+        _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer"))
+
+
+@register("survival_kaplan_meier", """
+WITH per_user AS (
+  SELECT user_id,
+         min(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts,
+         max(ts) AS last_ts
+  FROM events GROUP BY user_id),
+fp AS (
+  SELECT user_id, min(ts) AS purchase_ts
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+base AS (
+  SELECT p.user_id,
+         CASE WHEN f.purchase_ts >= p.signup_ts
+              THEN datediff('day', p.signup_ts, f.purchase_ts)
+              END AS event_day,
+         datediff('day', p.signup_ts, p.last_ts) AS censor_day
+  FROM per_user p LEFT JOIN fp f ON p.user_id = f.user_id
+  WHERE p.signup_ts IS NOT NULL),
+obs AS (
+  SELECT coalesce(event_day, censor_day) AS t,
+         CASE WHEN event_day IS NOT NULL THEN 1 ELSE 0 END AS converted
+  FROM base),
+risk AS (
+  SELECT t, CAST(sum(converted) AS BIGINT) AS d, count(*) AS leaving
+  FROM obs WHERE t <= 60 GROUP BY t),
+n0 AS (SELECT count(*) AS n0 FROM obs),
+tbl AS (
+  SELECT t, d,
+         n0 - coalesce(sum(leaving) OVER (ORDER BY t
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS at_risk
+  FROM risk, n0),
+ev AS (
+  SELECT t, d, CAST(at_risk AS BIGINT) AS at_risk,
+         CAST(floor(ln(1 - CAST(d AS DOUBLE) / CAST(at_risk AS DOUBLE))
+                    * 1000000000.0 + 0.5) / 1000000000.0
+              AS DECIMAL(18,9)) AS term
+  FROM tbl WHERE d > 0 AND d < at_risk)
+SELECT t, d, at_risk,
+       floor(exp(CAST(sum(term) OVER (ORDER BY t
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0 AS survival
+FROM ev
+""")
+def q_survival_kaplan_meier(spark, sf_dir):
+    """Kaplan–Meier signup→purchase survival curve (right-censored at
+    last observed activity), product via 9dp-rounded ln accumulation
+    over the dimension-sized risk table
+    (cf. operators/analytics.py:kaplan_meier)."""
+    return analytics.kaplan_meier(_t(spark, sf_dir, "events"))
