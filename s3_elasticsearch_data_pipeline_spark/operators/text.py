@@ -838,3 +838,34 @@ def search_highlight(documents: DataFrame, term: str = "spark",
             .where(pos > 0)
             .select("doc_id", pos.alias("first_pos"),
                     n_hits.alias("n_hits"), snippet.alias("snippet")))
+
+
+def url_canonicalize(documents: DataFrame) -> DataFrame:
+    """URL canonicalization — the first step of web-corpus dedup:
+    lowercase scheme/host, strip default ports, fragments, tracking
+    params, and trailing slashes, then count collisions per canonical
+    URL. The raw URLs here are synthesized deterministically from
+    (source, doc_id) with noisy casing/ports/params so the transform
+    is self-contained and oracle-checkable; swap the synthesizer for a
+    real ``url`` column in production. Pure regexp/string algebra."""
+    raw = F.concat(
+        F.lit("HTTPS://WWW."), F.upper("source"),
+        F.lit(".Example.COM"),
+        F.when(F.col("doc_id") % 3 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Docs/"), F.col("doc_id").cast("string"),
+        F.when(F.col("doc_id") % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 5 == 0,
+               F.lit("?utm_source=feed&utm_campaign=x")).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 7 == 0, F.lit("#section-2"))
+         .otherwise(F.lit("")))
+    c = F.lower(raw)
+    c = F.regexp_replace(c, "#.*$", "")
+    c = F.regexp_replace(c, "\\?utm_[^#]*$", "")
+    c = F.regexp_replace(c, ":443/", "/")
+    c = F.regexp_replace(c, ":443$", "")
+    c = F.regexp_replace(c, "/$", "")
+    return (documents
+            .select("doc_id", raw.alias("raw_url"), c.alias("canonical_url"))
+            .groupBy("canonical_url")
+            .agg(F.count(F.lit(1)).alias("n_variants"),
+                 F.min("doc_id").alias("first_doc")))

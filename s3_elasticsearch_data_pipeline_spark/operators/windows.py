@@ -296,3 +296,27 @@ def distribution_ranks(events: DataFrame) -> DataFrame:
             .select("event_id", "event_type", "value",
                     stab(F.percent_rank().over(w)).alias("pct_rank"),
                     stab(F.cume_dist().over(w)).alias("cume_dist")))
+
+
+def attribution_touchpoints(events: DataFrame) -> DataFrame:
+    """First-touch / last-touch attribution: for every purchase, the
+    first and most recent preceding non-purchase event type of the
+    same user, cross-tabulated — the marketing-attribution contrast
+    table in one partitioned window pass (first/last with
+    ignorenulls over the strictly-preceding frame)."""
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    touch = F.when(F.col("event_type") != "purchase", F.col("event_type"))
+    attributed = (events
+                  .select("user_id", "ts", "event_id", "event_type",
+                          F.first(touch, ignorenulls=True).over(w)
+                           .alias("first_touch"),
+                          F.last(touch, ignorenulls=True).over(w)
+                           .alias("last_touch"))
+                  .where(F.col("event_type") == "purchase"))
+    return (attributed
+            .groupBy(F.coalesce("first_touch", F.lit("none"))
+                     .alias("first_touch"),
+                     F.coalesce("last_touch", F.lit("none"))
+                     .alias("last_touch"))
+            .agg(F.count(F.lit(1)).alias("n_purchases")))

@@ -5026,3 +5026,65 @@ def q_survival_kaplan_meier(spark, sf_dir):
     over the dimension-sized risk table
     (cf. operators/analytics.py:kaplan_meier)."""
     return analytics.kaplan_meier(_t(spark, sf_dir, "events"))
+
+
+@register("attribution_touchpoints", """
+WITH w AS (
+  SELECT user_id, ts, event_id, event_type,
+         first_value(CASE WHEN event_type <> 'purchase'
+                          THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS first_touch,
+         last_value(CASE WHEN event_type <> 'purchase'
+                         THEN event_type END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS last_touch
+  FROM events)
+SELECT coalesce(first_touch, 'none') AS first_touch,
+       coalesce(last_touch, 'none') AS last_touch,
+       count(*) AS n_purchases
+FROM w WHERE event_type = 'purchase'
+GROUP BY 1, 2
+""")
+def q_attribution_touchpoints(spark, sf_dir):
+    """First-touch vs last-touch purchase attribution contrast table —
+    one partitioned window pass with ignorenulls first/last over the
+    strictly-preceding frame (cf. operators/windows.py:
+    attribution_touchpoints)."""
+    return windows.attribution_touchpoints(_t(spark, sf_dir, "events"))
+
+
+@register("text_url_canonicalize", """
+WITH raw AS (
+  SELECT doc_id,
+         'HTTPS://WWW.' || upper(source) || '.Example.COM'
+         || CASE WHEN doc_id % 3 = 0 THEN ':443' ELSE '' END
+         || '/Docs/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END
+         || CASE WHEN doc_id % 5 = 0
+                 THEN '?utm_source=feed&utm_campaign=x' ELSE '' END
+         || CASE WHEN doc_id % 7 = 0 THEN '#section-2' ELSE '' END
+           AS raw_url
+  FROM documents),
+canon AS (
+  SELECT doc_id,
+         regexp_replace(
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(lower(raw_url), '#.*$', ''),
+                 '\\?utm_[^#]*$', ''),
+               ':443/', '/'),
+             ':443$', ''),
+           '/$', '') AS canonical_url
+  FROM raw)
+SELECT canonical_url, count(*) AS n_variants, min(doc_id) AS first_doc
+FROM canon GROUP BY canonical_url
+""")
+def q_text_url_canonicalize(spark, sf_dir):
+    """URL canonicalization (lowercase, strip default port / fragment /
+    tracking params / trailing slash) + collision counts — web-corpus
+    dedup's first step (cf. operators/text.py:url_canonicalize)."""
+    return text.url_canonicalize(_t(spark, sf_dir, "documents"))
