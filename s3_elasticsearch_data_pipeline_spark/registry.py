@@ -5088,3 +5088,151 @@ def q_text_url_canonicalize(spark, sf_dir):
     tracking params / trailing slash) + collision counts — web-corpus
     dedup's first step (cf. operators/text.py:url_canonicalize)."""
     return text.url_canonicalize(_t(spark, sf_dir, "documents"))
+
+
+@register("cohort_ltv_triangle", """
+WITH su AS (
+  SELECT user_id, strftime(min(ts), '%Y-%m') AS cohort,
+         min(CAST(ts AS DATE)) AS signup_day
+  FROM events WHERE event_type = 'signup' GROUP BY user_id),
+rev AS (
+  SELECT s.cohort,
+         datediff('month', date_trunc('month', s.signup_day),
+                  date_trunc('month', CAST(e.ts AS DATE))) AS months_since,
+         sum(CAST(e.value AS DECIMAL(18,2))) AS revenue,
+         count(*) AS n_purchases
+  FROM events e JOIN su s ON e.user_id = s.user_id
+  WHERE e.event_type = 'purchase' AND e.ts >= (SELECT min(signup_day)
+                                               FROM su s2
+                                               WHERE s2.user_id = e.user_id)
+  GROUP BY 1, 2)
+SELECT cohort, months_since,
+       CAST(round(revenue, 2) AS DOUBLE) AS revenue, n_purchases,
+       CAST(round(sum(revenue) OVER (PARTITION BY cohort
+                  ORDER BY months_since
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+            AS DOUBLE) AS cumulative_ltv
+FROM rev
+""")
+def q_cohort_ltv_triangle(spark, sf_dir):
+    """Cohort LTV triangle: purchase revenue by signup-month cohort ×
+    months-since-signup with the cumulative LTV running decimal sum —
+    the revenue-weighted sibling of retention_cohorts. Windows
+    partition by cohort; all sums exact decimal."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    su = (ev.where(F.col("event_type") == "signup")
+          .groupBy("user_id")
+          .agg(F.date_format(F.min("ts"), "yyyy-MM").alias("cohort"),
+               F.min(F.to_date("ts")).alias("signup_day")))
+    rev = (ev.where(F.col("event_type") == "purchase")
+           .join(su, "user_id")
+           .where(F.col("ts") >= F.col("signup_day"))
+           .groupBy("cohort",
+                    (F.months_between(
+                        F.trunc(F.to_date("ts"), "month"),
+                        F.trunc("signup_day", "month"))
+                     .cast("int")).alias("months_since"))
+           .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("revenue"),
+                F.count(F.lit(1)).alias("n_purchases")))
+    w = (Window.partitionBy("cohort").orderBy("months_since")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return rev.select(
+        "cohort", "months_since",
+        F.round("revenue", 2).cast("double").alias("revenue"),
+        "n_purchases",
+        F.round(F.sum("revenue").over(w), 2).cast("double")
+         .alias("cumulative_ltv"))
+
+
+@register("text_readability", """
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '\\s+'),
+                     t -> t <> '') AS tk,
+         len(list_filter(string_split_regex(text, '[.!?]+'),
+                         s -> trim(s) <> '')) AS n_sentences
+  FROM documents),
+m AS (
+  SELECT doc_id,
+         len(tk) AS n_words,
+         greatest(1, n_sentences) AS n_sent,
+         list_sum(list_transform(tk,
+             t -> greatest(1, len(string_split_regex(t, '[aeiouy]+')) - 1)))
+           AS n_syllables
+  FROM base WHERE len(tk) > 0)
+SELECT doc_id, n_words, n_sent, CAST(n_syllables AS BIGINT) AS n_syllables,
+       floor((206.835
+              - 1.015 * (CAST(n_words AS DOUBLE) / CAST(n_sent AS DOUBLE))
+              - 84.6 * (CAST(n_syllables AS DOUBLE)
+                        / CAST(n_words AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS flesch_score
+FROM m
+""")
+def q_text_readability(spark, sf_dir):
+    """Flesch reading-ease scores from vowel-group syllable counts —
+    the readability quality signal as pure array algebra (transform +
+    aggregate over the token array; no UDF, no shuffle)."""
+    d = (_t(spark, sf_dir, "documents")
+         .withColumn("tk", F.filter(F.split(F.lower(F.col("text")),
+                                            r"\s+"),
+                                    lambda t: t != ""))
+         .withColumn("n_sentences",
+                     F.size(F.filter(F.split(F.col("text"), r"[.!?]+"),
+                                     lambda s: F.trim(s) != "")))
+         .where(F.size("tk") > 0))
+    syl = F.aggregate(
+        F.transform("tk", lambda t: F.greatest(
+            F.lit(1), F.size(F.split(t, "[aeiouy]+")) - 1)),
+        F.lit(0), lambda acc, x: acc + x)
+    d = (d.withColumn("n_words", F.size("tk"))
+         .withColumn("n_sent", F.greatest(F.lit(1), F.col("n_sentences")))
+         .withColumn("n_syllables", syl.cast("long")))
+    score = (F.lit(206.835)
+             - 1.015 * (F.col("n_words").cast("double")
+                        / F.col("n_sent").cast("double"))
+             - 84.6 * (F.col("n_syllables").cast("double")
+                       / F.col("n_words").cast("double")))
+    return d.select(
+        "doc_id", "n_words", "n_sent", "n_syllables",
+        (F.floor(score * 1000000.0 + F.lit(0.5)) / 1000000.0)
+        .alias("flesch_score"))
+
+
+@register("timeseries_peaks", """
+WITH w AS (
+  SELECT user_id, value,
+         lag(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS prev_v,
+         lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+           AS next_v
+  FROM events)
+SELECT user_id,
+       count(*) FILTER (WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+                        AND value > prev_v AND value > next_v) AS n_peaks,
+       count(*) FILTER (WHERE prev_v IS NOT NULL AND next_v IS NOT NULL
+                        AND value < prev_v AND value < next_v)
+         AS n_troughs,
+       max(CASE WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+                AND value > prev_v AND value > next_v
+                THEN value END) AS max_peak
+FROM w GROUP BY user_id
+""")
+def q_timeseries_peaks(spark, sf_dir):
+    """Local peak/trough detection per user series (strict lag/lead
+    comparison under a total order) — one partitioned window pass."""
+    from pyspark.sql import Window
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev = (_t(spark, sf_dir, "events")
+          .select("user_id", "value",
+                  F.lag("value").over(w).alias("prev_v"),
+                  F.lead("value").over(w).alias("next_v")))
+    interior = F.col("prev_v").isNotNull() & F.col("next_v").isNotNull()
+    is_peak = interior & (F.col("value") > F.col("prev_v")) \
+        & (F.col("value") > F.col("next_v"))
+    is_trough = interior & (F.col("value") < F.col("prev_v")) \
+        & (F.col("value") < F.col("next_v"))
+    return (ev.groupBy("user_id")
+            .agg(F.count(F.when(is_peak, 1)).alias("n_peaks"),
+                 F.count(F.when(is_trough, 1)).alias("n_troughs"),
+                 F.max(F.when(is_peak, F.col("value"))).alias("max_peak")))
