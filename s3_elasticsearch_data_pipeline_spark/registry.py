@@ -5236,3 +5236,73 @@ def q_timeseries_peaks(spark, sf_dir):
             .agg(F.count(F.when(is_peak, 1)).alias("n_peaks"),
                  F.count(F.when(is_trough, 1)).alias("n_troughs"),
                  F.max(F.when(is_peak, F.col("value"))).alias("max_peak")))
+
+
+@register("feature_woe_encoding", """
+WITH base AS (
+  SELECT extract(hour FROM ts) AS bucket,
+         CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+  FROM events),
+per AS (
+  SELECT bucket, CAST(sum(y) AS BIGINT) AS pos,
+         CAST(count(*) - sum(y) AS BIGINT) AS neg
+  FROM base GROUP BY bucket),
+tot AS (
+  SELECT CAST(sum(pos) AS BIGINT) AS tp, CAST(sum(neg) AS BIGINT) AS tn
+  FROM per)
+SELECT bucket, pos, neg,
+       floor(ln((CAST(pos AS DOUBLE) / CAST(tp AS DOUBLE))
+                / (CAST(neg AS DOUBLE) / CAST(tn AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS woe
+FROM per, tot
+""")
+def q_feature_woe_encoding(spark, sf_dir):
+    """Weight-of-evidence encoding of hour-of-day against the purchase
+    target — the risk-modeling categorical encoding as two aggregates
+    + one ln (proven cross-engine), no fitted state beyond the tiny
+    bucket table."""
+    ev = _t(spark, sf_dir, "events")
+    y = F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+    per = (ev.select(F.hour("ts").alias("bucket"), y.alias("y"))
+           .groupBy("bucket")
+           .agg(F.sum("y").alias("pos"),
+                (F.count(F.lit(1)) - F.sum("y")).alias("neg")))
+    tot = per.agg(F.sum("pos").alias("tp"), F.sum("neg").alias("tn"))
+    woe = F.log((F.col("pos").cast("double") / F.col("tp").cast("double"))
+                / (F.col("neg").cast("double") / F.col("tn").cast("double")))
+    return (per.crossJoin(F.broadcast(tot))
+            .select("bucket", "pos", "neg",
+                    (F.floor(woe * 1000000.0 + F.lit(0.5)) / 1000000.0)
+                    .alias("woe")))
+
+
+@register("feature_target_encoding_loo", """
+WITH g AS (
+  SELECT event_type,
+         sum(CAST(value AS DECIMAL(18,2))) AS s, count(*) AS n
+  FROM events GROUP BY event_type)
+SELECT e.event_id, e.event_type,
+       CASE WHEN g.n > 1
+            THEN floor((CAST(g.s AS DOUBLE) - e.value)
+                       / (CAST(g.n AS DOUBLE) - 1)
+                       * 1000000.0 + 0.5) / 1000000.0
+            END AS loo_mean
+FROM events e JOIN g ON e.event_type = g.event_type
+""")
+def q_feature_target_encoding_loo(spark, sf_dir):
+    """Leave-one-out target (mean) encoding: each row's category mean
+    EXCLUDING itself — (Σ − x)/(n − 1) from one exact-decimal group
+    aggregate broadcast back, the leakage-safe form of mean encoding
+    with no per-row re-aggregation."""
+    ev = _t(spark, sf_dir, "events")
+    g = (ev.groupBy("event_type")
+         .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("s"),
+              F.count(F.lit(1)).alias("n")))
+    loo = F.when(
+        F.col("n") > 1,
+        F.floor((F.col("s").cast("double") - F.col("value"))
+                / (F.col("n").cast("double") - 1)
+                * 1000000.0 + F.lit(0.5)) / 1000000.0)
+    return (ev.select("event_id", "event_type", "value")
+            .join(F.broadcast(g), "event_type")
+            .select("event_id", "event_type", loo.alias("loo_mean")))
