@@ -5306,3 +5306,78 @@ def q_feature_target_encoding_loo(spark, sf_dir):
     return (ev.select("event_id", "event_type", "value")
             .join(F.broadcast(g), "event_type")
             .select("event_id", "event_type", loo.alias("loo_mean")))
+
+
+@register("timeseries_autocorrelation", """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS x
+  FROM events GROUP BY 1),
+m AS (
+  SELECT floor(CAST(sum(x) AS DOUBLE) / count(*) * 1000000.0 + 0.5)
+           / 1000000.0 AS mean_x,
+         count(*) AS n_days
+  FROM daily),
+c AS (
+  SELECT d, CAST(x AS DOUBLE) - mean_x AS c,
+         lag(CAST(x AS DOUBLE) - mean_x, 1) OVER (ORDER BY d) AS c1,
+         lag(CAST(x AS DOUBLE) - mean_x, 7) OVER (ORDER BY d) AS c7,
+         n_days
+  FROM daily, m),
+s AS (
+  SELECT max(n_days) AS n_days,
+         CAST(sum(CAST(floor(c * c * 1000000.0 + 0.5) / 1000000.0
+                       AS DECIMAL(24,6))) AS DOUBLE) AS den,
+         CAST(sum(CASE WHEN c1 IS NOT NULL
+                       THEN CAST(floor(c * c1 * 1000000.0 + 0.5) / 1000000.0
+                                 AS DECIMAL(24,6)) END) AS DOUBLE)
+           AS num1,
+         CAST(sum(CASE WHEN c7 IS NOT NULL
+                       THEN CAST(floor(c * c7 * 1000000.0 + 0.5) / 1000000.0
+                                 AS DECIMAL(24,6)) END) AS DOUBLE)
+           AS num7
+  FROM c)
+SELECT n_days,
+       floor(num1 / den * 1000000.0 + 0.5) / 1000000.0 AS acf_lag1,
+       floor(num7 / den * 1000000.0 + 0.5) / 1000000.0 AS acf_lag7
+FROM s
+""")
+def q_timeseries_autocorrelation(spark, sf_dir):
+    """Lag-1 / lag-7 autocorrelation of the global daily event count —
+    the seasonality detector. The centered products are decimal-cast
+    before summation (order-independent); the lags run over the
+    dimension-sized distinct-day spine, observed days only (calendar
+    gaps collapse — pair with timeseries_gapfill for a dense spine)."""
+    from pyspark.sql import Window
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("d")) \
+        .agg(F.count(F.lit(1)).alias("x"))
+    m = daily.agg(
+        (F.floor(F.sum("x").cast("double") / F.count(F.lit(1))
+                 * 1000000.0 + F.lit(0.5)) / 1000000.0).alias("mean_x"),
+        F.count(F.lit(1)).alias("n_days"))
+    w = Window.orderBy("d")
+    cexp = F.col("x").cast("double") - F.col("mean_x")
+    c = (daily.crossJoin(F.broadcast(m))
+         .select("d", cexp.alias("c"),
+                 F.lag(cexp, 1).over(w).alias("c1"),
+                 F.lag(cexp, 7).over(w).alias("c7"),
+                 "n_days"))
+    s = c.agg(
+        F.max("n_days").alias("n_days"),
+        F.sum((F.floor(F.col("c") * F.col("c") * 1000000.0 + F.lit(0.5))
+               / 1000000.0).cast("decimal(24,6)"))
+         .cast("double").alias("den"),
+        F.sum(F.when(F.col("c1").isNotNull(),
+                     (F.floor(F.col("c") * F.col("c1") * 1000000.0
+                              + F.lit(0.5)) / 1000000.0)
+                     .cast("decimal(24,6)")))
+         .cast("double").alias("num1"),
+        F.sum(F.when(F.col("c7").isNotNull(),
+                     (F.floor(F.col("c") * F.col("c7") * 1000000.0
+                              + F.lit(0.5)) / 1000000.0)
+                     .cast("decimal(24,6)")))
+         .cast("double").alias("num7"))
+    stab = lambda x: F.floor(x * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    return s.select("n_days",
+                    stab(F.col("num1") / F.col("den")).alias("acf_lag1"),
+                    stab(F.col("num7") / F.col("den")).alias("acf_lag7"))
