@@ -266,3 +266,37 @@ def test_fuzzed_order_limit_matches_duckdb(fuzz_env, i):
     sql = ORDER_CASES[i]
     assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
         f"divergence on: {sql}"
+
+
+N_DISTINCT_CASES = 12
+
+
+def _distinct_cases() -> list[str]:
+    rng = random.Random(31415)
+    keys = ("l_returnflag", "l_linestatus", "l_orderkey % 9")
+    daggs = ("count(DISTINCT l_orderkey) AS d_orders",
+             "count(DISTINCT l_partkey) AS d_parts",
+             "count(DISTINCT l_suppkey) AS d_supps",
+             "count(DISTINCT CAST(l_quantity AS BIGINT)) AS d_qty")
+    havings = ("count(*) > 100", "count(DISTINCT l_partkey) >= 10",
+               "min(l_orderkey) >= 0")
+    cases = []
+    for _ in range(N_DISTINCT_CASES):
+        key = rng.choice(keys)
+        chosen = rng.sample(daggs, rng.randint(1, 2))
+        cases.append(
+            f"SELECT {key} AS grp, count(*) AS n, {', '.join(chosen)} "
+            f"FROM lineitem_fuzz GROUP BY {key} "
+            f"HAVING {rng.choice(havings)}")
+    return cases
+
+
+DISTINCT_CASES = _distinct_cases()
+
+
+@pytest.mark.parametrize("i", range(N_DISTINCT_CASES))
+def test_fuzzed_distinct_having_matches_duckdb(fuzz_env, i):
+    spark, con = fuzz_env
+    sql = DISTINCT_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
