@@ -74,6 +74,8 @@ HEADLINE = (
     "sketch_bloom_filter",
     "timeseries_ohlc",
     "gaps_islands",
+    "agg_ks_test",
+    "text_significant_terms",
 )
 
 
