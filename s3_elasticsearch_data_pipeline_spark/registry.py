@@ -5381,3 +5381,24 @@ def q_timeseries_autocorrelation(spark, sf_dir):
     return s.select("n_days",
                     stab(F.col("num1") / F.col("den")).alias("acf_lag1"),
                     stab(F.col("num7") / F.col("den")).alias("acf_lag7"))
+
+
+@register("stream_wordcount_topk", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents)
+SELECT term, count(*) AS n_occurrences,
+       count(DISTINCT doc_id) AS doc_freq
+FROM tok GROUP BY term
+ORDER BY n_occurrences DESC, term
+LIMIT 25
+""")
+def q_stream_wordcount_topk(spark, sf_dir):
+    """Streaming wordcount top-k drained to completion (complete-mode
+    counts + an exact doc-frequency join) — must equal the batch
+    vocabulary head (cf. streaming/windowed.py:stream_wordcount_topk)."""
+    from s3_elasticsearch_data_pipeline_spark.tables import table_path
+    return stream_windowed.stream_wordcount_topk(
+        spark, table_path(sf_dir, "documents"))

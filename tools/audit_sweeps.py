@@ -20,7 +20,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from s3_elasticsearch_data_pipeline_spark import registry  # noqa: E402
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("AUDIT_SF_DIR", "/root/testdata/sf0.01")
 
 
 def determinism() -> int:
@@ -46,6 +46,9 @@ def determinism() -> int:
 
 
 def invariance() -> int:
+    # at the default SF this doubles as the shuffle-partition
+    # invariance audit; with AUDIT_SF_DIR=sf0.1 it is the 10x oracle
+    # sweep (partitions stay at 8 — both knobs stress layout at once)
     os.environ["SPARK_GRAFT_SHUFFLE_PARTITIONS"] = "8"
     from s3_elasticsearch_data_pipeline_spark.session import get_spark
     from tests.oracle import compare, duckdb_conn
