@@ -779,7 +779,6 @@ def significant_terms(documents: DataFrame, fg_source: str = "src1",
         "doc_id", "source",
         F.explode(F.array_distinct(tokens(F.lower(F.col("text")))))
          .alias("term"))
-    n_fg = F.count(F.when(F.col("source") == fg_source, 1))
     fg = (toks.groupBy("term")
           .agg(F.count(F.when(F.col("source") == fg_source, 1))
                 .alias("df_fg"),
