@@ -5402,3 +5402,46 @@ def q_stream_wordcount_topk(spark, sf_dir):
     from s3_elasticsearch_data_pipeline_spark.tables import table_path
     return stream_windowed.stream_wordcount_topk(
         spark, table_path(sf_dir, "documents"))
+
+
+_LATERAL_SQL = """
+SELECT o.o_orderkey, t.l_extendedprice, t.l_linenumber
+FROM orders o, LATERAL (
+  SELECT l_extendedprice, l_linenumber FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+  ORDER BY l_extendedprice DESC, l_linenumber LIMIT 1) t
+WHERE o.o_orderkey % 100 = 0
+"""
+
+
+@register("sql_lateral_topn", _LATERAL_SQL)
+def q_sql_lateral_topn(spark, sf_dir):
+    """Correlated LATERAL subquery with ORDER BY + LIMIT (top-1
+    lineitem per order) — the SAME SQL text runs on both engines;
+    Catalyst decorrelates it into a ranked join rather than a per-row
+    re-execution."""
+    for t in ("orders", "lineitem"):
+        _t(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_LATERAL_SQL)
+
+
+@register("sql_pivot_clause", """
+SELECT o_orderpriority,
+       count(*) FILTER (WHERE o_orderstatus = 'O') AS n_open,
+       count(*) FILTER (WHERE o_orderstatus = 'F') AS n_filled,
+       count(*) FILTER (WHERE o_orderstatus = 'P') AS n_pending
+FROM orders GROUP BY o_orderpriority
+""")
+def q_sql_pivot_clause(spark, sf_dir):
+    """SQL PIVOT clause (wide conditional counts per priority) — the
+    SQL-syntax twin of the DataFrame agg_pivot; absent cells coalesce
+    to 0 to match conditional-count semantics."""
+    _t(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql("""
+      SELECT o_orderpriority,
+             coalesce(n_open, 0) AS n_open,
+             coalesce(n_filled, 0) AS n_filled,
+             coalesce(n_pending, 0) AS n_pending
+      FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
+      PIVOT (count(*) FOR o_orderstatus
+             IN ('O' AS n_open, 'F' AS n_filled, 'P' AS n_pending))""")
