@@ -868,3 +868,36 @@ def url_canonicalize(documents: DataFrame) -> DataFrame:
             .groupBy("canonical_url")
             .agg(F.count(F.lit(1)).alias("n_variants"),
                  F.min("doc_id").alias("first_doc")))
+
+
+def compression_ratio(documents: DataFrame) -> DataFrame:
+    """Gopher-style compression-ratio quality signal: zlib-compressed
+    size over raw size per document — highly repetitive/templated text
+    compresses far below ~0.5 and gets filtered.
+
+    zlib at a FIXED level is deterministic, but no portable SQL twin
+    exists → rows-only check (pytest asserts the monotonicity
+    property: duplicated text compresses strictly better). Arrow-
+    batched mapInPandas, the documented escape hatch — the bytes never
+    leave the executor, one pass, no shuffle.
+    """
+    import pandas as pd
+
+    def score(batches):
+        import zlib
+        for pdf in batches:
+            raw = pdf["text"].str.encode("utf-8")
+            comp = raw.map(lambda b: len(zlib.compress(b, 6)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "raw_bytes": raw.map(len),
+                "compressed_bytes": comp,
+            })
+
+    out = documents.select("doc_id", "text").mapInPandas(
+        score, "doc_id long, raw_bytes long, compressed_bytes long")
+    return out.select(
+        "doc_id", "raw_bytes", "compressed_bytes",
+        F.when(F.col("raw_bytes") > 0,
+               F.round(F.col("compressed_bytes")
+                       / F.col("raw_bytes"), 6)).alias("compression_ratio"))

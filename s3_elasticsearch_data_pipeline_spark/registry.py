@@ -5445,3 +5445,12 @@ def q_sql_pivot_clause(spark, sf_dir):
       FROM (SELECT o_orderpriority, o_orderstatus FROM orders)
       PIVOT (count(*) FOR o_orderstatus
              IN ('O' AS n_open, 'F' AS n_filled, 'P' AS n_pending))""")
+
+
+@register("text_compression_ratio", None)  # zlib-specific → rows-only
+def q_text_compression_ratio(spark, sf_dir):
+    """Compression-ratio quality signal (zlib level 6, deterministic)
+    — rows-only: no portable SQL twin; pytest asserts the
+    repetition-compresses-better property
+    (cf. operators/text.py:compression_ratio)."""
+    return text.compression_ratio(_t(spark, sf_dir, "documents"))

@@ -259,3 +259,23 @@ def test_countmin_overestimates_within_bound(spark, sf_oracle):
     for r in out:
         assert r["cms_estimate"] >= r["true_count"], r
         assert r["cms_estimate"] - r["true_count"] <= bound, (r, bound)
+
+
+def test_compression_ratio_orders_repetition(spark, sf_smoke):
+    """Duplicated text must compress strictly better (lower ratio)
+    than the original, and ratios are deterministic run to run."""
+    import pyspark.sql.functions as F
+    from s3_elasticsearch_data_pipeline_spark.operators.text import (
+        compression_ratio)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    doubled = docs.select(
+        "doc_id", F.concat("text", F.lit(" "), "text").alias("text"))
+    base = {r["doc_id"]: r["compression_ratio"]
+            for r in compression_ratio(docs).collect()}
+    dbl = {r["doc_id"]: r["compression_ratio"]
+           for r in compression_ratio(doubled).collect()}
+    assert all(dbl[k] < base[k] for k in base)
+    again = {r["doc_id"]: r["compression_ratio"]
+             for r in compression_ratio(docs).collect()}
+    assert again == base
