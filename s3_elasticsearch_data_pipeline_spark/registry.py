@@ -5454,3 +5454,57 @@ def q_text_compression_ratio(spark, sf_dir):
     repetition-compresses-better property
     (cf. operators/text.py:compression_ratio)."""
     return text.compression_ratio(_t(spark, sf_dir, "documents"))
+
+
+@register("agg_cramers_v", """
+WITH cells AS (
+  SELECT event_type AS r, isodow(ts) AS c, count(*) AS o
+  FROM events GROUP BY 1, 2),
+rt AS (SELECT r, sum(o) AS rn FROM cells GROUP BY r),
+ct AS (SELECT c, sum(o) AS cn FROM cells GROUP BY c),
+n AS (SELECT CAST(sum(o) AS BIGINT) AS nn FROM cells),
+scored AS (
+  SELECT CAST(floor(((o - CAST(rn * cn AS DOUBLE) / nn)
+                     * (o - CAST(rn * cn AS DOUBLE) / nn))
+                    / (CAST(rn * cn AS DOUBLE) / nn)
+                    * 1000000.0 + 0.5) / 1000000.0 AS DECIMAL(18,6))
+           AS contrib
+  FROM cells JOIN rt USING (r) JOIN ct USING (c), n),
+dims AS (
+  SELECT count(DISTINCT r) AS nr, count(DISTINCT c) AS nc FROM cells),
+agg AS (SELECT CAST(sum(contrib) AS DOUBLE) AS chi2 FROM scored)
+SELECT chi2, nr, nc, nn AS n_rows,
+       floor(sqrt(chi2 / (CAST(nn AS DOUBLE)
+                          * CAST(least(nr - 1, nc - 1) AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS cramers_v
+FROM agg, dims, n
+""")
+def q_agg_cramers_v(spark, sf_dir):
+    """Cramér's V effect size for the event-type × weekday association
+    — the chi-square statistic normalized to [0,1], same
+    order-independent cell contributions as agg_chi2_independence."""
+    ev = _t(spark, sf_dir, "events")
+    cells = (ev.groupBy(F.col("event_type").alias("r"),
+                        (F.weekday("ts") + 1).alias("c"))
+             .agg(F.count(F.lit(1)).alias("o")))
+    rt = cells.groupBy("r").agg(F.sum("o").alias("rn"))
+    ct = cells.groupBy("c").agg(F.sum("o").alias("cn"))
+    n = cells.agg(F.sum("o").alias("nn"))
+    dims = cells.agg(F.countDistinct("r").alias("nr"),
+                     F.countDistinct("c").alias("nc"))
+    e = (F.col("rn") * F.col("cn")).cast("double") / F.col("nn")
+    contrib = ((F.col("o") - e) * (F.col("o") - e)) / e
+    contrib6 = (F.floor(contrib * F.lit(1000000.0) + F.lit(0.5))
+                / F.lit(1000000.0)).cast("decimal(18,6)")
+    scored = (cells.join(F.broadcast(rt), "r").join(F.broadcast(ct), "c")
+              .crossJoin(F.broadcast(n))
+              .select(contrib6.alias("contrib")))
+    agg = scored.agg(F.sum("contrib").cast("double").alias("chi2"))
+    v = F.sqrt(F.col("chi2")
+               / (F.col("nn").cast("double")
+                  * F.least(F.col("nr") - 1, F.col("nc") - 1)
+                  .cast("double")))
+    return (agg.crossJoin(F.broadcast(dims)).crossJoin(F.broadcast(n))
+            .select("chi2", "nr", "nc", F.col("nn").alias("n_rows"),
+                    (F.floor(v * 1000000.0 + F.lit(0.5)) / 1000000.0)
+                    .alias("cramers_v")))
