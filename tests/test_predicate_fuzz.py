@@ -300,3 +300,49 @@ def test_fuzzed_distinct_having_matches_duckdb(fuzz_env, i):
     sql = DISTINCT_CASES[i]
     assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
         f"divergence on: {sql}"
+
+
+N_SCALAR_CASES = 20
+
+
+def _scalar_cases() -> list[str]:
+    rng = random.Random(271828)
+    # engine-portable scalar expressions (no float rounding, no
+    # locale, no type-divergent returns) over the orders columns
+    exprs = (
+        "upper(o_orderpriority)",
+        "lower(o_orderstatus)",
+        "substr(o_orderpriority, 1, {k})",
+        "replace(o_orderpriority, '-', '_')",
+        "concat(o_orderstatus, ':', o_orderpriority)",
+        "length(trim(o_orderpriority))",
+        "lpad(o_orderstatus, {k}, '.')",
+        "rpad(o_orderstatus, {k}, '*')",
+        "position('-' IN o_orderpriority)",
+        "nullif(o_orderstatus, 'O')",
+        "coalesce(nullif(o_orderstatus, 'F'), 'filled')",
+        "CAST(date_trunc('month', o_orderdate) AS DATE)",
+        "CAST(o_orderdate + INTERVAL {k} DAY AS DATE)",
+        "extract(year FROM o_orderdate) * 100 + extract(month FROM o_orderdate)",
+        "greatest(o_orderkey % {k}, o_orderkey % 5)",
+        "least(o_orderkey % {k}, o_orderkey % 7)",
+        "abs(o_orderkey % {k} - 3)",
+        "o_orderkey % {k} + o_custkey % 3",
+    )
+    cases = []
+    for _ in range(N_SCALAR_CASES):
+        e = rng.choice(exprs).format(k=rng.randint(2, 9))
+        cases.append(
+            f"SELECT {e} AS v, count(*) AS n FROM orders_fuzz GROUP BY 1")
+    return cases
+
+
+SCALAR_CASES = _scalar_cases()
+
+
+@pytest.mark.parametrize("i", range(N_SCALAR_CASES))
+def test_fuzzed_scalar_function_matches_duckdb(join_env, i):
+    spark, con = join_env
+    sql = SCALAR_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
