@@ -83,3 +83,31 @@ def test_absent_column_materializes_default(spark):
                                 "city": ("string", ""),
                                 "value": ("int", 0)}).collect()[0]
     assert out.city == "" and out.value == 0
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=24))
+def test_floor_stabilization_identical_across_engines(spark, xs):
+    """The repo-wide rounding discipline — floor(x·10⁶ + 0.5)/10⁶ with
+    plain IEEE ops — must produce bit-identical values in Python,
+    Spark, and DuckDB for arbitrary doubles. Every decimal-stabilized
+    aggregate in the registry rests on this property."""
+    import math
+
+    import duckdb
+    import pyspark.sql.functions as F
+
+    py = [math.floor(x * 1000000.0 + 0.5) / 1000000.0 for x in xs]
+    df = spark.createDataFrame([(i, x) for i, x in enumerate(xs)],
+                               "i long, x double")
+    sp = [r["v"] for r in (df.orderBy("i")
+          .select("i", (F.floor(F.col("x") * 1000000.0 + F.lit(0.5))
+                        / 1000000.0).alias("v")).collect())]
+    con = duckdb.connect()
+    dk = [con.execute("SELECT floor(CAST(? AS DOUBLE) * 1000000.0 + 0.5)"
+                      " / 1000000.0", [x]).fetchone()[0] for x in xs]
+    con.close()
+    assert sp == py == dk
