@@ -435,3 +435,32 @@ def connected_components_star(pairs: DataFrame,
             .select("doc_id",
                     F.coalesce("cluster_id", F.col("doc_id"))
                     .alias("cluster_id")))
+
+
+def incremental_batch_dedup(documents: DataFrame,
+                            batch_mod: int = 3) -> DataFrame:
+    """Incremental (cross-batch) dedup — the corpus-update path: an
+    incoming batch keeps only documents whose content fingerprint has
+    never been seen in the prior corpus NOR earlier in the same batch.
+
+    The prior corpus reduces to its distinct fingerprint set (at 100 TB
+    this is the persisted dedup index, orders of magnitude smaller than
+    the corpus); the batch anti-joins it, then self-dedups by keeping
+    the min doc_id per fingerprint. One anti-join + one aggregate —
+    the J2 diff pattern applied to content identity instead of row
+    identity. Here the batch is carved deterministically (doc_id %
+    batch_mod == 0) so the operator is self-contained and
+    oracle-checkable.
+    """
+    from s3_elasticsearch_data_pipeline_spark.functions.textfns import (
+        fingerprint)
+    fp = fingerprint(F.col("text"))
+    seen = (documents.where(F.col("doc_id") % batch_mod != 0)
+            .select(fp.alias("fp")).distinct())
+    batch = (documents.where(F.col("doc_id") % batch_mod == 0)
+             .select("doc_id", fp.alias("fp")))
+    fresh = batch.join(seen, "fp", "left_anti")
+    return (fresh.groupBy("fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("n_batch_copies"))
+            .select("doc_id", "fp", "n_batch_copies"))

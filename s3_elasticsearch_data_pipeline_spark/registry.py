@@ -5508,3 +5508,25 @@ def q_agg_cramers_v(spark, sf_dir):
             .select("chi2", "nr", "nc", F.col("nn").alias("n_rows"),
                     (F.floor(v * 1000000.0 + F.lit(0.5)) / 1000000.0)
                     .alias("cramers_v")))
+
+
+@register("dedup_incremental_batch", """
+WITH fps AS (
+  SELECT doc_id,
+         md5(trim(regexp_replace(regexp_replace(lower(text),
+             '[^a-z0-9 ]', '', 'g'), ' +', ' ', 'g'))) AS fp
+  FROM documents),
+seen AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 3 <> 0),
+batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 3 = 0),
+fresh AS (
+  SELECT b.doc_id, b.fp FROM batch b
+  WHERE NOT EXISTS (SELECT 1 FROM seen s WHERE s.fp = b.fp))
+SELECT min(doc_id) AS doc_id, fp, count(*) AS n_batch_copies
+FROM fresh GROUP BY fp
+""")
+def q_dedup_incremental_batch(spark, sf_dir):
+    """Cross-batch incremental dedup: the incoming batch anti-joins
+    the prior corpus's distinct fingerprint set, then self-dedups by
+    min doc_id — the J2 diff pattern on content identity
+    (cf. operators/dedup.py:incremental_batch_dedup)."""
+    return dedup.incremental_batch_dedup(_t(spark, sf_dir, "documents"))
