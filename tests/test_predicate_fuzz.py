@@ -346,3 +346,44 @@ def test_fuzzed_scalar_function_matches_duckdb(join_env, i):
     sql = SCALAR_CASES[i]
     assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
         f"divergence on: {sql}"
+
+
+N_SUBQ_CASES = 12
+
+
+def _subquery_cases() -> list[str]:
+    rng = random.Random(161803)
+    inner_preds = ("o_orderstatus = 'F'", "o_totalprice > 100000",
+                   "o_orderpriority = '1-URGENT'",
+                   "o_orderdate < TIMESTAMP '1995-01-01'")
+    outer_preds = ("l_quantity > 30", "l_discount >= 0.06",
+                   "l_returnflag = 'A'", "TRUE")
+    shapes = (
+        "EXISTS (SELECT 1 FROM orders_fuzz WHERE o_orderkey = l_orderkey"
+        " AND {ip})",
+        "NOT EXISTS (SELECT 1 FROM orders_fuzz WHERE o_orderkey ="
+        " l_orderkey AND {ip})",
+        "l_orderkey IN (SELECT o_orderkey FROM orders_fuzz WHERE {ip})",
+        "l_orderkey NOT IN (SELECT o_orderkey FROM orders_fuzz WHERE {ip})",
+    )
+    cases = []
+    for _ in range(N_SUBQ_CASES):
+        shape = rng.choice(shapes).format(ip=rng.choice(inner_preds))
+        cases.append(
+            "SELECT l_returnflag AS grp, count(*) AS n, "
+            "CAST(round(sum(CAST(l_quantity AS DECIMAL(18,2))), 2) "
+            "AS DOUBLE) AS qty "
+            f"FROM lineitem_fuzz WHERE ({rng.choice(outer_preds)}) "
+            f"AND {shape} GROUP BY l_returnflag")
+    return cases
+
+
+SUBQ_CASES = _subquery_cases()
+
+
+@pytest.mark.parametrize("i", range(N_SUBQ_CASES))
+def test_fuzzed_subquery_matches_duckdb(join_env, i):
+    spark, con = join_env
+    sql = SUBQ_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
