@@ -464,3 +464,32 @@ def incremental_batch_dedup(documents: DataFrame,
             .agg(F.min("doc_id").alias("doc_id"),
                  F.count(F.lit(1)).alias("n_batch_copies"))
             .select("doc_id", "fp", "n_batch_copies"))
+
+
+def paragraph_dedup_stats(documents: DataFrame) -> DataFrame:
+    """Sub-document dedup: split each document into sentence-level
+    fragments, fingerprint each, and keep a fragment only in the
+    first (min doc_id) document where its content appears — the
+    boilerplate-paragraph removal step of web-corpus curation, at
+    fragment granularity instead of whole-doc.
+
+    One explode → one (fingerprint → min doc) aggregate (the shuffle
+    carries 16-byte hashes) → broadcast-free equi-join back on the
+    fingerprint → per-doc kept/dropped counts. Returns one row per
+    document with its fragment survival stats.
+    """
+    frag = F.filter(
+        F.transform(F.split(F.col("text"), r"[.!?]+\s+|[.!?]+$"),
+                    lambda s: F.trim(s)),
+        lambda s: s != "")
+    frags = (documents
+             .select("doc_id", F.posexplode(frag).alias("pos", "fragment"))
+             .select("doc_id", "pos", F.md5("fragment").alias("fph")))
+    owner = frags.groupBy("fph").agg(F.min("doc_id").alias("owner_doc"))
+    return (frags.join(owner, "fph")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_fragments"),
+                 F.sum(F.when(F.col("owner_doc") == F.col("doc_id"), 1)
+                       .otherwise(0)).alias("n_kept"),
+                 F.sum(F.when(F.col("owner_doc") != F.col("doc_id"), 1)
+                       .otherwise(0)).alias("n_deduped")))

@@ -5530,3 +5530,29 @@ def q_dedup_incremental_batch(spark, sf_dir):
     min doc_id — the J2 diff pattern on content identity
     (cf. operators/dedup.py:incremental_batch_dedup)."""
     return dedup.incremental_batch_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("dedup_paragraphs", """
+WITH frags AS (
+  SELECT doc_id,
+         md5(f.frag) AS fph
+  FROM documents,
+  LATERAL unnest(list_filter(
+      list_transform(string_split_regex(text, '[.!?]+\\s+|[.!?]+$'),
+                     s -> trim(s)),
+      s -> s <> '')) AS f(frag)),
+owner AS (SELECT fph, min(doc_id) AS owner_doc FROM frags GROUP BY fph)
+SELECT f.doc_id,
+       count(*) AS n_fragments,
+       sum(CASE WHEN o.owner_doc = f.doc_id THEN 1 ELSE 0 END) AS n_kept,
+       sum(CASE WHEN o.owner_doc <> f.doc_id THEN 1 ELSE 0 END)
+         AS n_deduped
+FROM frags f JOIN owner o ON f.fph = o.fph
+GROUP BY f.doc_id
+""")
+def q_dedup_paragraphs(spark, sf_dir):
+    """Sub-document (fragment-level) dedup stats: each sentence
+    fragment survives only in its first (min doc_id) document — the
+    boilerplate-removal step of corpus curation
+    (cf. operators/dedup.py:paragraph_dedup_stats)."""
+    return dedup.paragraph_dedup_stats(_t(spark, sf_dir, "documents"))

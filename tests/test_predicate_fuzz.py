@@ -387,3 +387,40 @@ def test_fuzzed_subquery_matches_duckdb(join_env, i):
     sql = SUBQ_CASES[i]
     assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
         f"divergence on: {sql}"
+
+
+N_OUTER_CASES = 10
+
+
+def _outer_cases() -> list[str]:
+    rng = random.Random(555)
+    o_preds = ("o_totalprice > 150000", "o_orderstatus = 'P'",
+               "o_orderpriority = '5-LOW'")
+    cases = []
+    for _ in range(N_OUTER_CASES):
+        # LEFT JOIN against a sparse right side → NULL-extended rows;
+        # aggregates must count/sum the nulls identically
+        side = rng.choice(("LEFT", "FULL"))
+        cases.append(
+            "SELECT o_orderstatus AS grp, count(*) AS n, "
+            "count(l2.big_orderkey) AS n_matched, "
+            "CAST(round(sum(CAST(coalesce(l2.big_qty, 0) "
+            "AS DECIMAL(18,2))), 2) AS DOUBLE) AS qty "
+            f"FROM orders_fuzz {side} JOIN ("
+            "  SELECT l_orderkey AS big_orderkey, l_quantity AS big_qty "
+            f"  FROM lineitem_fuzz WHERE l_quantity > {rng.randint(44, 49)}"
+            ") l2 ON o_orderkey = big_orderkey "
+            f"WHERE ({rng.choice(o_preds)}) OR o_orderstatus IS NULL "
+            "GROUP BY o_orderstatus")
+    return cases
+
+
+OUTER_CASES = _outer_cases()
+
+
+@pytest.mark.parametrize("i", range(N_OUTER_CASES))
+def test_fuzzed_outer_join_matches_duckdb(join_env, i):
+    spark, con = join_env
+    sql = OUTER_CASES[i]
+    assert spark_result(spark.sql(sql)) == oracle_result(con, sql), \
+        f"divergence on: {sql}"
