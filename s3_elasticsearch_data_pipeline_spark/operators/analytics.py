@@ -1274,3 +1274,115 @@ def kaplan_meier(events: DataFrame, horizon_days: int = 60) -> DataFrame:
             .select("t", "d", "at_risk",
                     stab(F.exp(F.col("logsum").cast("double")))
                     .alias("survival")))
+
+
+def market_basket(lineitem: DataFrame, min_pair_count: int = 2,
+                  top_n: int = 100) -> DataFrame:
+    """Association rules over order baskets: support / confidence /
+    lift for part pairs that co-occur in the same order.
+
+    The pair space is generated by a self equi-join on the order key
+    with ``part_a < part_b`` — per-basket-quadratic but bounded by the
+    basket size (≤7 lines in this schema), so the join output is a
+    small constant multiple of the fact table at any scale. Everything
+    after is hash aggregation; the per-item counts and the single-row
+    order total join back in (AQE broadcasts both). No collect, one
+    lazy plan. Ranked by the integer pair count (part keys as
+    tiebreak) so the top-n cut is engine-independent.
+
+    Extends the reference's aggregate surface
+    (``ID-based-transfer.py:90-109`` counts per partition; this counts
+    per co-occurrence pair).
+    """
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    baskets = lineitem.select("l_orderkey", "l_partkey").distinct()
+    totals = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders"))
+    item_cnt = baskets.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (a.join(b, F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+             .where(F.col("a.l_partkey") < F.col("b.l_partkey"))
+             .groupBy(F.col("a.l_partkey").alias("part_a"),
+                      F.col("b.l_partkey").alias("part_b"))
+             .agg(F.count(F.lit(1)).alias("pair_cnt"))
+             .where(F.col("pair_cnt") >= min_pair_count))
+    ca = item_cnt.select(F.col("l_partkey").alias("part_a"),
+                         F.col("cnt").alias("cnt_a"))
+    cb = item_cnt.select(F.col("l_partkey").alias("part_b"),
+                         F.col("cnt").alias("cnt_b"))
+    enriched = (pairs.join(ca, "part_a").join(cb, "part_b")
+                .crossJoin(totals))
+    return (enriched
+            .select("part_a", "part_b", "pair_cnt",
+                    stab(F.col("pair_cnt") / F.col("n_orders"))
+                    .alias("support"),
+                    stab(F.col("pair_cnt") / F.col("cnt_a"))
+                    .alias("confidence"),
+                    stab(F.col("pair_cnt") * F.col("n_orders")
+                         / (F.col("cnt_a") * F.col("cnt_b")))
+                    .alias("lift"))
+            .orderBy(F.col("pair_cnt").desc(), "part_a", "part_b")
+            .limit(top_n))
+
+
+def markov_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov chain over per-user event sequences: for
+    every (state → next state) pair, the transition count and the
+    row-normalized probability.
+
+    One partitioned window (lead over user/time order with the event
+    id as deterministic tiebreak), one hash aggregate, and a
+    per-source-state window sum for the normalizer — the integer
+    count ratio is stabilized to 6 decimals so it is
+    summation-order-independent.
+    """
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    nxt = events.select(
+        "user_id", "event_type",
+        F.lead("event_type").over(w).alias("next_type"))
+    trans = (nxt.where(F.col("next_type").isNotNull())
+             .groupBy("event_type", "next_type")
+             .agg(F.count(F.lit(1)).alias("n")))
+    per_state = Window.partitionBy("event_type")
+    return trans.select(
+        "event_type", "next_type", "n",
+        stab(F.col("n") / F.sum("n").over(per_state)).alias("prob"))
+
+
+def correlation_matrix(lineitem: DataFrame) -> DataFrame:
+    """Pairwise Pearson correlations among the lineitem measures, as
+    (col_a, col_b, corr) rows — the EDA primitive, computed from ONE
+    aggregate pass of exact decimal power sums (no per-pair rescan,
+    no float accumulation): n, Σx, Σx², and Σxy for all 6 pairs in a
+    single hash aggregate, then the correlation formula as a scalar
+    projection over the one-row result, floor-stabilized.
+    """
+    cols = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    d = {c: F.col(c).cast("decimal(18,4)") for c in cols}
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for c in cols:
+        aggs.append(F.sum(d[c]).alias(f"s_{c}"))
+        aggs.append(F.sum((d[c] * d[c]).cast("decimal(38,8)"))
+                    .alias(f"q_{c}"))
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            aggs.append(F.sum((d[ca] * d[cb]).cast("decimal(38,8)"))
+                        .alias(f"x_{ca}_{cb}"))
+    m = lineitem.agg(*aggs)
+    stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
+    n = F.col("n").cast("double")
+    pair_rows = []
+    for i, ca in enumerate(cols):
+        for cb in cols[i + 1:]:
+            sx = F.col(f"s_{ca}").cast("double")
+            sy = F.col(f"s_{cb}").cast("double")
+            qx = F.col(f"q_{ca}").cast("double")
+            qy = F.col(f"q_{cb}").cast("double")
+            xy = F.col(f"x_{ca}_{cb}").cast("double")
+            corr = ((n * xy - sx * sy)
+                    / F.sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
+            pair_rows.append(F.struct(F.lit(ca).alias("col_a"),
+                                      F.lit(cb).alias("col_b"),
+                                      stab(corr).alias("corr")))
+    return m.select(F.inline(F.array(*pair_rows)))

@@ -320,3 +320,23 @@ def attribution_touchpoints(events: DataFrame) -> DataFrame:
                      F.coalesce("last_touch", F.lit("none"))
                      .alias("last_touch"))
             .agg(F.count(F.lit(1)).alias("n_purchases")))
+
+
+def rolling_median(orders: DataFrame, days: int = 7) -> DataFrame:
+    """Exact trailing-``days`` rolling median of the daily order count.
+
+    Two stages: a hash aggregate collapses the fact table to one row
+    per calendar day (the calendar, not the data volume, bounds the
+    output — ~2.4k rows at ANY scale factor), then an unpartitioned
+    ROWS-frame window computes the exact ``percentile`` over the
+    trailing week. The global window is safe precisely because its
+    input is calendar-sized; the raw table never passes through a
+    single task.
+    """
+    daily = (orders
+             .groupBy(F.to_date("o_orderdate").alias("day"))
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+    w = Window.orderBy("day").rowsBetween(-(days - 1), 0)
+    return daily.select(
+        "day", "n_orders",
+        F.percentile("n_orders", F.lit(0.5)).over(w).alias("med_7d"))

@@ -5556,3 +5556,143 @@ def q_dedup_paragraphs(spark, sf_dir):
     boilerplate-removal step of corpus curation
     (cf. operators/dedup.py:paragraph_dedup_stats)."""
     return dedup.paragraph_dedup_stats(_t(spark, sf_dir, "documents"))
+
+
+@register("w_rolling_median", """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+  FROM orders GROUP BY 1)
+SELECT day, n_orders,
+       quantile_cont(n_orders, 0.5) OVER (
+         ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+         AS med_7d
+FROM daily
+""")
+def q_w_rolling_median(spark, sf_dir):
+    """Exact 7-day rolling median of the daily order count — aggregate
+    functions inside a ROWS window frame over a calendar-bounded
+    pre-aggregate (cf. operators/windows.py:rolling_median)."""
+    return windows.rolling_median(_t(spark, sf_dir, "orders"))
+
+
+@register("market_basket_lift", """
+WITH baskets AS (
+  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+totals AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM baskets),
+item_cnt AS (SELECT l_partkey, count(*) AS cnt FROM baskets GROUP BY 1),
+pairs AS (
+  SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+         count(*) AS pair_cnt
+  FROM baskets a JOIN baskets b ON a.l_orderkey = b.l_orderkey
+  WHERE a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT part_a, part_b, pair_cnt,
+       floor(pair_cnt * 1.0 / n_orders * 1000000.0 + 0.5) / 1000000.0
+         AS support,
+       floor(pair_cnt * 1.0 / ca.cnt * 1000000.0 + 0.5) / 1000000.0
+         AS confidence,
+       floor(pair_cnt * 1.0 * n_orders / (ca.cnt * cb.cnt)
+             * 1000000.0 + 0.5) / 1000000.0 AS lift
+FROM pairs
+JOIN item_cnt ca ON ca.l_partkey = part_a
+JOIN item_cnt cb ON cb.l_partkey = part_b
+CROSS JOIN totals
+ORDER BY pair_cnt DESC, part_a, part_b
+LIMIT 100
+""")
+def q_market_basket_lift(spark, sf_dir):
+    """Market-basket association rules: support / confidence / lift
+    for part pairs co-occurring in an order, top-100 by pair count
+    (cf. operators/analytics.py:market_basket)."""
+    return analytics.market_basket(_t(spark, sf_dir, "lineitem"))
+
+
+@register("markov_transitions", """
+WITH seq AS (
+  SELECT event_type,
+         lead(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events),
+trans AS (
+  SELECT event_type, next_type, count(*) AS n
+  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT event_type, next_type, n,
+       floor(n * 1.0 / sum(n) OVER (PARTITION BY event_type)
+             * 1000000.0 + 0.5) / 1000000.0 AS prob
+FROM trans
+""")
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences — lead window + hash aggregate + per-state normalizer
+    (cf. operators/analytics.py:markov_transitions)."""
+    return analytics.markov_transitions(_t(spark, sf_dir, "events"))
+
+
+@register("stat_correlation_matrix", """
+WITH m AS (
+  SELECT count(*) AS n,
+         sum(CAST(l_quantity AS DECIMAL(18,4))) AS s_q,
+         sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS s_p,
+         sum(CAST(l_discount AS DECIMAL(18,4))) AS s_d,
+         sum(CAST(l_tax AS DECIMAL(18,4))) AS s_t,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_quantity AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS q_q,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS q_p,
+         sum(CAST(CAST(l_discount AS DECIMAL(19,4))
+                  * CAST(l_discount AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS q_d,
+         sum(CAST(CAST(l_tax AS DECIMAL(19,4))
+                  * CAST(l_tax AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS q_t,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_extendedprice AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS x_qp,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_discount AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS x_qd,
+         sum(CAST(CAST(l_quantity AS DECIMAL(19,4))
+                  * CAST(l_tax AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS x_qt,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_discount AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS x_pd,
+         sum(CAST(CAST(l_extendedprice AS DECIMAL(19,4))
+                  * CAST(l_tax AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS x_pt,
+         sum(CAST(CAST(l_discount AS DECIMAL(19,4))
+                  * CAST(l_tax AS DECIMAL(19,4))
+                  AS DECIMAL(38,8))) AS x_dt
+  FROM lineitem),
+pairs(col_a, col_b, xy, sx, sy, qx, qy) AS (
+  SELECT 'l_quantity', 'l_extendedprice', CAST(x_qp AS DOUBLE),
+         CAST(s_q AS DOUBLE), CAST(s_p AS DOUBLE),
+         CAST(q_q AS DOUBLE), CAST(q_p AS DOUBLE) FROM m
+  UNION ALL SELECT 'l_quantity', 'l_discount', CAST(x_qd AS DOUBLE),
+         CAST(s_q AS DOUBLE), CAST(s_d AS DOUBLE),
+         CAST(q_q AS DOUBLE), CAST(q_d AS DOUBLE) FROM m
+  UNION ALL SELECT 'l_quantity', 'l_tax', CAST(x_qt AS DOUBLE),
+         CAST(s_q AS DOUBLE), CAST(s_t AS DOUBLE),
+         CAST(q_q AS DOUBLE), CAST(q_t AS DOUBLE) FROM m
+  UNION ALL SELECT 'l_extendedprice', 'l_discount', CAST(x_pd AS DOUBLE),
+         CAST(s_p AS DOUBLE), CAST(s_d AS DOUBLE),
+         CAST(q_p AS DOUBLE), CAST(q_d AS DOUBLE) FROM m
+  UNION ALL SELECT 'l_extendedprice', 'l_tax', CAST(x_pt AS DOUBLE),
+         CAST(s_p AS DOUBLE), CAST(s_t AS DOUBLE),
+         CAST(q_p AS DOUBLE), CAST(q_t AS DOUBLE) FROM m
+  UNION ALL SELECT 'l_discount', 'l_tax', CAST(x_dt AS DOUBLE),
+         CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE),
+         CAST(q_d AS DOUBLE), CAST(q_t AS DOUBLE) FROM m)
+SELECT col_a, col_b,
+       floor(((n * xy - sx * sy)
+              / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
+             * 1000000.0 + 0.5) / 1000000.0 AS corr
+FROM pairs CROSS JOIN (SELECT CAST(n AS DOUBLE) AS n FROM m) t
+""")
+def q_stat_correlation_matrix(spark, sf_dir):
+    """Pairwise Pearson correlation matrix of the lineitem measures
+    from one exact-decimal moment aggregate
+    (cf. operators/analytics.py:correlation_matrix)."""
+    return analytics.correlation_matrix(_t(spark, sf_dir, "lineitem"))
