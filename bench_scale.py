@@ -34,6 +34,8 @@ SCALE_QUERIES = (
     "corpus_training_set",
     "timeseries_ohlc", "timeseries_cusum", "text_bpe_merge_step",
     "sketch_bloom_filter", "gaps_islands", "session_paths",
+    "market_basket_lift", "markov_transitions", "w_rolling_median",
+    "stat_correlation_matrix",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),

@@ -1326,27 +1326,32 @@ def market_basket(lineitem: DataFrame, min_pair_count: int = 2,
 
 
 def markov_transitions(events: DataFrame) -> DataFrame:
-    """First-order Markov chain over per-user event sequences: for
-    every (state → next state) pair, the transition count and the
-    row-normalized probability.
+    """Second-order Markov chain over per-user event sequences: for
+    every bigram state ``(prev, cur)`` the distribution of the next
+    event type, with row-normalized probabilities — the next-action
+    model one order deeper than ``event_transitions`` (which counts
+    first-order pairs only).
 
-    One partitioned window (lead over user/time order with the event
-    id as deterministic tiebreak), one hash aggregate, and a
-    per-source-state window sum for the normalizer — the integer
-    count ratio is stabilized to 6 decimals so it is
-    summation-order-independent.
+    ONE partitioned window pass produces both the lagged and the led
+    neighbor (same shuffle, same sort — Catalyst fuses the two
+    functions into a single Window node), then a hash aggregate on the
+    25³-bounded state space and a per-state window sum for the
+    normalizer; the integer count ratio is stabilized to 6 decimals
+    so it is summation-order-independent.
     """
     stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    nxt = events.select(
-        "user_id", "event_type",
+    tri = events.select(
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.col("event_type").alias("cur_type"),
         F.lead("event_type").over(w).alias("next_type"))
-    trans = (nxt.where(F.col("next_type").isNotNull())
-             .groupBy("event_type", "next_type")
+    trans = (tri.where(F.col("prev_type").isNotNull()
+                       & F.col("next_type").isNotNull())
+             .groupBy("prev_type", "cur_type", "next_type")
              .agg(F.count(F.lit(1)).alias("n")))
-    per_state = Window.partitionBy("event_type")
+    per_state = Window.partitionBy("prev_type", "cur_type")
     return trans.select(
-        "event_type", "next_type", "n",
+        "prev_type", "cur_type", "next_type", "n",
         stab(F.col("n") / F.sum("n").over(per_state)).alias("prob"))
 
 

@@ -5609,21 +5609,24 @@ def q_market_basket_lift(spark, sf_dir):
 
 @register("markov_transitions", """
 WITH seq AS (
-  SELECT event_type,
-         lead(event_type) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id) AS next_type
-  FROM events),
+  SELECT lag(event_type) OVER w AS prev_type,
+         event_type AS cur_type,
+         lead(event_type) OVER w AS next_type
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 trans AS (
-  SELECT event_type, next_type, count(*) AS n
-  FROM seq WHERE next_type IS NOT NULL GROUP BY 1, 2)
-SELECT event_type, next_type, n,
-       floor(n * 1.0 / sum(n) OVER (PARTITION BY event_type)
+  SELECT prev_type, cur_type, next_type, count(*) AS n
+  FROM seq WHERE prev_type IS NOT NULL AND next_type IS NOT NULL
+  GROUP BY 1, 2, 3)
+SELECT prev_type, cur_type, next_type, n,
+       floor(n * 1.0 / sum(n) OVER (PARTITION BY prev_type, cur_type)
              * 1000000.0 + 0.5) / 1000000.0 AS prob
 FROM trans
 """)
 def q_markov_transitions(spark, sf_dir):
-    """First-order Markov transition matrix over per-user event
-    sequences — lead window + hash aggregate + per-state normalizer
+    """Second-order Markov transition model over per-user event
+    sequences (bigram state → next-type distribution) — one window
+    pass for lag+lead, hash aggregate, per-state normalizer
     (cf. operators/analytics.py:markov_transitions)."""
     return analytics.markov_transitions(_t(spark, sf_dir, "events"))
 
