@@ -1374,7 +1374,9 @@ def correlation_matrix(lineitem: DataFrame) -> DataFrame:
         for cb in cols[i + 1:]:
             aggs.append(F.sum((d[ca] * d[cb]).cast("decimal(38,8)"))
                         .alias(f"x_{ca}_{cb}"))
-    m = lineitem.agg(*aggs)
+    # n < 2 → correlation undefined; emit nothing rather than 6 null
+    # rows (the empty-partition mid-pipeline case)
+    m = lineitem.agg(*aggs).where(F.col("n") >= 2)
     stab = lambda c: F.floor(c * 1000000.0 + F.lit(0.5)) / 1000000.0  # noqa: E731
     n = F.col("n").cast("double")
     pair_rows = []

@@ -75,6 +75,12 @@ CASES = (
     ("exact_dedup", lambda e: dedup.exact_dedup(e["documents"])),
     ("brute_topk", lambda e: similarity.brute_force_topk(
         e["embeddings"], e["embeddings"].limit(0))),
+    ("market_basket", lambda e: analytics.market_basket(e["lineitem"])),
+    ("markov_transitions",
+     lambda e: analytics.markov_transitions(e["events"])),
+    ("correlation_matrix",
+     lambda e: analytics.correlation_matrix(e["lineitem"])),
+    ("rolling_median", lambda e: windows.rolling_median(e["orders"])),
 )
 
 
