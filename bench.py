@@ -76,6 +76,10 @@ HEADLINE = (
     "gaps_islands",
     "agg_ks_test",
     "text_significant_terms",
+    "market_basket_lift",
+    "markov_transitions",
+    "w_rolling_median",
+    "stat_correlation_matrix",
 )
 
 
