@@ -1387,8 +1387,11 @@ def correlation_matrix(lineitem: DataFrame) -> DataFrame:
             qx = F.col(f"q_{ca}").cast("double")
             qy = F.col(f"q_{cb}").cast("double")
             xy = F.col(f"x_{ca}_{cb}").cast("double")
-            corr = ((n * xy - sx * sy)
-                    / F.sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
+            # zero-variance guard: denominator 0 → corr undefined (NULL)
+            # in BOTH twins, not engine-dependent inf/NaN vs NULL
+            denom2 = (n * qx - sx * sx) * (n * qy - sy * sy)
+            corr = F.when(denom2 > 0,
+                          (n * xy - sx * sy) / F.sqrt(denom2))
             pair_rows.append(F.struct(F.lit(ca).alias("col_a"),
                                       F.lit(cb).alias("col_b"),
                                       stab(corr).alias("corr")))

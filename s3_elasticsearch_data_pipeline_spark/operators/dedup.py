@@ -48,54 +48,130 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
                  F.count(F.lit(1)).alias("n_dups")))
 
 
-def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
-                        threshold: float = 0.5,
-                        block_col: str = "lang") -> DataFrame:
-    """Exact word-n-gram Jaccard near-dup pairs within a blocking key.
-
-    Physical design (the one that survives 100 TB): instead of a
-    quadratic self-join with per-pair ``array_intersect`` (which scans
-    two string arrays for every candidate pair), invert the index —
-
-        explode (doc, shingle-hash) → self-equi-join on shingle →
-        count shared shingles per pair → Jaccard from the two set
-        sizes (|A∪B| = |A|+|B|−|A∩B|).
-
-    Exact: any pair with Jaccard > 0 shares ≥1 shingle, so candidate
-    generation loses nothing. Cost is Σ_shingle(docs_per_shingle²)
-    compact fixed-width rows through hash joins/aggregates, not
-    O(docs²) string-array scans. Shingles travel as xxhash64 longs —
-    document text never reaches a shuffle.
-    """
+def _shingle_docs(documents: DataFrame, n: int, block_col: str) -> DataFrame:
+    """doc-level shingle table: (doc_id, block, n_sh, sh_arr) where
+    ``sh_arr`` is the distinct word-n-gram set as xxhash64 longs —
+    document text never reaches a shuffle after this projection."""
     # Guard on token count, not shingle count: a filter on the shingle
     # array would be pushed below the projection and re-inline the
     # whole shingling expression into the filter condition.
-    shingled = (documents
-                .withColumn("toks", tokens(F.col("text")))
-                .where(F.size("toks") >= n)
-                .select("doc_id", F.col(block_col).alias("block"),
-                        word_ngrams_from_tokens(F.col("toks"), n)
-                        .alias("shingles"))
-                .select("doc_id", "block", F.size("shingles").alias("n_sh"),
-                        F.explode(F.transform(
-                            "shingles", lambda s: F.xxhash64(s))).alias("sh")))
-    # Materialize the inverted index once: Spark does not reuse the
-    # scan+shingle subtree across the two sides of a self-join (no
-    # ReusedExchange fires here), so without this the tokenize/shingle/
-    # hash pipeline runs twice. At cluster scale this checkpoint is the
-    # shingle-index table a pipeline would persist anyway.
+    return (documents
+            .withColumn("toks", tokens(F.col("text")))
+            .where(F.size("toks") >= n)
+            .select("doc_id", F.col(block_col).alias("block"),
+                    word_ngrams_from_tokens(F.col("toks"), n)
+                    .alias("shingles"))
+            .select("doc_id", "block",
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                    .alias("sh_arr"))
+            .select("doc_id", "block", F.size("sh_arr").alias("n_sh"),
+                    "sh_arr"))
+
+
+def _all_pairs_candidates(shingled: DataFrame) -> DataFrame:
+    """Every pair sharing ≥1 shingle (full inverted index — the
+    pre-prefix-filter baseline; exact but Σ_shingle(postings²))."""
+    idx = (shingled.select("doc_id", "block",
+                           F.explode("sh_arr").alias("sh"))
+           .localCheckpoint(eager=True))
+    a, b = idx.alias("a"), idx.alias("b")
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"))
+            .distinct())
+
+
+def _prefix_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs/PPJoin positional-prefix candidate pairs — EXACT for
+    Jaccard ≥ ``threshold`` (Chaudhuri et al. ICDE 2006; Bayardo et al.
+    WWW 2007; Xiao et al. WWW 2008):
+
+    order every doc's shingles by ascending document frequency (rarest
+    first, ties broken by hash for a global total order); any pair with
+    Jaccard ≥ t must share a shingle within the first
+    ``|x| − ⌈t·|x|⌉ + 1`` elements of BOTH prefixes, so only prefixes
+    are exploded into the inverted index. The globally-frequent
+    shingles (boilerplate text — the hot-skew killers) sort LAST and
+    mostly stay out of the index, bounding postings-list blow-up where
+    the full index degenerates to Σ(postings²) on one hot shingle.
+    A length filter (t·max ≤ min) prunes size-incompatible pairs.
+    """
+    exploded = shingled.select("doc_id", "block", "n_sh",
+                               F.explode("sh_arr").alias("sh"))
+    # Per-block shingle document frequency: the ordering statistic.
+    df_tbl = exploded.groupBy("block", "sh").agg(
+        F.count(F.lit(1)).alias("df"))
+    # Re-assemble each doc's shingles rarest-first; keep only the
+    # prefix. (df, sh) sort gives a global total order within a block.
+    prefix_len = (F.col("n_sh")
+                  - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+                  + F.lit(1))
+    prefixes = (exploded.join(df_tbl, ["block", "sh"])
+                .groupBy("doc_id", "block", "n_sh")
+                .agg(F.array_sort(F.collect_list(F.struct("df", "sh")))
+                     .alias("ordered"))
+                .select("doc_id", "block", "n_sh",
+                        F.explode(F.slice(
+                            F.transform("ordered", lambda x: x["sh"]),
+                            F.lit(1), prefix_len)).alias("sh")))
+    prefixes = prefixes.localCheckpoint(eager=True)
+    a, b = prefixes.alias("a"), prefixes.alias("b")
+    size_ok = (F.lit(threshold)
+               * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+               <= F.least(F.col("a.n_sh"), F.col("b.n_sh")))
+    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+                   & (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & size_ok)
+            .select(F.col("a.doc_id").alias("doc_id_a"),
+                    F.col("b.doc_id").alias("doc_id_b"))
+            .distinct())
+
+
+def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
+                        threshold: float = 0.5,
+                        block_col: str = "lang",
+                        prefix_filter: bool = True) -> DataFrame:
+    """Exact word-n-gram Jaccard near-dup pairs within a blocking key.
+
+    Physical design (the one that survives 100 TB): candidate pairs come
+    from a positional-prefix-filtered inverted index
+    (:func:`_prefix_candidates`) — exact at any threshold, and immune to
+    the hot-shingle skew that makes a full shingle self-join
+    Σ_shingle(postings²). Candidates are then verified exactly:
+    re-join the two docs' full shingle-hash arrays and compute
+    ``|A∩B| / (|A|+|B|−|A∩B|)``. Shingles travel as xxhash64 longs and
+    array payloads only flow for the (few) surviving candidates.
+
+    ``prefix_filter=False`` falls back to the full inverted index
+    (:func:`_all_pairs_candidates`) — same output by construction,
+    kept for equivalence tests and for very low thresholds where the
+    prefix is most of the array anyway.
+    """
+    shingled = _shingle_docs(documents, n, block_col)
+    # Materialize the doc-level shingle table once: Spark does not reuse
+    # the scan+shingle subtree across self-join sides (no ReusedExchange
+    # fires here). At cluster scale this checkpoint is the shingle-index
+    # table a pipeline would persist anyway.
     shingled = shingled.localCheckpoint(eager=True)
-    a, b = shingled.alias("a"), shingled.alias("b")
-    pair_inter = (a.join(b, (F.col("a.block") == F.col("b.block"))
-                         & (F.col("a.sh") == F.col("b.sh"))
-                         & (F.col("a.doc_id") < F.col("b.doc_id")))
-                  .groupBy(F.col("a.doc_id").alias("doc_id_a"),
-                           F.col("b.doc_id").alias("doc_id_b"),
-                           F.col("a.n_sh").alias("n_a"),
-                           F.col("b.n_sh").alias("n_b"))
-                  .agg(F.count(F.lit(1)).alias("inter")))
+    cands = (_prefix_candidates(shingled, threshold) if prefix_filter
+             else _all_pairs_candidates(shingled))
+    sides = shingled.select("doc_id", "n_sh", "sh_arr")
+    pairs = (cands
+             .join(sides.alias("da"),
+                   F.col("doc_id_a") == F.col("da.doc_id"))
+             .join(sides.alias("db"),
+                   F.col("doc_id_b") == F.col("db.doc_id"))
+             .select("doc_id_a", "doc_id_b",
+                     F.col("da.n_sh").alias("n_a"),
+                     F.col("db.n_sh").alias("n_b"),
+                     F.size(F.array_intersect(
+                         F.col("da.sh_arr"), F.col("db.sh_arr")))
+                     .alias("inter")))
     jaccard = F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter"))
-    return (pair_inter
+    return (pairs
             .select("doc_id_a", "doc_id_b",
                     F.round(jaccard, 6).alias("jaccard"))
             .where(F.col("jaccard") >= threshold))

@@ -365,8 +365,8 @@ WITH gapped AS (
   FROM events
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
 sessioned AS (
-  SELECT *, sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  SELECT *, CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
   FROM gapped)
 SELECT user_id, session_id,
        min(ts) AS session_start, max(ts) AS session_end,
@@ -834,8 +834,8 @@ WITH bounds AS (
   FROM lineitem GROUP BY l_returnflag)
 SELECT l.l_returnflag,
        count(*) AS n_rows,
-       sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END) AS n_clip_lo,
-       sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END) AS n_clip_hi,
+       CAST(sum(CASE WHEN l_extendedprice < p_lo THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_lo,
+       CAST(sum(CASE WHEN l_extendedprice > p_hi THEN 1 ELSE 0 END) AS BIGINT) AS n_clip_hi,
        round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
              / count(*), 4) AS raw_mean,
        round(CAST(sum(CAST(CASE WHEN l_extendedprice < p_lo THEN p_lo
@@ -1019,7 +1019,9 @@ pu AS (
          max(CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END) AS r2,
          max(CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS r3
   FROM s3 GROUP BY user_id)
-SELECT sum(r1) AS n_step1, sum(r2) AS n_step2, sum(r3) AS n_step3,
+SELECT CAST(sum(r1) AS BIGINT) AS n_step1,
+       CAST(sum(r2) AS BIGINT) AS n_step2,
+       CAST(sum(r3) AS BIGINT) AS n_step3,
        round(sum(r2) / sum(r1), 6) AS rate_step2,
        round(sum(r3) / sum(r2), 6) AS rate_step3
 FROM pu
@@ -1212,11 +1214,13 @@ WITH per AS (
   FROM events GROUP BY user_id, event_type)
 SELECT user_id,
        count(*) AS n_types,
-       sum(CASE WHEN event_type = 'view' THEN cnt ELSE 0 END) AS n_views,
-       sum(CASE WHEN event_type = 'purchase' THEN cnt ELSE 0 END)
-         AS n_purchases,
-       sum(cnt) AS n_events,
-       sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END) AS n_frequent_types
+       CAST(sum(CASE WHEN event_type = 'view' THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_views,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN cnt ELSE 0 END)
+            AS BIGINT) AS n_purchases,
+       CAST(sum(cnt) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN cnt >= 5 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_frequent_types
 FROM per GROUP BY user_id
 """)
 def q_map_function_pack(spark, sf_dir):
@@ -1283,7 +1287,8 @@ def q_deterministic_sample(spark, sf_dir):
 @register("profile_orders", """
 SELECT count(*) AS n_rows,
        count(DISTINCT o_custkey) AS n_customers,
-       sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS null_prices,
+       CAST(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS null_prices,
        round(min(o_totalprice), 2) AS min_price,
        round(max(o_totalprice), 2) AS max_price,
        strftime(min(o_orderdate), '%Y-%m-%d') AS first_order,
@@ -1826,8 +1831,10 @@ def q_q9_product_profit(spark, sf_dir):
 
 @register("q12_priority_lines", """
 SELECT l_returnflag AS returnflag,
-       sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
-       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
 GROUP BY 1
@@ -2570,8 +2577,8 @@ WITH t AS (
   FROM documents),
 c AS (
   SELECT doc_id, n_tokens,
-         sum(n_tokens) OVER (ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) AS cum
+         CAST(sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
   FROM t)
 SELECT doc_id, n_tokens,
        cum - n_tokens AS stream_start,
@@ -3356,7 +3363,8 @@ def q_sql_recursive_cte(spark, sf_dir):
 
 @register("json_variant_pack", """
 SELECT event_type, count(*) AS n,
-       sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT))
+            AS BIGINT) AS sum_k,
        count(*) FILTER (WHERE CAST(json_extract(props, '$.k') AS BIGINT)
                         > 50) AS n_high
 FROM events GROUP BY event_type
@@ -4513,8 +4521,8 @@ j AS (
   FROM events e
   JOIN b ON isodow(e.ts) = b.dow AND extract(hour FROM e.ts) = b.hour)
 SELECT dow, hour, count(*) AS n_events,
-       sum(CASE WHEN (value - mean_v) * (value - mean_v)
-                     > 9.0 * var_v THEN 1 ELSE 0 END) AS n_anomalies,
+       CAST(sum(CASE WHEN (value - mean_v) * (value - mean_v)
+                     > 9.0 * var_v THEN 1 ELSE 0 END) AS BIGINT) AS n_anomalies,
        floor(max(mean_v) * 1000000.0 + 0.5) / 1000000.0 AS mean_v,
        floor(max(var_v) * 1000000.0 + 0.5) / 1000000.0 AS var_v
 FROM j GROUP BY dow, hour
@@ -4726,10 +4734,14 @@ def q_feature_hashing(spark, sf_dir):
 
 @register("feature_onehot_behavior", """
 SELECT user_id,
-       sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
-       sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-       sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
-       sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_view,
        count(*) AS n_events,
        CAST(round(sum(CAST(value AS DECIMAL(18,2))), 2) AS DOUBLE)
          AS total_value
@@ -5544,9 +5556,10 @@ WITH frags AS (
 owner AS (SELECT fph, min(doc_id) AS owner_doc FROM frags GROUP BY fph)
 SELECT f.doc_id,
        count(*) AS n_fragments,
-       sum(CASE WHEN o.owner_doc = f.doc_id THEN 1 ELSE 0 END) AS n_kept,
-       sum(CASE WHEN o.owner_doc <> f.doc_id THEN 1 ELSE 0 END)
-         AS n_deduped
+       CAST(sum(CASE WHEN o.owner_doc = f.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_kept,
+       CAST(sum(CASE WHEN o.owner_doc <> f.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_deduped
 FROM frags f JOIN owner o ON f.fph = o.fph
 GROUP BY f.doc_id
 """)
@@ -5689,10 +5702,13 @@ pairs(col_a, col_b, xy, sx, sy, qx, qy) AS (
          CAST(s_d AS DOUBLE), CAST(s_t AS DOUBLE),
          CAST(q_d AS DOUBLE), CAST(q_t AS DOUBLE) FROM m)
 SELECT col_a, col_b,
-       floor(((n * xy - sx * sy)
-              / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
-             * 1000000.0 + 0.5) / 1000000.0 AS corr
-FROM pairs CROSS JOIN (SELECT CAST(n AS DOUBLE) AS n FROM m) t
+       CASE WHEN (n * qx - sx * sx) * (n * qy - sy * sy) > 0
+            THEN floor(((n * xy - sx * sy)
+                        / sqrt((n * qx - sx * sx) * (n * qy - sy * sy)))
+                       * 1000000.0 + 0.5) / 1000000.0
+            ELSE NULL END AS corr
+FROM pairs CROSS JOIN
+     (SELECT CAST(n AS DOUBLE) AS n FROM m WHERE n >= 2) t
 """)
 def q_stat_correlation_matrix(spark, sf_dir):
     """Pairwise Pearson correlation matrix of the lineitem measures

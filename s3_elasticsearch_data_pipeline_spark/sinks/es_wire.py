@@ -1,0 +1,212 @@
+"""Executor-side Elasticsearch ``_bulk`` wire-protocol writer (SURVEY.md
+S9/S10 — the live-wire path).
+
+The reference hand-rolls the ES bulk protocol **driver-side**: collect
+everything into pandas, slice into 50k-doc batches, serialize NDJSON,
+``requests.post`` to ``/_bulk`` with linear-backoff retries and per-item
+error accounting (``data-s3-elastic-transfer.py:188-256``), keyed
+``_id = doc["id"]`` for idempotent re-index (``ID-based-transfer.py:
+198-223``). That design caps throughput at one driver's NIC.
+
+Here the same wire protocol runs **executor-parallel**: a ``mapInPandas``
+stage serializes each Arrow batch to NDJSON and POSTs it from the task,
+so N partitions stream to the cluster concurrently and the driver never
+materializes a row. Stdlib-only (``urllib.request``) — no connector jar.
+
+Delivery semantics: at-least-once per batch (Spark can re-run a task);
+with ``id_col`` set every write is idempotent by key (``_id`` =
+``doc[id_col]``) — exactly the reference's re-index-as-upsert model — so
+at-least-once collapses to effectively-once observable state. Without
+``id_col`` the ES server auto-assigns ids (``data-s3-elastic-transfer
+.py:192-196`` behavior) and re-runs can duplicate, which the reference
+shares.
+
+Retry semantics mirror the reference exactly:
+  * transport error / non-200 → linear backoff ``(attempt+1) * base``
+    then retry, up to ``max_retries`` attempts;
+  * HTTP 200 with some item errors → *partial success*, failed items are
+    counted but NOT retried;
+  * HTTP 200 with every item failed → the batch is reported failed
+    immediately (no retry) — a complete failure is a data problem, not a
+    transport blip.
+
+At 100 TB: the unit of parallelism is the input partition; back-pressure
+is the ES cluster itself. Throughput scales with executors until ES
+saturates; batch size (rows per POST) is decoupled from partition size
+via Arrow batch slicing, so a 1 GB partition still POSTs in bounded
+memory. The stats frame is one row per HTTP batch — KB-sized even for
+petabyte loads — so the final accounting agg is driver-safe.
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import time
+import urllib.error
+import urllib.request
+from dataclasses import dataclass
+from datetime import date, datetime
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Reference constants (data-s3-elastic-transfer.py:19-21,249-253).
+DEFAULT_BATCH_SIZE = 50_000
+DEFAULT_MAX_RETRIES = 3
+DEFAULT_BACKOFF_BASE_S = 20.0
+DEFAULT_TIMEOUT_S = 120.0
+
+STATS_SCHEMA = ("batch_rows long, attempts int, ok boolean, "
+                "failed_items long, error_sample string")
+
+
+def _json_safe(v):
+    """Pandas/numpy cell → JSON-serializable value (the executor-side
+    twin of the reference's ``safe_get`` shaping loop,
+    ``data-s3-elastic-transfer.py:160-186``)."""
+    if v is None:
+        return None
+    if isinstance(v, float) and math.isnan(v):
+        return None
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if isinstance(v, (datetime, date)):
+        return v.isoformat()
+    if hasattr(v, "item"):  # numpy scalar
+        return v.item()
+    if isinstance(v, (list, tuple)):
+        return [_json_safe(x) for x in v]
+    return v
+
+
+def build_ndjson(docs: list[dict], index: str, id_col: str | None) -> bytes:
+    """NDJSON payload: action line + doc line per document
+    (``ID-based-transfer.py:201-205``)."""
+    lines: list[str] = []
+    for doc in docs:
+        action: dict = {"index": {"_index": index}}
+        if id_col is not None:
+            action["index"]["_id"] = str(doc[id_col])
+        lines.append(json.dumps(action, separators=(",", ":")))
+        lines.append(json.dumps(doc, separators=(",", ":"), default=str))
+    return ("\n".join(lines) + "\n").encode("utf-8")
+
+
+def _post(url: str, payload: bytes, timeout_s: float):
+    """One POST to /_bulk → (status_code, parsed_body | None)."""
+    req = urllib.request.Request(
+        url.rstrip("/") + "/_bulk", data=payload,
+        headers={"Content-Type": "application/x-ndjson"}, method="POST")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            return resp.status, json.loads(resp.read().decode("utf-8"))
+    except urllib.error.HTTPError as exc:
+        return exc.code, None
+    except (urllib.error.URLError, OSError, ValueError):
+        return 0, None
+
+
+def send_batch(docs: list[dict], url: str, index: str, id_col: str | None,
+               max_retries: int, backoff_base_s: float,
+               timeout_s: float) -> tuple[bool, int, int, str]:
+    """Send one batch with the reference's retry policy. Returns
+    ``(ok, attempts, failed_items, error_sample)``."""
+    payload = build_ndjson(docs, index, id_col)
+    error_sample = ""
+    for attempt in range(max_retries):
+        status, body = _post(url, payload, timeout_s)
+        if status == 200 and body is not None:
+            if not body.get("errors"):
+                return True, attempt + 1, 0, ""
+            failed, samples = 0, []
+            for item in body.get("items", []):
+                info = item.get("index", {})
+                if info.get("error"):
+                    failed += 1
+                    if len(samples) < 2:
+                        samples.append(str(info["error"])[:200])
+            error_sample = "; ".join(samples)
+            if failed == len(docs):
+                # complete failure: data problem, don't retry
+                return False, attempt + 1, failed, error_sample
+            return True, attempt + 1, failed, error_sample  # partial
+        error_sample = f"http_{status}"
+        if attempt < max_retries - 1 and backoff_base_s > 0:
+            time.sleep((attempt + 1) * backoff_base_s)
+    return False, max_retries, len(docs), error_sample
+
+
+def bulk_index(df: DataFrame, url: str, index: str,
+               id_col: str | None = "id",
+               batch_size: int = DEFAULT_BATCH_SIZE,
+               max_retries: int = DEFAULT_MAX_RETRIES,
+               backoff_base_s: float = DEFAULT_BACKOFF_BASE_S,
+               timeout_s: float = DEFAULT_TIMEOUT_S) -> DataFrame:
+    """Lazy executor-parallel bulk-index plan.
+
+    Returns a *stats DataFrame* (one row per HTTP batch:
+    ``batch_rows, attempts, ok, failed_items, error_sample``); nothing is
+    sent until the caller runs an action on it — use :func:`write_df`
+    for trigger + aggregate accounting in one call.
+    """
+    cols = df.columns
+
+    def _send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for lo in range(0, len(pdf), batch_size):
+                chunk = pdf.iloc[lo:lo + batch_size]
+                docs = [
+                    {c: _json_safe(v) for c, v in zip(cols, row)}
+                    for row in chunk.itertuples(index=False, name=None)
+                ]
+                ok, attempts, failed, sample = send_batch(
+                    docs, url, index, id_col,
+                    max_retries, backoff_base_s, timeout_s)
+                yield pd.DataFrame({
+                    "batch_rows": [len(docs)], "attempts": [attempts],
+                    "ok": [ok], "failed_items": [failed],
+                    "error_sample": [sample]})
+
+    return df.mapInPandas(_send, schema=STATS_SCHEMA)
+
+
+@dataclass
+class BulkReport:
+    """Aggregate accounting, mirroring the reference's end-of-run log
+    (``data-s3-elastic-transfer.py:430-446``)."""
+    batches: int = 0
+    batches_failed: int = 0
+    rows_sent: int = 0
+    rows_failed: int = 0
+    max_attempts: int = 0
+    error_samples: list[str] = None  # type: ignore[assignment]
+
+
+def write_df(df: DataFrame, url: str, index: str, **kwargs) -> BulkReport:
+    """Trigger the bulk write and return aggregate accounting."""
+    stats = bulk_index(df, url, index, **kwargs)
+    agg = (stats.agg(
+        F.count(F.lit(1)).alias("batches"),
+        F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("batches_failed"),
+        F.sum(F.when(F.col("ok"),
+                     F.col("batch_rows") - F.col("failed_items"))
+              .otherwise(0)).alias("rows_sent"),
+        F.sum(F.when(F.col("ok"), F.col("failed_items"))
+              .otherwise(F.col("batch_rows"))).alias("rows_failed"),
+        F.max("attempts").alias("max_attempts"),
+        F.array_sort(F.collect_set(
+            F.when(F.col("error_sample") != "", F.col("error_sample"))
+        )).alias("error_samples"),
+    ).collect()[0])
+    return BulkReport(
+        batches=agg["batches"] or 0,
+        batches_failed=agg["batches_failed"] or 0,
+        rows_sent=agg["rows_sent"] or 0,
+        rows_failed=agg["rows_failed"] or 0,
+        max_attempts=agg["max_attempts"] or 0,
+        error_samples=list(agg["error_samples"] or []),
+    )

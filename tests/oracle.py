@@ -60,9 +60,55 @@ def oracle_result(con, sql: str):
     return canon_rows(cols, rows)
 
 
-def compare(df, con, sql: str) -> list[str]:
-    """Return a list of mismatch descriptions (empty = match)."""
-    s_cols, s_rows = spark_result(df)
+_INTEGRAL_SPARK = {"byte", "short", "int", "integer", "bigint", "long", "tinyint", "smallint"}
+_FLOAT_SPARK = {"float", "double"}
+
+
+def _spark_pandas_kinds(df, collected_rows) -> dict[str, str | None]:
+    """Predict the pandas dtype *kind* each Spark column would render as
+    under ``toPandas()`` (the driver's view): an integral column becomes
+    int64 unless it holds nulls, in which case pandas promotes to float64.
+    Non-numeric columns return None (not checked)."""
+    kinds: dict[str, str | None] = {}
+    for i, field in enumerate(df.schema.fields):
+        t = field.dataType.simpleString()
+        if t in _INTEGRAL_SPARK:
+            has_null = any(r[i] is None for r in collected_rows)
+            kinds[field.name] = "float" if has_null else "int"
+        elif t in _FLOAT_SPARK:
+            kinds[field.name] = "float"
+        else:
+            kinds[field.name] = None
+    return kinds
+
+
+def _duck_pandas_kinds(odf) -> dict[str, str | None]:
+    """Pandas dtype kinds of the DuckDB result as the driver sees them
+    (``.df()``): BIGINT -> int64, HUGEINT/DOUBLE -> float64, BIGINT with
+    nulls -> float64."""
+    kinds: dict[str, str | None] = {}
+    for c in odf.columns:
+        k = odf[c].dtype.kind
+        if k in "iu":
+            kinds[c] = "int"
+        elif k == "f":
+            kinds[c] = "float"
+        else:
+            kinds[c] = None
+    return kinds
+
+
+def compare(df, con, sql: str, strict_dtypes: bool = True) -> list[str]:
+    """Return a list of mismatch descriptions (empty = match).
+
+    ``strict_dtypes`` mirrors the driver's pandas-rendered value hash:
+    a numerically-identical result still *hash-mismatches* driver-side if
+    one engine renders ints and the other floats (e.g. DuckDB ``sum(int)``
+    is HUGEINT -> pandas float64 '1.0' vs Spark bigint '1'), so we flag
+    any int-vs-float pandas-kind divergence as a failure too.
+    """
+    raw_rows = [tuple(row) for row in df.collect()]
+    s_cols, s_rows = canon_rows(df.columns, raw_rows)
     o_cols, o_rows = oracle_result(con, sql)
     problems = []
     if s_cols != o_cols:
@@ -74,4 +120,13 @@ def compare(df, con, sql: str) -> list[str]:
         diff_s = [r for r in s_rows if r not in set(o_rows)][:3]
         diff_o = [r for r in o_rows if r not in set(s_rows)][:3]
         problems.append(f"values differ; spark-only={diff_s} oracle-only={diff_o}")
+    if strict_dtypes:
+        s_kinds = _spark_pandas_kinds(df, raw_rows)
+        o_kinds = _duck_pandas_kinds(con.execute(sql).df())
+        for c in s_kinds:
+            sk, ok = s_kinds.get(c), o_kinds.get(c)
+            if sk is not None and ok is not None and sk != ok:
+                problems.append(
+                    f"pandas dtype kind differs on '{c}': spark={sk} oracle={ok} "
+                    "(driver value-hash would mismatch on rendering)")
     return problems

@@ -215,3 +215,30 @@ def test_dataset_mixture_rates_are_monotone_and_exact_at_bounds(
     assert kept(0.0) == 0
     counts = [kept(w) for w in (0.1, 0.3, 0.5, 0.8)]
     assert counts == sorted(counts), counts
+
+
+def test_ngram_prefix_filter_exact_under_hot_shingle_skew(spark):
+    """Positional prefix filter (round-2): on a fixture where every doc
+    shares one boilerplate shingle (the hot-skew killer), the prefix
+    index must generate far fewer candidates than the full inverted
+    index — and the surviving pairs must be IDENTICAL (the filter is
+    exact at any threshold)."""
+    boiler = "copyright example corp all rights reserved "
+    rows = []
+    for i in range(60):
+        # distinct bodies + shared boilerplate; 3 true near-dup pairs
+        body = f"doc {i} unique words alpha{i} beta{i} gamma{i} delta{i}"
+        rows.append((2 * i, boiler + body))
+        if i < 3:
+            rows.append((2 * i + 1, boiler + body + " extra"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string") \
+        .withColumn("lang", F.lit("en"))
+    sh = dedup._shingle_docs(docs, 3, "lang").localCheckpoint(eager=True)
+    n_all = dedup._all_pairs_candidates(sh).count()
+    n_pref = dedup._prefix_candidates(sh, 0.5).count()
+    assert n_pref < n_all / 4, (n_pref, n_all)
+    exact = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, prefix_filter=False).collect()))
+    pref = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+        docs, prefix_filter=True).collect()))
+    assert pref == exact and len(pref) >= 3

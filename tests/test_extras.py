@@ -4,6 +4,7 @@ apply, calendar gap-fill, DQ expectations, token-id encoding."""
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from s3_elasticsearch_data_pipeline_spark.operators.diff import apply_changes
 from s3_elasticsearch_data_pipeline_spark.operators.expectations import (
@@ -279,15 +280,37 @@ def test_markov_probabilities_normalize(spark, sf_smoke):
 
 
 def test_correlation_matrix_bounds_and_diag(spark, sf_smoke):
-    """All 6 pairwise correlations lie in [-1, 1]; the price column
-    correlates with itself exactly 1 when fed duplicated."""
+    """All 6 pairwise correlations lie in [-1, 1]; a column duplicated
+    into another slot self-correlates to exactly 1."""
     from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
         correlation_matrix)
-    out = correlation_matrix(load_table(spark, sf_smoke, "lineitem"))
+    li = load_table(spark, sf_smoke, "lineitem")
+    out = correlation_matrix(li)
     rows = out.collect()
     assert len(rows) == 6
     for r in rows:
         assert -1.0 - 1e-9 <= r["corr"] <= 1.0 + 1e-9, r
+    # self-correlation: feed l_quantity in the l_tax slot → corr
+    # (l_quantity, l_tax) must be exactly 1 (up to the 1e-6 rounding)
+    dup = li.withColumn("l_tax", F.col("l_quantity"))
+    selfr = {(r["col_a"], r["col_b"]): r["corr"]
+             for r in correlation_matrix(dup).collect()}
+    assert selfr[("l_quantity", "l_tax")] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_correlation_matrix_degenerate_inputs(spark, sf_smoke):
+    """n<2 → no rows (both twins); zero-variance column → NULL corr for
+    its pairs, not inf/NaN."""
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        correlation_matrix)
+    li = load_table(spark, sf_smoke, "lineitem")
+    assert correlation_matrix(li.limit(1)).count() == 0
+    assert correlation_matrix(li.limit(0)).count() == 0
+    flat = li.withColumn("l_tax", F.lit(0.0))
+    rows = {(r["col_a"], r["col_b"]): r["corr"]
+            for r in correlation_matrix(flat).collect()}
+    assert rows[("l_quantity", "l_tax")] is None
+    assert rows[("l_quantity", "l_extendedprice")] is not None
 
 
 def test_rolling_median_frame_bounds(spark, sf_smoke):

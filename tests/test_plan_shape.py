@@ -145,8 +145,10 @@ def test_asof_join_is_single_pass(spark, sf_oracle):
 
 
 def test_ngram_jaccard_avoids_quadratic_join(spark, sf_oracle):
-    """Inverted-index Jaccard: equi-join + aggregates only — any
-    nested-loop/cartesian operator means the quadratic path came back."""
+    """Prefix-filtered Jaccard: equi-joins + aggregates only — any
+    nested-loop/cartesian operator means the quadratic path came back.
+    The prefix path buys its skew immunity with a few extra compact-key
+    shuffles (df stats + prefix re-agg + verify joins); bound them."""
     df = registry.queries()["dedup_ngram_jaccard"](spark, sf_oracle)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -154,7 +156,7 @@ def test_ngram_jaccard_avoids_quadratic_join(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     n_exchanges = (plan.count("Exchange hashpartitioning")
                    + plan.count("Exchange rangepartitioning"))
-    assert n_exchanges <= 3, f"too many shuffles:\n{plan[:800]}"
+    assert n_exchanges <= 10, f"too many shuffles:\n{plan[:800]}"
 
 
 def test_tpch_archetypes_no_cartesian(spark, sf_oracle):

@@ -14,10 +14,10 @@ from s3_elasticsearch_data_pipeline_spark.sinks.keyed import upsert_by_key
 
 
 def test_es_options_keyed_upsert():
-    opts = es_write_options("docs-index", nodes="es.internal", port=9201,
+    opts = es_write_options("docs-index", nodes="es.example.com", port=9201,
                             id_col="id")
     assert opts["es.resource"] == "docs-index"
-    assert opts["es.nodes"] == "es.internal" and opts["es.port"] == "9201"
+    assert opts["es.nodes"] == "es.example.com" and opts["es.port"] == "9201"
     # keyed upsert = the reference's _id=doc['id'] (ID-based-transfer.py:202)
     assert opts["es.mapping.id"] == "id"
     # reference tuning constants carried over (SURVEY.md §6)
