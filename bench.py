@@ -80,6 +80,7 @@ HEADLINE = (
     "markov_transitions",
     "w_rolling_median",
     "stat_correlation_matrix",
+    "image_decode_features",
 )
 
 

@@ -116,6 +116,20 @@ def main() -> None:
     }
     print(json.dumps(report))
 
+    # CI-style guardrail: every query must stay at-or-near linear on N×
+    # data — ratio ≤ N × slack. Sub-second scaled timings are exempt
+    # (fixed Spark overheads dominate there, not the algorithm).
+    slack = float(os.environ.get("SCALE_SLACK", "1.3"))
+    violations = {
+        k: r for k, r in report["ratio"].items()
+        if scaled_times[k] > 1.0 and r > n * slack}
+    if violations:
+        print(f"SUPERLINEAR (> {n}x{slack}): {json.dumps(violations)}",
+              file=sys.stderr)
+        sys.exit(1)
+    print(f"linearity guardrail OK (all ratios <= {n}x{slack} "
+          f"or sub-second)", file=sys.stderr)
+
 
 if __name__ == "__main__":
     main()

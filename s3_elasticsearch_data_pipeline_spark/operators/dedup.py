@@ -105,9 +105,13 @@ def _prefix_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
         F.count(F.lit(1)).alias("df"))
     # Re-assemble each doc's shingles rarest-first; keep only the
     # prefix. (df, sh) sort gives a global total order within a block.
-    prefix_len = (F.col("n_sh")
-                  - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
-                  + F.lit(1))
+    # clamp at 0: threshold > 1 makes the prefix negative (slice would
+    # throw) — an empty prefix correctly yields zero candidates there
+    prefix_len = F.greatest(
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        + F.lit(1),
+        F.lit(0))
     prefixes = (exploded.join(df_tbl, ["block", "sh"])
                 .groupBy("doc_id", "block", "n_sh")
                 .agg(F.array_sort(F.collect_list(F.struct("df", "sh")))

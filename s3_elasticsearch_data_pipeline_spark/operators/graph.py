@@ -19,49 +19,71 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def pagerank(edges: DataFrame, iters: int = 3,
-             damping: float = 0.85) -> DataFrame:
+#: Above this node count the rank vector no longer broadcasts: a node
+#: row is ~30 bytes (key + double), so 10M nodes ≈ 300 MB — past any
+#: sane spark.sql.autoBroadcastJoinThreshold / driver-memory budget.
+BROADCAST_NODE_LIMIT = 10_000_000
+
+
+def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
+             broadcast_ranks: bool | None = None,
+             broadcast_node_limit: int = BROADCAST_NODE_LIMIT) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
     Every node must appear as a ``src`` (for an undirected graph pass
     both edge directions — that also removes dangling-node mass).
 
-    Scale shape: the edge list (with out-degrees attached) is
-    materialized ONCE via localCheckpoint and re-read by every
-    iteration — Spark never reuses an exchange across a self-referential
-    lineage, so without this each iteration would re-shuffle the raw
-    edges. The rank vector is one row per node (orders of magnitude
-    smaller than the edges); it broadcasts, so the per-iteration cost
-    is a map-side join over the partitioned edges plus one shuffle of
-    (node, partial-sum) pairs. For node sets too large to broadcast,
-    hash-partition both sides on src once and the same plan runs as a
-    co-located sort-merge join.
-    """
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-    edges_d = (edges.join(F.broadcast(deg), "src")
-                .localCheckpoint(eager=False))
-    nodes = (edges_d.select(F.col("src").alias("node")).distinct()
-             .localCheckpoint(eager=False))
-    n_df = F.broadcast(nodes.agg(F.count(F.lit(1)).alias("__n")))
+    Scale shape — two physical strategies behind one logical plan,
+    selected automatically by node count (``broadcast_ranks=None``):
 
-    # (node, __n) hoisted out of the loop and materialized once — each
-    # iteration otherwise re-runs the distinct+crossJoin lineage
-    base = nodes.crossJoin(n_df).localCheckpoint(eager=False)
-    ranks = base.select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("rank"))
+    * **broadcast** (nodes ≤ ``broadcast_node_limit``): out-degrees and
+      the per-iteration rank vector broadcast; each iteration is a
+      map-side join over the partitioned edges plus one shuffle of
+      (node, partial-sum) pairs. Edges+degrees materialize ONCE via
+      localCheckpoint — Spark never reuses an exchange across a
+      self-referential lineage.
+    * **partitioned** (beyond the limit — billions of nodes): nothing
+      node-sized is ever broadcast or collected. Edges+degrees are
+      hash-partitioned on ``src`` once and cached; the rank join runs
+      as a co-located sort-merge join where only the (much smaller)
+      rank side shuffles per iteration, and the recompute joins are
+      plain shuffled joins on ``node``.
+
+    The per-node contribution sums accumulate in DECIMAL(28,14) — exact,
+    so both strategies produce bit-identical ranks regardless of
+    partitioning or summation order.
+    """
+    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+           .persist())
+    n = deg.count()  # node count — a driver-safe scalar, never the rows
+    if broadcast_ranks is None:
+        broadcast_ranks = n <= broadcast_node_limit
+    hint = F.broadcast if broadcast_ranks else (lambda d: d)
+    if broadcast_ranks:
+        edges_d = (edges.join(F.broadcast(deg), "src")
+                   .localCheckpoint(eager=False))
+    else:
+        # one explicit hash partitioning on src, cached: the cached
+        # relation keeps its outputPartitioning, so every iteration's
+        # rank join reuses it and only the rank side exchanges
+        edges_d = (edges.repartition("src").join(deg, "src").persist())
+    base = (deg.select(F.col("src").alias("node"))
+            .localCheckpoint(eager=False))
+
+    n_lit = F.lit(float(n)) if n else F.lit(1.0)  # guard: no rows anyway
+    ranks = base.select("node", (F.lit(1.0) / n_lit).alias("rank"))
     for _ in range(iters):
         contrib = (edges_d
-                   .join(F.broadcast(ranks),
-                         edges_d["src"] == ranks["node"])
+                   .join(hint(ranks), edges_d["src"] == ranks["node"])
                    .select(F.col("dst").alias("node"),
                            (F.col("rank") / F.col("__deg"))
                            .cast("decimal(28,14)").alias("__c"))
                    .groupBy("node")
                    .agg(F.sum("__c").alias("__s")))
         ranks = (base
-                 .join(F.broadcast(contrib), "node", "left")
+                 .join(hint(contrib), "node", "left")
                  .select("node",
-                         ((F.lit(1.0) - F.lit(damping)) / F.col("__n")
+                         ((F.lit(1.0) - F.lit(damping)) / n_lit
                           + F.lit(damping)
                           * F.coalesce(F.col("__s").cast("double"),
                                        F.lit(0.0))).alias("rank")))

@@ -2,11 +2,13 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, partitioning,
-``mapInPandas`` signatures — is real and tested; the actual media
-decode is STUBBED (``decode_image`` raises ``NotImplementedError``)
-because no image/audio libraries exist in this container. A
-deterministic fake feature extractor stands in so the full pipeline is
-exercisable end-to-end.
+``mapInPandas`` signatures — is real and tested. ``decode_image`` is a
+REAL dependency-free decoder for binary PPM/PGM and uncompressed BMP
+(true width/height/channels/pixels); richer codecs (JPEG/PNG, audio)
+would need libraries this container doesn't ship, so those paths
+degrade to ``decode_ok=false`` rows / ``NotImplementedError`` and a
+deterministic fake extractor keeps the full pipeline exercisable for
+arbitrary payloads.
 
 Scale posture: ``mapInPandas`` streams Arrow batches per partition —
 memory is bounded by batch size, not partition size
@@ -44,13 +46,206 @@ def attach_payload(documents: DataFrame,
         F.octet_length(payload).alias("n_bytes"))
 
 
-def decode_image(payload: bytes):
-    """Real media decode — STUB. Needs an image library (PIL/opencv)
-    that is not in this container; the Spark-side plumbing around it is
-    real and tested with the deterministic fake extractor below."""
+def decode_image(payload: bytes) -> dict:
+    """Real, dependency-free image decode for two simple public formats:
+
+    * binary PPM/PGM (netpbm ``P6``/``P5``: ASCII header with optional
+      ``#`` comments, then a raw RGB/gray raster), and
+    * uncompressed BMP (``BM`` + BITMAPINFOHEADER, 24/32 bpp,
+      bottom-up or top-down, BGR(A) rows padded to 4 bytes —
+      normalized to RGB here).
+
+    Returns ``{"width", "height", "channels", "pixels"}`` with pixels
+    as a row-major RGB/gray byte string. Any other byte stream raises
+    ``NotImplementedError`` — richer formats (JPEG/PNG/…) need codec
+    libraries this container doesn't ship, and callers are expected to
+    catch and mark the row undecodable rather than fail the task.
+    """
+    if len(payload) >= 2 and payload[:2] in (b"P6", b"P5"):
+        return _decode_pnm(payload)
+    if len(payload) >= 2 and payload[:2] == b"BM":
+        return _decode_bmp(payload)
     raise NotImplementedError(
-        "media decode requires an image/audio library not present in "
-        "this environment; use extract_features(fake=True)")
+        "only binary PPM/PGM and uncompressed BMP are decodable without "
+        "external image libraries; mark other payloads undecodable")
+
+
+def _decode_pnm(payload: bytes) -> dict:
+    magic = payload[:2]
+    channels = 3 if magic == b"P6" else 1
+    # header: magic, then 3 ASCII ints (width, height, maxval) separated
+    # by whitespace, with '#' comments allowed; then ONE whitespace byte
+    pos, fields = 2, []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":
+            while pos < len(payload) and payload[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # the single whitespace after maxval
+    width, height, maxval = fields
+    if maxval != 255:
+        raise NotImplementedError("only 8-bit PPM/PGM supported")
+    n = width * height * channels
+    pixels = payload[pos:pos + n]
+    if len(pixels) != n:
+        raise ValueError(f"truncated raster: {len(pixels)}/{n} bytes")
+    return {"width": width, "height": height, "channels": channels,
+            "pixels": pixels}
+
+
+def _decode_bmp(payload: bytes) -> dict:
+    import struct
+    if len(payload) < 54:
+        raise ValueError("truncated BMP header")
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    width, raw_h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError("only uncompressed 24/32-bpp BMP")
+    height, bottom_up = abs(raw_h), raw_h > 0
+    src_ch = bpp // 8
+    row_size = ((bpp * width + 31) // 32) * 4
+    out = bytearray()
+    for y in range(height):
+        src_y = height - 1 - y if bottom_up else y
+        row = payload[data_off + src_y * row_size:
+                      data_off + src_y * row_size + width * src_ch]
+        if len(row) != width * src_ch:
+            raise ValueError("truncated BMP raster")
+        for x in range(width):
+            b, g, r = row[x * src_ch], row[x * src_ch + 1], row[x * src_ch + 2]
+            out += bytes((r, g, b))
+    return {"width": width, "height": height, "channels": 3,
+            "pixels": bytes(out)}
+
+
+def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
+    """Binary P6 PPM encoder (row-major RGB raster) — the fixture/sink
+    twin of :func:`decode_image`."""
+    if len(pixels) != width * height * 3:
+        raise ValueError("pixel buffer size mismatch")
+    return b"P6\n%d %d\n255\n" % (width, height) + pixels
+
+
+# Deterministic generative image: dims and pixel values are pure
+# functions of doc_id, so an oracle can predict width/height/mean
+# independently (and tests can recompute pixels exactly).
+def _gen_dims(doc_id: int) -> tuple[int, int]:
+    return 8 + doc_id % 9, 6 + doc_id % 7
+
+
+def _gen_pixels(doc_id: int, width: int, height: int) -> bytes:
+    return bytes(
+        (x * 7 + y * 13 + ch * 31 + doc_id) % 256
+        for y in range(height) for x in range(width) for ch in range(3))
+
+
+def attach_image_payload(documents: DataFrame) -> DataFrame:
+    """Real-image fixture frame: one deterministic P6 PPM per document,
+    generated executor-side (Arrow-batched, no driver involvement) —
+    the stand-in for reading real image blobs off object storage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = _gen_dims(int(doc_id))
+                payloads.append(encode_ppm(w, h, _gen_pixels(int(doc_id), w, h)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image/x-portable-pixmap",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads]})
+
+    return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+IMAGE_FEATURE_SCHEMA = ("doc_id long, decode_ok boolean, width int, "
+                        "height int, channels int, n_pixels long, "
+                        "mean_intensity double")
+
+
+def image_features(payloads: DataFrame) -> DataFrame:
+    """TRUE image features via :func:`decode_image` — width/height/
+    channels/mean-intensity computed from decoded pixel bytes inside an
+    Arrow-batched ``mapInPandas``. Undecodable payloads yield a
+    ``decode_ok=false`` row with null features instead of failing the
+    task (the 100 TB posture: one corrupt blob must not kill a stage)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "decode_ok": [], "width": [],
+                   "height": [], "channels": [], "n_pixels": [],
+                   "mean_intensity": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    img = decode_image(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    out["decode_ok"].append(False)
+                    for k in ("width", "height", "channels", "n_pixels",
+                              "mean_intensity"):
+                        out[k].append(None)
+                    continue
+                px = img["pixels"]
+                out["decode_ok"].append(True)
+                out["width"].append(img["width"])
+                out["height"].append(img["height"])
+                out["channels"].append(img["channels"])
+                out["n_pixels"].append(img["width"] * img["height"])
+                out["mean_intensity"].append(sum(px) / len(px) if px else None)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, IMAGE_FEATURE_SCHEMA)
+
+
+RESIZE_REAL_SCHEMA = ("doc_id long, decode_ok boolean, width int, "
+                      "height int, resized_md5 string")
+
+
+def resize_images_real(payloads: DataFrame, width: int = 16,
+                       height: int = 16) -> DataFrame:
+    """Real nearest-neighbor resize over decoded pixels: decode →
+    sample source pixel per target pixel → digest of the resized RGB
+    raster. Same Arrow batch shape as the fake path; undecodable rows
+    degrade to ``decode_ok=false`` instead of failing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {"doc_id": [], "decode_ok": [], "width": [],
+                   "height": [], "resized_md5": []}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                out["width"].append(width)
+                out["height"].append(height)
+                try:
+                    img = decode_image(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    out["decode_ok"].append(False)
+                    out["resized_md5"].append(None)
+                    continue
+                sw, sh, ch, px = (img["width"], img["height"],
+                                  img["channels"], img["pixels"])
+                resized = bytearray()
+                for ty in range(height):
+                    sy = min(ty * sh // height, sh - 1)
+                    for tx in range(width):
+                        sx = min(tx * sw // width, sw - 1)
+                        base = (sy * sw + sx) * ch
+                        resized += px[base:base + ch]
+                out["decode_ok"].append(True)
+                out["resized_md5"].append(
+                    hashlib.md5(bytes(resized)).hexdigest())
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, RESIZE_REAL_SCHEMA)
 
 
 def _fake_feature(payload: bytes) -> float:

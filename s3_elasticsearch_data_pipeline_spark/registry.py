@@ -616,8 +616,45 @@ FROM documents
 """)
 def q_multimodal_features(spark, sf_dir):
     """Binary payload + Arrow-batched mapInPandas feature extraction
-    (decode itself stubbed — no media libs in this container)."""
+    (fake-feature path; see image_decode_features for the real
+    decoder)."""
     return multimodal.multimodal_features(_t(spark, sf_dir, "documents"))
+
+
+@register("image_decode_features", """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+  FROM documents),
+px AS (
+  -- max image is (8+8)x(6+6)x3 = 576 bytes; uncorrelated series + filter
+  SELECT d.doc_id, d.w, d.h, i.i
+  FROM dims d CROSS JOIN generate_series(0, 16 * 12 * 3 - 1) AS i(i)
+  WHERE i.i < d.w * d.h * 3)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       floor(avg(CAST((((i // 3) % w) * 7 + (i // (3 * w)) * 13
+                       + (i % 3) * 31 + doc_id) % 256 AS DOUBLE))
+             * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity
+FROM px GROUP BY doc_id, w, h
+""")
+def q_image_decode_features(spark, sf_dir):
+    """REAL image decode end-to-end: generate one deterministic binary
+    P6 PPM per document executor-side, decode the actual bytes back
+    (``operators/multimodal.py:decode_image`` — header parse + raster),
+    and emit true width/height/channels/mean-intensity. The oracle
+    recomputes the expected values symbolically from the generative
+    formula — a genuine independent check that the decoder reads the
+    raster correctly, not an md5 tautology."""
+    from pyspark.sql import functions as F
+    payloads = multimodal.attach_image_payload(_t(spark, sf_dir, "documents"))
+    feats = multimodal.image_features(payloads)
+    return (feats.where(F.col("decode_ok"))
+            .select("doc_id", "width", "height", "channels", "n_pixels",
+                    (F.floor(F.col("mean_intensity") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("mean_intensity")))
 
 
 # ---------------------------------------------------------------------------
@@ -3205,6 +3242,16 @@ def q_multimodal_resize(spark, sf_dir):
     libs in this container; batch shape and schema are real)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.resize_images(multimodal.attach_payload(docs))
+
+
+@register("image_resize_real", None)  # digest of real pixels → rows-only
+def q_image_resize_real(spark, sf_dir):
+    """REAL nearest-neighbor resize: decode the generated PPMs and
+    resample actual pixels (multimodal.py:resize_images_real); digests
+    are pinned exactly in tests/test_multimodal_decode.py."""
+    docs = _t(spark, sf_dir, "documents")
+    return multimodal.resize_images_real(
+        multimodal.attach_image_payload(docs))
 
 
 @register("w_value_functions", """

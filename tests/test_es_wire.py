@@ -133,3 +133,35 @@ def test_bulk_index_is_lazy(spark, docs_df):
         assert stub.requests_seen == 0
         stats.collect()
         assert stub.requests_seen > 0
+
+
+def test_streaming_incremental_to_es_effectively_once(spark, docs_df, tmp_path):
+    """Streaming file source → foreachBatch → wire sink: each file's
+    rows are indexed once; a re-run with no new files POSTs nothing;
+    new files flow through without re-sending old ones (the checkpoint
+    file log is the incremental state, keyed _id makes replays moot)."""
+    from s3_elasticsearch_data_pipeline_spark.streaming.incremental_stream import (
+        incremental_stream_to_es)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    first = docs_df.limit(200)
+    first.write.partitionBy("month").parquet(src)
+    with ESStub() as stub:
+        r1 = incremental_stream_to_es(spark, src, stub.url, "serving",
+                                      ckpt, id_col="id", **FAST)
+        assert sum(r.rows_sent for r in r1) == 200
+        assert len(stub.store["serving"]) == 200
+        seen_after_first = stub.requests_seen
+        # no new files → no HTTP at all
+        r2 = incremental_stream_to_es(spark, src, stub.url, "serving",
+                                      ckpt, id_col="id", **FAST)
+        assert r2 == [] and stub.requests_seen == seen_after_first
+        # append a new slice of ids → only those are sent
+        second = docs_df.where(~F.col("id").isin(
+            [row["id"] for row in first.select("id").collect()]))
+        n_new = second.count()
+        second.write.mode("append").partitionBy("month").parquet(src)
+        r3 = incremental_stream_to_es(spark, src, stub.url, "serving",
+                                      ckpt, id_col="id", **FAST)
+        assert sum(r.rows_sent for r in r3) == n_new
+        assert len(stub.store["serving"]) == 200 + n_new

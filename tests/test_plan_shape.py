@@ -274,6 +274,7 @@ _PYTHON_ALLOWED = {
     "udf_grouped_map_interarrival",  # grouped-map applyInPandas demo
     "text_chunks_udtf",            # Python UDTF demo
     "multimodal_features",         # mapInPandas media plumbing
+    "image_decode_features",       # mapInPandas REAL image decode
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
@@ -459,3 +460,37 @@ def test_interval_grid_join_is_equi_not_nested_loop(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan, plan[:1500]
     assert ("SortMergeJoin" in plan or "ShuffledHashJoin" in plan
             or "BroadcastHashJoin" in plan), plan[:1500]
+
+
+def test_pagerank_partitioned_path_never_broadcasts_ranks(spark, sf_oracle):
+    """Above the broadcast node limit PageRank must switch to the
+    co-partitioned strategy: zero broadcast joins anywhere in the plan
+    (rank vector, degrees, and recompute joins are all node-sized), and
+    the ranks must be bit-identical to the broadcast path (decimal-exact
+    contribution sums make the result partitioning-independent)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.graph import pagerank
+    li = spark.read.parquet(os.path.join(sf_oracle, "lineitem.parquet"))
+    od = spark.read.parquet(os.path.join(sf_oracle, "orders.parquet"))
+    pairs = (od.join(li, od["o_orderkey"] == li["l_orderkey"])
+             .select(F.concat(F.lit("c"), "o_custkey").alias("src"),
+                     F.concat(F.lit("s"), "l_suppkey").alias("dst"))
+             .distinct())
+    edges = pairs.unionByName(
+        pairs.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    # Auto-broadcast would still kick in at this toy scale and mask the
+    # strategy difference; disable it so only explicit hints broadcast —
+    # exactly the situation at real scale where stats exceed the
+    # threshold anyway.
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        big = pagerank(edges, iters=2, broadcast_ranks=False)
+        plan = plan_of(big)
+        assert "BroadcastHashJoin" not in plan, \
+            "partitioned PageRank must not broadcast any node-sized side"
+        assert "BroadcastNestedLoopJoin" not in plan
+        small = pagerank(edges, iters=2, broadcast_ranks=True)
+        assert plan_of(small).count("BroadcastHashJoin") >= 2
+        assert big.exceptAll(small).count() == 0
+        assert small.exceptAll(big).count() == 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
