@@ -436,3 +436,150 @@ def pca_project(embeddings: DataFrame, k: int = 2) -> DataFrame:
             F.lit(0.0), lambda acc, v: acc + v) - F.lit(mu_dot)
         out = out.withColumn(f"pc{i + 1}", F.round(proj, 6))
     return out.drop("embedding")
+
+
+def _pq_codebooks(embeddings: DataFrame, m: int, k_codes: int,
+                  train_sample: int, iters: int):
+    """Per-subspace codebooks (m × k_codes × d/m) trained with
+    deterministic Lloyd iterations on a fixed sample — the standard PQ
+    recipe (Jégou/Douze/Schmid, "Product quantization for nearest
+    neighbor search", TPAMI 2011): codebooks always come from a sample;
+    only ENCODING touches the full corpus. Driver memory is
+    m·k·(d/m) = k·d floats — KB, independent of corpus size."""
+    import numpy as np
+    rows = (embeddings.orderBy("vec_id").limit(train_sample)
+            .select("embedding").collect())
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    d = x.shape[1]
+    if d % m:
+        raise ValueError(f"dims {d} not divisible by m={m}")
+    sub = d // m
+    books = []
+    for j in range(m):
+        xs = x[:, j * sub:(j + 1) * sub]
+        # deterministic init: evenly spaced sample rows
+        idx = np.linspace(0, len(xs) - 1, k_codes).astype(int)
+        c = xs[idx].copy()
+        for _ in range(iters):
+            d2 = ((xs[:, None, :] - c[None, :, :]) ** 2).sum(axis=2)
+            assign = d2.argmin(axis=1)
+            for code in range(k_codes):
+                mask = assign == code
+                if mask.any():
+                    c[code] = xs[mask].mean(axis=0)
+        books.append(c)
+    return np.stack(books)  # (m, k_codes, sub)
+
+
+def product_quantize(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
+                     train_sample: int = 256, iters: int = 8) -> DataFrame:
+    """PQ-encode every vector: m uint8 codes (nearest per-subspace
+    centroid) + the reconstruction MSE. 64-dim float32 → 8 bytes per
+    vector = 32× compression; at 100 TB of embeddings the code table
+    fits where the raw vectors never will, which is the point.
+
+    Encoding is one Arrow-batched ``mapInPandas`` pass with the
+    broadcast codebook matrix; no shuffle at all."""
+    import numpy as np
+    books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
+    sub = books.shape[2]
+
+    def encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            codes = np.empty((len(x), m), dtype=np.int64)
+            recon = np.empty_like(x)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+                recon[:, j * sub:(j + 1) * sub] = books[j][codes[:, j]]
+            mse = ((x - recon) ** 2).mean(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "label": pdf["label"],
+                                "codes": list(codes),
+                                "recon_mse": np.round(mse, 8)})
+
+    return embeddings.select("vec_id", "label", "embedding").mapInPandas(
+        encode, "vec_id long, label int, codes array<bigint>, "
+                "recon_mse double")
+
+
+def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
+            m: int = 8, k_codes: int = 16, train_sample: int = 256,
+            iters: int = 8, rerank: int = 50) -> DataFrame:
+    """Asymmetric-distance (ADC) approximate top-k over PQ codes with
+    an exact rerank stage — the canonical two-phase PQ search: each
+    query precomputes an (m × k_codes) distance table against the
+    codebooks, every database vector costs m table lookups instead of a
+    d-dim dot product, the ADC shortlist (``rerank`` per query) is then
+    scored with EXACT cosine against the raw vectors. Scale shape:
+    codes+tables are broadcast-tiny; the scan is one mapInPandas over
+    the code table with a per-batch partial shortlist (≤ rerank rows
+    per (batch, query) shuffled); the rerank join touches only
+    n_queries × rerank rows of raw vectors — the full corpus is read
+    once as 8-byte codes, never as d-dim floats."""
+    import numpy as np
+    books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
+    sub = books.shape[2]
+    q_rows = queries.select("vec_id", "embedding").collect()
+    q_ids = np.array([r["vec_id"] for r in q_rows])
+    q_mat = np.array([list(r["embedding"]) for r in q_rows],
+                     dtype=np.float64)
+    # (n_q, m, k_codes) squared-L2 lookup tables
+    tables = np.stack([
+        ((q_mat[:, j * sub:(j + 1) * sub][:, None, :]
+          - books[j][None, :, :]) ** 2).sum(axis=2)
+        for j in range(m)], axis=1)
+
+    codes_df = product_quantize(embeddings, m, k_codes, train_sample, iters)
+
+    def scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            # dist[q, v] = Σ_j tables[q, j, codes[v, j]]
+            dist = tables[np.arange(len(q_ids))[:, None, None],
+                          np.arange(m)[None, None, :],
+                          codes[None, :, :]].sum(axis=2)
+            top = min(rerank, dist.shape[1])
+            part = np.argpartition(dist, top - 1, axis=1)[:, :top]
+            out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
+            for qi in range(len(q_ids)):
+                for vi in part[qi]:
+                    out["query_id"].append(q_ids[qi])
+                    out["neighbor_id"].append(ids[vi])
+                    out["adc_dist"].append(round(float(dist[qi, vi]), 8))
+            yield pd.DataFrame(out)
+
+    from pyspark.sql import Window
+    cand = codes_df.mapInPandas(
+        scan, "query_id long, neighbor_id long, adc_dist double")
+    w_short = Window.partitionBy("query_id").orderBy("adc_dist",
+                                                     "neighbor_id")
+    shortlist = (cand.withColumn("rank", F.row_number().over(w_short))
+                 .where(F.col("rank") <= rerank).drop("rank"))
+    # exact rerank: raw vectors only for the shortlist rows
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").cast("array<double>")
+                        .alias("__qv"))
+    nv = embeddings.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("embedding").cast("array<double>")
+                           .alias("__nv"))
+    from s3_elasticsearch_data_pipeline_spark.functions.vector import cosine
+    reranked = (shortlist
+                .join(F.broadcast(qv), "query_id")
+                .join(nv, "neighbor_id")
+                .withColumn("sim", cosine(F.col("__qv"), F.col("__nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (reranked.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))

@@ -901,3 +901,73 @@ def compression_ratio(documents: DataFrame) -> DataFrame:
         F.when(F.col("raw_bytes") > 0,
                F.round(F.col("compressed_bytes")
                        / F.col("raw_bytes"), 6)).alias("compression_ratio"))
+
+
+def _merge_pair_in_arrays(syms, left: str, right: str):
+    """Greedy left-to-right merge of the adjacent pair (left, right) in
+    a symbol array — one aggregate fold, no shuffle. 'aaaa' under
+    (a, a) becomes ['aa', 'aa'] (non-overlapping scan), the standard
+    BPE merge semantics. The merged symbol can only falsely re-merge if
+    left == left+right, i.e. right == '' — impossible for real tokens."""
+    merged = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, s: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (s == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1),
+                     F.array(F.lit(merged)))
+        ).otherwise(F.concat(acc, F.array(s))))
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+    """Full byte-pair-encoding training loop (Sennrich et al., ACL 2016)
+    as iterated DataFrame algebra — the distributed tokenizer trainer.
+
+    The classic scale trick: train on the WORD-TYPE table, not the raw
+    corpus. One pass builds (word → count); every merge round then
+    operates on vocab-sized data — each round is
+
+        pair counts  = explode(zip(syms, shift(syms))) weighted by count
+                       → one hash aggregate,
+        chosen merge = deterministic argmax (count desc, pair asc) —
+                       a 1-row driver collect,
+        apply merge  = per-row aggregate fold (no shuffle),
+
+    with a localCheckpoint per round to truncate lineage (same
+    discipline as PageRank/connected-components). At 100 TB the word
+    table is ~millions of rows regardless of corpus size, so the whole
+    train is n_merges linear passes over a small-constant table.
+
+    Returns the ordered merge table: (merge_rank, left_tok, right_tok,
+    pair_count, new_symbol) — exactly what a tokenizer ships.
+    """
+    words = (documents
+             .select(F.explode(tokens(F.col("text"))).alias("word"))
+             .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
+             .select(F.split(F.col("word"), "").alias("syms"), "n")
+             .where(F.size("syms") >= 2)
+             .localCheckpoint(eager=True))
+    merges = []
+    for rank in range(1, n_merges + 1):
+        lefts = F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1)
+        rights = F.slice(F.col("syms"), F.lit(2), F.size("syms") - 1)
+        top = (words.where(F.size("syms") >= 2)
+               .select("n", F.explode(F.arrays_zip(
+                   lefts.alias("l"), rights.alias("r"))).alias("pr"))
+               .groupBy(F.col("pr.l").alias("l"), F.col("pr.r").alias("r"))
+               .agg(F.sum("n").alias("cnt"))
+               .orderBy(F.col("cnt").desc(), "l", "r")
+               .limit(1).collect())
+        if not top:
+            break
+        l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
+        merges.append((rank, l, r, int(cnt), l + r))
+        words = (words.select(
+            _merge_pair_in_arrays(F.col("syms"), l, r).alias("syms"), "n")
+            .localCheckpoint(eager=True))
+    return documents.sparkSession.createDataFrame(
+        merges, "merge_rank int, left_tok string, right_tok string, "
+                "pair_count bigint, new_symbol string")

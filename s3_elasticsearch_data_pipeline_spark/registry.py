@@ -5762,3 +5762,35 @@ def q_stat_correlation_matrix(spark, sf_dir):
     from one exact-decimal moment aggregate
     (cf. operators/analytics.py:correlation_matrix)."""
     return analytics.correlation_matrix(_t(spark, sf_dir, "lineitem"))
+
+
+# ---------------------------------------------------------------------------
+# Round 2 — tokenizer training + product quantization
+# ---------------------------------------------------------------------------
+
+@register("text_bpe_train", None)  # iterative argmax loop → rows-only
+def q_text_bpe_train(spark, sf_dir):
+    """Full distributed BPE training loop over the word-type table —
+    8 merge rounds, each one hash aggregate + a 1-row argmax collect
+    (operators/text.py:bpe_train); exact-match tested against a pure
+    Python reference implementation in tests/test_tokenizer_train.py."""
+    return text.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
+
+
+@register("embedding_pq_codes", None)  # sample-trained k-means → rows-only
+def q_embedding_pq_codes(spark, sf_dir):
+    """Product-quantization encoding of the embeddings table: 8
+    subspaces × 16 codes (64-dim → 8 bytes/vector), reconstruction MSE
+    per vector (operators/similarity.py:product_quantize)."""
+    return similarity.product_quantize(_t(spark, sf_dir, "embeddings"))
+
+
+@register("sim_topk_pq", None)  # approximate ANN → recall-tested
+def q_sim_topk_pq(spark, sf_dir):
+    """Asymmetric-distance PQ top-k: per-query (m × k) lookup tables,
+    m table lookups per database vector instead of a d-dim dot product
+    (operators/similarity.py:pq_topk); recall vs exact brute force
+    asserted in tests/test_approx_ops.py."""
+    embs = _t(spark, sf_dir, "embeddings")
+    queries = embs.orderBy("vec_id").limit(10)
+    return similarity.pq_topk(embs, queries, k=10)

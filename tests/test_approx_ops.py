@@ -279,3 +279,46 @@ def test_compression_ratio_orders_repetition(spark, sf_smoke):
     again = {r["doc_id"]: r["compression_ratio"]
              for r in compression_ratio(docs).collect()}
     assert again == base
+
+
+def test_product_quantize_codes_and_distortion(spark, documents):
+    """PQ codes are in range; reconstruction error is finite and
+    strictly better than a 1-code codebook (more centroids must not
+    reconstruct worse)."""
+    from s3_elasticsearch_data_pipeline_spark.operators import similarity
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    enc16 = similarity.product_quantize(embs, m=8, k_codes=16)
+    rows = enc16.collect()
+    assert len(rows) == embs.count()
+    assert all(0 <= c <= 15 for r in rows for c in r["codes"])
+    assert all(len(r["codes"]) == 8 for r in rows)
+    mse16 = sum(r["recon_mse"] for r in rows) / len(rows)
+    enc1 = similarity.product_quantize(embs, m=8, k_codes=1)
+    mse1 = sum(r["recon_mse"] for r in enc1.collect()) / len(rows)
+    assert 0 < mse16 < mse1
+
+
+def test_pq_topk_recall_vs_bruteforce(spark):
+    """ADC top-k must recover most true cosine neighbors. PQ approximates
+    L2; on (near-)unit-norm embeddings L2 and cosine rank identically,
+    so recall@10 against the exact brute force should be high."""
+    from s3_elasticsearch_data_pipeline_spark.operators import similarity
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    queries = embs.orderBy("vec_id").limit(10)
+    exact = similarity.brute_force_topk(embs, queries, k=10)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    approx = similarity.pq_topk(embs, queries, k=10)
+    got = {}
+    for r in approx.collect():
+        got.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    recalls = [len(truth[q] & got.get(q, set())) / len(truth[q])
+               for q in truth]
+    assert sum(recalls) / len(recalls) >= 0.55, recalls
+    # rank 1 must be the query itself (exact rerank puts sim=1 first)
+    first = {r["query_id"]: r["neighbor_id"]
+             for r in approx.where("rank = 1").collect()}
+    assert all(q == n for q, n in first.items())

@@ -1,0 +1,72 @@
+"""BPE training loop: the distributed trainer must EXACTLY reproduce a
+pure-Python reference implementation of greedy BPE over the same
+word-count table (merge choices, counts, and order all identical)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators.text import bpe_train
+from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+
+def _reference_bpe(word_counts: dict[str, int], n_merges: int):
+    """Textbook BPE (Sennrich et al. 2016), greedy left-to-right."""
+    vocab = {tuple(w): c for w, c in word_counts.items() if len(w) >= 2}
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, c in vocab.items():
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        # deterministic argmax: count desc, then (left, right) asc
+        (l, r), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, cnt, l + r))
+        new_vocab = {}
+        for syms, c in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == l and s == r:
+                    out[-1] = l + r
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + c
+        vocab = new_vocab
+    return merges
+
+
+def test_bpe_train_matches_reference(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    got = [(r["merge_rank"], r["left_tok"], r["right_tok"],
+            r["pair_count"], r["new_symbol"])
+           for r in bpe_train(docs, n_merges=8)
+           .orderBy("merge_rank").collect()]
+    counts = {r["word"]: r["n"] for r in
+              docs.select(F.explode(F.split(
+                  F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+                  .alias("word"))
+              .where(F.col("word") != "")
+              .groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()}
+    want = _reference_bpe(counts, 8)
+    assert got == want, f"\nspark={got}\nref  ={want}"
+
+
+def test_bpe_train_empty_and_single_char(spark):
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b")], "doc_id long, text string")
+    # every word is a single char → no pairs → zero merges
+    assert bpe_train(docs, n_merges=4).count() == 0
+    docs2 = spark.createDataFrame(
+        [(1, "abab abab cd")], "doc_id long, text string")
+    rows = bpe_train(docs2, n_merges=3).orderBy("merge_rank").collect()
+    # 'abab'×2 → (a,b) appears twice per word = 4; greedy merge → [ab,ab]
+    assert rows[0]["left_tok"] == "a" and rows[0]["right_tok"] == "b"
+    assert rows[0]["new_symbol"] == "ab" and rows[0]["pair_count"] == 4
+    # second round: (ab,ab)×2 beats (c,d)×1
+    assert (rows[1]["left_tok"], rows[1]["right_tok"]) == ("ab", "ab")
+    assert rows[1]["pair_count"] == 2
