@@ -202,6 +202,36 @@ def _minhash_signature(hash_arr, num_hashes: int):
     return F.array(*[_seeded_min_hash(hash_arr, i) for i in range(num_hashes)])
 
 
+def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
+                bands: int) -> DataFrame:
+    """(doc_id, sig, band, bucket) rows — the LSH band index layout a
+    100 TB pipeline persists as its dedup index table (bands × docs
+    compact rows)."""
+    rows_per_band = num_hashes // bands
+    shingled = (documents
+                .withColumn("toks", tokens(F.col("text")))
+                .where(F.size("toks") >= n)  # see ngram_jaccard_pairs note
+                .select("doc_id",
+                        F.transform(word_ngrams_from_tokens(F.col("toks"), n),
+                                    lambda s: F.xxhash64(s))
+                        .alias("sh_hashes")))
+    signed = shingled.select(
+        "doc_id",
+        _minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig"))
+    banded = signed.select(
+        "doc_id", "sig",
+        F.explode(F.array(*[
+            F.struct(F.lit(bi).alias("band"),
+                     F.xxhash64(F.concat_ws(
+                         ",", *[F.element_at(F.col("sig"),
+                                             bi * rows_per_band + r + 1)
+                                .cast("string")
+                                for r in range(rows_per_band)]))
+                     .alias("bucket"))
+            for bi in range(bands)])).alias("bb"))
+    return banded.select("doc_id", "sig", "bb.band", "bb.bucket")
+
+
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5) -> DataFrame:
@@ -218,28 +248,7 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
     records the rows-only check; ``ngram_jaccard_pairs`` is the
     oracle-checked exact twin.)
     """
-    rows_per_band = num_hashes // bands
-    shingled = (documents
-                .withColumn("toks", tokens(F.col("text")))
-                .where(F.size("toks") >= n)  # see ngram_jaccard_pairs note
-                .select("doc_id",
-                        F.transform(word_ngrams_from_tokens(F.col("toks"), n),
-                                    lambda s: F.xxhash64(s))
-                        .alias("sh_hashes")))
-    signed = shingled.select(
-        "doc_id", _minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig"))
-    banded = signed.select(
-        "doc_id", "sig",
-        F.explode(F.array(*[
-            F.struct(F.lit(bi).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at(F.col("sig"),
-                                             bi * rows_per_band + r + 1)
-                                .cast("string")
-                                for r in range(rows_per_band)]))
-                     .alias("bucket"))
-            for bi in range(bands)])).alias("bb"))
-    banded = banded.select("doc_id", "sig", "bb.band", "bb.bucket")
+    banded = _lsh_banded(documents, n, num_hashes, bands)
     # materialize signatures once — see ngram_jaccard_pairs note
     banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
@@ -573,3 +582,54 @@ def paragraph_dedup_stats(documents: DataFrame) -> DataFrame:
                        .otherwise(0)).alias("n_kept"),
                  F.sum(F.when(F.col("owner_doc") != F.col("doc_id"), 1)
                        .otherwise(0)).alias("n_deduped")))
+
+
+def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
+                          n: int = 3, num_hashes: int = 16,
+                          bands: int = 4,
+                          threshold: float = 0.5) -> DataFrame:
+    """Near-dup dedup AT INGEST — the cross-batch extension of
+    :func:`incremental_batch_dedup` from exact fingerprints to MinHash
+    similarity: an incoming batch is checked against the PERSISTED LSH
+    band index of the prior corpus, and only documents with no
+    estimated-Jaccard match ≥ ``threshold`` survive.
+
+    Scale shape (the production dedup-at-ingest loop):
+
+        corpus index = (band, bucket, doc_id, sig) rows — bands×docs
+                       compact rows, persisted once, appended per batch;
+        probe        = batch band rows equi-join the index on
+                       (band, bucket) — candidates only where a band
+                       collides, never corpus×batch;
+        verify       = signature agreement on the candidate pairs;
+        emit         = anti-join of the batch against matched ids.
+
+    Here the batch is carved deterministically (doc_id % batch_mod == 0,
+    prior corpus = the rest) so the operator is self-contained and its
+    output reproducible. Returns surviving batch docs with the count of
+    corpus near-matches the dropped ones had (0 for survivors).
+    """
+    corpus = documents.where(F.col("doc_id") % batch_mod != 0)
+    batch = documents.where(F.col("doc_id") % batch_mod == 0)
+    index = _lsh_banded(corpus, n, num_hashes, bands) \
+        .localCheckpoint(eager=True)
+    probe = _lsh_banded(batch, n, num_hashes, bands) \
+        .localCheckpoint(eager=True)
+    est = (F.size(F.filter(
+        F.zip_with(F.col("p.sig"), F.col("i.sig"),
+                   lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1)) / F.lit(num_hashes))
+    matched = (probe.alias("p")
+               .join(index.alias("i"),
+                     (F.col("p.band") == F.col("i.band"))
+                     & (F.col("p.bucket") == F.col("i.bucket")))
+               .select(F.col("p.doc_id").alias("doc_id"),
+                       F.col("i.doc_id").alias("corpus_doc"),
+                       est.alias("est_jaccard"))
+               .where(F.col("est_jaccard") >= threshold)
+               .select("doc_id", "corpus_doc").distinct()
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_matches")))
+    return (batch.select("doc_id")
+            .join(matched, "doc_id", "left_anti")
+            .select("doc_id", F.lit(0).cast("bigint").alias("n_matches")))

@@ -5794,3 +5794,13 @@ def q_sim_topk_pq(spark, sf_dir):
     embs = _t(spark, sf_dir, "embeddings")
     queries = embs.orderBy("vec_id").limit(10)
     return similarity.pq_topk(embs, queries, k=10)
+
+
+@register("dedup_incremental_lsh", None)  # xxhash64 minhash → rows-only
+def q_dedup_incremental_lsh(spark, sf_dir):
+    """Near-dup dedup at ingest: the incoming batch probes the prior
+    corpus's persisted LSH band index; only docs with no est-Jaccard
+    match >= 0.5 survive (operators/dedup.py:incremental_lsh_dedup);
+    drop/survive behavior is seeded-fixture-tested in
+    tests/test_curation.py."""
+    return dedup.incremental_lsh_dedup(_t(spark, sf_dir, "documents"))

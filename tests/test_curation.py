@@ -242,3 +242,40 @@ def test_ngram_prefix_filter_exact_under_hot_shingle_skew(spark):
     pref = sorted(map(tuple, dedup.ngram_jaccard_pairs(
         docs, prefix_filter=True).collect()))
     assert pref == exact and len(pref) >= 3
+
+
+def test_incremental_lsh_dedup_drops_near_copies(spark):
+    """A batch doc that is a near-copy of a corpus doc must be dropped;
+    novel batch docs must survive (batch = doc_id % 3 == 0)."""
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight")
+    rows = [
+        (1, base, "en"),                          # corpus
+        (3, base + " indeed", "en"),              # batch: near-copy → drop
+        (6, "completely different words about spark shuffles "
+            "and partitions and codegen stages here", "en"),  # batch: novel
+        (2, "another unrelated corpus document with its own "
+            "vocabulary entirely separate from others", "en"),  # corpus
+        (9, "третий свежий документ на другом языке чтобы не "
+            "совпадать ни с чем в корпусе вообще никак", "ru"),  # batch: novel
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"] for r in
+           dedup.incremental_lsh_dedup(docs, batch_mod=3).collect()}
+    assert 3 not in out, "near-copy of corpus doc 1 must be dropped"
+    assert {6, 9} <= out, "novel batch docs must survive"
+    assert out <= {0, 3, 6, 9}  # only batch ids can appear
+
+
+def test_incremental_lsh_dedup_partition_of_batch(spark, sf_oracle):
+    """Survivors are a subset of the batch and the operator is
+    deterministic across runs."""
+    docs = load_table(spark, sf_oracle, "documents")
+    a = {r["doc_id"] for r in
+         dedup.incremental_lsh_dedup(docs).collect()}
+    b = {r["doc_id"] for r in
+         dedup.incremental_lsh_dedup(docs).collect()}
+    assert a == b
+    batch_ids = {r["doc_id"] for r in
+                 docs.where("doc_id % 3 = 0").select("doc_id").collect()}
+    assert a <= batch_ids and a
