@@ -81,6 +81,9 @@ HEADLINE = (
     "w_rolling_median",
     "stat_correlation_matrix",
     "image_decode_features",
+    "dedup_incremental_lsh",
+    "sim_topk_pq",
+    "text_bpe_train",
 )
 
 
