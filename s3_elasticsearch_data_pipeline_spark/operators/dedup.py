@@ -633,3 +633,63 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
     return (batch.select("doc_id")
             .join(matched, "doc_id", "left_anti")
             .select("doc_id", F.lit(0).cast("bigint").alias("n_matches")))
+
+
+def containment_decontamination(documents: DataFrame, n: int = 3,
+                                threshold: float = 0.5,
+                                eval_mod: int = 10,
+                                block_col: str = "lang") -> DataFrame:
+    """Exact n-gram CONTAINMENT pairs eval-vs-train — the set-relation
+    decontamination check (Broder 1997 distinguishes containment from
+    resemblance): an eval doc A is contaminated by train doc B when
+    ``|A∩B| / |A| ≥ threshold`` — catches eval items embedded inside
+    larger training documents, which symmetric Jaccard under-scores
+    (|A∪B| is dominated by |B|).
+
+    Candidate generation is one-sided prefix-filtered and EXACT: if
+    C(A,B) ≥ t then A and B share ≥ ⌈t·|A|⌉ shingles, so they share at
+    least one within A's rarest-first prefix of length
+    ``|A| − ⌈t·|A|⌉ + 1`` (pigeonhole) — only eval prefixes are
+    exploded against the full train inverted index, and hot boilerplate
+    shingles stay out of the probe side. Verification re-joins the two
+    shingle-hash arrays. Eval set = ``doc_id % eval_mod == 0``
+    (deterministic carve), train = the rest.
+    """
+    shingled = _shingle_docs(documents, n, block_col) \
+        .localCheckpoint(eager=True)
+    ev = shingled.where(F.col("doc_id") % eval_mod == 0)
+    tr = shingled.where(F.col("doc_id") % eval_mod != 0)
+    # corpus-wide shingle document frequency orders eval prefixes
+    df_tbl = (shingled.select("block", F.explode("sh_arr").alias("sh"))
+              .groupBy("block", "sh").agg(F.count(F.lit(1)).alias("df")))
+    prefix_len = F.greatest(
+        F.col("n_sh")
+        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        + F.lit(1),
+        F.lit(0))
+    ev_prefix = (ev.select("doc_id", "block", "n_sh",
+                           F.explode("sh_arr").alias("sh"))
+                 .join(df_tbl, ["block", "sh"])
+                 .groupBy("doc_id", "block", "n_sh")
+                 .agg(F.array_sort(F.collect_list(F.struct("df", "sh")))
+                      .alias("ordered"))
+                 .select("doc_id", "block",
+                         F.explode(F.slice(
+                             F.transform("ordered", lambda x: x["sh"]),
+                             F.lit(1), prefix_len)).alias("sh")))
+    tr_index = tr.select(F.col("doc_id").alias("train_doc"), "block",
+                         F.explode("sh_arr").alias("sh"))
+    cands = (ev_prefix.join(tr_index, ["block", "sh"])
+             .select(F.col("doc_id").alias("eval_doc"), "train_doc")
+             .distinct())
+    ev_arr = ev.select(F.col("doc_id").alias("eval_doc"),
+                       F.col("n_sh").alias("n_a"),
+                       F.col("sh_arr").alias("arr_a"))
+    tr_arr = tr.select(F.col("doc_id").alias("train_doc"),
+                       F.col("sh_arr").alias("arr_b"))
+    containment = (F.size(F.array_intersect("arr_a", "arr_b"))
+                   / F.col("n_a"))
+    return (cands.join(ev_arr, "eval_doc").join(tr_arr, "train_doc")
+            .select("eval_doc", "train_doc",
+                    F.round(containment, 6).alias("containment"))
+            .where(F.col("containment") >= threshold))

@@ -5804,3 +5804,32 @@ def q_dedup_incremental_lsh(spark, sf_dir):
     drop/survive behavior is seeded-fixture-tested in
     tests/test_curation.py."""
     return dedup.incremental_lsh_dedup(_t(spark, sf_dir, "documents"))
+
+
+@register("decontamination_containment", """
+WITH shingled AS (
+  SELECT doc_id, lang AS block,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 1, 1)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM (SELECT doc_id, lang,
+               list_filter(string_split_regex(text, '\\s+'),
+                           t -> t <> '') AS toks
+        FROM documents)
+  WHERE len(toks) >= 3)
+SELECT a.doc_id AS eval_doc, b.doc_id AS train_doc,
+       round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+             / len(a.shingles), 6) AS containment
+FROM shingled a JOIN shingled b
+  ON a.block = b.block AND a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+WHERE round(CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+            / len(a.shingles), 6) >= 0.5
+""")
+def q_decontamination_containment(spark, sf_dir):
+    """Exact n-gram containment eval-vs-train (|A∩B|/|A| ≥ 0.5) with
+    one-sided prefix-filtered candidates — the asymmetric
+    decontamination check Jaccard under-scores when the eval item is
+    embedded in a larger train doc
+    (operators/dedup.py:containment_decontamination)."""
+    return dedup.containment_decontamination(
+        _t(spark, sf_dir, "documents"), n=3, threshold=0.5)

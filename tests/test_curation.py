@@ -279,3 +279,21 @@ def test_incremental_lsh_dedup_partition_of_batch(spark, sf_oracle):
     batch_ids = {r["doc_id"] for r in
                  docs.where("doc_id % 3 = 0").select("doc_id").collect()}
     assert a <= batch_ids and a
+
+
+def test_containment_catches_embedded_eval_doc(spark):
+    """An eval doc fully embedded in a larger train doc must score
+    containment 1.0 even though its Jaccard vs the train doc is low —
+    the asymmetry this operator exists for."""
+    eval_text = "alpha beta gamma delta epsilon zeta eta theta"
+    train_text = (eval_text + " " + " ".join(f"filler{i}" for i in range(60)))
+    docs = spark.createDataFrame(
+        [(10, eval_text, "en"), (11, train_text, "en"),
+         (12, "unrelated words entirely different content here okay", "en")],
+        "doc_id long, text string, lang string")
+    out = dedup.containment_decontamination(docs, threshold=0.9).collect()
+    assert [(r["eval_doc"], r["train_doc"]) for r in out] == [(10, 11)]
+    assert out[0]["containment"] == 1.0
+    # symmetric Jaccard would have missed it at the same threshold
+    jac = dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
+    assert not any({r["doc_id_a"], r["doc_id_b"]} == {10, 11} for r in jac)
