@@ -53,6 +53,11 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     so both strategies produce bit-identical ranks regardless of
     partitioning or summation order.
     """
+    # Materialize the incoming edge plan ONCE: callers typically hand in
+    # an expensive pipeline (join+distinct), and the degree pass, the
+    # edges_d checkpoint, and the node-set derivation would otherwise
+    # each re-run it from scratch.
+    edges = edges.localCheckpoint(eager=True)
     deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
            .persist())
     n = deg.count()  # node count — a driver-safe scalar, never the rows

@@ -1,0 +1,104 @@
+"""Distributed training of a document-quality classifier as pure
+DataFrame algebra — the "train a fastText-style quality filter on the
+corpus itself" step of an LLM data pipeline, without MLlib.
+
+Logistic regression by full-batch gradient descent: the weight vector
+(a handful of floats) broadcasts as literals into a single aggregate
+per iteration —
+
+    grad_j = Σ_rows (σ(x·w) − y) · x_j      (one pass, m+1 sums)
+
+so each iteration is ONE scan + ONE 1-row aggregate regardless of
+corpus size; the driver holds only w. Gradient sums accumulate in
+DECIMAL(38,18) so the result is independent of partitioning and
+summation order (same discipline as the correlation matrix / PageRank
+contributions), making training bit-reproducible on any cluster shape.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+FEATURES = ("intercept", "log_tokens", "punct_ratio", "digit_ratio",
+            "mean_word_len")
+
+
+def quality_features(documents: DataFrame) -> DataFrame:
+    """Per-document feature vector (pure columnar expressions) +
+    binary label (is the document English — learnable from character
+    statistics alone, which is the point of the demo)."""
+    text = F.col("text")
+    n_chars = F.greatest(F.length(text), F.lit(1))
+    toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
+    n_toks = F.greatest(F.size(toks), F.lit(1))
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
+    digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    return documents.select(
+        "doc_id",
+        (F.col("lang") == "en").cast("double").alias("y"),
+        F.lit(1.0).alias("intercept"),
+        F.log1p(F.size(toks).cast("double")).alias("log_tokens"),
+        (punct / n_chars).alias("punct_ratio"),
+        (digits / n_chars).alias("digit_ratio"),
+        ((n_chars - F.size(toks) + 1) / n_toks).alias("mean_word_len"))
+
+
+def train_quality_classifier(documents: DataFrame, iters: int = 15,
+                             lr: float = 0.5) -> DataFrame:
+    """Full-batch GD logistic regression over the feature frame.
+
+    Returns one row per feature: (feature, weight) plus a final
+    ``__loss__`` row carrying the mean log-loss — everything a caller
+    needs to apply or monitor the filter. Deterministic: decimal
+    gradient accumulation + fixed iteration count (no data-dependent
+    early stop to keep the plan shape static)."""
+    feats = quality_features(documents).localCheckpoint(eager=True)
+    n_row = feats.count()
+    if n_row == 0:
+        return documents.sparkSession.createDataFrame(
+            [], "feature string, weight double")
+    w = [0.0] * len(FEATURES)
+    for _ in range(iters):
+        z = sum(F.col(f) * F.lit(w[i]) for i, f in enumerate(FEATURES))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        err = p - F.col("y")
+        aggs = [F.sum((err * F.col(f)).cast("decimal(38,18)"))
+                .alias(f"g_{f}") for f in FEATURES]
+        g = feats.agg(*aggs).collect()[0]
+        w = [w[i] - lr * float(g[f"g_{f}"]) / n_row
+             for i, f in enumerate(FEATURES)]
+    # final loss, same single-pass shape
+    z = sum(F.col(f) * F.lit(w[i]) for i, f in enumerate(FEATURES))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    eps = F.lit(1e-12)
+    loss_row = feats.agg(F.sum(
+        (-(F.col("y") * F.log(p + eps)
+           + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - p + eps)))
+        .cast("decimal(38,18)")).alias("L")).collect()[0]
+    loss = float(loss_row["L"]) / n_row
+    rows = [(f, round(w[i], 10)) for i, f in enumerate(FEATURES)]
+    rows.append(("__loss__", round(loss, 10)))
+    return documents.sparkSession.createDataFrame(
+        rows, "feature string, weight double")
+
+
+def apply_quality_classifier(documents: DataFrame,
+                             weights: DataFrame) -> DataFrame:
+    """Score every document with the trained weights (collected once —
+    m+1 floats) as a pure projection; no shuffle."""
+    w = {r["feature"]: r["weight"] for r in weights.collect()
+         if r["feature"] != "__loss__"}
+    feats = quality_features(documents)
+    z = sum(F.col(f) * F.lit(w[f]) for f in FEATURES)
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    return feats.select(
+        "doc_id", F.col("y").cast("int").alias("label"),
+        F.round(p, 6).alias("score"),
+        (p >= 0.5).cast("int").alias("predicted"))
+
+
+def _sigmoid(z: float) -> float:
+    return 1.0 / (1.0 + math.exp(-z))

@@ -5833,3 +5833,14 @@ def q_decontamination_containment(spark, sf_dir):
     (operators/dedup.py:containment_decontamination)."""
     return dedup.containment_decontamination(
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5)
+
+
+@register("ml_quality_classifier", None)  # iterative GD → rows-only
+def q_ml_quality_classifier(spark, sf_dir):
+    """Distributed full-batch logistic regression for a corpus quality
+    filter: one scan + one 1-row decimal aggregate per iteration,
+    driver holds only the weight vector
+    (operators/ml.py:train_quality_classifier); weights verified
+    against a numpy reference in tests/test_ml.py."""
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    return ml.train_quality_classifier(_t(spark, sf_dir, "documents"))

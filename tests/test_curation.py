@@ -297,3 +297,29 @@ def test_containment_catches_embedded_eval_doc(spark):
     # symmetric Jaccard would have missed it at the same threshold
     jac = dedup.ngram_jaccard_pairs(docs, threshold=0.9).collect()
     assert not any({r["doc_id_a"], r["doc_id_b"]} == {10, 11} for r in jac)
+
+
+def test_ngram_prefix_equivalence_fuzz(spark):
+    """Seeded random corpora: the prefix-filtered candidate path must
+    produce byte-identical pairs to the full inverted index at several
+    thresholds — the exactness theorem, fuzzed."""
+    import random
+    rng = random.Random(20260814)
+    vocab = [f"w{i}" for i in range(30)]
+    for trial in range(4):
+        rows = []
+        for doc_id in range(40):
+            length = rng.randint(3, 25)
+            words = [rng.choice(vocab) for _ in range(length)]
+            if rng.random() < 0.4:  # inject shared boilerplate
+                words = ["common", "prefix", "text"] + words
+            rows.append((doc_id, " ".join(words),
+                         rng.choice(["en", "fr"])))
+        docs = spark.createDataFrame(
+            rows, "doc_id long, text string, lang string")
+        for t in (0.3, 0.5, 0.8):
+            a = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=True).collect()))
+            b = sorted(map(tuple, dedup.ngram_jaccard_pairs(
+                docs, threshold=t, prefix_filter=False).collect()))
+            assert a == b, f"trial {trial} t={t}: {a} != {b}"

@@ -1,0 +1,50 @@
+"""Distributed logistic-regression trainer: must match a numpy
+reference implementation of the same full-batch GD to float tolerance,
+and actually learn (beat the majority-class baseline)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from s3_elasticsearch_data_pipeline_spark.operators import ml
+from s3_elasticsearch_data_pipeline_spark.tables import load_table
+
+
+def _numpy_reference(X, y, iters, lr):
+    w = np.zeros(X.shape[1])
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - lr * (X.T @ (p - y)) / len(y)
+    return w
+
+
+def test_trainer_matches_numpy_reference(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    feats = ml.quality_features(docs).orderBy("doc_id").collect()
+    X = np.array([[r[f] for f in ml.FEATURES] for r in feats])
+    y = np.array([r["y"] for r in feats])
+    want = _numpy_reference(X, y, iters=15, lr=0.5)
+    got_rows = {r["feature"]: r["weight"]
+                for r in ml.train_quality_classifier(docs).collect()}
+    got = np.array([got_rows[f] for f in ml.FEATURES])
+    assert np.allclose(got, want, atol=1e-6), (got, want)
+    assert got_rows["__loss__"] > 0
+
+
+def test_classifier_learns_something(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents")
+    weights = ml.train_quality_classifier(docs)
+    scored = ml.apply_quality_classifier(docs, weights)
+    rows = scored.collect()
+    assert all(0.0 <= r["score"] <= 1.0 for r in rows)
+    acc = sum(r["predicted"] == r["label"] for r in rows) / len(rows)
+    base = max(sum(r["label"] for r in rows),
+               len(rows) - sum(r["label"] for r in rows)) / len(rows)
+    assert acc >= base - 1e-9, (acc, base)
+
+
+def test_trainer_empty_input(spark):
+    docs = spark.createDataFrame(
+        [], "doc_id long, text string, lang string")
+    assert ml.train_quality_classifier(docs).count() == 0
