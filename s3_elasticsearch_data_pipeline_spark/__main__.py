@@ -82,6 +82,19 @@ def main(argv: list[str] | None = None) -> int:
         "dq", help="run the data-quality expectation suite (exit 1 on fail)")
     pdq.add_argument("--sf-dir", default="/root/testdata/sf0.01")
 
+    pt = sub.add_parser(
+        "transfer", help="bulk-index a parquet source into Elasticsearch "
+                         "over the _bulk wire (the reference's actual job)")
+    pt.add_argument("--source", required=True)
+    pt.add_argument("--es-url", required=True)
+    pt.add_argument("--index", required=True)
+    pt.add_argument("--id", dest="id_col", default="id",
+                    help="keyed _id column ('' for server-assigned ids)")
+    pt.add_argument("--batch-size", type=int, default=50_000)
+    pt.add_argument("--checkpoint", default=None,
+                    help="enable incremental streaming mode with this "
+                         "checkpoint dir (only new files are sent)")
+
     args = p.parse_args(argv)
     spark = _spark()
 
@@ -133,6 +146,24 @@ def main(argv: list[str] | None = None) -> int:
             compact_partitions(spark, args.path, todo, args.key,
                                target_bytes=args.target_mb * 1024 * 1024)
         print(json.dumps({"partitions_compacted": sorted(map(str, todo))}))
+    elif args.cmd == "transfer":
+        id_col = args.id_col or None
+        if args.checkpoint:
+            from s3_elasticsearch_data_pipeline_spark.streaming.incremental_stream import (
+                incremental_stream_to_es)
+            reports = incremental_stream_to_es(
+                spark, args.source, args.es_url, args.index,
+                args.checkpoint, id_col=id_col,
+                batch_size=args.batch_size)
+            print(json.dumps([r.__dict__ for r in reports], default=str))
+        else:
+            from s3_elasticsearch_data_pipeline_spark.sinks.es_wire import (
+                write_df)
+            rep = write_df(spark.read.parquet(args.source), args.es_url,
+                           args.index, id_col=id_col,
+                           batch_size=args.batch_size)
+            print(json.dumps(rep.__dict__, default=str))
+            return 0 if rep.batches_failed == 0 else 1
     elif args.cmd == "dq":
         from s3_elasticsearch_data_pipeline_spark.operators.expectations import (
             dq_expectations)

@@ -70,7 +70,11 @@ def _json_safe(v):
     ``data-s3-elastic-transfer.py:160-186``)."""
     if v is None:
         return None
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return [_json_safe(x) for x in v]
     if isinstance(v, float) and math.isnan(v):
+        return None
+    if pd.isna(v):  # NaT / pandas NA scalars → null
         return None
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
@@ -78,8 +82,6 @@ def _json_safe(v):
         return v.isoformat()
     if hasattr(v, "item"):  # numpy scalar
         return v.item()
-    if isinstance(v, (list, tuple)):
-        return [_json_safe(x) for x in v]
     return v
 
 

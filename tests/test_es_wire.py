@@ -165,3 +165,50 @@ def test_streaming_incremental_to_es_effectively_once(spark, docs_df, tmp_path):
                                       ckpt, id_col="id", **FAST)
         assert sum(r.rows_sent for r in r3) == n_new
         assert len(stub.store["serving"]) == 200 + n_new
+
+
+def test_cli_transfer_batch_and_streaming(spark, docs_df, tmp_path, capsys):
+    """`python -m ... transfer` drives the wire sink (the reference's
+    actual job as a CLI): batch mode indexes everything; streaming mode
+    with --checkpoint sends only new files on re-run."""
+    import json as _json
+
+    from s3_elasticsearch_data_pipeline_spark.__main__ import main
+    src = str(tmp_path / "src")
+    docs_df.limit(100).write.partitionBy("month").parquet(src)
+    with ESStub() as stub:
+        rc = main(["transfer", "--source", src, "--es-url", stub.url,
+                   "--index", "cli-serving", "--batch-size", "50"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["rows_sent"] == 100
+        assert len(stub.store["cli-serving"]) == 100
+    with ESStub() as stub:
+        ckpt = str(tmp_path / "ckpt")
+        main(["transfer", "--source", src, "--es-url", stub.url,
+              "--index", "s2", "--checkpoint", ckpt])
+        assert len(stub.store["s2"]) == 100
+        seen = stub.requests_seen
+        main(["transfer", "--source", src, "--es-url", stub.url,
+              "--index", "s2", "--checkpoint", ckpt])
+        assert stub.requests_seen == seen  # nothing new → no HTTP
+
+
+def test_wire_json_safety_for_rich_types(spark):
+    """Timestamps, dates, arrays, nulls and NaN must serialize to clean
+    JSON on the wire (the executor-side twin of the reference's
+    safe_get shaping, data-s3-elastic-transfer.py:118-147)."""
+    import datetime as dt
+    df = spark.createDataFrame(
+        [("a", dt.datetime(2024, 5, 1, 12, 30), dt.date(2024, 5, 1),
+          [1.5, 2.5], None, float("nan")),
+         ("b", None, None, [], "city", 3.25)],
+        "id string, ts timestamp, d date, arr array<double>, "
+        "city string, score double")
+    with ESStub() as stub:
+        rep = es_wire.write_df(df, stub.url, "rich", id_col="id", **FAST)
+        assert rep.rows_sent == 2 and rep.rows_failed == 0
+        a, b = stub.store["rich"]["a"], stub.store["rich"]["b"]
+    assert a["ts"].startswith("2024-05-01T12:30") and a["d"] == "2024-05-01"
+    assert a["arr"] == [1.5, 2.5] and a["city"] is None
+    assert a["score"] is None  # NaN → null, like the reference defaults
+    assert b["ts"] is None and b["arr"] == [] and b["score"] == 3.25
