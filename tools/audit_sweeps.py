@@ -61,7 +61,12 @@ def invariance() -> int:
         if name not in oracles:
             continue
         try:
-            problems = compare(fn(spark, SF), con, oracles[name])
+            # AUDIT_STRICT=0 skips the pandas-dtype mirror (it re-runs
+            # each DuckDB oracle a second time — prohibitive at sf0.1
+            # where the quadratic twins dominate; values still compare)
+            strict = os.environ.get("AUDIT_STRICT", "1") == "1"
+            problems = compare(fn(spark, SF), con, oracles[name],
+                               strict_dtypes=strict)
         except Exception as e:  # noqa: BLE001
             problems = [str(e)]
         if problems:
