@@ -449,6 +449,8 @@ def _pq_codebooks(embeddings: DataFrame, m: int, k_codes: int,
     import numpy as np
     rows = (embeddings.orderBy("vec_id").limit(train_sample)
             .select("embedding").collect())
+    if not rows:
+        return None  # empty corpus → callers emit an empty frame
     x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     d = x.shape[1]
     if d % m:
@@ -482,6 +484,10 @@ def product_quantize(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
     broadcast codebook matrix; no shuffle at all."""
     import numpy as np
     books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
+    if books is None:  # empty corpus mid-pipeline: empty, don't throw
+        return embeddings.sparkSession.createDataFrame(
+            [], "vec_id long, label int, codes array<bigint>, "
+                "recon_mse double")
     sub = books.shape[2]
 
     def encode(batches):
@@ -524,6 +530,9 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     once as 8-byte codes, never as d-dim floats."""
     import numpy as np
     books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
+    if books is None:
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
     sub = books.shape[2]
     q_rows = queries.select("vec_id", "embedding").collect()
     q_ids = np.array([r["vec_id"] for r in q_rows])

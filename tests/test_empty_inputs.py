@@ -81,6 +81,16 @@ CASES = (
     ("correlation_matrix",
      lambda e: analytics.correlation_matrix(e["lineitem"])),
     ("rolling_median", lambda e: windows.rolling_median(e["orders"])),
+    # round-2 additions
+    ("ngram_prefix_jaccard",
+     lambda e: dedup.ngram_jaccard_pairs(e["documents"])),
+    ("containment_decon",
+     lambda e: dedup.containment_decontamination(e["documents"])),
+    ("incremental_lsh",
+     lambda e: dedup.incremental_lsh_dedup(e["documents"])),
+    ("bpe_train", lambda e: text.bpe_train(e["documents"])),
+    ("product_quantize",
+     lambda e: similarity.product_quantize(e["embeddings"])),
 )
 
 
