@@ -36,6 +36,7 @@ SCALE_QUERIES = (
     "sketch_bloom_filter", "gaps_islands", "session_paths",
     "market_basket_lift", "markov_transitions", "w_rolling_median",
     "stat_correlation_matrix",
+    "dedup_incremental_lsh", "sim_topk_pq", "decontamination_containment",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),
