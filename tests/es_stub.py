@@ -19,6 +19,41 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # silence request logging
         pass
 
+    def do_GET(self):
+        """Sliced keyset read: ``GET /<index>/_docs?slice=i&nslices=N&
+        after=<id>&size=k`` → sorted page of docs whose md5(_id) lands
+        in slice i — the stub twin of ES sliced-scroll + search_after
+        (what the parallel DataSource reads)."""
+        import hashlib
+        from urllib.parse import parse_qs, urlparse
+        u = urlparse(self.path)
+        parts = [p for p in u.path.split("/") if p]
+        if len(parts) != 2 or parts[1] != "_docs":
+            self.send_response(404)
+            self.end_headers()
+            return
+        index = parts[0]
+        q = parse_qs(u.query)
+        sl = int(q.get("slice", ["0"])[0])
+        nsl = int(q.get("nslices", ["1"])[0])
+        after = q.get("after", [None])[0]
+        size = int(q.get("size", ["100"])[0])
+        with self.server.lock:
+            store = dict(self.server.store.get(index, {}))
+        ids = sorted(
+            k for k in store
+            if int(hashlib.md5(k.encode()).hexdigest(), 16) % nsl == sl
+            and (after is None or k > after))
+        page = ids[:size]
+        docs = [dict(store[k], _id=k) for k in page]
+        nxt = page[-1] if len(page) == size else None
+        resp = json.dumps({"docs": docs, "next_after": nxt}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(resp)))
+        self.end_headers()
+        self.wfile.write(resp)
+
     def do_POST(self):
         srv = self.server
         with srv.lock:

@@ -212,3 +212,51 @@ def test_wire_json_safety_for_rich_types(spark):
     assert a["arr"] == [1.5, 2.5] and a["city"] is None
     assert a["score"] is None  # NaN → null, like the reference defaults
     assert b["ts"] is None and b["arr"] == [] and b["score"] == 3.25
+
+
+def test_es_http_source_reads_back_what_wire_wrote(spark, docs_df):
+    """Full wire loop: bulk-index over _bulk, read back through the
+    parallel es_http DataSource (hash-sliced keyset pagination on the
+    executors) — the round trip must be lossless, at any slice count,
+    with small pages forcing multi-page cursors."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import register
+    register(spark)
+    expected = {(r["id"], r["month"], round(r["value"], 6))
+                for r in docs_df.collect()}
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        for nslices in (1, 4):
+            got_df = (spark.read.format("es_http")
+                      .option("url", stub.url).option("index", "serving")
+                      .option("nslices", nslices).option("pagesize", 37)
+                      .load())
+            assert got_df.rdd.getNumPartitions() == nslices
+            got = {(r["id"], r["month"], round(r["value"], 6))
+                   for r in got_df.collect()}
+            assert got == expected
+        # empty index → empty frame, not an error
+        empty = (spark.read.format("es_http")
+                 .option("url", stub.url).option("index", "nothing")
+                 .load())
+        assert empty.count() == 0
+
+
+def test_es_http_source_feeds_sink_state_diff(spark, docs_df, tmp_path):
+    """The reference's lifecycle state read (S6): months present in the
+    serving index, read over the wire and diffed against the source —
+    a J1 anti-join whose sink side is the live index."""
+    from pyspark.sql import functions as F2
+
+    from s3_elasticsearch_data_pipeline_spark.operators.diff import (
+        missing_partitions)
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import register
+    register(spark)
+    months = sorted({r["month"] for r in docs_df.collect()})
+    loaded = docs_df.where(F2.col("month").isin(months[:2]))
+    with ESStub() as stub:
+        es_wire.write_df(loaded, stub.url, "serving", id_col="id", **FAST)
+        sink = (spark.read.format("es_http")
+                .option("url", stub.url).option("index", "serving").load())
+        todo = sorted(r[0] for r in
+                      missing_partitions(docs_df, sink, "month").collect())
+    assert todo == months[2:]
