@@ -46,7 +46,12 @@ def main(argv: list[str] | None = None) -> int:
 
     pr = sub.add_parser("reconcile", help="id-level repair (entry point B)")
     pr.add_argument("--source", required=True)
-    pr.add_argument("--sink", required=True)
+    pr.add_argument("--sink", default=None,
+                    help="parquet serving table (offline mode)")
+    pr.add_argument("--es-url", default=None,
+                    help="reconcile against a live index over the wire "
+                         "instead of a parquet sink")
+    pr.add_argument("--index", default=None)
     pr.add_argument("--key", default="month")
     pr.add_argument("--id", dest="id_col", default="id")
 
@@ -106,10 +111,20 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"partitions_loaded": rep.partitions_loaded,
                           "rows_loaded": rep.rows_loaded}))
     elif args.cmd == "reconcile":
-        from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
-            reconcile)
-        rep = reconcile(spark, spark.read.parquet(args.source),
-                        args.sink, key=args.key, id_col=args.id_col)
+        src = spark.read.parquet(args.source)
+        if args.es_url:
+            from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+                reconcile_wire)
+            rep = reconcile_wire(spark, src, args.es_url,
+                                 args.index or "serving",
+                                 key=args.key, id_col=args.id_col)
+        else:
+            if not args.sink:
+                p.error("reconcile requires --sink or --es-url")
+            from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+                reconcile)
+            rep = reconcile(spark, src, args.sink,
+                            key=args.key, id_col=args.id_col)
         print(json.dumps(rep.__dict__, default=str))
     elif args.cmd == "backfill":
         from s3_elasticsearch_data_pipeline_spark.plans.backfill import (

@@ -82,3 +82,43 @@ def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
          .write.mode("append").parquet(load_log_path(sink_path)))
     return ReconcileReport(
         mismatched_partitions=sorted(map(str, mismatch_keys)), rows_repaired=n)
+
+
+def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
+                   index: str, key: str = "month",
+                   id_col: str = "id", nslices: int = 4,
+                   **wire_kwargs) -> ReconcileReport:
+    """Lifecycle B end-to-end OVER THE WIRE — the reference's whole
+    ``ID-based-transfer.py`` job with both ends on HTTP and all heavy
+    work on executors:
+
+        sink state   = parallel sliced-keyset read of the live index
+                       (``sources.es_http``) — not a driver page loop;
+        mismatches   = J4 full-outer count compare per partition;
+        missing ids  = J2 anti-join pruned to mismatched partitions;
+        repair       = J3 semi-join fetch → executor-parallel ``_bulk``
+                       re-index keyed by ``id`` (idempotent re-runs).
+
+    A second run finds no mismatches — same add-only semantics as the
+    parquet-sink reconcile.
+    """
+    from s3_elasticsearch_data_pipeline_spark.sinks import es_wire
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import register
+    register(spark)
+    sink = (spark.read.format("es_http")
+            .option("url", es_url).option("index", index)
+            .option("nslices", nslices).load())
+
+    mismatch_keys = [r[0] for r in
+                     count_mismatches(source, sink, key).select(key).collect()]
+    if not mismatch_keys:
+        return ReconcileReport()
+    pred = F.col(key).isin(mismatch_keys)
+    todo_ids = missing_ids(source, sink, id_col, partition_pred=pred)
+    repair = fetch_rows_for_ids(source, todo_ids, id_col,
+                                partition_pred=pred)
+    rep = es_wire.write_df(repair, es_url, index, id_col=id_col,
+                           **wire_kwargs)
+    return ReconcileReport(
+        mismatched_partitions=sorted(map(str, mismatch_keys)),
+        rows_repaired=rep.rows_sent)

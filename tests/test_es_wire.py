@@ -260,3 +260,25 @@ def test_es_http_source_feeds_sink_state_diff(spark, docs_df, tmp_path):
         todo = sorted(r[0] for r in
                       missing_partitions(docs_df, sink, "month").collect())
     assert todo == months[2:]
+
+
+def test_reconcile_wire_full_lifecycle(spark, docs_df):
+    """Lifecycle B entirely over HTTP: damage the index (drop rows from
+    one month), reconcile_wire restores exactly those rows via wire
+    read -> J4/J2/J3 -> wire re-index; a second run is a no-op."""
+    from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+        reconcile_wire)
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        victim = docs_df.first()["month"]
+        doomed = [r["id"] for r in
+                  docs_df.where(F.col("month") == victim).limit(7).collect()]
+        with stub.server.lock:
+            for k in doomed:
+                del stub.store["serving"][k]
+        rep = reconcile_wire(spark, docs_df, stub.url, "serving", **FAST)
+        assert rep.mismatched_partitions == [victim]
+        assert rep.rows_repaired == len(doomed)
+        assert len(stub.store["serving"]) == docs_df.count()
+        rep2 = reconcile_wire(spark, docs_df, stub.url, "serving", **FAST)
+        assert rep2 == type(rep2)()  # clean second pass
