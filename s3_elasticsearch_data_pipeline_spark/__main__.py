@@ -166,11 +166,16 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint:
             from s3_elasticsearch_data_pipeline_spark.streaming.incremental_stream import (
                 incremental_stream_to_es)
-            reports = incremental_stream_to_es(
-                spark, args.source, args.es_url, args.index,
-                args.checkpoint, id_col=id_col,
-                batch_size=args.batch_size)
+            try:
+                reports = incremental_stream_to_es(
+                    spark, args.source, args.es_url, args.index,
+                    args.checkpoint, id_col=id_col,
+                    batch_size=args.batch_size)
+            except Exception as exc:  # failed epoch: not committed,
+                print(json.dumps({"error": str(exc)[:500]}))  # retryable
+                return 1
             print(json.dumps([r.__dict__ for r in reports], default=str))
+            return 0 if not any(r.batches_failed for r in reports) else 1
         else:
             from s3_elasticsearch_data_pipeline_spark.sinks.es_wire import (
                 write_df)

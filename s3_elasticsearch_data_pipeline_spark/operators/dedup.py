@@ -606,8 +606,8 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
 
     Here the batch is carved deterministically (doc_id % batch_mod == 0,
     prior corpus = the rest) so the operator is self-contained and its
-    output reproducible. Returns surviving batch docs with the count of
-    corpus near-matches the dropped ones had (0 for survivors).
+    output reproducible. Returns the surviving batch doc ids (one
+    column; dropped docs simply don't appear).
     """
     corpus = documents.where(F.col("doc_id") % batch_mod != 0)
     batch = documents.where(F.col("doc_id") % batch_mod == 0)
@@ -624,15 +624,10 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
                      (F.col("p.band") == F.col("i.band"))
                      & (F.col("p.bucket") == F.col("i.bucket")))
                .select(F.col("p.doc_id").alias("doc_id"),
-                       F.col("i.doc_id").alias("corpus_doc"),
                        est.alias("est_jaccard"))
                .where(F.col("est_jaccard") >= threshold)
-               .select("doc_id", "corpus_doc").distinct()
-               .groupBy("doc_id")
-               .agg(F.count(F.lit(1)).alias("n_matches")))
-    return (batch.select("doc_id")
-            .join(matched, "doc_id", "left_anti")
-            .select("doc_id", F.lit(0).cast("bigint").alias("n_matches")))
+               .select("doc_id").distinct())
+    return batch.select("doc_id").join(matched, "doc_id", "left_anti")
 
 
 def containment_decontamination(documents: DataFrame, n: int = 3,

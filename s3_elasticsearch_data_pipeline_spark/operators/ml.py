@@ -91,6 +91,9 @@ def apply_quality_classifier(documents: DataFrame,
     m+1 floats) as a pure projection; no shuffle."""
     w = {r["feature"]: r["weight"] for r in weights.collect()
          if r["feature"] != "__loss__"}
+    if not w:  # empty-corpus training → nothing to score with
+        return documents.sparkSession.createDataFrame(
+            [], "doc_id long, label int, score double, predicted int")
     feats = quality_features(documents)
     z = sum(F.col(f) * F.lit(w[f]) for f in FEATURES)
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

@@ -474,16 +474,21 @@ def _pq_codebooks(embeddings: DataFrame, m: int, k_codes: int,
 
 
 def product_quantize(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
-                     train_sample: int = 256, iters: int = 8) -> DataFrame:
+                     train_sample: int = 256, iters: int = 8,
+                     _books=None) -> DataFrame:
     """PQ-encode every vector: m uint8 codes (nearest per-subspace
     centroid) + the reconstruction MSE. 64-dim float32 → 8 bytes per
     vector = 32× compression; at 100 TB of embeddings the code table
     fits where the raw vectors never will, which is the point.
 
     Encoding is one Arrow-batched ``mapInPandas`` pass with the
-    broadcast codebook matrix; no shuffle at all."""
+    broadcast codebook matrix; no shuffle at all.
+
+    ``_books`` lets callers that already trained codebooks (pq_topk)
+    reuse them instead of re-running the sample collect + Lloyd loop."""
     import numpy as np
-    books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
+    books = (_books if _books is not None else
+             _pq_codebooks(embeddings, m, k_codes, train_sample, iters))
     if books is None:  # empty corpus mid-pipeline: empty, don't throw
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id long, label int, codes array<bigint>, "
@@ -535,6 +540,9 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             [], "query_id long, neighbor_id long, sim double, rank int")
     sub = books.shape[2]
     q_rows = queries.select("vec_id", "embedding").collect()
+    if not q_rows:  # no queries → empty result, not a numpy IndexError
+        return embeddings.sparkSession.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
     q_ids = np.array([r["vec_id"] for r in q_rows])
     q_mat = np.array([list(r["embedding"]) for r in q_rows],
                      dtype=np.float64)
@@ -544,7 +552,8 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
           - books[j][None, :, :]) ** 2).sum(axis=2)
         for j in range(m)], axis=1)
 
-    codes_df = product_quantize(embeddings, m, k_codes, train_sample, iters)
+    codes_df = product_quantize(embeddings, m, k_codes, train_sample,
+                                iters, _books=books)  # reuse, not retrain
 
     def scan(batches):
         import pandas as pd

@@ -119,6 +119,12 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
                                 partition_pred=pred)
     rep = es_wire.write_df(repair, es_url, index, id_col=id_col,
                            **wire_kwargs)
+    if rep.batches_failed:
+        # a failed repair must not masquerade as a completed reconcile
+        raise RuntimeError(
+            f"wire repair failed: {rep.batches_failed}/{rep.batches} "
+            f"batches, {rep.rows_failed} rows unrepaired; samples: "
+            f"{rep.error_samples}")
     return ReconcileReport(
         mismatched_partitions=sorted(map(str, mismatch_keys)),
         rows_repaired=rep.rows_sent)

@@ -165,11 +165,27 @@ def bulk_index(df: DataFrame, url: str, index: str,
                     {c: _json_safe(v) for c, v in zip(cols, row)}
                     for row in chunk.itertuples(index=False, name=None)
                 ]
-                ok, attempts, failed, sample = send_batch(
-                    docs, url, index, id_col,
-                    max_retries, backoff_base_s, timeout_s)
+                # a null key would stringify to _id="None" and collapse
+                # every such row into ONE server-side doc — count them
+                # as per-item failures instead of silently losing them
+                null_keyed = 0
+                if id_col is not None:
+                    null_keyed = sum(1 for d in docs if d[id_col] is None)
+                    docs = [d for d in docs if d[id_col] is not None]
+                n_rows = len(docs) + null_keyed
+                if docs:
+                    ok, attempts, failed, sample = send_batch(
+                        docs, url, index, id_col,
+                        max_retries, backoff_base_s, timeout_s)
+                else:
+                    ok, attempts, failed, sample = True, 0, 0, ""
+                if null_keyed:
+                    failed += null_keyed
+                    sample = "; ".join(
+                        x for x in (sample, f"null_{id_col}×{null_keyed}")
+                        if x)
                 yield pd.DataFrame({
-                    "batch_rows": [len(docs)], "attempts": [attempts],
+                    "batch_rows": [n_rows], "attempts": [attempts],
                     "ok": [ok], "failed_items": [failed],
                     "error_sample": [sample]})
 

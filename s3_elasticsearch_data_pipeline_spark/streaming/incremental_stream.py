@@ -57,6 +57,7 @@ def incremental_stream_load(spark: SparkSession, source_path: str,
 def incremental_stream_to_es(spark: SparkSession, source_path: str,
                              url: str, index: str, checkpoint_path: str,
                              id_col: str = "id",
+                             fail_on_error: bool = True,
                              **wire_kwargs) -> list[es_wire.BulkReport]:
     """The reference's ACTUAL lifecycle, streaming-native: new files →
     executor-parallel ES ``_bulk`` wire writes (``sinks.es_wire``).
@@ -78,8 +79,19 @@ def incremental_stream_to_es(spark: SparkSession, source_path: str,
     def write_batch(batch_df, _epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        reports.append(es_wire.write_df(batch_df, url, index,
-                                        id_col=id_col, **wire_kwargs))
+        rep = es_wire.write_df(batch_df, url, index,
+                               id_col=id_col, **wire_kwargs)
+        reports.append(rep)
+        # a failed bulk batch must FAIL the epoch — returning normally
+        # would commit the checkpoint and the files would never be
+        # retried (silent permanent loss). Raising aborts the commit,
+        # so the next run re-processes exactly these files; keyed _id
+        # makes the replay of any partially-landed rows idempotent.
+        if fail_on_error and rep.batches_failed:
+            raise RuntimeError(
+                f"bulk write failed: {rep.batches_failed}/{rep.batches} "
+                f"batches, {rep.rows_failed} rows; samples: "
+                f"{rep.error_samples}")
 
     q = (stream.writeStream
          .foreachBatch(write_batch)

@@ -322,3 +322,10 @@ def test_pq_topk_recall_vs_bruteforce(spark):
     first = {r["query_id"]: r["neighbor_id"]
              for r in approx.where("rank = 1").collect()}
     assert all(q == n for q, n in first.items())
+
+
+def test_pq_topk_empty_queries(spark):
+    from s3_elasticsearch_data_pipeline_spark.operators import similarity
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    assert similarity.pq_topk(embs, embs.limit(0), k=5).count() == 0

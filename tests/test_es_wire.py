@@ -282,3 +282,39 @@ def test_reconcile_wire_full_lifecycle(spark, docs_df):
         assert len(stub.store["serving"]) == docs_df.count()
         rep2 = reconcile_wire(spark, docs_df, stub.url, "serving", **FAST)
         assert rep2 == type(rep2)()  # clean second pass
+
+
+def test_streaming_failed_epoch_is_retried_not_lost(spark, docs_df, tmp_path):
+    """A failed bulk epoch must NOT commit the checkpoint: the run
+    raises, and a later run against a healthy server delivers the same
+    files (no silent permanent loss)."""
+    from s3_elasticsearch_data_pipeline_spark.streaming.incremental_stream import (
+        incremental_stream_to_es)
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    docs_df.limit(60).write.partitionBy("month").parquet(src)
+    with ESStub(fail_next_n=10_000) as stub:
+        with pytest.raises(Exception, match="bulk write failed"):
+            incremental_stream_to_es(spark, src, stub.url, "serving",
+                                     ckpt, id_col="id", max_retries=2,
+                                     **FAST)
+        assert len(stub.store.get("serving", {})) == 0
+    with ESStub() as stub:  # healthy server, same checkpoint
+        reports = incremental_stream_to_es(spark, src, stub.url,
+                                           "serving", ckpt,
+                                           id_col="id", **FAST)
+        assert sum(r.rows_sent for r in reports) == 60
+        assert len(stub.store["serving"]) == 60
+
+
+def test_null_id_rows_counted_failed_not_collapsed(spark):
+    """Rows with a null key must be counted as failures, not sent as a
+    single _id='None' doc that overwrites itself."""
+    df = spark.createDataFrame(
+        [("a", 1.0), (None, 2.0), (None, 3.0), ("b", 4.0)],
+        "id string, value double")
+    with ESStub() as stub:
+        rep = es_wire.write_df(df, stub.url, "serving", id_col="id", **FAST)
+        assert rep.rows_sent == 2 and rep.rows_failed == 2
+        assert set(stub.store["serving"]) == {"a", "b"}
+        assert any("null_id" in s for s in rep.error_samples)

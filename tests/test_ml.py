@@ -48,3 +48,11 @@ def test_trainer_empty_input(spark):
     docs = spark.createDataFrame(
         [], "doc_id long, text string, lang string")
     assert ml.train_quality_classifier(docs).count() == 0
+
+
+def test_apply_with_empty_weights_degrades(spark, sf_smoke):
+    docs_empty = spark.createDataFrame(
+        [], "doc_id long, text string, lang string")
+    weights = ml.train_quality_classifier(docs_empty)
+    docs = load_table(spark, sf_smoke, "documents").limit(5)
+    assert ml.apply_quality_classifier(docs, weights).count() == 0
