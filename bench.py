@@ -84,6 +84,7 @@ HEADLINE = (
     "dedup_incremental_lsh",
     "sim_topk_pq",
     "text_bpe_train",
+    "decontamination_containment",
 )
 
 
