@@ -96,39 +96,66 @@ def _prefix_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
     shingles (boilerplate text — the hot-skew killers) sort LAST and
     mostly stay out of the index, bounding postings-list blow-up where
     the full index degenerates to Σ(postings²) on one hot shingle.
-    A length filter (t·max ≤ min) prunes size-incompatible pairs.
+
+    Physical shape: two window passes over the exploded shingle rows —
+    ``count() over (block, sh)`` for the document frequency and
+    ``row_number() over (doc_id order by df, sh)`` for the in-record
+    position — i.e. two shuffles and no joins or array re-assembly
+    (an earlier groupBy+`array_sort(collect_list)` formulation cost an
+    extra shuffle plus per-doc array builds). Postings with df=1 are
+    dropped AFTER position assignment (a singleton shingle collides
+    with nothing, but still occupies its slot in the global order).
+
+    The self-join then applies, besides the equi-key and ``a < b``:
+
+    * length filter — ``t·max(|x|,|y|) ≤ min(|x|,|y|)`` (size-
+      incompatible pairs can't reach t);
+    * PPJoin positional filter — a pair found via a shared prefix
+      shingle at positions (i, j) is kept only when
+      ``1 + min(|x|−i, |y|−j) ≥ ⌈t·(|x|+|y|)/(1+t)⌉`` (the minimum
+      overlap Jaccard ≥ t requires). Rejection is exact-safe: the
+      bound is valid at the pair's MINIMAL shared shingle (nothing
+      before it is shared), and a pair is dropped only when every
+      shared occurrence fails — in particular the minimal one.
+
+    Both ceilings are guarded against FP overshoot (``− 1e-9``): a
+    double product that lands epsilon above the true integer would
+    otherwise shorten the prefix / raise the overlap bar by one and
+    break exactness on boundary pairs.
     """
+    from pyspark.sql import Window
     exploded = shingled.select("doc_id", "block", "n_sh",
                                F.explode("sh_arr").alias("sh"))
-    # Per-block shingle document frequency: the ordering statistic.
-    df_tbl = exploded.groupBy("block", "sh").agg(
-        F.count(F.lit(1)).alias("df"))
-    # Re-assemble each doc's shingles rarest-first; keep only the
-    # prefix. (df, sh) sort gives a global total order within a block.
-    # clamp at 0: threshold > 1 makes the prefix negative (slice would
-    # throw) — an empty prefix correctly yields zero candidates there
+    # clamp at 0: threshold > 1 makes the prefix negative (an empty
+    # prefix correctly yields zero candidates there)
     prefix_len = F.greatest(
         F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        .cast("int")
         + F.lit(1),
         F.lit(0))
-    prefixes = (exploded.join(df_tbl, ["block", "sh"])
-                .groupBy("doc_id", "block", "n_sh")
-                .agg(F.array_sort(F.collect_list(F.struct("df", "sh")))
-                     .alias("ordered"))
-                .select("doc_id", "block", "n_sh",
-                        F.explode(F.slice(
-                            F.transform("ordered", lambda x: x["sh"]),
-                            F.lit(1), prefix_len)).alias("sh")))
+    dfw = Window.partitionBy("block", "sh")
+    posw = Window.partitionBy("doc_id").orderBy("df", "sh")
+    prefixes = (exploded
+                .withColumn("df", F.count(F.lit(1)).over(dfw))
+                .withColumn("pos", F.row_number().over(posw))
+                .where((F.col("pos") <= prefix_len) & (F.col("df") >= 2))
+                .select("doc_id", "block", "n_sh", "sh", "pos"))
     prefixes = prefixes.localCheckpoint(eager=True)
     a, b = prefixes.alias("a"), prefixes.alias("b")
     size_ok = (F.lit(threshold)
                * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
                <= F.least(F.col("a.n_sh"), F.col("b.n_sh")))
+    min_overlap = F.ceil(
+        F.lit(threshold / (1.0 + threshold))
+        * (F.col("a.n_sh") + F.col("b.n_sh")) - F.lit(1e-9))
+    pos_ok = (F.least(F.col("a.n_sh") - F.col("a.pos"),
+                      F.col("b.n_sh") - F.col("b.pos"))
+              + F.lit(1) >= min_overlap)
     return (a.join(b, (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.sh") == F.col("b.sh"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))
-                   & size_ok)
+                   & size_ok & pos_ok)
             .select(F.col("a.doc_id").alias("doc_id_a"),
                     F.col("b.doc_id").alias("doc_id_b"))
             .distinct())
@@ -372,6 +399,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     primitive, O(log²) rounds; this simple propagation is the right
     cost model for dedup-shaped graphs.
     """
+    # Materialize the incoming pair plan ONCE before bidirecting it:
+    # callers hand in an expensive pipeline (e.g. the full ngram-Jaccard
+    # join), and the two union branches would otherwise each recompute
+    # it (exchange reuse across union arms is not guaranteed).
+    pairs = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
     edges = (pairs.select(F.col("doc_id_a").alias("src"),
                           F.col("doc_id_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_id_b").alias("src"),
@@ -650,28 +682,32 @@ def containment_decontamination(documents: DataFrame, n: int = 3,
     shingle-hash arrays. Eval set = ``doc_id % eval_mod == 0``
     (deterministic carve), train = the rest.
     """
+    from pyspark.sql import Window
     shingled = _shingle_docs(documents, n, block_col) \
         .localCheckpoint(eager=True)
     ev = shingled.where(F.col("doc_id") % eval_mod == 0)
     tr = shingled.where(F.col("doc_id") % eval_mod != 0)
-    # corpus-wide shingle document frequency orders eval prefixes
-    df_tbl = (shingled.select("block", F.explode("sh_arr").alias("sh"))
-              .groupBy("block", "sh").agg(F.count(F.lit(1)).alias("df")))
+    # Corpus-wide shingle document frequency orders eval prefixes: one
+    # window count over the full exploded set, then eval rows ranked
+    # per-doc (row_number) and sliced to the prefix — no join and no
+    # array re-assembly (same two-window shape as _prefix_candidates).
+    # The ceiling is FP-overshoot-guarded (see _prefix_candidates).
     prefix_len = F.greatest(
         F.col("n_sh")
-        - F.ceil(F.lit(threshold) * F.col("n_sh")).cast("int")
+        - F.ceil(F.lit(threshold) * F.col("n_sh") - F.lit(1e-9))
+        .cast("int")
         + F.lit(1),
         F.lit(0))
-    ev_prefix = (ev.select("doc_id", "block", "n_sh",
-                           F.explode("sh_arr").alias("sh"))
-                 .join(df_tbl, ["block", "sh"])
-                 .groupBy("doc_id", "block", "n_sh")
-                 .agg(F.array_sort(F.collect_list(F.struct("df", "sh")))
-                      .alias("ordered"))
-                 .select("doc_id", "block",
-                         F.explode(F.slice(
-                             F.transform("ordered", lambda x: x["sh"]),
-                             F.lit(1), prefix_len)).alias("sh")))
+    dfw = Window.partitionBy("block", "sh")
+    posw = Window.partitionBy("doc_id").orderBy("df", "sh")
+    ev_prefix = (shingled
+                 .select("doc_id", "block", "n_sh",
+                         F.explode("sh_arr").alias("sh"))
+                 .withColumn("df", F.count(F.lit(1)).over(dfw))
+                 .where(F.col("doc_id") % eval_mod == 0)
+                 .withColumn("pos", F.row_number().over(posw))
+                 .where(F.col("pos") <= prefix_len)
+                 .select("doc_id", "block", "sh"))
     tr_index = tr.select(F.col("doc_id").alias("train_doc"), "block",
                          F.explode("sh_arr").alias("sh"))
     cands = (ev_prefix.join(tr_index, ["block", "sh"])
