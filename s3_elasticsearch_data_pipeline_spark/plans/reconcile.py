@@ -86,7 +86,7 @@ def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
 
 def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
                    index: str, key: str = "month",
-                   id_col: str = "id", nslices: int = 4,
+                   id_col: str = "id", nslices: int | None = None,
                    **wire_kwargs) -> ReconcileReport:
     """Lifecycle B end-to-end OVER THE WIRE — the reference's whole
     ``ID-based-transfer.py`` job with both ends on HTTP and all heavy
@@ -105,6 +105,10 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
     from s3_elasticsearch_data_pipeline_spark.sinks import es_wire
     from s3_elasticsearch_data_pipeline_spark.sources.es_http import register
     register(spark)
+    # read parallelism follows the cluster unless pinned by the caller
+    # (a fixed small default would cap a 1000-executor scan at 4 tasks)
+    if nslices is None:
+        nslices = max(2, spark.sparkContext.defaultParallelism)
     sink = (spark.read.format("es_http")
             .option("url", es_url).option("index", index)
             .option("nslices", nslices).load())

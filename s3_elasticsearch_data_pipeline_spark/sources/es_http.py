@@ -1,26 +1,41 @@
-"""HTTP-paged Elasticsearch index as a first-class PARALLEL Spark
-source (Spark 4 Python DataSource API) — the read side of the wire
-story (SURVEY.md S6/S7).
+"""Elasticsearch ``_search`` keyset pagination as a first-class
+PARALLEL Spark source (Spark 4 Python DataSource API) — the read side
+of the wire story (SURVEY.md S6/S7).
 
-The reference scans its ES index from the DRIVER: one search_after
-loop pages every document through a single Python process
-(``ID-based-transfer.py:111-157``). Here the same keyset pagination is
-an executor-parallel ``DataSource``: the index is split into N hash
-slices (the shape of ES sliced scroll), each InputPartition owns one
-slice and pages it independently with ``search_after``-style cursors —
-no driver funnel, restartable per partition, linear in executors.
+The reference scans its ES index from the DRIVER: one ``_search`` loop
+with ``sort`` + ``search_after`` pages every document through a single
+Python process (``ID-based-transfer.py:111-157``; the request body
+shape — ``{"size": N, "sort": [{"id": "asc"}], "search_after": [...]}``
+— is ``ID-based-transfer.py:119-127,149-151``). Here the same protocol
+is an executor-parallel ``DataSource``:
 
-Speaks the test stub's ``/_docs`` endpoint (``tests/es_stub.py``),
-which mirrors sliced-scroll + search_after semantics; pointing the
-read loop at a real cluster means swapping the URL template for the
-``_search`` body — the partitioning and cursor logic are unchanged.
+* each InputPartition owns one **slice** of the index (the documented
+  ES slicing body ``{"slice": {"id": i, "max": n}}``, which hashes the
+  ``_id`` server-side) and pages it independently;
+* within a slice the cursor is genuine ``search_after``: the request
+  carries the previous page's last hit's ``sort`` values verbatim, and
+  the page is exhausted when fewer than ``size`` hits return;
+* rows come from ``hits.hits[]._source`` (with ``_id`` backfilling a
+  missing ``id`` field), so any index the reference job reads works
+  unchanged.
+
+No driver funnel, restartable per partition, linear in executors.
+Transient HTTP failures retry with exponential backoff — the read twin
+of the ``_bulk`` writer's policy (``sinks/es_wire.py``).
+
+Production note: on a live cluster, sliced ``search_after`` over a
+mutating index should run inside a point-in-time (PIT) context for a
+consistent snapshot; the request/cursor shape is identical (the PIT id
+rides in the body). The stub (``tests/es_stub.py``) serves the same
+``_search`` API against an immutable store, so no PIT is needed there.
 Stdlib urllib only.
 """
 
 from __future__ import annotations
 
 import json
-import urllib.parse
+import time
+import urllib.error
 import urllib.request
 
 from pyspark.sql.datasource import (DataSource, DataSourceReader,
@@ -34,47 +49,94 @@ class _Slice(InputPartition):
         self.index, self.n = index, n
 
 
-def _fetch_page(url: str, index: str, sl: int, nsl: int,
-                after: str | None, size: int, timeout_s: float) -> dict:
-    params = {"slice": sl, "nslices": nsl, "size": size}
+def _search_page(url: str, index: str, sl: int, nsl: int,
+                 after: list | None, size: int, sort_field: str,
+                 timeout_s: float, max_retries: int,
+                 backoff_s: float) -> dict:
+    """One ``POST /{index}/_search`` page: match_all + single-field
+    ascending sort + optional slice + optional search_after — the
+    reference's exact body shape, sliced. Retries 5xx/transport errors
+    with exponential backoff; 4xx raises immediately (a malformed
+    request never heals)."""
+    body: dict = {
+        "size": size,
+        "sort": [{sort_field: "asc"}],
+        "query": {"match_all": {}},
+        "track_total_hits": False,
+    }
+    if nsl > 1:
+        body["slice"] = {"id": sl, "max": nsl}
     if after is not None:
-        params["after"] = after
-    full = (f"{url.rstrip('/')}/{index}/_docs?"
-            + urllib.parse.urlencode(params))
-    with urllib.request.urlopen(full, timeout=timeout_s) as resp:
-        return json.loads(resp.read().decode("utf-8"))
+        body["search_after"] = after
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/{index}/_search",
+        data=json.dumps(body).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST")
+    attempt = 0
+    while True:
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if e.code < 500 or attempt >= max_retries:
+                raise
+        except (urllib.error.URLError, OSError, TimeoutError):
+            if attempt >= max_retries:
+                raise
+        time.sleep(backoff_s * (2 ** attempt))
+        attempt += 1
 
 
 class ESHttpReader(DataSourceReader):
-    def __init__(self, options, schema_fields):
+    def __init__(self, options, schema_fields, default_nslices: int):
         self.url = options["url"]
         self.es_index = options["index"]
-        self.nslices = int(options.get("nslices", 4))
+        self.nslices = int(options.get("nslices", default_nslices))
         self.pagesize = int(options.get("pagesize", 500))
+        self.sort_field = options.get("sort_field", "id")
         self.timeout_s = float(options.get("timeout", 30))
+        self.max_retries = int(options.get("max_retries", 3))
+        self.backoff_s = float(options.get("backoff", 0.5))
         self.fields = schema_fields
 
     def partitions(self):
         return [_Slice(i, self.nslices) for i in range(self.nslices)]
 
     def read(self, partition):
-        # executor-side keyset pagination over this partition's slice
-        after = None
+        # executor-side search_after pagination over this slice
+        after: list | None = None
         while True:
-            page = _fetch_page(self.url, self.es_index, partition.index,
-                               partition.n, after, self.pagesize,
-                               self.timeout_s)
-            for doc in page["docs"]:
-                yield tuple(doc.get(f) for f in self.fields)
-            after = page["next_after"]
-            if after is None:
+            page = _search_page(self.url, self.es_index, partition.index,
+                                partition.n, after, self.pagesize,
+                                self.sort_field, self.timeout_s,
+                                self.max_retries, self.backoff_s)
+            hits = page["hits"]["hits"]
+            for h in hits:
+                src = dict(h.get("_source") or {})
+                src.setdefault("id", h.get("_id"))
+                yield tuple(src.get(f) for f in self.fields)
+            if len(hits) < self.pagesize:
                 return
+            after = hits[-1]["sort"]
 
 
 class ESHttpSource(DataSource):
     """``spark.read.format("es_http").option("url", ...).option("index",
     ...).schema("id string, ...")`` — omit the schema for the serving
-    default (id/month/value)."""
+    default (id/month/value).
+
+    Options: ``nslices`` (read parallelism; defaults to the session's
+    ``defaultParallelism`` captured at :func:`register` time — a fixed
+    small default would cap a 1000-executor scan at a handful of
+    tasks), ``pagesize``, ``sort_field`` (unique keyset column, default
+    ``id`` like the reference), ``timeout``, ``max_retries``,
+    ``backoff``.
+    """
+
+    # overwritten by register() with the live session's parallelism;
+    # class-level so the value resolved driver-side rides into reader()
+    default_nslices = 8
 
     @classmethod
     def name(cls) -> str:
@@ -84,8 +146,11 @@ class ESHttpSource(DataSource):
         return self.options.get("schema", DEFAULT_SCHEMA)
 
     def reader(self, schema) -> DataSourceReader:
-        return ESHttpReader(self.options, [f.name for f in schema.fields])
+        return ESHttpReader(self.options, [f.name for f in schema.fields],
+                            type(self).default_nslices)
 
 
 def register(spark) -> None:
+    ESHttpSource.default_nslices = max(
+        2, spark.sparkContext.defaultParallelism)
     spark.dataSource.register(ESHttpSource)

@@ -1,9 +1,21 @@
-"""In-process Elasticsearch ``_bulk`` stub for wire-path tests.
+"""In-process Elasticsearch stub for wire-path tests.
 
-Implements just enough of the bulk protocol to exercise
-``sinks.es_wire``: NDJSON action/doc pairs, keyed ``_id`` upsert
-semantics, ES-shaped item responses, plus fault injection (transport
-errors for retry tests, per-doc rejection for partial-failure tests).
+Implements just enough of the real wire protocols to exercise the
+repo's ES surface end-to-end:
+
+* ``POST /{index}/_bulk`` — NDJSON action/doc pairs, keyed ``_id``
+  upsert semantics, ES-shaped item responses, plus fault injection
+  (transport errors for retry tests, per-doc rejection for
+  partial-failure tests) — what ``sinks.es_wire`` writes;
+* ``POST /{index}/_search`` — match_all + single-field ascending
+  ``sort`` + ``search_after`` + ``slice:{id,max}`` bodies, answered
+  with ES-shaped ``hits.hits[]`` (``_id``/``_source``/``sort``) — what
+  ``sources.es_http`` reads. Slicing hashes ``_id`` server-side like
+  ES's doc-based slicing (hash-mod here vs murmur3 there — same
+  disjoint-cover contract). The sort field is assumed unique (the
+  reference sorts on its unique ``id``; real deployments add a
+  tiebreaker field).
+
 Runs a ThreadingHTTPServer on an ephemeral localhost port; local-mode
 executors are threads in this process, so they reach it directly.
 """
@@ -19,35 +31,52 @@ class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # silence request logging
         pass
 
-    def do_GET(self):
-        """Sliced keyset read: ``GET /<index>/_docs?slice=i&nslices=N&
-        after=<id>&size=k`` → sorted page of docs whose md5(_id) lands
-        in slice i — the stub twin of ES sliced-scroll + search_after
-        (what the parallel DataSource reads)."""
+    def _handle_search(self, index: str):
+        """Real ``_search`` semantics over the immutable store: sort by
+        the (unique) requested field ascending, keep only this slice's
+        docs (hash of ``_id`` mod ``slice.max``), resume strictly after
+        the ``search_after`` sort values, return ``size`` ES-shaped
+        hits. An unknown index is an empty result (like a fresh ES
+        index pattern), not an error — the source must yield an empty
+        frame there."""
         import hashlib
-        from urllib.parse import parse_qs, urlparse
-        u = urlparse(self.path)
-        parts = [p for p in u.path.split("/") if p]
-        if len(parts) != 2 or parts[1] != "_docs":
-            self.send_response(404)
-            self.end_headers()
-            return
-        index = parts[0]
-        q = parse_qs(u.query)
-        sl = int(q.get("slice", ["0"])[0])
-        nsl = int(q.get("nslices", ["1"])[0])
-        after = q.get("after", [None])[0]
-        size = int(q.get("size", ["100"])[0])
+        with self.server.lock:
+            if self.server.fail_search_next_n > 0:
+                self.server.fail_search_next_n -= 1
+                self.send_response(503)
+                self.end_headers()
+                self.wfile.write(b'{"error":"injected unavailable"}')
+                return
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])) or b"{}")
+        with self.server.lock:
+            self.server.search_bodies.append((index, body))
+        size = int(body.get("size", 10))
+        sort = body.get("sort") or [{"_id": "asc"}]
+        spec = sort[0]
+        sort_field = next(iter(spec)) if isinstance(spec, dict) else spec
+        sl = body.get("slice")
+        after = body.get("search_after")
         with self.server.lock:
             store = dict(self.server.store.get(index, {}))
-        ids = sorted(
-            k for k in store
-            if int(hashlib.md5(k.encode()).hexdigest(), 16) % nsl == sl
-            and (after is None or k > after))
-        page = ids[:size]
-        docs = [dict(store[k], _id=k) for k in page]
-        nxt = page[-1] if len(page) == size else None
-        resp = json.dumps({"docs": docs, "next_after": nxt}).encode()
+
+        def key(kv):
+            k, doc = kv
+            return k if sort_field == "_id" else doc.get(sort_field)
+
+        rows = sorted(store.items(), key=key)
+        if sl is not None:
+            nsl, si = int(sl["max"]), int(sl["id"])
+            rows = [(k, d) for k, d in rows
+                    if int(hashlib.md5(k.encode()).hexdigest(), 16)
+                    % nsl == si]
+        if after is not None:
+            rows = [(k, d) for k, d in rows if key((k, d)) > after[0]]
+        hits = [{"_index": index, "_id": k, "_source": d,
+                 "sort": [key((k, d))]}
+                for k, d in rows[:size]]
+        resp = json.dumps({"took": 1, "timed_out": False,
+                           "hits": {"hits": hits}}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
         self.send_header("Content-Length", str(len(resp)))
@@ -56,6 +85,10 @@ class _Handler(BaseHTTPRequestHandler):
 
     def do_POST(self):
         srv = self.server
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        if len(parts) == 2 and parts[1] == "_search":
+            self._handle_search(parts[0])
+            return
         with srv.lock:
             srv.requests_seen += 1
             if srv.fail_next_n > 0:
@@ -102,13 +135,16 @@ class _Handler(BaseHTTPRequestHandler):
 class ESStub:
     """``with ESStub() as stub: ... stub.url ... stub.store``"""
 
-    def __init__(self, fail_next_n: int = 0, reject=None):
+    def __init__(self, fail_next_n: int = 0, reject=None,
+                 fail_search_next_n: int = 0):
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self.server.lock = threading.Lock()
         self.server.store = {}          # index -> {_id: doc}
         self.server.auto_id = 0
         self.server.requests_seen = 0
         self.server.fail_next_n = fail_next_n
+        self.server.fail_search_next_n = fail_search_next_n
+        self.server.search_bodies = []  # [(index, parsed _search body)]
         self.server.reject = reject     # callable(doc) -> reason | None
         self.thread = threading.Thread(
             target=self.server.serve_forever, daemon=True)

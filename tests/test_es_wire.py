@@ -241,6 +241,58 @@ def test_es_http_source_reads_back_what_wire_wrote(spark, docs_df):
         assert empty.count() == 0
 
 
+def test_es_http_source_speaks_real_search_protocol(spark, docs_df):
+    """The requests on the wire must be genuine Elasticsearch
+    ``_search`` bodies — ``sort:[{id:asc}]`` + ``search_after`` with
+    the previous page's last sort values + ``slice:{id,max}``, the
+    shape of ``ID-based-transfer.py:119-127,149-151`` (sliced across
+    executors). Asserted against the stub's recorded request bodies."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import register
+    register(spark)
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        (spark.read.format("es_http")
+         .option("url", stub.url).option("index", "serving")
+         .option("nslices", 2).option("pagesize", 100).load()).collect()
+        bodies = [b for ix, b in stub.server.search_bodies
+                  if ix == "serving"]
+    assert bodies, "no _search requests reached the stub"
+    for b in bodies:
+        assert b["sort"] == [{"id": "asc"}]
+        assert b["query"] == {"match_all": {}}
+        assert b["size"] == 100
+        assert b["slice"]["max"] == 2 and b["slice"]["id"] in (0, 1)
+    # at least one continuation page per non-trivial slice, and every
+    # continuation carries the cursor as a sort-values ARRAY
+    conts = [b for b in bodies if "search_after" in b]
+    assert conts
+    for b in conts:
+        assert isinstance(b["search_after"], list)
+        assert len(b["search_after"]) == 1
+
+
+def test_es_http_source_retries_transient_search_errors(spark, docs_df):
+    """The read side mirrors the writer's retry discipline: injected
+    503s are retried with backoff and the scan still returns every row;
+    exhausted retries surface as an error, not silent truncation."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import register
+    register(spark)
+    n_expected = docs_df.count()
+    with ESStub(fail_search_next_n=3) as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        got = (spark.read.format("es_http")
+               .option("url", stub.url).option("index", "serving")
+               .option("nslices", 2).option("backoff", 0.0).load())
+        assert got.count() == n_expected
+    with ESStub(fail_search_next_n=10_000) as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        doomed = (spark.read.format("es_http")
+                  .option("url", stub.url).option("index", "serving")
+                  .option("max_retries", 1).option("backoff", 0.0).load())
+        with pytest.raises(Exception):
+            doomed.collect()
+
+
 def test_es_http_source_feeds_sink_state_diff(spark, docs_df, tmp_path):
     """The reference's lifecycle state read (S6): months present in the
     serving index, read over the wire and diffed against the source —
