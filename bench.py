@@ -85,6 +85,8 @@ HEADLINE = (
     "sim_topk_pq",
     "text_bpe_train",
     "decontamination_containment",
+    "ml_quality_classifier",
+    "audio_decode_features",
 )
 
 

@@ -4,11 +4,12 @@ Images/audio/video are opaque ``binary`` columns with typed metadata.
 The Spark-side plumbing — schema, Arrow batch shape, partitioning,
 ``mapInPandas`` signatures — is real and tested. ``decode_image`` is a
 REAL dependency-free decoder for binary PPM/PGM and uncompressed BMP
-(true width/height/channels/pixels); richer codecs (JPEG/PNG, audio)
-would need libraries this container doesn't ship, so those paths
-degrade to ``decode_ok=false`` rows / ``NotImplementedError`` and a
-deterministic fake extractor keeps the full pipeline exercisable for
-arbitrary payloads.
+(true width/height/channels/pixels), and ``decode_audio`` a real
+RIFF/WAVE PCM parser (true sample-rate/channels/duration/RMS); richer
+codecs (JPEG/PNG, MP3/FLAC, video) would need libraries this container
+doesn't ship, so those paths degrade to ``decode_ok=false`` rows /
+``NotImplementedError`` and a deterministic fake extractor keeps the
+full pipeline exercisable for arbitrary payloads.
 
 Scale posture: ``mapInPandas`` streams Arrow batches per partition —
 memory is bounded by batch size, not partition size
@@ -292,11 +293,164 @@ FRAME_SCHEMA = ("doc_id long, frame_index int, frame_md5 string, "
                 "frame_offset_bytes long")
 
 
-def decode_audio(payload: bytes):
-    """Audio decode — STUB (no audio libs in this container); the
-    Arrow plumbing around it is exercised with deterministic fakes."""
-    raise NotImplementedError(
-        "audio decode requires a library not present in this environment")
+def decode_audio(payload: bytes) -> dict:
+    """Real, dependency-free audio decode for RIFF/WAVE uncompressed
+    PCM (the WAV container: ``RIFF`` + ``WAVE``, then word-aligned
+    chunks; ``fmt `` declares format 1 = PCM with 8- or 16-bit
+    samples, ``data`` carries the interleaved raster) — the audio twin
+    of :func:`decode_image`, pure ``struct``.
+
+    Returns ``{"sample_rate", "n_channels", "bits_per_sample",
+    "n_samples", "samples"}`` where ``n_samples`` counts frames (one
+    per channel set) and ``samples`` is the flat interleaved tuple of
+    signed ints (8-bit WAV is unsigned on disk, normalized to signed
+    here). Unknown chunks (LIST, cue, …) are skipped like any
+    compliant reader. Any other byte stream raises
+    ``NotImplementedError``; compressed/esoteric WAV raises too —
+    callers catch and mark the row undecodable rather than fail the
+    task.
+    """
+    import struct
+    if len(payload) < 12 or payload[:4] != b"RIFF" \
+            or payload[8:12] != b"WAVE":
+        raise NotImplementedError(
+            "only RIFF/WAVE PCM is decodable without external audio "
+            "libraries; mark other payloads undecodable")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(payload):
+        cid = payload[pos:pos + 4]
+        csize = struct.unpack_from("<I", payload, pos + 4)[0]
+        body = payload[pos + 8:pos + 8 + csize]
+        if cid == b"fmt ":
+            if len(body) < 16:
+                raise ValueError("truncated fmt chunk")
+            audio_fmt, n_ch, rate, _, _, bits = struct.unpack_from(
+                "<HHIIHH", body, 0)
+            if audio_fmt != 1 or bits not in (8, 16) or n_ch == 0:
+                raise NotImplementedError(
+                    "only uncompressed 8/16-bit PCM WAV")
+            fmt = (n_ch, rate, bits)
+        elif cid == b"data":
+            if len(body) != csize:
+                raise ValueError(
+                    f"truncated data chunk: {len(body)}/{csize} bytes")
+            data = body
+        pos += 8 + csize + (csize & 1)  # RIFF chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("missing fmt/data chunk")
+    n_ch, rate, bits = fmt
+    frame_bytes = (bits // 8) * n_ch
+    n_frames = len(data) // frame_bytes
+    if bits == 16:
+        samples = struct.unpack(
+            f"<{n_frames * n_ch}h", data[:n_frames * n_ch * 2])
+    else:
+        samples = tuple(b - 128 for b in data[:n_frames * n_ch])
+    return {"sample_rate": rate, "n_channels": n_ch,
+            "bits_per_sample": bits, "n_samples": n_frames,
+            "samples": samples}
+
+
+def encode_wav(sample_rate: int, samples, n_channels: int = 1) -> bytes:
+    """Minimal 16-bit PCM RIFF/WAVE encoder (interleaved int16
+    samples) — the fixture/sink twin of :func:`decode_audio`."""
+    import struct
+    if len(samples) % n_channels:
+        raise ValueError("sample count not a multiple of channel count")
+    data = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack("<HHIIHH", 1, n_channels, sample_rate, byte_rate,
+                      n_channels * 2, 16)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data
+            + (b"\x00" if len(data) & 1 else b""))
+    return b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+
+
+# Deterministic generative audio: rate, length, and sample values are
+# pure functions of doc_id, so an oracle can predict duration/RMS
+# symbolically (and tests can recompute the PCM exactly).
+def _gen_audio_params(doc_id: int) -> tuple[int, int]:
+    """(sample_rate, n_samples) for the fixture tone."""
+    return 8000 * (1 + doc_id % 3), 200 + (doc_id % 37) * 10
+
+
+def _gen_audio_samples(doc_id: int, n: int) -> list[int]:
+    return [(i * 17 + doc_id * 31) % 4096 - 2048 for i in range(n)]
+
+
+def attach_audio_payload(documents: DataFrame) -> DataFrame:
+    """Real-audio fixture frame: one deterministic 16-bit PCM mono WAV
+    per document, generated executor-side (Arrow-batched, no driver
+    involvement) — the stand-in for reading real audio blobs off
+    object storage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rate, n = _gen_audio_params(int(doc_id))
+                payloads.append(
+                    encode_wav(rate, _gen_audio_samples(int(doc_id), n)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "audio/wav",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads]})
+
+    return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+AUDIO_FEATURE_SCHEMA = ("doc_id long, decode_ok boolean, "
+                        "sample_rate int, n_channels int, "
+                        "bits_per_sample int, n_samples long, "
+                        "duration_s double, rms double")
+
+
+def audio_features(payloads: DataFrame) -> DataFrame:
+    """TRUE audio features via :func:`decode_audio` — sample rate /
+    channel count / frame count / duration / RMS amplitude computed
+    from decoded PCM inside an Arrow-batched ``mapInPandas``.
+    Undecodable payloads yield ``decode_ok=false`` rows with null
+    features (one corrupt blob must not kill a stage).
+
+    Numeric discipline: the sum of squared integer samples is exact in
+    any order (integers < 2^53), so ``rms = sqrt(sum/n)`` is the same
+    IEEE double on any engine/partitioning — oracle-reproducible
+    without decimal machinery.
+    """
+    import math
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("sample_rate", "n_channels", "bits_per_sample",
+                "n_samples", "duration_s", "rms")
+        for pdf in batches:
+            out = {"doc_id": [], "decode_ok": [],
+                   **{c: [] for c in cols}}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                out["doc_id"].append(doc_id)
+                try:
+                    au = decode_audio(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    out["decode_ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                s = au["samples"]
+                out["decode_ok"].append(True)
+                out["sample_rate"].append(au["sample_rate"])
+                out["n_channels"].append(au["n_channels"])
+                out["bits_per_sample"].append(au["bits_per_sample"])
+                out["n_samples"].append(au["n_samples"])
+                out["duration_s"].append(
+                    au["n_samples"] / au["sample_rate"]
+                    if au["sample_rate"] else None)
+                out["rms"].append(
+                    math.sqrt(sum(v * v for v in s) / len(s))
+                    if s else None)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, AUDIO_FEATURE_SCHEMA)
 
 
 def resize_images(payloads: DataFrame, width: int = 64,

@@ -657,6 +657,48 @@ def q_image_decode_features(spark, sf_dir):
                      / 1000000.0).alias("mean_intensity")))
 
 
+@register("audio_decode_features", """
+WITH d AS (
+  SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,
+         200 + (doc_id % 37) * 10 AS n
+  FROM documents),
+s AS (
+  -- max tone is 200 + 36*10 = 560 samples; uncorrelated series+filter
+  SELECT d.doc_id, d.rate, d.n, i.i
+  FROM d CROSS JOIN generate_series(0, 559) AS i(i)
+  WHERE i.i < d.n)
+SELECT doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       1 AS n_channels, 16 AS bits_per_sample,
+       CAST(n AS BIGINT) AS n_samples,
+       floor(CAST(n AS DOUBLE) / rate * 1000000.0 + 0.5) / 1000000.0
+         AS duration_s,
+       floor(sqrt(avg(CAST((i * 17 + doc_id * 31) % 4096 - 2048 AS DOUBLE)
+                      * CAST((i * 17 + doc_id * 31) % 4096 - 2048
+                             AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS rms
+FROM s GROUP BY doc_id, rate, n
+""")
+def q_audio_decode_features(spark, sf_dir):
+    """REAL audio decode end-to-end: generate one deterministic 16-bit
+    PCM mono WAV per document executor-side, parse the actual RIFF
+    bytes back (``operators/multimodal.py:decode_audio`` — chunk walk +
+    PCM unpack), and emit true sample-rate/duration/RMS. The oracle
+    recomputes the expected values symbolically from the generative
+    tone formula — an independent check that the decoder reads the PCM
+    raster correctly, not an md5 tautology (the audio twin of
+    ``image_decode_features``)."""
+    payloads = multimodal.attach_audio_payload(_t(spark, sf_dir, "documents"))
+    feats = multimodal.audio_features(payloads)
+    return (feats.where(F.col("decode_ok"))
+            .select("doc_id", "sample_rate", "n_channels",
+                    "bits_per_sample", "n_samples",
+                    (F.floor(F.col("duration_s") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("duration_s"),
+                    (F.floor(F.col("rms") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("rms")))
+
+
 # ---------------------------------------------------------------------------
 # Extension surface: structured streaming (M3)
 # ---------------------------------------------------------------------------

@@ -109,3 +109,85 @@ def test_image_decode_oracle_parity(spark, sf_oracle):
         assert not probs, probs
     finally:
         con.close()
+
+# ---------------------------------------------------------------------------
+# Real audio decode (round-3): RIFF/WAVE PCM parsing correctness,
+# chunk-skip tolerance, degradation, true features, oracle parity.
+# ---------------------------------------------------------------------------
+
+def test_wav_roundtrip_16bit_mono():
+    samples = [0, 100, -100, 32767, -32768, 7]
+    au = mm.decode_audio(mm.encode_wav(8000, samples))
+    assert (au["sample_rate"], au["n_channels"],
+            au["bits_per_sample"], au["n_samples"]) == (8000, 1, 16, 6)
+    assert list(au["samples"]) == samples
+
+
+def test_wav_stereo_frames_counted_per_channel_set():
+    # interleaved L/R: 4 frames of 2 channels
+    samples = [1, -1, 2, -2, 3, -3, 4, -4]
+    au = mm.decode_audio(mm.encode_wav(44100, samples, n_channels=2))
+    assert au["n_channels"] == 2 and au["n_samples"] == 4
+    assert list(au["samples"]) == samples
+
+
+def test_wav_skips_unknown_chunks_and_8bit():
+    # hand-build: RIFF + LIST chunk (skipped) + fmt(8-bit) + data
+    fmt = struct.pack("<HHIIHH", 1, 1, 4000, 4000, 1, 8)
+    data = bytes([0, 128, 255, 200])      # unsigned on disk
+    body = (b"LIST" + struct.pack("<I", 4) + b"INFO"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    au = mm.decode_audio(payload)
+    assert (au["sample_rate"], au["bits_per_sample"]) == (4000, 8)
+    assert list(au["samples"]) == [-128, 0, 127, 72]  # normalized signed
+
+
+def test_wav_undecodable_and_corrupt():
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"xx")                        # not RIFF
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(b"OggS" + b"\x00" * 40)       # other container
+    # compressed wav (format tag 3 = float) → not implemented
+    fmt = struct.pack("<HHIIHH", 3, 1, 8000, 32000, 4, 32)
+    body = (b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", 0))
+    payload = b"RIFF" + struct.pack("<I", 4 + len(body)) + b"WAVE" + body
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(payload)
+    # truncated data chunk → ValueError
+    good = mm.encode_wav(8000, [1, 2, 3, 4])
+    with pytest.raises(ValueError):
+        mm.decode_audio(good[:-3])
+
+
+def test_audio_features_true_values_and_degradation(spark, sf_smoke):
+    import math
+    docs = load_table(spark, sf_smoke, "documents").limit(50)
+    feats = mm.audio_features(mm.attach_audio_payload(docs)).collect()
+    assert len(feats) == 50 and all(r["decode_ok"] for r in feats)
+    for r in feats[:10]:
+        rate, n = mm._gen_audio_params(r["doc_id"])
+        s = mm._gen_audio_samples(r["doc_id"], n)
+        assert (r["sample_rate"], r["n_channels"],
+                r["bits_per_sample"], r["n_samples"]) == (rate, 1, 16, n)
+        assert r["duration_s"] == pytest.approx(n / rate)
+        assert r["rms"] == math.sqrt(sum(v * v for v in s) / len(s))
+    # text payloads are not WAV → decode_ok=false rows, no task error
+    bad = mm.audio_features(mm.attach_payload(docs)).collect()
+    assert all(not r["decode_ok"] and r["rms"] is None for r in bad)
+
+
+def test_audio_decode_oracle_parity(spark, sf_oracle):
+    """The registered query's Spark result must match the symbolic
+    DuckDB oracle (same check the driver runs)."""
+    from s3_elasticsearch_data_pipeline_spark import registry
+    from tests.oracle import compare, duckdb_conn
+    con = duckdb_conn(sf_oracle)
+    try:
+        df = registry.queries()["audio_decode_features"](spark, sf_oracle)
+        probs = compare(df, con, registry.oracle_sql()["audio_decode_features"])
+        assert not probs, probs
+    finally:
+        con.close()

@@ -91,10 +91,10 @@ def test_multimodal_resize_and_frames(spark, sf_smoke):
              for f in sample_frames(payloads, 4).collect()}
     for f in frames:
         assert again[(f.doc_id, f.frame_index)] == f.frame_md5
-    # the real decoders are honestly stubbed
-    for stub in (decode_image, decode_audio):
+    # the real decoders reject formats they can't honestly parse
+    for decoder in (decode_image, decode_audio):
         with _pytest.raises(NotImplementedError):
-            stub(b"xx")
+            decoder(b"xx")
 
 
 def test_orc_round_trip(spark, tmp_path):
