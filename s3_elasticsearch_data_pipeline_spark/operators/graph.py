@@ -57,9 +57,14 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # an expensive pipeline (join+distinct), and the degree pass, the
     # edges_d checkpoint, and the node-set derivation would otherwise
     # each re-run it from scratch.
+    # localCheckpoint (not persist) throughout: checkpoint blocks are
+    # released by the ContextCleaner once the frame is unreachable,
+    # whereas persist() pins the relation in the CacheManager until an
+    # explicit unpersist — repeated pagerank calls in a long-lived
+    # session (bench loops, sweeps) would accumulate cached relations.
     edges = edges.localCheckpoint(eager=True)
     deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
-           .persist())
+           .localCheckpoint(eager=True))
     n = deg.count()  # node count — a driver-safe scalar, never the rows
     if broadcast_ranks is None:
         broadcast_ranks = n <= broadcast_node_limit
@@ -68,10 +73,12 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         edges_d = (edges.join(F.broadcast(deg), "src")
                    .localCheckpoint(eager=False))
     else:
-        # one explicit hash partitioning on src, cached: the cached
-        # relation keeps its outputPartitioning, so every iteration's
-        # rank join reuses it and only the rank side exchanges
-        edges_d = (edges.repartition("src").join(deg, "src").persist())
+        # one explicit hash partitioning on src, materialized: the
+        # checkpointed relation keeps its outputPartitioning, so every
+        # iteration's rank join reuses it and only the rank side
+        # exchanges
+        edges_d = (edges.repartition("src").join(deg, "src")
+                   .localCheckpoint(eager=False))
     base = (deg.select(F.col("src").alias("node"))
             .localCheckpoint(eager=False))
 

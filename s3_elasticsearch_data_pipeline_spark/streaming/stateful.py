@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from s3_elasticsearch_data_pipeline_spark.streaming.windowed import (  # noqa: E501
+    _nanos_scoped)
+
 OUTPUT_SCHEMA = "user_id long, n_events long, total_value double, last_ts timestamp"
 STATE_SCHEMA = "n_events long, total_value double, last_ts timestamp"
 
@@ -43,6 +46,7 @@ def _update_user(key: tuple[Any, ...],
                         "last_ts": [last_ts]})
 
 
+@_nanos_scoped
 def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     """Drain the bounded events table through the stateful operator and
     return the final per-user cumulative totals.
@@ -52,7 +56,6 @@ def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
     shuffle key as a batch groupBy, so skew/AQE reasoning carries over.
     """
     import os
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     stream_path = (events_path if os.path.isdir(events_path)
                    else events_path + "*")
@@ -82,6 +85,7 @@ def running_user_totals(spark: SparkSession, events_path: str) -> DataFrame:
             .where(F.col("__rn") == 1).drop("__rn"))
 
 
+@_nanos_scoped
 def running_user_totals_tws(spark: SparkSession,
                             events_path: str) -> DataFrame:
     """The same per-user running totals on Spark 4's NEW stateful API
@@ -132,7 +136,6 @@ def running_user_totals_tws(spark: SparkSession,
         def close(self) -> None:
             pass
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     stream_path = (events_path if os.path.isdir(events_path)
                    else events_path + "*")

@@ -9,11 +9,38 @@ what Structured Streaming's incremental execution model guarantees.
 
 from __future__ import annotations
 
+import functools
 import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+_NANOS_KEY = "spark.sql.legacy.parquet.nanosAsLong"
+
+
+def _nanos_scoped(fn):
+    """Enable ``nanosAsLong`` (events.ts may be parquet
+    TIMESTAMP(NANOS), which Spark otherwise rejects) for the duration
+    of a SELF-DRAINING streaming function, then restore the caller's
+    prior value: every decorated function runs its query to completion
+    against a memory sink inside the call, so nothing reads parquet
+    under this conf after it returns — and a library must not silently
+    change the session's timestamp semantics for unrelated later
+    reads."""
+
+    @functools.wraps(fn)
+    def wrapper(spark, *args, **kwargs):
+        prev = spark.conf.get(_NANOS_KEY, None)
+        spark.conf.set(_NANOS_KEY, "true")
+        try:
+            return fn(spark, *args, **kwargs)
+        finally:
+            if prev is None:
+                spark.conf.unset(_NANOS_KEY)
+            else:
+                spark.conf.set(_NANOS_KEY, prev)
+    return wrapper
 
 
 def _with_utc_ts(stream: DataFrame, static_schema) -> DataFrame:
@@ -31,6 +58,7 @@ def _with_utc_ts(stream: DataFrame, static_schema) -> DataFrame:
     return stream
 
 
+@_nanos_scoped
 def stream_tumbling_agg(spark: SparkSession, events_path: str,
                         minutes: int = 60,
                         watermark: str = "2 hours") -> DataFrame:
@@ -44,7 +72,6 @@ def stream_tumbling_agg(spark: SparkSession, events_path: str,
     """
     # events.ts is parquet TIMESTAMP(NANOS): readable only as long
     # (see tables.NANOS_TS_COLS), converted to µs below.
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     # The file-stream source wants a directory or glob, not a bare
     # file — turn a single-file path into an exact-match glob.
@@ -72,6 +99,7 @@ def stream_tumbling_agg(spark: SparkSession, events_path: str,
                     "event_type", "n", "total_value"))
 
 
+@_nanos_scoped
 def stream_session_agg(spark: SparkSession, events_path: str,
                        gap_minutes: int = 30,
                        watermark: str = "24 hours") -> DataFrame:
@@ -82,7 +110,6 @@ def stream_session_agg(spark: SparkSession, events_path: str,
     Equivalent batch semantics: the lag-gap sessionization
     (operators.windows.sessionize) with the same gap — which is the
     SQL oracle the driver checks."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     stream_path = (events_path if os.path.isdir(events_path)
                    else events_path + "*")
@@ -113,7 +140,6 @@ def stream_session_agg(spark: SparkSession, events_path: str,
 def _events_stream(spark: SparkSession, events_path: str):
     """File-source stream over the events table with the nanos→µs ts
     conversion (see stream_tumbling_agg)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     stream_path = (events_path if os.path.isdir(events_path)
                    else events_path + "*")
@@ -133,6 +159,7 @@ def _drain(df: DataFrame, prefix: str, output_mode: str) -> DataFrame:
     return df.sparkSession.table(name)
 
 
+@_nanos_scoped
 def stream_dedup_events(spark: SparkSession, events_path: str,
                         watermark: str = "24 hours") -> DataFrame:
     """Streaming exact deduplication: the event stream unioned with
@@ -152,6 +179,7 @@ def stream_dedup_events(spark: SparkSession, events_path: str,
     return _drain(deduped, "stream_dedup", "append")
 
 
+@_nanos_scoped
 def stream_stream_purchase_attribution(spark: SparkSession,
                                        events_path: str,
                                        horizon_minutes: int = 60
@@ -183,6 +211,7 @@ def stream_stream_purchase_attribution(spark: SparkSession,
     return _drain(joined, "stream_attr", "append")
 
 
+@_nanos_scoped
 def stream_sliding_agg(spark: SparkSession, events_path: str,
                        width_minutes: int = 60, slide_minutes: int = 30,
                        watermark: str = "2 hours") -> DataFrame:
@@ -191,7 +220,6 @@ def stream_sliding_agg(spark: SparkSession, events_path: str,
     tumbling variant; at scale the watermark evicts expired windows so
     state stays proportional to the active window count, not history.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     stream_path = (events_path if os.path.isdir(events_path)
                    else events_path + "*")
@@ -219,6 +247,7 @@ def stream_sliding_agg(spark: SparkSession, events_path: str,
                     "event_type", "n", "total_value"))
 
 
+@_nanos_scoped
 def stream_static_enrich(spark: SparkSession, events_path: str,
                          dim: DataFrame,
                          join_expr=None) -> DataFrame:
@@ -248,6 +277,7 @@ def stream_static_enrich(spark: SparkSession, events_path: str,
     return _drain(agg, "stream_enrich", "complete")
 
 
+@_nanos_scoped
 def stream_ohlc(spark: SparkSession, events_path: str,
                 watermark: str = "4 hours") -> DataFrame:
     """Streaming per-user hourly OHLC: the batch resample
@@ -261,7 +291,6 @@ def stream_ohlc(spark: SparkSession, events_path: str,
     under streaming, but an order-picking aggregate is, and both
     select the same deterministic endpoints.
     """
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     static = spark.read.parquet(events_path)
     stream_path = (events_path if os.path.isdir(events_path)
                    else events_path + "*")
