@@ -322,8 +322,18 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
                         / F.size(emb), 9).alias("mse")))
 
 
+#: Above this query count the Arrow/PQ search paths refuse to funnel
+#: the query frame through the driver: a "query set" is serving-sized
+#: by contract; a corpus-sized frame would silently become a driver
+#: memory bottleneck (the same failure mode PageRank's broadcast limit
+#: guards against).
+MAX_DRIVER_QUERIES = 10_000
+
+
 def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
-                           k: int = 10) -> DataFrame:
+                           k: int = 10,
+                           max_driver_queries: int = MAX_DRIVER_QUERIES
+                           ) -> DataFrame:
     """Arrow-vectorized exact top-k: the corpus streams through
     mapInPandas in batches and each batch scores ALL queries with one
     numpy matmul (queries broadcast via closure — they are the small
@@ -337,8 +347,23 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
     final exact top-k is still a per-query window over (corpus-batch
     partial top-k)s, so the shuffle carries ≤ k rows per (batch,
     query), not the full score matrix.
+
+    Query frames above ``max_driver_queries`` AUTO-SWITCH to the fully
+    distributed :func:`brute_force_topk` (broadcast-join, no driver
+    collect) — same exact answer under the same (sim desc, neighbor_id)
+    total order, different physical strategy; mirrors the PageRank
+    broadcast/partitioned auto-switch.
+
+    Determinism: each batch's partial top-k is taken under the TOTAL
+    order (sim desc, neighbor_id asc) — batch rows are pre-sorted by
+    neighbor id and a stable argsort on similarity breaks exact-score
+    ties by id, so the global result is independent of partitioning
+    and Arrow batch boundaries (a bare argpartition would split
+    boundary ties arbitrarily per batch).
     """
     import numpy as np
+    if queries.count() > max_driver_queries:
+        return brute_force_topk(embeddings, queries, k)
     q_rows = (queries.select("vec_id", "embedding").orderBy("vec_id")
               .collect())
     if not q_rows:
@@ -357,13 +382,17 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
                 continue
             emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            sims = q_unit @ unit.T                     # (Q, batch)
             n_ids = pdf["vec_id"].to_numpy()
+            # canonical in-batch order: ascending neighbor id, so the
+            # stable sort below resolves similarity ties by id
+            ord0 = np.argsort(n_ids)
+            n_ids = n_ids[ord0]
+            sims = q_unit @ unit[ord0].T               # (Q, batch)
             # mask self-matches BEFORE the partial top-k, or the query
             # vector's own batch yields only k-1 real candidates
             sims[q_ids[:, None] == n_ids[None, :]] = -np.inf
             take = min(kk, sims.shape[1])
-            idx = np.argpartition(-sims, take - 1, axis=1)[:, :take]
+            idx = np.argsort(-sims, axis=1, kind="stable")[:, :take]
             yield pd.DataFrame({
                 "query_id": q_ids.repeat(take),
                 "neighbor_id": n_ids[idx].reshape(-1),
@@ -521,7 +550,8 @@ def product_quantize(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
 
 def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 8, k_codes: int = 16, train_sample: int = 256,
-            iters: int = 8, rerank: int = 50) -> DataFrame:
+            iters: int = 8, rerank: int = 50,
+            max_driver_queries: int = MAX_DRIVER_QUERIES) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes with
     an exact rerank stage — the canonical two-phase PQ search: each
     query precomputes an (m × k_codes) distance table against the
@@ -532,8 +562,28 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     the code table with a per-batch partial shortlist (≤ rerank rows
     per (batch, query) shuffled); the rerank join touches only
     n_queries × rerank rows of raw vectors — the full corpus is read
-    once as 8-byte codes, never as d-dim floats."""
+    once as 8-byte codes, never as d-dim floats.
+
+    The query set rides driver→executor inside the closure, so it must
+    be serving-sized: above ``max_driver_queries`` this raises rather
+    than silently bottlenecking the driver — for corpus-sized query
+    frames use the fully distributed :func:`brute_force_topk` /
+    :func:`ann_lsh_topk` instead (their query side never leaves the
+    executors).
+
+    Determinism: each batch's ADC shortlist is taken under the TOTAL
+    order (adc_dist asc, neighbor_id asc) — stable argsort over
+    id-presorted batch rows — so the shortlist (and hence the reranked
+    top-k) is independent of partitioning and Arrow batch boundaries
+    even when exact distance ties straddle the per-batch cutoff."""
     import numpy as np
+    n_q = queries.count()
+    if n_q > max_driver_queries:
+        raise ValueError(
+            f"pq_topk holds the query set driver-side: {n_q} queries "
+            f"exceed max_driver_queries={max_driver_queries}. Use "
+            "brute_force_topk / ann_lsh_topk for corpus-sized query "
+            "frames, or raise max_driver_queries explicitly.")
     books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
     if books is None:
         return embeddings.sparkSession.createDataFrame(
@@ -562,18 +612,27 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                 continue
             codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
             ids = pdf["vec_id"].to_numpy()
-            # dist[q, v] = Σ_j tables[q, j, codes[v, j]]
-            dist = tables[np.arange(len(q_ids))[:, None, None],
-                          np.arange(m)[None, None, :],
-                          codes[None, :, :]].sum(axis=2)
+            # canonical in-batch order: ascending neighbor id, so the
+            # stable sort below resolves exact-distance ties by id
+            ord0 = np.argsort(ids)
+            ids, codes = ids[ord0], codes[ord0]
+            # dist[q, v] = Σ_j tables[q, j, codes[v, j]]; rounded HERE
+            # so the in-batch shortlist order is byte-identical to the
+            # global window's (adc_dist, neighbor_id) order — the
+            # standard distributed-top-k argument then makes the
+            # shortlist batch-boundary-independent
+            dist = np.round(
+                tables[np.arange(len(q_ids))[:, None, None],
+                       np.arange(m)[None, None, :],
+                       codes[None, :, :]].sum(axis=2), 8)
             top = min(rerank, dist.shape[1])
-            part = np.argpartition(dist, top - 1, axis=1)[:, :top]
+            part = np.argsort(dist, axis=1, kind="stable")[:, :top]
             out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
             for qi in range(len(q_ids)):
                 for vi in part[qi]:
                     out["query_id"].append(q_ids[qi])
                     out["neighbor_id"].append(ids[vi])
-                    out["adc_dist"].append(round(float(dist[qi, vi]), 8))
+                    out["adc_dist"].append(float(dist[qi, vi]))
             yield pd.DataFrame(out)
 
     from pyspark.sql import Window

@@ -329,3 +329,48 @@ def test_pq_topk_empty_queries(spark):
     from s3_elasticsearch_data_pipeline_spark.tables import load_table
     embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
     assert similarity.pq_topk(embs, embs.limit(0), k=5).count() == 0
+
+
+def test_arrow_bruteforce_autoswitches_above_query_cap(spark, embeddings):
+    """A query frame above max_driver_queries must NOT be collected to
+    the driver: the Arrow path auto-switches to the fully distributed
+    broadcast-join strategy (no Python map node in the plan) and still
+    returns the identical exact answer."""
+    queries = embeddings.where(F.col("vec_id") < 25)
+    big = similarity.brute_force_topk_arrow(embeddings, queries, k=5,
+                                            max_driver_queries=10)
+    assert "MapInPandas" not in big._jdf.queryExecution().executedPlan() \
+        .toString(), "over-cap query frame must take the join path"
+    small = similarity.brute_force_topk_arrow(embeddings, queries, k=5)
+    assert sorted(map(tuple, big.collect())) == \
+        sorted(map(tuple, small.collect()))
+
+
+def test_pq_topk_refuses_corpus_sized_query_frame(spark):
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
+    with pytest.raises(ValueError, match="max_driver_queries"):
+        similarity.pq_topk(embs, embs, k=5, max_driver_queries=10)
+
+
+def test_batch_topk_partitioning_invariant_under_exact_ties(spark):
+    """Exact score ties straddling Arrow batch boundaries must not make
+    the result depend on partitioning: a corpus of duplicated vectors
+    (guaranteed distance ties everywhere) must yield byte-identical
+    top-k under 1 vs 7 partitions, for both the Arrow brute-force and
+    the PQ/ADC scan."""
+    import math
+    base = [[math.sin(0.1 * i * d + 0.3 * d) for d in range(8)]
+            for i in range(12)]
+    rows = [(int(i), 0, base[i % 12]) for i in range(120)]  # 10 copies
+    embs = spark.createDataFrame(
+        rows, "vec_id long, label int, embedding array<double>")
+    queries = embs.where(F.col("vec_id") < 3)
+    for fn in (
+        lambda e: similarity.brute_force_topk_arrow(e, queries, k=7),
+        lambda e: similarity.pq_topk(e, queries, k=7, m=4, k_codes=8,
+                                     rerank=9),
+    ):
+        got = [sorted(map(tuple, fn(embs.repartition(n)).collect()))
+               for n in (1, 7)]
+        assert got[0] == got[1]
