@@ -87,6 +87,7 @@ HEADLINE = (
     "decontamination_containment",
     "ml_quality_classifier",
     "audio_decode_features",
+    "video_decode_features",
 )
 
 

@@ -419,6 +419,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         # Carry the previous label through the update so convergence is a
         # filter+count on the already-checkpointed frame — not a second
         # join per round (halves the per-iteration shuffle count).
+        # lazy checkpoint: the convergence count below is the action
+        # that materializes it (ONE job per round, not a checkpoint job
+        # plus a count job); the next round reuses the cached blocks
         stepped = (labels
                    .join(nbr, labels.doc_id == nbr.nbr_doc, "left")
                    .select("doc_id",
@@ -426,7 +429,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                            F.least(F.col("cluster_id"),
                                    F.coalesce("nbr_min", F.col("cluster_id")))
                            .alias("cluster_id"))
-                   .localCheckpoint(eager=True))
+                   .localCheckpoint(eager=False))
         changed = stepped.where(F.col("cluster_id") != F.col("__prev")).count()
         labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:

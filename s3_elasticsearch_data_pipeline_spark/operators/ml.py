@@ -60,6 +60,15 @@ def train_quality_classifier(documents: DataFrame, iters: int = 15,
     if n_row == 0:
         return documents.sparkSession.createDataFrame(
             [], "feature string, weight double")
+    # Right-size the GD tasks: every iteration re-scans this frame with
+    # a tight columnar aggregate, so target ~1M rows per task — at
+    # corpus scale that keeps tasks meaty, and at small SF it avoids
+    # scheduling dozens of near-empty tasks × iters (pure overhead;
+    # the iteration count, not the data, dominates wall time there).
+    target = max(1, min(feats.rdd.getNumPartitions(),
+                        math.ceil(n_row / 1_000_000)))
+    if target < feats.rdd.getNumPartitions():
+        feats = feats.coalesce(target).localCheckpoint(eager=True)
     w = [0.0] * len(FEATURES)
     for _ in range(iters):
         z = sum(F.col(f) * F.lit(w[i]) for i, f in enumerate(FEATURES))

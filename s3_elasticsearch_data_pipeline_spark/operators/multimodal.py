@@ -545,3 +545,163 @@ def chunk_audio(payloads: DataFrame, window_ms: float = 1.0,
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(run, AUDIO_CHUNK_SCHEMA)
+
+def decode_video(payload: bytes) -> dict:
+    """Real, dependency-free video decode for YUV4MPEG2 ("y4m") — the
+    classic uncompressed video container (ASCII stream header with
+    W/H/F(rame-rate)/C(olourspace) tags, then ``FRAME\\n`` markers each
+    followed by a raw planar YUV raster) — the video twin of
+    :func:`decode_image` / :func:`decode_audio`.
+
+    Supports the common planar layouts C420 (default; chroma quarter
+    size), C422 (half), C444 (full), and Cmono (luma only). Returns
+    ``{"width", "height", "fps_num", "fps_den", "n_frames", "frames"}``
+    with ``frames`` a list of row-major LUMA planes (bytes) — chroma is
+    parsed past but not returned (features here are luma statistics).
+    Any other byte stream raises ``NotImplementedError``; a malformed
+    or truncated y4m raises ``ValueError`` — callers catch both and
+    mark the row undecodable rather than fail the task.
+    """
+    if not payload.startswith(b"YUV4MPEG2"):
+        raise NotImplementedError(
+            "only YUV4MPEG2 (y4m) video is decodable without external "
+            "codec libraries; mark other payloads undecodable")
+    nl = payload.find(b"\x0a")
+    if nl < 0:
+        raise ValueError("unterminated y4m stream header")
+    width = height = None
+    fps_num, fps_den, colour = 25, 1, "420"
+    for tag in payload[9:nl].split(b" "):
+        if not tag:
+            continue
+        c, val = chr(tag[0]), tag[1:].decode("ascii", "replace")
+        if c == "W":
+            width = int(val)
+        elif c == "H":
+            height = int(val)
+        elif c == "F":
+            fps_num, fps_den = (int(x) for x in val.split(":"))
+        elif c == "C":
+            colour = val
+    if not width or not height:
+        raise ValueError("y4m header missing W/H")
+    base = colour.rstrip("p")[:4]
+    if base.startswith("420"):
+        chroma = 2 * ((width // 2) * (height // 2))
+    elif base.startswith("422"):
+        chroma = 2 * ((width // 2) * height)
+    elif base.startswith("444"):
+        chroma = 2 * (width * height)
+    elif base.startswith("mono"):
+        chroma = 0
+    else:
+        raise NotImplementedError(f"unsupported y4m colourspace {colour}")
+    luma = width * height
+    frames, pos = [], nl + 1
+    while pos < len(payload):
+        fnl = payload.find(b"\x0a", pos)
+        if fnl < 0 or not payload[pos:fnl].startswith(b"FRAME"):
+            raise ValueError("malformed y4m FRAME marker")
+        start = fnl + 1
+        if start + luma + chroma > len(payload):
+            raise ValueError("truncated y4m frame raster")
+        frames.append(payload[start:start + luma])
+        pos = start + luma + chroma
+    return {"width": width, "height": height, "fps_num": fps_num,
+            "fps_den": fps_den, "n_frames": len(frames), "frames": frames}
+
+
+def encode_y4m(width: int, height: int, frames_luma, fps=(25, 1)) -> bytes:
+    """Minimal C420 y4m encoder (luma planes + deterministic mid-grey
+    chroma) — the fixture/sink twin of :func:`decode_video`."""
+    if width % 2 or height % 2:
+        raise ValueError("C420 needs even dimensions")
+    chroma = bytes([128]) * (2 * ((width // 2) * (height // 2)))
+    out = [b"YUV4MPEG2 W%d H%d F%d:%d Ip A1:1 C420\x0a"
+           % (width, height, fps[0], fps[1])]
+    for luma in frames_luma:
+        if len(luma) != width * height:
+            raise ValueError("luma plane size mismatch")
+        out.append(b"FRAME\x0a" + luma + chroma)
+    return b"".join(out)
+
+
+# Deterministic generative video: dims, frame count, and luma values
+# are pure functions of doc_id (same discipline as the image/audio
+# fixtures), so an oracle predicts per-frame mean luma symbolically.
+def _gen_video_params(doc_id: int) -> tuple[int, int, int]:
+    """(width, height, n_frames) for the fixture clip."""
+    return 4 + 2 * (doc_id % 3), 4 + 2 * (doc_id % 2), 2 + doc_id % 3
+
+
+def _gen_video_luma(doc_id: int, width: int, height: int,
+                    frame: int) -> bytes:
+    return bytes((x * 5 + y * 11 + frame * 23 + doc_id) % 256
+                 for y in range(height) for x in range(width))
+
+
+def attach_video_payload(documents: DataFrame) -> DataFrame:
+    """Real-video fixture frame: one deterministic y4m clip per
+    document, generated executor-side (Arrow-batched) — the stand-in
+    for reading real video blobs off object storage."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h, n = _gen_video_params(int(doc_id))
+                payloads.append(encode_y4m(
+                    w, h, [_gen_video_luma(int(doc_id), w, h, f)
+                           for f in range(n)]))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "video/x-yuv4mpeg",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads]})
+
+    return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+VIDEO_FRAME_SCHEMA = ("doc_id long, decode_ok boolean, width int, "
+                      "height int, n_frames int, fps double, "
+                      "frame_index int, mean_luma double")
+
+
+def video_frame_features(payloads: DataFrame) -> DataFrame:
+    """TRUE per-frame video features via :func:`decode_video`: one
+    output row per decoded frame (the 1→N fan-out a real frame sampler
+    produces) with the frame's mean luma computed from the actual
+    raster bytes. Undecodable payloads yield a single
+    ``decode_ok=false`` row. Mean luma sums integer bytes — exact in
+    any order, oracle-reproducible."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("width", "height", "n_frames", "fps", "frame_index",
+                "mean_luma")
+        for pdf in batches:
+            out = {"doc_id": [], "decode_ok": [],
+                   **{c: [] for c in cols}}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                try:
+                    vid = decode_video(bytes(payload))
+                except (NotImplementedError, ValueError):
+                    out["doc_id"].append(doc_id)
+                    out["decode_ok"].append(False)
+                    for c in cols:
+                        out[c].append(None)
+                    continue
+                fps = (vid["fps_num"] / vid["fps_den"]
+                       if vid["fps_den"] else None)
+                for i, luma in enumerate(vid["frames"]):
+                    out["doc_id"].append(doc_id)
+                    out["decode_ok"].append(True)
+                    out["width"].append(vid["width"])
+                    out["height"].append(vid["height"])
+                    out["n_frames"].append(vid["n_frames"])
+                    out["fps"].append(fps)
+                    out["frame_index"].append(i)
+                    out["mean_luma"].append(
+                        sum(luma) / len(luma) if luma else None)
+            yield pd.DataFrame(out)
+
+    return payloads.mapInPandas(run, VIDEO_FRAME_SCHEMA)

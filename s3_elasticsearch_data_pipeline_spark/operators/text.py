@@ -944,12 +944,22 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     Returns the ordered merge table: (merge_rank, left_tok, right_tok,
     pair_count, new_symbol) — exactly what a tokenizer ships.
     """
+    import math
     words = (documents
              .select(F.explode(tokens(F.col("text"))).alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
              .select(F.split(F.col("word"), "").alias("syms"), "n")
              .where(F.size("syms") >= 2)
              .localCheckpoint(eager=True))
+    # Right-size the merge-round tasks: the word-TYPE table is
+    # vocab-sized (millions of rows at any corpus scale), so target
+    # ~1M rows per task — at small SF this collapses dozens of
+    # near-empty tasks × rounds of pure scheduling overhead.
+    n_types = words.count()
+    target = max(1, min(words.rdd.getNumPartitions(),
+                        math.ceil(n_types / 1_000_000)))
+    if target < words.rdd.getNumPartitions():
+        words = words.coalesce(target).localCheckpoint(eager=True)
     merges = []
     for rank in range(1, n_merges + 1):
         lefts = F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1)
@@ -965,9 +975,11 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
             break
         l, r, cnt = top[0]["l"], top[0]["r"], top[0]["cnt"]
         merges.append((rank, l, r, int(cnt), l + r))
+        # lazy checkpoint: materialized by the next round's pair-count
+        # job (one job per round, not two), reused by the round after
         words = (words.select(
             _merge_pair_in_arrays(F.col("syms"), l, r).alias("syms"), "n")
-            .localCheckpoint(eager=True))
+            .localCheckpoint(eager=False))
     return documents.sparkSession.createDataFrame(
         merges, "merge_rank int, left_tok string, right_tok string, "
                 "pair_count bigint, new_symbol string")

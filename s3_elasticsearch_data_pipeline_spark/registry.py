@@ -699,6 +699,47 @@ def q_audio_decode_features(spark, sf_dir):
                      / 1000000.0).alias("rms")))
 
 
+@register("video_decode_features", """
+WITH d AS (
+  SELECT doc_id, 4 + 2 * (doc_id % 3) AS w, 4 + 2 * (doc_id % 2) AS h,
+         2 + doc_id % 3 AS n
+  FROM documents),
+fr AS (
+  SELECT d.doc_id, d.w, d.h, d.n, f.f
+  FROM d CROSS JOIN generate_series(0, 3) AS f(f)
+  WHERE f.f < d.n),
+px AS (
+  -- max frame is 8x6 = 48 luma bytes; uncorrelated series + filter
+  SELECT fr.doc_id, fr.w, fr.h, fr.n, fr.f, i.i
+  FROM fr CROSS JOIN generate_series(0, 47) AS i(i)
+  WHERE i.i < fr.w * fr.h)
+SELECT doc_id,
+       CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(n AS INT) AS n_frames, CAST(25.0 AS DOUBLE) AS fps,
+       CAST(f AS INT) AS frame_index,
+       floor(avg(CAST(((i % w) * 5 + (i // w) * 11 + f * 23 + doc_id)
+                      % 256 AS DOUBLE)) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_luma
+FROM px GROUP BY doc_id, w, h, n, f
+""")
+def q_video_decode_features(spark, sf_dir):
+    """REAL video decode end-to-end: generate one deterministic
+    YUV4MPEG2 clip per document executor-side, parse the actual y4m
+    bytes back (``operators/multimodal.py:decode_video`` — stream
+    header + FRAME markers + planar YUV rasters), and emit one row per
+    decoded frame with its true mean luma. The oracle recomputes the
+    expected values symbolically from the generative formula —
+    completing the REAL image/audio/video decode triple (cf.
+    ``image_decode_features`` / ``audio_decode_features``)."""
+    payloads = multimodal.attach_video_payload(_t(spark, sf_dir, "documents"))
+    feats = multimodal.video_frame_features(payloads)
+    return (feats.where(F.col("decode_ok"))
+            .select("doc_id", "width", "height", "n_frames", "fps",
+                    "frame_index",
+                    (F.floor(F.col("mean_luma") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("mean_luma")))
+
+
 # ---------------------------------------------------------------------------
 # Extension surface: structured streaming (M3)
 # ---------------------------------------------------------------------------

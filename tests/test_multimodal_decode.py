@@ -191,3 +191,79 @@ def test_audio_decode_oracle_parity(spark, sf_oracle):
         assert not probs, probs
     finally:
         con.close()
+
+
+# ---------------------------------------------------------------------------
+# Real video decode (round-3): y4m parsing correctness, colourspace
+# handling, degradation, per-frame features, oracle parity.
+# ---------------------------------------------------------------------------
+
+def test_y4m_roundtrip_and_header_tags():
+    f0, f1 = bytes(range(16)), bytes(range(16, 32))
+    vid = mm.decode_video(mm.encode_y4m(4, 4, [f0, f1], fps=(30, 1)))
+    assert (vid["width"], vid["height"], vid["n_frames"]) == (4, 4, 2)
+    assert (vid["fps_num"], vid["fps_den"]) == (30, 1)
+    assert vid["frames"] == [f0, f1]
+
+
+@pytest.mark.parametrize("colour,chroma_factor", [
+    (b"C420", 0.5), (b"C422", 1.0), (b"C444", 2.0), (b"Cmono", 0.0)])
+def test_y4m_colourspaces_locate_luma(colour, chroma_factor):
+    w, h = 4, 2
+    luma = bytes(range(w * h))
+    chroma = bytes([128]) * int(w * h * chroma_factor)
+    payload = (b"YUV4MPEG2 W4 H2 F25:1 " + colour + b"\x0a"
+               + b"FRAME\x0a" + luma + chroma
+               + b"FRAME\x0a" + luma + chroma)
+    vid = mm.decode_video(payload)
+    assert vid["n_frames"] == 2 and vid["frames"][1] == luma
+
+
+def test_y4m_undecodable_and_corrupt():
+    with pytest.raises(NotImplementedError):
+        mm.decode_video(b"xx")
+    with pytest.raises(NotImplementedError):  # compressed container
+        mm.decode_video(b"\x00\x00\x00\x18ftypmp42....")
+    good = mm.encode_y4m(4, 4, [bytes(16)])
+    with pytest.raises(ValueError):
+        mm.decode_video(good[:-5])            # truncated raster
+    with pytest.raises(ValueError):           # bad frame marker
+        mm.decode_video(good[:good.index(b"FRAME")] + b"JUNK\x0a" + bytes(24))
+    with pytest.raises(NotImplementedError):  # exotic colourspace
+        mm.decode_video(b"YUV4MPEG2 W4 H2 C411\x0aFRAME\x0a" + bytes(12))
+
+
+def test_video_frame_features_true_values_and_degradation(spark, sf_smoke):
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    feats = mm.video_frame_features(mm.attach_video_payload(docs)).collect()
+    by_doc = {}
+    for r in feats:
+        assert r["decode_ok"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    assert len(by_doc) == 40
+    for doc_id, rows in list(by_doc.items())[:8]:
+        w, h, n = mm._gen_video_params(doc_id)
+        assert len(rows) == n
+        for r in sorted(rows, key=lambda r: r["frame_index"]):
+            luma = mm._gen_video_luma(doc_id, w, h, r["frame_index"])
+            assert (r["width"], r["height"], r["n_frames"]) == (w, h, n)
+            assert r["fps"] == 25.0
+            assert r["mean_luma"] == pytest.approx(sum(luma) / len(luma))
+    # text payloads are not y4m → one decode_ok=false row each
+    bad = mm.video_frame_features(mm.attach_payload(docs)).collect()
+    assert len(bad) == 40
+    assert all(not r["decode_ok"] and r["mean_luma"] is None for r in bad)
+
+
+def test_video_decode_oracle_parity(spark, sf_oracle):
+    """The registered query's Spark result must match the symbolic
+    DuckDB oracle (same check the driver runs)."""
+    from s3_elasticsearch_data_pipeline_spark import registry
+    from tests.oracle import compare, duckdb_conn
+    con = duckdb_conn(sf_oracle)
+    try:
+        df = registry.queries()["video_decode_features"](spark, sf_oracle)
+        probs = compare(df, con, registry.oracle_sql()["video_decode_features"])
+        assert not probs, probs
+    finally:
+        con.close()
