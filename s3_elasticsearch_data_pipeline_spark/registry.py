@@ -699,6 +699,48 @@ def q_audio_decode_features(spark, sf_dir):
                      / 1000000.0).alias("rms")))
 
 
+@register("audio_chunk_rms", """
+WITH d AS (
+  SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,
+         200 + (doc_id % 37) * 10 AS n
+  FROM documents),
+ch AS (
+  -- max tone is 560 samples, hop 64 -> at most 9 chunks
+  SELECT d.doc_id, d.rate, d.n, c.c
+  FROM d CROSS JOIN generate_series(0, 8) AS c(c)
+  WHERE c.c * 64 < d.n),
+s AS (
+  SELECT ch.doc_id, ch.rate, ch.n, ch.c, i.i
+  FROM ch CROSS JOIN generate_series(0, 127) AS i(i)
+  WHERE ch.c * 64 + i.i < ch.n)
+SELECT doc_id, CAST(c AS INT) AS chunk_index,
+       floor(CAST(c * 64 AS DOUBLE) / rate * 1000000.0 + 0.5)
+         / 1000000.0 AS start_s,
+       CAST(count(*) AS INT) AS n_chunk_samples,
+       floor(sqrt(avg(CAST(((c * 64 + i) * 17 + doc_id * 31) % 4096
+                           - 2048 AS DOUBLE)
+                      * CAST(((c * 64 + i) * 17 + doc_id * 31) % 4096
+                             - 2048 AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS rms
+FROM s GROUP BY doc_id, rate, n, c
+""")
+def q_audio_chunk_rms(spark, sf_dir):
+    """Sliding-window RMS over REAL decoded WAV audio (the STFT-style
+    front end over actual PCM, window 128 / hop 64 samples): decode the
+    executor-generated tones, fan out chunks, compute each chunk's RMS
+    from the samples. The oracle recomputes every chunk symbolically
+    from the generative tone formula."""
+    payloads = multimodal.attach_audio_payload(_t(spark, sf_dir, "documents"))
+    feats = multimodal.audio_chunk_rms(payloads, 128, 64)
+    return (feats.where(F.col("decode_ok"))
+            .select("doc_id", "chunk_index",
+                    (F.floor(F.col("start_s") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("start_s"),
+                    "n_chunk_samples",
+                    (F.floor(F.col("rms") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("rms")))
+
+
 @register("video_decode_features", """
 WITH d AS (
   SELECT doc_id, 4 + 2 * (doc_id % 3) AS w, 4 + 2 * (doc_id % 2) AS h,

@@ -267,3 +267,44 @@ def test_video_decode_oracle_parity(spark, sf_oracle):
         assert not probs, probs
     finally:
         con.close()
+
+
+def test_audio_chunk_rms_values_and_degradation(spark, sf_smoke):
+    import math
+    docs = load_table(spark, sf_smoke, "documents").limit(30)
+    rows = mm.audio_chunk_rms(mm.attach_audio_payload(docs),
+                              128, 64).collect()
+    by_doc = {}
+    for r in rows:
+        assert r["decode_ok"]
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, chunks in list(by_doc.items())[:6]:
+        rate, n = mm._gen_audio_params(doc_id)
+        s = mm._gen_audio_samples(doc_id, n)
+        expected = []
+        off = 0
+        while off < n:
+            w = s[off:off + 128]
+            expected.append((off // 64, off / rate, len(w),
+                             math.sqrt(sum(v * v for v in w) / len(w))))
+            off += 64
+        got = sorted((r["chunk_index"], r["start_s"],
+                      r["n_chunk_samples"], r["rms"]) for r in chunks)
+        assert [g[0] for g in got] == [e[0] for e in expected]
+        for g, e in zip(got, expected):
+            assert g[1] == pytest.approx(e[1]) and g[2] == e[2]
+            assert g[3] == pytest.approx(e[3])
+    bad = mm.audio_chunk_rms(mm.attach_payload(docs), 128, 64).collect()
+    assert all(not r["decode_ok"] and r["rms"] is None for r in bad)
+
+
+def test_audio_chunk_rms_oracle_parity(spark, sf_oracle):
+    from s3_elasticsearch_data_pipeline_spark import registry
+    from tests.oracle import compare, duckdb_conn
+    con = duckdb_conn(sf_oracle)
+    try:
+        df = registry.queries()["audio_chunk_rms"](spark, sf_oracle)
+        probs = compare(df, con, registry.oracle_sql()["audio_chunk_rms"])
+        assert not probs, probs
+    finally:
+        con.close()

@@ -275,6 +275,9 @@ _PYTHON_ALLOWED = {
     "text_chunks_udtf",            # Python UDTF demo
     "multimodal_features",         # mapInPandas media plumbing
     "image_decode_features",       # mapInPandas REAL image decode
+    "audio_decode_features",       # mapInPandas REAL WAV decode
+    "audio_chunk_rms",             # mapInPandas REAL PCM chunking
+    "video_decode_features",       # mapInPandas REAL y4m decode
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
