@@ -143,8 +143,11 @@ def _prefix_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
                 .select("doc_id", "block", "n_sh", "sh", "pos"))
     prefixes = prefixes.localCheckpoint(eager=True)
     a, b = prefixes.alias("a"), prefixes.alias("b")
+    # same FP guard as the ceilings: t·max can land epsilon above the
+    # true rational and reject a pair whose exact Jaccard equals t
     size_ok = (F.lit(threshold)
                * F.greatest(F.col("a.n_sh"), F.col("b.n_sh"))
+               - F.lit(1e-9)
                <= F.least(F.col("a.n_sh"), F.col("b.n_sh")))
     min_overlap = F.ceil(
         F.lit(threshold / (1.0 + threshold))

@@ -692,6 +692,18 @@ def video_frame_features(payloads: DataFrame) -> DataFrame:
                     continue
                 fps = (vid["fps_num"] / vid["fps_den"]
                        if vid["fps_den"] else None)
+                if not vid["frames"]:
+                    # a valid but frame-less clip must still be
+                    # accounted for — every input doc yields ≥1 row
+                    out["doc_id"].append(doc_id)
+                    out["decode_ok"].append(True)
+                    out["width"].append(vid["width"])
+                    out["height"].append(vid["height"])
+                    out["n_frames"].append(0)
+                    out["fps"].append(fps)
+                    out["frame_index"].append(None)
+                    out["mean_luma"].append(None)
+                    continue
                 for i, luma in enumerate(vid["frames"]):
                     out["doc_id"].append(doc_id)
                     out["decode_ok"].append(True)
@@ -738,13 +750,26 @@ def audio_chunk_rms(payloads: DataFrame, window_samples: int = 128,
                         out[c].append(None)
                     continue
                 s, rate = au["samples"], au["sample_rate"]
+                n_ch = au["n_channels"]
+                if not s:
+                    # a valid but empty-data WAV must still be
+                    # accounted for — every input doc yields ≥1 row
+                    out["doc_id"].append(doc_id)
+                    out["decode_ok"].append(True)
+                    for c in ("chunk_index", "start_s",
+                              "n_chunk_samples", "rms"):
+                        out[c].append(None)
+                    continue
                 off, ci = 0, 0
                 while off < len(s):
                     window = s[off:off + window_samples]
                     out["doc_id"].append(doc_id)
                     out["decode_ok"].append(True)
                     out["chunk_index"].append(ci)
-                    out["start_s"].append(off / rate if rate else None)
+                    # off counts interleaved samples: rate*n_ch of them
+                    # elapse per second, so stereo times stay honest
+                    out["start_s"].append(
+                        off / (rate * n_ch) if rate else None)
                     out["n_chunk_samples"].append(len(window))
                     out["rms"].append(math.sqrt(
                         sum(v * v for v in window) / len(window)))

@@ -362,10 +362,14 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
     boundary ties arbitrarily per batch).
     """
     import numpy as np
-    if queries.count() > max_driver_queries:
-        return brute_force_topk(embeddings, queries, k)
+    # one action guards AND fetches: collect cap+1 rows — if the extra
+    # row shows up the frame is over-sized and we switch strategies
+    # without ever materializing it driver-side (a separate count()
+    # would execute the query plan twice)
     q_rows = (queries.select("vec_id", "embedding").orderBy("vec_id")
-              .collect())
+              .limit(max_driver_queries + 1).collect())
+    if len(q_rows) > max_driver_queries:
+        return brute_force_topk(embeddings, queries, k)
     if not q_rows:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
@@ -577,19 +581,21 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     top-k) is independent of partitioning and Arrow batch boundaries
     even when exact distance ties straddle the per-batch cutoff."""
     import numpy as np
-    n_q = queries.count()
-    if n_q > max_driver_queries:
+    # one action guards AND fetches (cap+1 rows; see
+    # brute_force_topk_arrow for why a separate count() is wasteful)
+    q_rows = (queries.select("vec_id", "embedding")
+              .limit(max_driver_queries + 1).collect())
+    if len(q_rows) > max_driver_queries:
         raise ValueError(
-            f"pq_topk holds the query set driver-side: {n_q} queries "
-            f"exceed max_driver_queries={max_driver_queries}. Use "
-            "brute_force_topk / ann_lsh_topk for corpus-sized query "
-            "frames, or raise max_driver_queries explicitly.")
+            f"pq_topk holds the query set driver-side: >"
+            f"{max_driver_queries} queries exceed max_driver_queries. "
+            "Use brute_force_topk / ann_lsh_topk for corpus-sized "
+            "query frames, or raise max_driver_queries explicitly.")
     books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
     if books is None:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
     sub = books.shape[2]
-    q_rows = queries.select("vec_id", "embedding").collect()
     if not q_rows:  # no queries → empty result, not a numpy IndexError
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")

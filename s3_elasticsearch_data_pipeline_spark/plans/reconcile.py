@@ -103,15 +103,11 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
     parquet-sink reconcile.
     """
     from s3_elasticsearch_data_pipeline_spark.sinks import es_wire
-    from s3_elasticsearch_data_pipeline_spark.sources.es_http import register
-    register(spark)
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        read_es_index)
     # read parallelism follows the cluster unless pinned by the caller
     # (a fixed small default would cap a 1000-executor scan at 4 tasks)
-    if nslices is None:
-        nslices = max(2, spark.sparkContext.defaultParallelism)
-    sink = (spark.read.format("es_http")
-            .option("url", es_url).option("index", index)
-            .option("nslices", nslices).load())
+    sink = read_es_index(spark, es_url, index, nslices=nslices)
 
     mismatch_keys = [r[0] for r in
                      count_mismatches(source, sink, key).select(key).collect()]

@@ -79,7 +79,10 @@ def _search_page(url: str, index: str, sl: int, nsl: int,
             with urllib.request.urlopen(req, timeout=timeout_s) as resp:
                 return json.loads(resp.read().decode("utf-8"))
         except urllib.error.HTTPError as e:
-            if e.code < 500 or attempt >= max_retries:
+            # 5xx and 429 (ES's standard backpressure signal) are
+            # transient — same policy as the _bulk writer; other 4xx
+            # means a malformed request that never heals
+            if (e.code < 500 and e.code != 429) or attempt >= max_retries:
                 raise
         except (urllib.error.URLError, OSError, TimeoutError):
             if attempt >= max_retries:
@@ -121,22 +124,28 @@ class ESHttpReader(DataSourceReader):
             after = hits[-1]["sort"]
 
 
+#: Fallback read parallelism when the caller passes no ``nslices``
+#: option. The DataSource machinery instantiates this class in a
+#: separate Python planner worker (the class pickles BY REFERENCE, so
+#: no driver-side state survives into it) — which is why the
+#: cluster-parallelism default CANNOT live here: use
+#: :func:`read_es_index`, which resolves ``defaultParallelism``
+#: driver-side and passes it as an explicit option.
+DEFAULT_NSLICES = 8
+
+
 class ESHttpSource(DataSource):
     """``spark.read.format("es_http").option("url", ...).option("index",
     ...).schema("id string, ...")`` — omit the schema for the serving
     default (id/month/value).
 
-    Options: ``nslices`` (read parallelism; defaults to the session's
-    ``defaultParallelism`` captured at :func:`register` time — a fixed
-    small default would cap a 1000-executor scan at a handful of
-    tasks), ``pagesize``, ``sort_field`` (unique keyset column, default
-    ``id`` like the reference), ``timeout``, ``max_retries``,
-    ``backoff``.
+    Options: ``nslices`` (read parallelism — prefer
+    :func:`read_es_index`, which defaults it to the session's
+    ``defaultParallelism``; a fixed small default would cap a
+    1000-executor scan at a handful of tasks), ``pagesize``,
+    ``sort_field`` (unique keyset column, default ``id`` like the
+    reference), ``timeout``, ``max_retries``, ``backoff``.
     """
-
-    # overwritten by register() with the live session's parallelism;
-    # class-level so the value resolved driver-side rides into reader()
-    default_nslices = 8
 
     @classmethod
     def name(cls) -> str:
@@ -147,10 +156,27 @@ class ESHttpSource(DataSource):
 
     def reader(self, schema) -> DataSourceReader:
         return ESHttpReader(self.options, [f.name for f in schema.fields],
-                            type(self).default_nslices)
+                            DEFAULT_NSLICES)
 
 
 def register(spark) -> None:
-    ESHttpSource.default_nslices = max(
-        2, spark.sparkContext.defaultParallelism)
     spark.dataSource.register(ESHttpSource)
+
+
+def read_es_index(spark, url: str, index: str,
+                  nslices: int | None = None, **options):
+    """Driver-side entry point for scanning an index: registers the
+    source and returns the DataFrame with read parallelism defaulted to
+    the session's ``defaultParallelism`` (resolved HERE, in the driver,
+    because option values are the only state that reaches the
+    DataSource planner worker). Extra ``options`` pass through
+    (``pagesize``, ``sort_field``, ``schema``, ...)."""
+    register(spark)
+    if nslices is None:
+        nslices = max(2, spark.sparkContext.defaultParallelism)
+    reader = (spark.read.format("es_http")
+              .option("url", url).option("index", index)
+              .option("nslices", nslices))
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()

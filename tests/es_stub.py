@@ -43,7 +43,7 @@ class _Handler(BaseHTTPRequestHandler):
         with self.server.lock:
             if self.server.fail_search_next_n > 0:
                 self.server.fail_search_next_n -= 1
-                self.send_response(503)
+                self.send_response(self.server.fail_search_status)
                 self.end_headers()
                 self.wfile.write(b'{"error":"injected unavailable"}')
                 return
@@ -136,7 +136,8 @@ class ESStub:
     """``with ESStub() as stub: ... stub.url ... stub.store``"""
 
     def __init__(self, fail_next_n: int = 0, reject=None,
-                 fail_search_next_n: int = 0):
+                 fail_search_next_n: int = 0,
+                 fail_search_status: int = 503):
         self.server = ThreadingHTTPServer(("127.0.0.1", 0), _Handler)
         self.server.lock = threading.Lock()
         self.server.store = {}          # index -> {_id: doc}
@@ -144,6 +145,7 @@ class ESStub:
         self.server.requests_seen = 0
         self.server.fail_next_n = fail_next_n
         self.server.fail_search_next_n = fail_search_next_n
+        self.server.fail_search_status = fail_search_status
         self.server.search_bodies = []  # [(index, parsed _search body)]
         self.server.reject = reject     # callable(doc) -> reason | None
         self.thread = threading.Thread(

@@ -370,3 +370,35 @@ def test_null_id_rows_counted_failed_not_collapsed(spark):
         assert rep.rows_sent == 2 and rep.rows_failed == 2
         assert set(stub.store["serving"]) == {"a", "b"}
         assert any("null_id" in s for s in rep.error_samples)
+
+
+def test_read_es_index_defaults_slices_to_parallelism(spark, docs_df):
+    """The driver-side entry point must resolve nslices from the live
+    session (option values are the only state that reaches the
+    DataSource planner worker — a class attribute would not survive
+    the by-reference pickle)."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        read_es_index)
+    expected = {(r["id"], r["month"]) for r in docs_df.collect()}
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        got = read_es_index(spark, stub.url, "serving")
+        assert got.rdd.getNumPartitions() == max(
+            2, spark.sparkContext.defaultParallelism)
+        assert {(r["id"], r["month"]) for r in got.collect()} == expected
+        # explicit option still wins
+        pinned = read_es_index(spark, stub.url, "serving", nslices=3)
+        assert pinned.rdd.getNumPartitions() == 3
+
+
+def test_es_http_source_retries_429_backpressure(spark, docs_df):
+    """429 is ES's transient throttle signal — it must retry like the
+    writer, not fail the task."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        read_es_index)
+    n = docs_df.count()
+    with ESStub(fail_search_next_n=2, fail_search_status=429) as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        got = read_es_index(spark, stub.url, "serving", nslices=2,
+                            backoff=0.0)
+        assert got.count() == n

@@ -308,3 +308,38 @@ def test_audio_chunk_rms_oracle_parity(spark, sf_oracle):
         assert not probs, probs
     finally:
         con.close()
+
+
+def test_frameless_clip_and_empty_wav_still_accounted(spark):
+    """A VALID clip with zero frames / a VALID WAV with an empty data
+    chunk must still produce one decode_ok=true row — a doc must never
+    silently vanish from the output (the degradation contract is that
+    every input is accounted for)."""
+    empty_clip = b"YUV4MPEG2 W4 H4 F25:1 C420\x0a"
+    empty_wav = mm.encode_wav(8000, [])
+    payloads = spark.createDataFrame(
+        [(1, "video/x-yuv4mpeg", bytearray(empty_clip), len(empty_clip)),
+         (2, "audio/wav", bytearray(empty_wav), len(empty_wav))],
+        "doc_id long, media_type string, payload binary, n_bytes long")
+    vrows = mm.video_frame_features(
+        payloads.where("doc_id = 1")).collect()
+    assert len(vrows) == 1 and vrows[0]["decode_ok"]
+    assert vrows[0]["n_frames"] == 0 and vrows[0]["frame_index"] is None
+    arows = mm.audio_chunk_rms(payloads.where("doc_id = 2"),
+                               128, 64).collect()
+    assert len(arows) == 1 and arows[0]["decode_ok"]
+    assert arows[0]["rms"] is None
+
+
+def test_audio_chunk_rms_stereo_timebase(spark):
+    """Interleaved stereo: start_s advances by hop/(rate*channels) —
+    a 2-channel clip's second chunk starts at half the mono time."""
+    samples = [((i * 7) % 256) - 128 for i in range(512)]
+    wav = mm.encode_wav(8000, samples, n_channels=2)
+    payloads = spark.createDataFrame(
+        [(1, "audio/wav", bytearray(wav), len(wav))],
+        "doc_id long, media_type string, payload binary, n_bytes long")
+    rows = sorted(mm.audio_chunk_rms(payloads, 128, 64).collect(),
+                  key=lambda r: r["chunk_index"])
+    assert rows[0]["start_s"] == 0.0
+    assert rows[1]["start_s"] == pytest.approx(64 / (8000 * 2))
