@@ -52,10 +52,12 @@ def _shingle_docs(documents: DataFrame, n: int, block_col: str) -> DataFrame:
     """doc-level shingle table: (doc_id, block, n_sh, sh_arr) where
     ``sh_arr`` is the distinct word-n-gram set as xxhash64 longs —
     document text never reaches a shuffle after this projection."""
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
     # Guard on token count, not shingle count: a filter on the shingle
     # array would be pushed below the projection and re-inline the
     # whole shingling expression into the filter condition.
-    return (documents
+    return (parallelize_for_compute(documents)
             .withColumn("toks", tokens(F.col("text")))
             .where(F.size("toks") >= n)
             .select("doc_id", F.col(block_col).alias("block"),
@@ -237,8 +239,10 @@ def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
     """(doc_id, sig, band, bucket) rows — the LSH band index layout a
     100 TB pipeline persists as its dedup index table (bands × docs
     compact rows)."""
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
     rows_per_band = num_hashes // bands
-    shingled = (documents
+    shingled = (parallelize_for_compute(documents)
                 .withColumn("toks", tokens(F.col("text")))
                 .where(F.size("toks") >= n)  # see ngram_jaccard_pairs note
                 .select("doc_id",

@@ -30,13 +30,15 @@ def quality_features(documents: DataFrame) -> DataFrame:
     """Per-document feature vector (pure columnar expressions) +
     binary label (is the document English — learnable from character
     statistics alone, which is the point of the demo)."""
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
     text = F.col("text")
     n_chars = F.greatest(F.length(text), F.lit(1))
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")
     n_toks = F.greatest(F.size(toks), F.lit(1))
     punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()-]", ""))
     digits = F.length(F.regexp_replace(text, r"[^0-9]", ""))
-    return documents.select(
+    return parallelize_for_compute(documents).select(
         "doc_id",
         (F.col("lang") == "en").cast("double").alias("y"),
         F.lit(1.0).alias("intercept"),

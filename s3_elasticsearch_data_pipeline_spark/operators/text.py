@@ -945,7 +945,10 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     pair_count, new_symbol) — exactly what a tokenizer ships.
     """
     import math
-    words = (documents
+
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
+    words = (parallelize_for_compute(documents)
              .select(F.explode(tokens(F.col("text"))).alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
              .select(F.split(F.col("word"), "").alias("syms"), "n")

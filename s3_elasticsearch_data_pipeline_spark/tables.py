@@ -54,6 +54,32 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def parallelize_for_compute(df: DataFrame,
+                            min_partitions: int | None = None) -> DataFrame:
+    """Ensure a frame ENTERING AN EXPENSIVE PER-ROW COMPUTE STAGE
+    (tokenization/shingling over full text, regex feature extraction,
+    media decode) has at least cluster parallelism.
+
+    Why: Spark splits parquet by row group — a source written as few
+    large row groups (or any unsplittable codec) yields fewer input
+    partitions than cores, and the projection pipelined into that scan
+    stage then runs serially on one task no matter how wide the
+    cluster is. At real scale split counts far exceed parallelism and
+    this is a no-op; when they don't, one round-robin shuffle of the
+    input buys a fully parallel compute stage. Deterministic filters
+    and column pruning still push through the repartition to the scan.
+
+    Use ONLY in front of genuinely expensive per-row work — cheap
+    columnar aggregates are better off without the extra exchange.
+    """
+    spark = df.sparkSession
+    if min_partitions is None:
+        min_partitions = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < min_partitions:
+        return df.repartition(min_partitions)
+    return df
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLES) -> dict[str, DataFrame]:
     return {name: load_table(spark, sf_dir, name) for name in names}
