@@ -37,6 +37,8 @@ SCALE_QUERIES = (
     "market_basket_lift", "markov_transitions", "w_rolling_median",
     "stat_correlation_matrix",
     "dedup_incremental_lsh", "sim_topk_pq", "decontamination_containment",
+    "ml_quality_classifier", "audio_decode_features",
+    "video_decode_features",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),

@@ -2534,6 +2534,35 @@ def q_stream_dedup(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
+@register("stream_lsh_ingest", None)  # MinHash admission → rows-only
+def q_stream_lsh_ingest(spark, sf_dir):
+    """Streaming near-dup dedup-at-ingest: two document drops flow
+    through the checkpointed ingest loop (streaming/lsh_ingest.py) —
+    the second drop repeats every first-drop document under shifted
+    ids, and all of those must be rejected by the persisted band
+    index probe. Returns the admitted corpus ids (deterministic:
+    in-batch admission is lower-id-wins)."""
+    import os
+    import tempfile
+
+    from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
+        lsh_ingest_stream, read_corpus)
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    work = tempfile.mkdtemp(prefix="lsh_ingest_")
+    src = os.path.join(work, "src")
+    first = docs.where(F.col("doc_id") % 2 == 0)
+    first.write.parquet(src)
+    args = (spark, src, os.path.join(work, "corpus"),
+            os.path.join(work, "index"), os.path.join(work, "ckpt"))
+    lsh_ingest_stream(*args)
+    second = docs.where(F.col("doc_id") % 2 == 1).unionByName(
+        first.withColumn("doc_id", F.col("doc_id") + 1_000_000))
+    second.write.mode("append").parquet(src)
+    lsh_ingest_stream(*args)
+    return (read_corpus(spark, os.path.join(work, "corpus"))
+            .select("doc_id").orderBy("doc_id"))
+
+
 @register("stream_purchase_attribution", """
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        c.event_id AS click_id, c.ts AS click_ts

@@ -1,0 +1,122 @@
+"""Streaming near-dup dedup-at-ingest (M4 — the production corpus
+ingest loop, streaming-native).
+
+The batch operator ``operators.dedup.incremental_lsh_dedup`` shows the
+shape once: probe an incoming batch against the PERSISTED MinHash-LSH
+band index, drop near-duplicates, admit the rest. This module runs
+that loop continuously over a document feed with Structured Streaming:
+
+- the checkpoint's file log decides WHAT is new (no hand-rolled diff);
+- each micro-batch is probed against the index as persisted by all
+  PRIOR batches, then against itself (lower doc_id wins), so admission
+  order is deterministic;
+- survivors append to the corpus sink and their band rows append to
+  the index — both written under ``epoch=<id>`` subdirectories with
+  per-epoch overwrite, so a replayed epoch (failure before checkpoint
+  commit) rewrites the same files instead of duplicating them:
+  effectively-once corpus state without a transactional table format.
+
+Scale shape: the probe equi-joins (band, bucket) — candidates only
+where a band collides, never corpus×batch; the index is bands×docs
+compact rows (the thing a 100 TB pipeline persists anyway); per-epoch
+index appends are small files that ``maintenance.compact_partitions``
+can heal offline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators.dedup import _lsh_banded
+
+
+def _read_optional_parquet(spark: SparkSession, path: str):
+    """The index/corpus don't exist before the first admitted batch."""
+    try:
+        return spark.read.option("basePath", path).parquet(path)
+    except Exception:  # AnalysisException: PATH_NOT_FOUND — first epoch
+        return None
+
+
+def lsh_ingest_stream(spark: SparkSession, source_path: str,
+                      corpus_path: str, index_path: str,
+                      checkpoint_path: str, n: int = 3,
+                      num_hashes: int = 16, bands: int = 4,
+                      threshold: float = 0.5) -> None:
+    """Drain all new document files through the dedup-at-ingest loop
+    (``Trigger.AvailableNow`` — run repeatedly; each call processes
+    exactly the files that arrived since the last call).
+
+    Admission rule (deterministic): a document is DROPPED when its
+    estimated Jaccard (signature agreement) against any already-
+    admitted corpus document, or any lower-``doc_id`` document of the
+    same micro-batch, reaches ``threshold``; otherwise it is admitted
+    and immediately becomes part of the index later arrivals probe.
+    """
+    static = spark.read.parquet(source_path)
+    stream = (spark.readStream
+              .schema(static.schema)
+              .option("basePath", source_path)
+              .parquet(source_path))
+
+    est = (F.size(F.filter(
+        F.zip_with(F.col("p.sig"), F.col("i.sig"),
+                   lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1)) / F.lit(num_hashes))
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        probe = _lsh_banded(batch_df, n, num_hashes, bands) \
+            .localCheckpoint(eager=True)
+        # vs the persisted index (everything admitted by prior epochs,
+        # EXCLUDING any half-written copy of this very epoch — replay
+        # must see the same prior-state the failed attempt saw)
+        index = _read_optional_parquet(sess, index_path)
+        matched_corpus = None
+        if index is not None:
+            matched_corpus = (
+                probe.alias("p")
+                .join(index.where(F.col("epoch") != epoch_id).alias("i"),
+                      (F.col("p.band") == F.col("i.band"))
+                      & (F.col("p.bucket") == F.col("i.bucket")))
+                .where(est >= threshold)
+                .select(F.col("p.doc_id").alias("doc_id")).distinct())
+        # vs lower-id docs of the SAME batch (deterministic greedy:
+        # the lower id is admitted unless it matched the corpus)
+        a, b = probe.alias("p"), probe.alias("i")
+        matched_batch = (
+            a.join(b, (F.col("p.band") == F.col("i.band"))
+                   & (F.col("p.bucket") == F.col("i.bucket"))
+                   & (F.col("p.doc_id") > F.col("i.doc_id")))
+            .where(est >= threshold)
+            .select(F.col("p.doc_id").alias("doc_id")).distinct())
+        dropped = (matched_batch if matched_corpus is None
+                   else matched_corpus.unionByName(matched_batch)
+                   .distinct())
+        survivors = batch_df.join(dropped, "doc_id", "left_anti")
+        # per-epoch overwrite = idempotent replay (no duplicate rows if
+        # the epoch reruns after a failure before checkpoint commit)
+        (survivors.write.mode("overwrite")
+         .parquet(os.path.join(corpus_path, f"epoch={epoch_id}")))
+        (probe.join(dropped, "doc_id", "left_anti")
+         .select("doc_id", "sig", "band", "bucket")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_path, f"epoch={epoch_id}")))
+
+    q = (stream.writeStream
+         .foreachBatch(handle)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def read_corpus(spark: SparkSession, corpus_path: str):
+    """The admitted corpus across all epochs (hive ``epoch=`` layout)."""
+    df = _read_optional_parquet(spark, corpus_path)
+    return df.drop("epoch") if df is not None else None

@@ -1,0 +1,81 @@
+"""Streaming dedup-at-ingest (streaming/lsh_ingest.py): cross-batch
+near-dup rejection against the persisted band index, deterministic
+in-batch admission, and idempotent re-runs.
+
+NB: the documents table intentionally contains natural near-dups, so
+assertions are behavioral (who must be rejected / retained) rather
+than exact counts."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
+    lsh_ingest_stream, read_corpus)
+
+
+def _docs(spark, sf_smoke):
+    return (spark.read.parquet(os.path.join(sf_smoke, "documents.parquet"))
+            .select("doc_id", "lang", "text"))
+
+
+def test_cross_batch_near_dups_rejected(spark, sf_smoke, tmp_path):
+    src = str(tmp_path / "src")
+    corpus = str(tmp_path / "corpus")
+    index = str(tmp_path / "index")
+    ckpt = str(tmp_path / "ckpt")
+    base = _docs(spark, sf_smoke).where(F.col("doc_id") < 40)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    base.write.parquet(src)
+
+    lsh_ingest_stream(spark, src, corpus, index, ckpt)
+    first_ids = {r["doc_id"] for r in
+                 read_corpus(spark, corpus).select("doc_id").collect()}
+    # in-batch natural near-dups may drop a few, but admission is a
+    # non-empty subset of the drop and the corpus-defining invariant
+    assert first_ids and first_ids <= base_ids
+
+    # second drop: EXACT copies of every base doc under shifted ids
+    # (each copy must collide with its admitted original, or with
+    # whatever its original collided with) plus later documents
+    dups = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    fresh = _docs(spark, sf_smoke).where(
+        (F.col("doc_id") >= 40) & (F.col("doc_id") < 60))
+    fresh_ids = {r["doc_id"] for r in fresh.select("doc_id").collect()}
+    dups.unionByName(fresh).write.mode("append").parquet(src)
+
+    lsh_ingest_stream(spark, src, corpus, index, ckpt)
+    ids = {r["doc_id"] for r in
+           read_corpus(spark, corpus).select("doc_id").collect()}
+    assert not any(i >= 100000 for i in ids), \
+        "copies of already-admitted docs must be rejected"
+    assert ids >= first_ids, "prior admissions must be retained"
+    assert ids - first_ids <= fresh_ids
+    assert ids & fresh_ids, "unrelated new docs must be admitted"
+
+    # a third run with no new files changes nothing
+    before = sorted(ids)
+    lsh_ingest_stream(spark, src, corpus, index, ckpt)
+    after = sorted(r["doc_id"] for r in
+                   read_corpus(spark, corpus).select("doc_id").collect())
+    assert after == before
+
+
+def test_in_batch_dups_lower_id_wins(spark, sf_smoke, tmp_path):
+    src = str(tmp_path / "src")
+    base = _docs(spark, sf_smoke).where(F.col("doc_id") < 10)
+    base_ids = {r["doc_id"] for r in base.select("doc_id").collect()}
+    # one drop containing each doc twice under different ids: the
+    # shifted twin must always lose to its lower-id original
+    both = base.unionByName(
+        base.withColumn("doc_id", F.col("doc_id") + 500000))
+    both.write.parquet(src)
+    lsh_ingest_stream(spark, src, str(tmp_path / "c"),
+                      str(tmp_path / "i"), str(tmp_path / "k"))
+    ids = {r["doc_id"] for r in
+           read_corpus(spark, str(tmp_path / "c"))
+           .select("doc_id").collect()}
+    assert ids and ids <= base_ids
+    assert not any(i >= 500000 for i in ids)
