@@ -13,6 +13,8 @@ from pyspark.sql import functions as F
 
 from s3_elasticsearch_data_pipeline_spark.functions.textfns import (
     fingerprint, token_count, tokens, word_ngrams_from_tokens)
+from s3_elasticsearch_data_pipeline_spark.tables import (
+    parallelize_for_compute as _par)  # unsplittable-input guard
 
 # Small per-language function-word lists for the n-gram/stopword
 # language heuristic. Deliberately tiny and hardcoded: the operator's
@@ -292,7 +294,7 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     row, bounded by document length, embarrassingly parallel at 100 TB).
     """
     toks = F.col("__toks")  # named column — see token_counts note
-    documents = documents.withColumn("__toks", tokens(F.col("text")))
+    documents = _par(documents).withColumn("__toks", tokens(F.col("text")))
     grams = F.transform(
         F.sequence(F.lit(1), F.size(toks) - 1),
         lambda i: F.concat_ws(" ", F.element_at(toks, i),
@@ -946,9 +948,7 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     """
     import math
 
-    from s3_elasticsearch_data_pipeline_spark.tables import (
-        parallelize_for_compute)
-    words = (parallelize_for_compute(documents)
+    words = (_par(documents)
              .select(F.explode(tokens(F.col("text"))).alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
              .select(F.split(F.col("word"), "").alias("syms"), "n")
