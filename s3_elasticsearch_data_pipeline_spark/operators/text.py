@@ -946,23 +946,16 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     Returns the ordered merge table: (merge_rank, left_tok, right_tok,
     pair_count, new_symbol) — exactly what a tokenizer ships.
     """
-    import math
-
+    # _par parallelizes the corpus-side tokenize+explode (the only
+    # data-sized pass); the word-TYPE aggregate downstream is
+    # vocab-sized and AQE already coalesces its shuffle output, so the
+    # merge rounds run on right-sized partitions without extra jobs.
     words = (_par(documents)
              .select(F.explode(tokens(F.col("text"))).alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
              .select(F.split(F.col("word"), "").alias("syms"), "n")
              .where(F.size("syms") >= 2)
              .localCheckpoint(eager=True))
-    # Right-size the merge-round tasks: the word-TYPE table is
-    # vocab-sized (millions of rows at any corpus scale), so target
-    # ~1M rows per task — at small SF this collapses dozens of
-    # near-empty tasks × rounds of pure scheduling overhead.
-    n_types = words.count()
-    target = max(1, min(words.rdd.getNumPartitions(),
-                        math.ceil(n_types / 1_000_000)))
-    if target < words.rdd.getNumPartitions():
-        words = words.coalesce(target).localCheckpoint(eager=True)
     merges = []
     for rank in range(1, n_merges + 1):
         lefts = F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1)
@@ -986,3 +979,56 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     return documents.sparkSession.createDataFrame(
         merges, "merge_rank int, left_tok string, right_tok string, "
                 "pair_count bigint, new_symbol string")
+
+def bpe_encode(documents: DataFrame, n_merges: int = 8,
+               merges: list | None = None,
+               head_symbols: int = 12) -> DataFrame:
+    """Encode every document with a TRAINED BPE merge table — the
+    apply side of :func:`bpe_train` (together they are the tokenizer
+    round trip a pipeline ships): each word's character sequence is
+    folded through the ordered merges (greedy left-to-right,
+    non-overlapping — the Sennrich apply rule), so later merges see
+    the symbols earlier merges produced.
+
+    ``merges`` is the ordered [(left, right), ...] list; when omitted
+    it is trained here and collected — the merge table is vocab-sized
+    driver state (tens of entries), never corpus-sized. Encoding
+    itself is one pure column-expression pass (nested higher-order
+    folds), embarrassingly parallel, no shuffle.
+
+    Returns per-doc symbol statistics + the first ``head_symbols``
+    encoded symbols (pipe-joined) as an equivalence-checkable sample.
+    """
+    if merges is None:
+        merges = [(r["left_tok"], r["right_tok"])
+                  for r in bpe_train(documents, n_merges)
+                  .orderBy("merge_rank").collect()]
+
+    def encode_word(w):
+        syms = F.filter(F.split(w, ""), lambda ch: ch != "")
+        for left, right in merges:
+            syms = _merge_pair_in_arrays(syms, left, right)
+        return syms
+
+    # The classic apply-side trick, same as training: encode each
+    # distinct WORD TYPE once (the fold chain is interpreted HOF — run
+    # it over the vocab-sized table, not every occurrence), then join
+    # occurrences back and re-assemble per-doc stats. The merge fold
+    # never touches corpus-sized data.
+    toks = (documents
+            .select("doc_id",
+                    F.posexplode(tokens(F.col("text")))
+                    .alias("pos", "word")))
+    word_syms = (toks.select("word").distinct()
+                 .withColumn("__syms", encode_word(F.col("word")))
+                 .localCheckpoint(eager=True))
+    return (toks.join(word_syms, "word")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_words"),
+                 F.sum(F.length("word")).cast("int").alias("n_chars"),
+                 F.sum(F.size("__syms")).cast("int").alias("n_symbols"),
+                 F.concat_ws("|", F.slice(
+                     F.flatten(F.array_sort(
+                         F.collect_list(F.struct("pos", "__syms")))
+                         .getField("__syms")),
+                     F.lit(1), F.lit(head_symbols))).alias("head")))

@@ -2330,6 +2330,16 @@ def q_dedup_connected_components_star(spark, sf_dir):
     return dedup.connected_components_star(pairs)
 
 
+@register("text_bpe_encode", None)  # merges are data-derived → rows-only
+def q_text_bpe_encode(spark, sf_dir):
+    """Tokenizer round trip: train the BPE merge table on the corpus
+    (text_bpe_train's loop), then ENCODE every document with it —
+    word-type encode + join-back, so the interpreted merge fold runs
+    over vocab-sized data only. Exact-match tested against a textbook
+    Python encoder (tests/test_tokenizer_train.py)."""
+    return text.bpe_encode(_t(spark, sf_dir, "documents"))
+
+
 @register("text_pii_scrub", """
 WITH seeded AS (
   SELECT doc_id,

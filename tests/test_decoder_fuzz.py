@@ -1,0 +1,82 @@
+"""Property fuzz for the real media decoders: ARBITRARY bytes must
+either decode to a well-formed dict or raise exactly the exception
+types the Arrow pipelines catch (NotImplementedError / ValueError) —
+any other escape (struct.error, IndexError, UnicodeDecodeError,
+OverflowError, infinite loop) would kill a 100 TB stage on one corrupt
+blob instead of degrading to a decode_ok=false row."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from s3_elasticsearch_data_pipeline_spark.operators import multimodal as mm
+
+CAUGHT = (NotImplementedError, ValueError)
+
+raw = st.binary(min_size=0, max_size=400)
+# bias the fuzz toward each decoder's magic bytes so header parsing
+# actually runs instead of failing at the magic check
+imagey = st.one_of(raw, st.binary(max_size=200).map(lambda b: b"P6" + b),
+                   st.binary(max_size=200).map(lambda b: b"P5" + b),
+                   st.binary(max_size=200).map(lambda b: b"BM" + b))
+wavy = st.one_of(raw, st.binary(max_size=200).map(
+    lambda b: b"RIFF" + b[:4] + b"WAVE" + b[4:]))
+y4my = st.one_of(raw, st.binary(max_size=200).map(
+    lambda b: b"YUV4MPEG2 " + b))
+
+
+@settings(max_examples=400, deadline=None)
+@given(imagey)
+def test_decode_image_never_escapes(payload):
+    try:
+        img = mm.decode_image(payload)
+        assert set(img) >= {"width", "height", "channels", "pixels"}
+        assert len(img["pixels"]) == (img["width"] * img["height"]
+                                      * img["channels"])
+    except CAUGHT:
+        pass
+
+
+@settings(max_examples=400, deadline=None)
+@given(wavy)
+def test_decode_audio_never_escapes(payload):
+    try:
+        au = mm.decode_audio(payload)
+        assert au["n_samples"] * au["n_channels"] == len(au["samples"])
+        assert au["bits_per_sample"] in (8, 16)
+    except CAUGHT:
+        pass
+
+
+@settings(max_examples=400, deadline=None)
+@given(y4my)
+def test_decode_video_never_escapes(payload):
+    try:
+        vid = mm.decode_video(payload)
+        assert vid["n_frames"] == len(vid["frames"])
+        for f in vid["frames"]:
+            assert len(f) == vid["width"] * vid["height"]
+    except CAUGHT:
+        pass
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=0, max_value=2000), st.data())
+def test_truncated_valid_payloads_never_escape(cut, data):
+    """Every truncation point of a VALID payload must degrade cleanly
+    (the realistic corruption: an interrupted object-store read)."""
+    kind = data.draw(st.sampled_from(["img", "wav", "y4m"]))
+    if kind == "img":
+        full = mm.encode_ppm(4, 3, bytes(range(36)))
+        fn = mm.decode_image
+    elif kind == "wav":
+        full = mm.encode_wav(8000, list(range(-20, 20)))
+        fn = mm.decode_audio
+    else:
+        full = mm.encode_y4m(4, 4, [bytes(16), bytes(range(16))])
+        fn = mm.decode_video
+    try:
+        fn(full[:min(cut, len(full))])
+    except CAUGHT:
+        pass

@@ -70,3 +70,56 @@ def test_bpe_train_empty_and_single_char(spark):
     # second round: (ab,ab)×2 beats (c,d)×1
     assert (rows[1]["left_tok"], rows[1]["right_tok"]) == ("ab", "ab")
     assert rows[1]["pair_count"] == 2
+
+
+def _reference_encode(text: str, merges):
+    out_all = []
+    for w in text.split():
+        syms = list(w)
+        for _rank, l, r, _cnt, m in merges:
+            enc = []
+            for s in syms:
+                if enc and enc[-1] == l and s == r:
+                    enc[-1] = m
+                else:
+                    enc.append(s)
+            syms = enc
+        out_all.append(syms)
+    flat = [s for syms in out_all for s in syms]
+    return (sum(1 for _ in text.split()),
+            sum(len(w) for w in text.split()),
+            len(flat), "|".join(flat[:12]))
+
+
+def test_bpe_encode_matches_reference(spark, sf_smoke):
+    """Train→encode round trip: the distributed apply (word-type
+    encode + join-back) must reproduce the textbook greedy merge
+    application per document, including symbol order in the head."""
+    from s3_elasticsearch_data_pipeline_spark.operators.text import bpe_encode
+    docs = load_table(spark, sf_smoke, "documents").limit(80)
+    counts = {r["word"]: r["n"] for r in
+              docs.select(F.explode(F.split(
+                  F.trim(F.regexp_replace("text", r"\s+", " ")), " "))
+                  .alias("word"))
+              .where(F.col("word") != "")
+              .groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()}
+    merges = _reference_bpe(counts, 8)
+    got = {r["doc_id"]: (r["n_words"], r["n_chars"], r["n_symbols"],
+                         r["head"])
+           for r in bpe_encode(
+               docs, merges=[(l, r) for _, l, r, _c, _m in merges])
+           .collect()}
+    want = {r["doc_id"]: _reference_encode(r["text"], merges)
+            for r in docs.select("doc_id", "text").collect()}
+    assert got == want
+
+
+def test_bpe_encode_self_trained(spark, sf_smoke):
+    """Omitting merges trains in-place; compression must be real
+    (fewer symbols than characters) on a vocabulary with repeats."""
+    from s3_elasticsearch_data_pipeline_spark.operators.text import bpe_encode
+    docs = load_table(spark, sf_smoke, "documents").limit(40)
+    rows = bpe_encode(docs).collect()
+    assert len(rows) == 40
+    assert all(r["n_symbols"] <= r["n_chars"] for r in rows)
+    assert any(r["n_symbols"] < r["n_chars"] for r in rows)
