@@ -33,6 +33,8 @@ from pyspark.sql import functions as F
 
 from s3_elasticsearch_data_pipeline_spark.functions.textfns import (
     tokens, word_ngrams_from_tokens)
+from s3_elasticsearch_data_pipeline_spark.tables import (
+    parallelize_for_compute)
 from s3_elasticsearch_data_pipeline_spark.functions.vector import cosine
 
 
@@ -52,8 +54,6 @@ def _shingle_docs(documents: DataFrame, n: int, block_col: str) -> DataFrame:
     """doc-level shingle table: (doc_id, block, n_sh, sh_arr) where
     ``sh_arr`` is the distinct word-n-gram set as xxhash64 longs —
     document text never reaches a shuffle after this projection."""
-    from s3_elasticsearch_data_pipeline_spark.tables import (
-        parallelize_for_compute)
     # Guard on token count, not shingle count: a filter on the shingle
     # array would be pushed below the projection and re-inline the
     # whole shingling expression into the filter condition.
@@ -234,13 +234,23 @@ def _minhash_signature(hash_arr, num_hashes: int):
     return F.array(*[_seeded_min_hash(hash_arr, i) for i in range(num_hashes)])
 
 
+def sig_agreement(left_sig, right_sig, num_hashes: int):
+    """Estimated Jaccard from two MinHash signatures: fraction of
+    agreeing positions (the unbiased resemblance estimator, Broder
+    1997). Shared by the batch pair join, the incremental-ingest
+    probe, and the streaming ingest loop — one definition, not three
+    copies."""
+    return (F.size(F.filter(
+        F.zip_with(left_sig, right_sig,
+                   lambda x, y: (x == y).cast("int")),
+        lambda v: v == 1)) / F.lit(num_hashes))
+
+
 def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
                 bands: int) -> DataFrame:
     """(doc_id, sig, band, bucket) rows — the LSH band index layout a
     100 TB pipeline persists as its dedup index table (bands × docs
     compact rows)."""
-    from s3_elasticsearch_data_pipeline_spark.tables import (
-        parallelize_for_compute)
     rows_per_band = num_hashes // bands
     shingled = (parallelize_for_compute(documents)
                 .withColumn("toks", tokens(F.col("text")))
@@ -286,10 +296,7 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
     # materialize signatures once — see ngram_jaccard_pairs note
     banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
-    est = (F.size(F.filter(
-        F.zip_with(F.col("a.sig"), F.col("b.sig"),
-                   lambda x, y: (x == y).cast("int")),
-        lambda v: v == 1)) / F.lit(num_hashes))
+    est = sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -657,10 +664,7 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
         .localCheckpoint(eager=True)
     probe = _lsh_banded(batch, n, num_hashes, bands) \
         .localCheckpoint(eager=True)
-    est = (F.size(F.filter(
-        F.zip_with(F.col("p.sig"), F.col("i.sig"),
-                   lambda x, y: (x == y).cast("int")),
-        lambda v: v == 1)) / F.lit(num_hashes))
+    est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
     matched = (probe.alias("p")
                .join(index.alias("i"),
                      (F.col("p.band") == F.col("i.band"))

@@ -22,6 +22,9 @@ import math
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from s3_elasticsearch_data_pipeline_spark.tables import (
+    parallelize_for_compute)
+
 FEATURES = ("intercept", "log_tokens", "punct_ratio", "digit_ratio",
             "mean_word_len")
 
@@ -30,8 +33,6 @@ def quality_features(documents: DataFrame) -> DataFrame:
     """Per-document feature vector (pure columnar expressions) +
     binary label (is the document English — learnable from character
     statistics alone, which is the point of the demo)."""
-    from s3_elasticsearch_data_pipeline_spark.tables import (
-        parallelize_for_compute)
     text = F.col("text")
     n_chars = F.greatest(F.length(text), F.lit(1))
     toks = F.filter(F.split(text, r"\s+"), lambda t: t != "")

@@ -90,6 +90,8 @@ def _decode_pnm(payload: bytes) -> dict:
         fields.append(int(payload[start:pos]))
     pos += 1  # the single whitespace after maxval
     width, height, maxval = fields
+    if width <= 0 or height <= 0:
+        raise ValueError(f"non-positive PNM dimensions {width}x{height}")
     if maxval != 255:
         raise NotImplementedError("only 8-bit PPM/PGM supported")
     n = width * height * channels
@@ -110,6 +112,8 @@ def _decode_bmp(payload: bytes) -> dict:
     compression = struct.unpack_from("<I", payload, 30)[0]
     if compression != 0 or bpp not in (24, 32):
         raise NotImplementedError("only uncompressed 24/32-bpp BMP")
+    if width <= 0 or raw_h == 0:
+        raise ValueError(f"invalid BMP dimensions {width}x{raw_h}")
     height, bottom_up = abs(raw_h), raw_h > 0
     src_ch = bpp // 8
     row_size = ((bpp * width + 31) // 32) * 4
@@ -329,6 +333,8 @@ def decode_audio(payload: bytes) -> dict:
             if audio_fmt != 1 or bits not in (8, 16) or n_ch == 0:
                 raise NotImplementedError(
                     "only uncompressed 8/16-bit PCM WAV")
+            if rate == 0:
+                raise ValueError("zero sample rate in fmt chunk")
             fmt = (n_ch, rate, bits)
         elif cid == b"data":
             if len(body) != csize:
@@ -583,8 +589,8 @@ def decode_video(payload: bytes) -> dict:
             fps_num, fps_den = (int(x) for x in val.split(":"))
         elif c == "C":
             colour = val
-    if not width or not height:
-        raise ValueError("y4m header missing W/H")
+    if not width or not height or width < 0 or height < 0:
+        raise ValueError("y4m header missing or non-positive W/H")
     base = colour.rstrip("p")[:4]
     if base.startswith("420"):
         chroma = 2 * ((width // 2) * (height // 2))

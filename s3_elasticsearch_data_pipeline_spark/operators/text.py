@@ -1015,20 +1015,29 @@ def bpe_encode(documents: DataFrame, n_merges: int = 8,
     # it over the vocab-sized table, not every occurrence), then join
     # occurrences back and re-assemble per-doc stats. The merge fold
     # never touches corpus-sized data.
-    toks = (documents
+    toks = (_par(documents)
             .select("doc_id",
                     F.posexplode(tokens(F.col("text")))
                     .alias("pos", "word")))
     word_syms = (toks.select("word").distinct()
                  .withColumn("__syms", encode_word(F.col("word")))
                  .localCheckpoint(eager=True))
-    return (toks.join(word_syms, "word")
-            .groupBy("doc_id")
-            .agg(F.count(F.lit(1)).alias("n_words"),
-                 F.sum(F.length("word")).cast("int").alias("n_chars"),
-                 F.sum(F.size("__syms")).cast("int").alias("n_symbols"),
-                 F.concat_ws("|", F.slice(
-                     F.flatten(F.array_sort(
-                         F.collect_list(F.struct("pos", "__syms")))
-                         .getField("__syms")),
-                     F.lit(1), F.lit(head_symbols))).alias("head")))
+    encoded = (toks.join(word_syms, "word")
+               .groupBy("doc_id")
+               .agg(F.count(F.lit(1)).alias("n_words"),
+                    F.sum(F.length("word")).cast("int").alias("n_chars"),
+                    F.sum(F.size("__syms")).cast("int").alias("n_symbols"),
+                    F.concat_ws("|", F.slice(
+                        F.flatten(F.array_sort(
+                            F.collect_list(F.struct("pos", "__syms")))
+                            .getField("__syms")),
+                        F.lit(1), F.lit(head_symbols))).alias("head")))
+    # "every document": a token-less doc (empty/whitespace text) has no
+    # exploded rows — restore it as an all-zero row rather than letting
+    # it silently vanish from the output
+    return (documents.select("doc_id").join(encoded, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_words", F.lit(0)).alias("n_words"),
+                    F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
+                    F.coalesce("n_symbols", F.lit(0)).alias("n_symbols"),
+                    F.coalesce("head", F.lit("")).alias("head")))

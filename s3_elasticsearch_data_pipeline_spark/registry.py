@@ -2569,8 +2569,10 @@ def q_stream_lsh_ingest(spark, sf_dir):
         first.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     second.write.mode("append").parquet(src)
     lsh_ingest_stream(*args)
-    return (read_corpus(spark, os.path.join(work, "corpus"))
-            .select("doc_id").orderBy("doc_id"))
+    corpus = read_corpus(spark, os.path.join(work, "corpus"))
+    if corpus is None:  # empty source → empty corpus, not a crash
+        return spark.createDataFrame([], "doc_id long")
+    return corpus.select("doc_id").orderBy("doc_id")
 
 
 @register("stream_purchase_attribution", """

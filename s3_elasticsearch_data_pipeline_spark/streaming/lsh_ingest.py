@@ -29,23 +29,33 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.errors import AnalysisException
 
-from s3_elasticsearch_data_pipeline_spark.operators.dedup import _lsh_banded
+from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+    _lsh_banded, sig_agreement)
 
 
 def _read_optional_parquet(spark: SparkSession, path: str):
-    """The index/corpus don't exist before the first admitted batch."""
+    """The index/corpus don't exist before the first admitted batch —
+    ONLY that case maps to None. Any other read failure (corrupt
+    footer, IO fault) must propagate: silently treating a broken index
+    as 'empty' would admit every near-duplicate in the batch and
+    pollute the corpus with no error signal."""
+    if not os.path.exists(path):
+        return None
     try:
         return spark.read.option("basePath", path).parquet(path)
-    except Exception:  # AnalysisException: PATH_NOT_FOUND — first epoch
-        return None
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "UNABLE_TO_INFER_SCHEMA" in str(e):
+            return None  # dir exists but holds no parquet yet
+        raise
 
 
 def lsh_ingest_stream(spark: SparkSession, source_path: str,
                       corpus_path: str, index_path: str,
                       checkpoint_path: str, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> None:
+                      threshold: float = 0.5, schema=None) -> None:
     """Drain all new document files through the dedup-at-ingest loop
     (``Trigger.AvailableNow`` — run repeatedly; each call processes
     exactly the files that arrived since the last call).
@@ -55,23 +65,42 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
     admitted corpus document, or any lower-``doc_id`` document of the
     same micro-batch, reaches ``threshold``; otherwise it is admitted
     and immediately becomes part of the index later arrivals probe.
+    Documents too short to shingle (< ``n`` tokens) participate via an
+    exact-text fallback channel (band −1, bucket = text hash,
+    constant signature): near-dup is ill-defined below the shingle
+    size, so they dedup EXACTLY instead of being invisible to the
+    index (an unindexed short doc would be re-admitted on every
+    future drop).
+
+    ``schema``: pass the source schema to skip the batch-read
+    inference pass (which lists the whole source tree on every call);
+    when omitted it is derived from ``source_path`` once per call.
     """
-    static = spark.read.parquet(source_path)
+    if schema is None:
+        schema = spark.read.parquet(source_path).schema
     stream = (spark.readStream
-              .schema(static.schema)
+              .schema(schema)
               .option("basePath", source_path)
               .parquet(source_path))
 
-    est = (F.size(F.filter(
-        F.zip_with(F.col("p.sig"), F.col("i.sig"),
-                   lambda x, y: (x == y).cast("int")),
-        lambda v: v == 1)) / F.lit(num_hashes))
+    est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
+
+    def _banded_with_fallback(df: DataFrame) -> DataFrame:
+        banded = _lsh_banded(df, n, num_hashes, bands)
+        short = (df.join(banded.select("doc_id").distinct(),
+                         "doc_id", "left_anti")
+                 .select("doc_id",
+                         F.array_repeat(F.xxhash64("text"), num_hashes)
+                         .alias("sig"),
+                         F.lit(-1).alias("band"),
+                         F.xxhash64("text").alias("bucket")))
+        return banded.unionByName(short)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         if batch_df.isEmpty():
             return
         sess = batch_df.sparkSession
-        probe = _lsh_banded(batch_df, n, num_hashes, bands) \
+        probe = _banded_with_fallback(batch_df) \
             .localCheckpoint(eager=True)
         # vs the persisted index (everything admitted by prior epochs,
         # EXCLUDING any half-written copy of this very epoch — replay

@@ -31,7 +31,8 @@ y4my = st.one_of(raw, st.binary(max_size=200).map(
 def test_decode_image_never_escapes(payload):
     try:
         img = mm.decode_image(payload)
-        assert set(img) >= {"width", "height", "channels", "pixels"}
+        assert img["width"] > 0 and img["height"] > 0
+        assert img["channels"] in (1, 3)
         assert len(img["pixels"]) == (img["width"] * img["height"]
                                       * img["channels"])
     except CAUGHT:
@@ -43,6 +44,7 @@ def test_decode_image_never_escapes(payload):
 def test_decode_audio_never_escapes(payload):
     try:
         au = mm.decode_audio(payload)
+        assert au["sample_rate"] > 0 and au["n_channels"] > 0
         assert au["n_samples"] * au["n_channels"] == len(au["samples"])
         assert au["bits_per_sample"] in (8, 16)
     except CAUGHT:
@@ -54,6 +56,7 @@ def test_decode_audio_never_escapes(payload):
 def test_decode_video_never_escapes(payload):
     try:
         vid = mm.decode_video(payload)
+        assert vid["width"] > 0 and vid["height"] > 0
         assert vid["n_frames"] == len(vid["frames"])
         for f in vid["frames"]:
             assert len(f) == vid["width"] * vid["height"]

@@ -79,3 +79,29 @@ def test_in_batch_dups_lower_id_wins(spark, sf_smoke, tmp_path):
            .select("doc_id").collect()}
     assert ids and ids <= base_ids
     assert not any(i >= 500000 for i in ids)
+
+
+def test_short_docs_dedup_exactly_via_fallback_channel(spark, tmp_path):
+    """Documents too short to shingle (< n tokens) must still dedup —
+    EXACTLY, via the band -1 text-hash channel — instead of being
+    invisible to the index and re-admitted on every drop."""
+    src = str(tmp_path / "src")
+    first = spark.createDataFrame(
+        [(1, "en", "hello world"), (2, "en", "tiny"),
+         (3, "en", "completely different short")],
+        "doc_id long, lang string, text string")
+    first.write.parquet(src)
+    args = (spark, src, str(tmp_path / "c"), str(tmp_path / "i"),
+            str(tmp_path / "k"))
+    lsh_ingest_stream(*args)
+    # second drop: exact copies of the short docs + one new short doc
+    spark.createDataFrame(
+        [(100, "en", "hello world"), (200, "en", "tiny"),
+         (300, "en", "new short text")],
+        "doc_id long, lang string, text string") \
+        .write.mode("append").parquet(src)
+    lsh_ingest_stream(*args)
+    ids = {r["doc_id"] for r in
+           read_corpus(spark, str(tmp_path / "c"))
+           .select("doc_id").collect()}
+    assert ids == {1, 2, 3, 300}
