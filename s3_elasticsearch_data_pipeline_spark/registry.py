@@ -699,6 +699,84 @@ def q_audio_decode_features(spark, sf_dir):
                      / 1000000.0).alias("rms")))
 
 
+@register("multimodal_curation", """
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+m AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_distinct,
+         length(text) AS n_chars,
+         length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS n_alpha,
+         len(list_intersect(list_distinct(toks),
+             ['the','a','and','of','to','in','is','that','for','it']))
+           AS n_stop
+  FROM base),
+q AS (
+  SELECT doc_id,
+         floor((0.3 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0)
+               + 0.3 * (CASE WHEN n_tokens > 0
+                             THEN CAST(n_distinct AS DOUBLE) / n_tokens
+                             ELSE 0.0 END)
+               + 0.2 * (CASE WHEN n_chars > 0
+                             THEN CAST(n_alpha AS DOUBLE) / n_chars
+                             ELSE 0.0 END)
+               + 0.2 * least(CAST(n_stop AS DOUBLE) / 5.0, 1.0))
+               * 1000000.0 + 0.5) / 1000000.0 AS quality_score
+  FROM m),
+dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+  FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h, i.i
+  FROM dims d CROSS JOIN generate_series(0, 16 * 12 * 3 - 1) AS i(i)
+  WHERE i.i < d.w * d.h * 3),
+img AS (
+  SELECT doc_id,
+         floor(avg(CAST((((i // 3) % w) * 7 + (i // (3 * w)) * 13
+                         + (i % 3) * 31 + doc_id) % 256 AS DOUBLE))
+               * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity
+  FROM px GROUP BY doc_id, w, h),
+au AS (
+  SELECT doc_id,
+         floor(CAST(200 + (doc_id % 37) * 10 AS DOUBLE)
+               / (8000 * (1 + doc_id % 3)) * 1000000.0 + 0.5)
+           / 1000000.0 AS duration_s
+  FROM documents)
+SELECT q.doc_id, q.quality_score, img.mean_intensity, au.duration_s
+FROM q JOIN img ON q.doc_id = img.doc_id
+       JOIN au ON q.doc_id = au.doc_id
+WHERE q.quality_score >= 0.5
+""")
+def q_multimodal_curation(spark, sf_dir):
+    """Cross-modal curation join — the shape a multimodal training-set
+    builder runs: per-doc TEXT quality (columnar heuristics), IMAGE
+    features (real PPM decode), and AUDIO duration (real WAV decode)
+    computed by three independent pipelines, equi-joined on doc_id,
+    and filtered on the text-quality gate. All three branches are
+    oracle-reproducible, so the COMPOSITION is oracle-checked too —
+    at scale each branch scans its own modality store once and the
+    joins shuffle only per-doc feature rows."""
+    docs = _t(spark, sf_dir, "documents")
+    q = (text.quality_scores(docs)
+         .select("doc_id", "quality_score"))
+    img = (multimodal.image_features(
+        multimodal.attach_image_payload(docs))
+        .where(F.col("decode_ok"))
+        .select("doc_id",
+                (F.floor(F.col("mean_intensity") * 1000000.0 + 0.5)
+                 / 1000000.0).alias("mean_intensity")))
+    au = (multimodal.audio_features(
+        multimodal.attach_audio_payload(docs))
+        .where(F.col("decode_ok"))
+        .select("doc_id",
+                (F.floor(F.col("duration_s") * 1000000.0 + 0.5)
+                 / 1000000.0).alias("duration_s")))
+    return (q.join(img, "doc_id").join(au, "doc_id")
+            .where(F.col("quality_score") >= 0.5))
+
+
 @register("audio_chunk_rms", """
 WITH d AS (
   SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,

@@ -89,9 +89,21 @@ CASES = (
     ("incremental_lsh",
      lambda e: dedup.incremental_lsh_dedup(e["documents"])),
     ("bpe_train", lambda e: text.bpe_train(e["documents"])),
+    ("bpe_encode", lambda e: text.bpe_encode(e["documents"], merges=[])),
     ("product_quantize",
      lambda e: similarity.product_quantize(e["embeddings"])),
 )
+
+
+def test_media_pipelines_survive_empty_input(empties):
+    from s3_elasticsearch_data_pipeline_spark.operators import multimodal
+    docs = empties["documents"]
+    assert multimodal.audio_features(
+        multimodal.attach_audio_payload(docs)).count() == 0
+    assert multimodal.video_frame_features(
+        multimodal.attach_video_payload(docs)).count() == 0
+    assert multimodal.audio_chunk_rms(
+        multimodal.attach_audio_payload(docs)).count() == 0
 
 
 @pytest.mark.parametrize("name,build", CASES, ids=[c[0] for c in CASES])
