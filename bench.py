@@ -88,6 +88,7 @@ HEADLINE = (
     "ml_quality_classifier",
     "audio_decode_features",
     "video_decode_features",
+    "multimodal_curation",
 )
 
 
