@@ -417,6 +417,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     # callers hand in an expensive pipeline (e.g. the full ngram-Jaccard
     # join), and the two union branches would otherwise each recompute
     # it (exchange reuse across union arms is not guaranteed).
+    # Checkpoint-block hygiene (same discipline as pagerank): all
+    # per-round checkpoints are released deterministically on return;
+    # the result is checkpointed last so the release can't name it.
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    spark = pairs.sparkSession
+    before = persistent_rdd_ids(spark)
     pairs = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
     edges = (pairs.select(F.col("doc_id_a").alias("src"),
                           F.col("doc_id_b").alias("dst"))
@@ -448,6 +455,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
         labels = stepped.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    mid = persistent_rdd_ids(spark)
+    labels = labels.localCheckpoint(eager=True)
+    release_persistent_rdds(spark, mid - before)
     return labels
 
 
@@ -660,10 +670,13 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
     """
     corpus = documents.where(F.col("doc_id") % batch_mod != 0)
     batch = documents.where(F.col("doc_id") % batch_mod == 0)
+    # lazy checkpoints: both sides materialize inside the ONE probe job
+    # (index and probe branches shingle in parallel) instead of two
+    # serialized eager jobs; lineage is still truncated for reuse
     index = _lsh_banded(corpus, n, num_hashes, bands) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     probe = _lsh_banded(batch, n, num_hashes, bands) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
     matched = (probe.alias("p")
                .join(index.alias("i"),

@@ -57,11 +57,16 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # an expensive pipeline (join+distinct), and the degree pass, the
     # edges_d checkpoint, and the node-set derivation would otherwise
     # each re-run it from scratch.
-    # localCheckpoint (not persist) throughout: checkpoint blocks are
-    # released by the ContextCleaner once the frame is unreachable,
-    # whereas persist() pins the relation in the CacheManager until an
-    # explicit unpersist — repeated pagerank calls in a long-lived
-    # session (bench loops, sweeps) would accumulate cached relations.
+    # Checkpoint-block hygiene: every intermediate checkpointed here is
+    # released DETERMINISTICALLY before returning (waiting on the async
+    # GC→ContextCleaner path let blocks pile up across repeated calls —
+    # measured 2.5 s → 14 s over eight calls in one session). The
+    # returned ranks are eagerly checkpointed LAST, so they are
+    # self-contained and never named by the release diff.
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    spark = edges.sparkSession
+    before = persistent_rdd_ids(spark)
     edges = edges.localCheckpoint(eager=True)
     deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
            .localCheckpoint(eager=True))
@@ -99,7 +104,13 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                           + F.lit(damping)
                           * F.coalesce(F.col("__s").cast("double"),
                                        F.lit(0.0))).alias("rank")))
-    return ranks.select("node", F.round("rank", 12).alias("rank"))
+    out = ranks.select("node", F.round("rank", 12).alias("rank"))
+    # materialize the result (also forcing the lazy edges_d/base
+    # checkpoints), THEN free every intermediate this call pinned
+    mid = persistent_rdd_ids(spark)
+    out = out.localCheckpoint(eager=True)
+    release_persistent_rdds(spark, mid - before)
+    return out
 
 
 def copurchase_edges(lineitem: DataFrame) -> DataFrame:

@@ -49,20 +49,52 @@ def quality_features(documents: DataFrame) -> DataFrame:
         ((n_chars - F.size(toks) + 1) / n_toks).alias("mean_word_len"))
 
 
+#: Below this row count the 2×iters scheduled jobs of the distributed
+#: GD loop are pure overhead next to one (n × 6 doubles ≤ ~48 MB)
+#: Arrow collect — the same small-side auto-switch as PageRank's
+#: broadcast limit. Above it, nothing feature-sized ever leaves the
+#: executors.
+DRIVER_GD_MAX_ROWS = 1_000_000
+
+
 def train_quality_classifier(documents: DataFrame, iters: int = 15,
-                             lr: float = 0.5) -> DataFrame:
+                             lr: float = 0.5,
+                             driver_path_max_rows: int = DRIVER_GD_MAX_ROWS,
+                             ) -> DataFrame:
     """Full-batch GD logistic regression over the feature frame.
 
     Returns one row per feature: (feature, weight) plus a final
     ``__loss__`` row carrying the mean log-loss — everything a caller
     needs to apply or monitor the filter. Deterministic: decimal
     gradient accumulation + fixed iteration count (no data-dependent
-    early stop to keep the plan shape static)."""
-    feats = quality_features(documents).localCheckpoint(eager=True)
-    n_row = feats.count()
+    early stop to keep the plan shape static).
+
+    Two physical strategies behind one logical trainer, selected by
+    feature-frame size (feature EXTRACTION is distributed either way —
+    it is the only data-sized pass):
+
+    * **distributed** (rows > ``driver_path_max_rows``): one scan +
+      one 1-row DECIMAL aggregate per iteration; the driver holds only
+      the weight vector.
+    * **driver** (small frames): the 2×iters near-empty scheduled jobs
+      cost more than the data — collect the (doc_id-sorted) feature
+      matrix once via Arrow and run the identical iteration locally in
+      numpy. Same algorithm, same fixed iteration count, deterministic
+      (fixed row order ⇒ fixed float summation order).
+    """
+    feats = quality_features(documents)
+    # Path probe and driver-path data acquisition in ONE job: pull at
+    # most cap+1 feature rows; an overflow row means "stay distributed".
+    head = (feats.select("doc_id", "y", *FEATURES)
+            .limit(driver_path_max_rows + 1).toPandas())
+    n_row = len(head)
     if n_row == 0:
         return documents.sparkSession.createDataFrame(
             [], "feature string, weight double")
+    if n_row <= driver_path_max_rows:
+        return _train_driver_side(documents.sparkSession, head, iters, lr)
+    feats = feats.localCheckpoint(eager=True)
+    n_row = feats.count()
     # Right-size the GD tasks: every iteration re-scans this frame with
     # a tight columnar aggregate, so target ~1M rows per task — at
     # corpus scale that keeps tasks meaty, and at small SF it avoids
@@ -95,6 +127,31 @@ def train_quality_classifier(documents: DataFrame, iters: int = 15,
     rows.append(("__loss__", round(loss, 10)))
     return documents.sparkSession.createDataFrame(
         rows, "feature string, weight double")
+
+
+def _train_driver_side(spark, pdf, iters: int, lr: float) -> DataFrame:
+    """The small-frame GD path: identical full-batch iteration over the
+    Arrow-collected feature matrix (a pandas frame with doc_id, y and
+    the feature columns). Row order is pinned by doc_id so the float
+    summation order (and hence the last-ulp of the result) does not
+    depend on partitioning."""
+    import numpy as np
+
+    pdf = pdf.sort_values("doc_id", kind="mergesort")
+    n_row = len(pdf)
+    X = pdf[list(FEATURES)].to_numpy(dtype="float64")
+    y = pdf["y"].to_numpy(dtype="float64")
+    w = np.zeros(len(FEATURES))
+    for _ in range(iters):
+        p = 1.0 / (1.0 + np.exp(-(X @ w)))
+        w = w - lr * (X.T @ (p - y)) / n_row
+    p = 1.0 / (1.0 + np.exp(-(X @ w)))
+    eps = 1e-12
+    loss = float(np.sum(-(y * np.log(p + eps)
+                          + (1.0 - y) * np.log(1.0 - p + eps)))) / n_row
+    rows = [(f, round(float(w[i]), 10)) for i, f in enumerate(FEATURES)]
+    rows.append(("__loss__", round(loss, 10)))
+    return spark.createDataFrame(rows, "feature string, weight double")
 
 
 def apply_quality_classifier(documents: DataFrame,

@@ -924,7 +924,18 @@ def _merge_pair_in_arrays(syms, left: str, right: str):
         ).otherwise(F.concat(acc, F.array(s))))
 
 
-def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
+#: Below this word-TYPE count the per-round scheduled job (hash agg +
+#: 1-row argmax) is pure overhead next to one vocab-sized Arrow collect
+#: — run the identical merge loop driver-side (the type table is a few
+#: MB; the corpus-sized tokenize pass stays distributed either way).
+#: Above it — web-scale vocabularies with noise tokens — every round
+#: stays a distributed aggregate and nothing vocab-sized is collected.
+DRIVER_BPE_MAX_TYPES = 100_000
+
+
+def bpe_train(documents: DataFrame, n_merges: int = 8,
+              driver_path_max_types: int = DRIVER_BPE_MAX_TYPES,
+              ) -> DataFrame:
     """Full byte-pair-encoding training loop (Sennrich et al., ACL 2016)
     as iterated DataFrame algebra — the distributed tokenizer trainer.
 
@@ -954,8 +965,14 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
              .select(F.explode(tokens(F.col("text"))).alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
              .select(F.split(F.col("word"), "").alias("syms"), "n")
-             .where(F.size("syms") >= 2)
-             .localCheckpoint(eager=True))
+             .where(F.size("syms") >= 2))
+    # Path probe and driver-path data acquisition in ONE job: pull at
+    # most cap+1 type rows; an overflow row means "stay distributed".
+    head = words.limit(driver_path_max_types + 1).toPandas()
+    if len(head) <= driver_path_max_types:
+        return _bpe_train_driver_side(documents.sparkSession, head,
+                                      n_merges)
+    words = words.localCheckpoint(eager=True)
     merges = []
     for rank in range(1, n_merges + 1):
         lefts = F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1)
@@ -979,6 +996,46 @@ def bpe_train(documents: DataFrame, n_merges: int = 8) -> DataFrame:
     return documents.sparkSession.createDataFrame(
         merges, "merge_rank int, left_tok string, right_tok string, "
                 "pair_count bigint, new_symbol string")
+
+
+def _bpe_train_driver_side(spark, pdf, n_merges: int) -> DataFrame:
+    """The small-vocabulary merge loop: identical greedy BPE (same
+    deterministic argmax — count desc, then (left, right) asc — and
+    the same left-to-right non-overlapping merge fold as
+    :func:`_merge_pair_in_arrays`) over the Arrow-collected word-type
+    table (a pandas frame with ``syms``/``n`` columns). Pure integer
+    counting — bit-identical to the distributed rounds on any input."""
+    from collections import Counter
+
+    vocab = [(list(s), int(n)) for s, n in zip(pdf["syms"], pdf["n"])]
+    merges = []
+    for rank in range(1, n_merges + 1):
+        pairs: Counter = Counter()
+        for syms, c in vocab:
+            for a, b in zip(syms, syms[1:]):
+                pairs[(a, b)] += c
+        if not pairs:
+            break
+        (l, r), cnt = min(pairs.items(),
+                          key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        merges.append((rank, l, r, int(cnt), l + r))
+        nxt = []
+        for syms, c in vocab:
+            if l in syms:  # cheap containment gate before the fold
+                out = []
+                for s in syms:
+                    if out and out[-1] == l and s == r:
+                        out[-1] = l + r
+                    else:
+                        out.append(s)
+                syms = out
+            if len(syms) >= 2:
+                nxt.append((syms, c))
+        vocab = nxt
+    return spark.createDataFrame(
+        merges, "merge_rank int, left_tok string, right_tok string, "
+                "pair_count bigint, new_symbol string")
+
 
 def bpe_encode(documents: DataFrame, n_merges: int = 8,
                merges: list | None = None,

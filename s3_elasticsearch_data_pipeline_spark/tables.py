@@ -54,6 +54,56 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (path, size, mtime) → row-group count; parquet footers are immutable
+#: for a given (size, mtime), so entries never go stale.
+_ROW_GROUP_CACHE: dict[tuple[str, int, float], int] = {}
+
+
+def _scan_split_estimate(df: DataFrame) -> int | None:
+    """Cheaply estimate how many tasks the scan stage of ``df`` gets.
+
+    Spark assigns each parquet ROW GROUP to the byte-range split that
+    contains its midpoint, so a file's effective parallelism is
+    ``min(row_groups, ceil(bytes / maxPartitionBytes))``. Both inputs
+    are available driver-side without materializing an RDD: the plan's
+    ``inputFiles()`` plus a (cached) pyarrow footer read per file.
+    Returns None when the estimate isn't cheaply available (non-local
+    storage, derived frames) — callers then fall back to the exact but
+    costlier ``df.rdd.getNumPartitions()``.
+    """
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return None
+    if not files:
+        return None
+    try:
+        max_bytes = int(df.sparkSession.conf.get(
+            "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
+    except ValueError:
+        max_bytes = 128 * 1024 * 1024
+    total = 0
+    for uri in files:
+        if uri.startswith("file:"):
+            path = uri[len("file://"):] if uri.startswith("file://") \
+                else uri[len("file:"):]
+        elif uri.startswith("/"):
+            path = uri
+        else:
+            return None  # remote storage — not worth a driver round-trip
+        try:
+            st = os.stat(path)
+            key = (path, st.st_size, st.st_mtime)
+            if key not in _ROW_GROUP_CACHE:
+                import pyarrow.parquet as pq
+                _ROW_GROUP_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
+            total += min(_ROW_GROUP_CACHE[key],
+                         -(-st.st_size // max_bytes))
+        except Exception:
+            return None
+    return total
+
+
 def parallelize_for_compute(df: DataFrame,
                             min_partitions: int | None = None) -> DataFrame:
     """Ensure a frame ENTERING AN EXPENSIVE PER-ROW COMPUTE STAGE
@@ -69,13 +119,21 @@ def parallelize_for_compute(df: DataFrame,
     input buys a fully parallel compute stage. Deterministic filters
     and column pruning still push through the repartition to the scan.
 
+    The split-count check itself must be cheap — it runs on the query
+    path. For parquet scans it's answered driver-side from file sizes
+    + (cached) footer row-group counts; only derived/remote frames pay
+    the exact ``.rdd`` materialization.
+
     Use ONLY in front of genuinely expensive per-row work — cheap
     columnar aggregates are better off without the extra exchange.
     """
     spark = df.sparkSession
     if min_partitions is None:
         min_partitions = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < min_partitions:
+    splits = _scan_split_estimate(df)
+    if splits is None:
+        splits = df.rdd.getNumPartitions()
+    if splits < min_partitions:
         return df.repartition(min_partitions)
     return df
 

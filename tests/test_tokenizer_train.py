@@ -40,11 +40,17 @@ def _reference_bpe(word_counts: dict[str, int], n_merges: int):
     return merges
 
 
-def test_bpe_train_matches_reference(spark, sf_smoke):
+import pytest
+
+
+@pytest.mark.parametrize("driver_cap", [0, 100_000],
+                         ids=["distributed", "driver"])
+def test_bpe_train_matches_reference(spark, sf_smoke, driver_cap):
     docs = load_table(spark, sf_smoke, "documents")
     got = [(r["merge_rank"], r["left_tok"], r["right_tok"],
             r["pair_count"], r["new_symbol"])
-           for r in bpe_train(docs, n_merges=8)
+           for r in bpe_train(docs, n_merges=8,
+                              driver_path_max_types=driver_cap)
            .orderBy("merge_rank").collect()]
     counts = {r["word"]: r["n"] for r in
               docs.select(F.explode(F.split(
