@@ -119,13 +119,23 @@ def main() -> None:
     timings: dict[str, float] = {}
     total = 0.0
     jsc = spark.sparkContext._jsc.sc()
+    # Noise-adaptive best-of-N: the host is a shared microVM — minute-
+    # scale neighbor load inflates wall clock 2-3× (measured: identical
+    # code+data, 62 s vs 112 s totals an hour apart). Two runs per
+    # query; when they disagree by >35% the spread is noise, so take up
+    # to two more samples, under a global extra-time budget so a storm
+    # can't run the bench unbounded. min stays the honest steady-state
+    # cost either way.
     import gc
+    extra_budget = 90.0
     for name in HEADLINE:
-        best, rows = float("inf"), 0
-        for _ in range(2):
+        samples, rows = [], 0
+
+        def one_run() -> None:
+            nonlocal rows
             t0 = time.perf_counter()
             rows = len(qs[name](spark, sf_dir).collect())
-            best = min(best, time.perf_counter() - t0)
+            samples.append(time.perf_counter() - t0)
             # drop localCheckpoint blocks the query pinned (pagerank,
             # tf-idf, …) BETWEEN runs too — leftover blocks squeeze the
             # BlockManager and showed up as multi-second eviction stalls
@@ -133,6 +143,16 @@ def main() -> None:
             it = jsc.getPersistentRDDs().valuesIterator()
             while it.hasNext():
                 it.next().unpersist(False)
+
+        one_run()
+        one_run()
+        # confident when the two FASTEST samples agree within 20%
+        while (len(samples) < 4 and extra_budget > 0
+               and sorted(samples)[1] / max(min(samples), 1e-9) > 1.2):
+            t0 = time.perf_counter()
+            one_run()
+            extra_budget -= time.perf_counter() - t0
+        best = min(samples)
         dt = round(best, 3)
         timings[name] = dt
         total += dt

@@ -536,6 +536,10 @@ def connected_components_star(pairs: DataFrame,
     ``connected_components``: (doc_id, cluster_id=min reachable id),
     equivalence property-tested on adversarial graph shapes.
     """
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    spark = pairs.sparkSession
+    before = persistent_rdd_ids(spark)
     edges = (pairs.select(F.col("doc_id_a").alias("a"),
                           F.col("doc_id_b").alias("b"))
              .where(F.col("a") != F.col("b"))
@@ -545,6 +549,19 @@ def connected_components_star(pairs: DataFrame,
     nodes = (_symmetrize(edges).select(F.col("a").alias("doc_id"))
              .distinct().localCheckpoint(eager=True))
 
+    # Fixpoint detection on the canonical (a<b, distinct) edge set via
+    # a one-pass signature — (count, Σ xxhash64(a,b)) — instead of two
+    # exceptAll shuffles per round; equal signatures on consecutive
+    # rounds means an identical set up to an engineered 64-bit-sum
+    # collision (not a property of real dedup graphs). The signature
+    # job doubles as the round's checkpoint materialization.
+    def _sig(e):
+        r = e.agg(F.count(F.lit(1)).alias("c"),
+                  F.sum(F.xxhash64("a", "b").cast("decimal(38,0)"))
+                  .alias("h")).collect()[0]  # decimal: no ANSI overflow
+        return (r["c"], r["h"])
+
+    prev_sig = _sig(edges)
     for _ in range(max_iter):
         d = _symmetrize(edges).select(F.col("a").alias("u"),
                                       F.col("b").alias("v"))
@@ -556,7 +573,8 @@ def connected_components_star(pairs: DataFrame,
         e1 = (large.where(F.col("a") != F.col("b"))
               .select(F.least("a", "b").alias("a"),
                       F.greatest("a", "b").alias("b"))
-              .distinct().localCheckpoint(eager=True))
+              .distinct().localCheckpoint(eager=False))  # materialized
+        # by this round's signature job (one job per round, not three)
         # small-star over the large-star output
         d2 = _symmetrize(e1).select(F.col("a").alias("u"),
                                     F.col("b").alias("v"))
@@ -569,20 +587,24 @@ def connected_components_star(pairs: DataFrame,
         e2 = (small.where(F.col("a") != F.col("b"))
               .select(F.least("a", "b").alias("a"),
                       F.greatest("a", "b").alias("b"))
-              .distinct().localCheckpoint(eager=True))
-        if e2.exceptAll(edges).count() == 0 \
-                and edges.exceptAll(e2).count() == 0:
-            edges = e2
-            break
+              .distinct().localCheckpoint(eager=False))
+        sig = _sig(e2)
         edges = e2
+        if sig == prev_sig:
+            break
+        prev_sig = sig
 
     labels = (_symmetrize(edges).groupBy(F.col("a").alias("doc_id"))
               .agg(F.min("b").alias("__mn"))
               .select("doc_id", F.least("doc_id", "__mn").alias("cluster_id")))
-    return (nodes.join(labels, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce("cluster_id", F.col("doc_id"))
-                    .alias("cluster_id")))
+    out = (nodes.join(labels, "doc_id", "left")
+           .select("doc_id",
+                   F.coalesce("cluster_id", F.col("doc_id"))
+                   .alias("cluster_id")))
+    mid = persistent_rdd_ids(spark)
+    out = out.localCheckpoint(eager=True)
+    release_persistent_rdds(spark, mid - before)
+    return out
 
 
 def incremental_batch_dedup(documents: DataFrame,

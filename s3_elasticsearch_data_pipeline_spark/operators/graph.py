@@ -27,7 +27,8 @@ BROADCAST_NODE_LIMIT = 10_000_000
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              broadcast_ranks: bool | None = None,
-             broadcast_node_limit: int = BROADCAST_NODE_LIMIT) -> DataFrame:
+             broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+             materialize: bool = True) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
     Every node must appear as a ``src`` (for an undirected graph pass
@@ -105,10 +106,29 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                           * F.coalesce(F.col("__s").cast("double"),
                                        F.lit(0.0))).alias("rank")))
     out = ranks.select("node", F.round("rank", 12).alias("rank"))
+    if not materialize:
+        # Plan-inspection path (tests / explain tooling): return the
+        # lazy plan so the chosen join strategy is visible — an eager
+        # localCheckpoint would replace it with an opaque RDD scan.
+        # Intermediate checkpoint blocks stay pinned until the caller's
+        # session GC runs; production callers use materialize=True.
+        return out
     # materialize the result (also forcing the lazy edges_d/base
-    # checkpoints), THEN free every intermediate this call pinned
+    # checkpoints), THEN free every intermediate this call pinned.
+    # In broadcast mode every shuffle here is node-vector-sized and the
+    # rank side broadcasts, so AQE's per-stage re-plan jobs (measured:
+    # 17 jobs → slower wall clock on the 3-iteration loop) buy nothing
+    # — scope it off for the materializing action; the partitioned
+    # (huge-graph) mode keeps AQE for its skew handling.
     mid = persistent_rdd_ids(spark)
-    out = out.localCheckpoint(eager=True)
+    aqe_key = "spark.sql.adaptive.enabled"
+    prior_aqe = spark.conf.get(aqe_key, "true")
+    try:
+        if broadcast_ranks:
+            spark.conf.set(aqe_key, "false")
+        out = out.localCheckpoint(eager=True)
+    finally:
+        spark.conf.set(aqe_key, prior_aqe)
     release_persistent_rdds(spark, mid - before)
     return out
 

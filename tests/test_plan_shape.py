@@ -278,6 +278,7 @@ _PYTHON_ALLOWED = {
     "audio_decode_features",       # mapInPandas REAL WAV decode
     "audio_chunk_rms",             # mapInPandas REAL PCM chunking
     "video_decode_features",       # mapInPandas REAL y4m decode
+    "multimodal_curation",         # composes the real decoders above
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
@@ -486,13 +487,19 @@ def test_pagerank_partitioned_path_never_broadcasts_ranks(spark, sf_oracle):
     # threshold anyway.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        big = pagerank(edges, iters=2, broadcast_ranks=False)
-        plan = plan_of(big)
+        # Plan shape on the LAZY path (materialize=True returns an
+        # opaque checkpoint scan, hiding the join strategy):
+        plan = plan_of(pagerank(edges, iters=2, broadcast_ranks=False,
+                                materialize=False))
         assert "BroadcastHashJoin" not in plan, \
             "partitioned PageRank must not broadcast any node-sized side"
         assert "BroadcastNestedLoopJoin" not in plan
+        plan_small = plan_of(pagerank(edges, iters=2, broadcast_ranks=True,
+                                      materialize=False))
+        assert plan_small.count("BroadcastHashJoin") >= 2
+        # Value equality on the production (materialized) path:
+        big = pagerank(edges, iters=2, broadcast_ranks=False)
         small = pagerank(edges, iters=2, broadcast_ranks=True)
-        assert plan_of(small).count("BroadcastHashJoin") >= 2
         assert big.exceptAll(small).count() == 0
         assert small.exceptAll(big).count() == 0
     finally:
