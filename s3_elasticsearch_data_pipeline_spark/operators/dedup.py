@@ -396,7 +396,57 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
             .where(F.col("cosine_sim") >= threshold))
 
 
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+#: Below this pair count the iterative loop's scheduled jobs (one
+#: join+agg round per graph-diameter step, plus the checkpoint jobs)
+#: are pure overhead next to one 16-byte-per-pair Arrow collect — the
+#: same small-side auto-switch as the GD/BPE trainers. 1M pairs is
+#: ~16 MB on the driver; above it, nothing pair-sized leaves the
+#: executors.
+DRIVER_CC_MAX_PAIRS = 1_000_000
+
+
+def _driver_union_find(spark, pdf, id_type: str,
+                       drop_self: bool) -> DataFrame:
+    """Union-find (path-halving) over a collected pair frame; returns
+    (doc_id, cluster_id=min reachable id) with the same contract as the
+    distributed fixpoints. ``drop_self``: the star variant excludes
+    nodes that only appear in self-pairs; plain propagation keeps them
+    (labeled as their own singleton cluster)."""
+    import numpy as np
+    a = pdf["doc_id_a"].to_numpy()
+    b = pdf["doc_id_b"].to_numpy()
+    if drop_self:
+        keep = a != b
+        a, b = a[keep], b[keep]
+    schema = f"doc_id {id_type}, cluster_id {id_type}"
+    if not len(a):
+        return spark.createDataFrame([], schema)
+    nodes, inv = np.unique(np.concatenate([a, b]), return_inverse=True)
+    parent = list(range(len(nodes)))
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for u, v in zip(inv[:len(a)].tolist(), inv[len(a):].tolist()):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[rv] = ru
+    vals = nodes.tolist()
+    comp_min: dict[int, int] = {}
+    roots = [find(i) for i in range(len(nodes))]
+    for i, r in enumerate(roots):  # vals ascending -> first hit is min
+        if r not in comp_min:
+            comp_min[r] = vals[i]
+    rows = [(vals[i], comp_min[roots[i]]) for i in range(len(nodes))]
+    return spark.createDataFrame(rows, schema)
+
+
+def connected_components(pairs: DataFrame, max_iter: int = 25,
+                         driver_path_max_pairs: int = DRIVER_CC_MAX_PAIRS,
+                         ) -> DataFrame:
     """Near-dup clusters from a pair list: connected components, one
     row per non-singleton document, ``cluster_id`` = min doc_id
     reachable.
@@ -412,6 +462,15 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     Components in MapReduce and Beyond", SoCC 2014) — same join/agg
     primitive, O(log²) rounds; this simple propagation is the right
     cost model for dedup-shaped graphs.
+
+    Two physical strategies behind one logical operator (the trainer
+    auto-switch pattern): below ``driver_path_max_pairs`` the pair list
+    is collected once via Arrow and resolved by driver-side union-find
+    — the iterative loop's ~diameter scheduled jobs are pure overhead
+    next to a ≤16 MB collect. Above the cap, the distributed fixpoint
+    runs unchanged and nothing pair-sized leaves the executors. The
+    path probe and the driver-path data acquisition are ONE job
+    (``limit(cap+1).toPandas()``); both paths are equivalence-tested.
     """
     # Materialize the incoming pair plan ONCE before bidirecting it:
     # callers hand in an expensive pipeline (e.g. the full ngram-Jaccard
@@ -423,6 +482,11 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
     spark = pairs.sparkSession
+    id_type = dict(pairs.dtypes)["doc_id_a"]
+    head = (pairs.select("doc_id_a", "doc_id_b")
+            .limit(driver_path_max_pairs + 1).toPandas())
+    if len(head) <= driver_path_max_pairs:
+        return _driver_union_find(spark, head, id_type, drop_self=False)
     before = persistent_rdd_ids(spark)
     pairs = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
     edges = (pairs.select(F.col("doc_id_a").alias("src"),
@@ -523,8 +587,9 @@ def _symmetrize(e: DataFrame) -> DataFrame:
                                   F.col("a").alias("b")))
 
 
-def connected_components_star(pairs: DataFrame,
-                              max_iter: int = 20) -> DataFrame:
+def connected_components_star(pairs: DataFrame, max_iter: int = 20,
+                              driver_path_max_pairs: int =
+                              DRIVER_CC_MAX_PAIRS) -> DataFrame:
     """Connected components via alternating large-star / small-star
     contractions (Kiveris et al., SoCC 2014): converges in O(log^2 n)
     rounds on ANY graph shape, vs graph-diameter rounds for plain label
@@ -535,10 +600,21 @@ def connected_components_star(pairs: DataFrame,
     long pairs), lineage truncated per round. Output matches
     ``connected_components``: (doc_id, cluster_id=min reachable id),
     equivalence property-tested on adversarial graph shapes.
+
+    Same small-side auto-switch as ``connected_components``: below
+    ``driver_path_max_pairs`` one Arrow collect + driver union-find
+    replaces the round-per-log² scheduled jobs; the distributed
+    contraction is the unchanged scale path. (Star drops self-pair-only
+    nodes — mirrored by ``drop_self=True``.)
     """
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
     spark = pairs.sparkSession
+    id_type = dict(pairs.dtypes)["doc_id_a"]
+    head = (pairs.select("doc_id_a", "doc_id_b")
+            .limit(driver_path_max_pairs + 1).toPandas())
+    if len(head) <= driver_path_max_pairs:
+        return _driver_union_find(spark, head, id_type, drop_self=True)
     before = persistent_rdd_ids(spark)
     edges = (pairs.select(F.col("doc_id_a").alias("a"),
                           F.col("doc_id_b").alias("b"))

@@ -164,11 +164,19 @@ def test_star_cc_equals_label_propagation(spark, edges):
     if not edges:
         return
     df = spark.createDataFrame(edges, "doc_id_a long, doc_id_b long")
+    # driver_path_max_pairs=0 pins the DISTRIBUTED paths; the default
+    # call takes the driver union-find — all three must agree.
     a = {(r.doc_id, r.cluster_id)
-         for r in dedup.connected_components(df).collect()}
+         for r in dedup.connected_components(
+             df, driver_path_max_pairs=0).collect()}
     b = {(r.doc_id, r.cluster_id)
+         for r in dedup.connected_components_star(
+             df, driver_path_max_pairs=0).collect()}
+    c = {(r.doc_id, r.cluster_id)
+         for r in dedup.connected_components(df).collect()}
+    d = {(r.doc_id, r.cluster_id)
          for r in dedup.connected_components_star(df).collect()}
-    assert a == b
+    assert a == b == c == d
 
 
 def test_dataset_shuffle_positions_are_dense_permutations(spark, sf_oracle):

@@ -193,7 +193,9 @@ def test_connected_components_rounds_are_compact(spark, sf_oracle):
     docs = registry.queries()["dedup_exact"](spark, sf_oracle)  # warm
     from s3_elasticsearch_data_pipeline_spark.tables import load_table
     pairs = dd.ngram_jaccard_pairs(load_table(spark, sf_oracle, "documents"))
-    labels = dd.connected_components(pairs)
+    # driver_path_max_pairs=0 pins the DISTRIBUTED fixpoint (the small
+    # input would otherwise take the driver union-find fast path)
+    labels = dd.connected_components(pairs, driver_path_max_pairs=0)
     # post-fixpoint frame is checkpointed: its plan must be a scan of
     # the checkpoint RDD, not the full recursive join tree
     plan = labels._jdf.queryExecution().executedPlan().toString()
