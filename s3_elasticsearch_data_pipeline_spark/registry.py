@@ -757,24 +757,37 @@ def q_multimodal_curation(spark, sf_dir):
     and filtered on the text-quality gate. All three branches are
     oracle-reproducible, so the COMPOSITION is oracle-checked too —
     at scale each branch scans its own modality store once and the
-    joins shuffle only per-doc feature rows."""
+    joins shuffle only per-doc feature rows.
+
+    The text gate is pushed BELOW the decoders by hand: the final
+    inner join discards gated-out docs anyway, so image/audio bytes
+    are decoded only for survivors (~4× less Python decode here;
+    at 100 TB the cheap columnar modality always gates the expensive
+    one). Catalyst can't do this — the gate sits above a mapInPandas
+    it won't reorder across. The gated (doc_id, score) frame is
+    materialized once (lazy checkpoint): three consumers would
+    otherwise each re-run the tokenize scan, costing more than the
+    decode saved — it is the survivors manifest a production curation
+    pipeline persists anyway."""
     docs = _t(spark, sf_dir, "documents")
     q = (text.quality_scores(docs)
-         .select("doc_id", "quality_score"))
+         .select("doc_id", "quality_score")
+         .where(F.col("quality_score") >= 0.5)
+         .localCheckpoint(eager=False))
+    kept = docs.join(q.select("doc_id"), "doc_id", "left_semi")
     img = (multimodal.image_features(
-        multimodal.attach_image_payload(docs))
+        multimodal.attach_image_payload(kept))
         .where(F.col("decode_ok"))
         .select("doc_id",
                 (F.floor(F.col("mean_intensity") * 1000000.0 + 0.5)
                  / 1000000.0).alias("mean_intensity")))
     au = (multimodal.audio_features(
-        multimodal.attach_audio_payload(docs))
+        multimodal.attach_audio_payload(kept))
         .where(F.col("decode_ok"))
         .select("doc_id",
                 (F.floor(F.col("duration_s") * 1000000.0 + 0.5)
                  / 1000000.0).alias("duration_s")))
-    return (q.join(img, "doc_id").join(au, "doc_id")
-            .where(F.col("quality_score") >= 0.5))
+    return q.join(img, "doc_id").join(au, "doc_id")
 
 
 @register("audio_chunk_rms", """
