@@ -210,6 +210,19 @@ def test_scd2_single_shuffle(spark, sf_oracle):
     assert plan.count("hashpartitioning") <= 1, plan[:1500]
 
 
+def test_multimodal_curation_gates_before_decode(spark, sf_oracle):
+    """The text-quality gate must sit BELOW the image/audio decoders
+    (left-semi join on the gated id manifest): the final inner join
+    discards gated-out docs anyway, so decoding them is pure waste —
+    Catalyst won't reorder a filter across mapInPandas, so the shape
+    is enforced by construction and guarded here."""
+    df = registry.queries()["multimodal_curation"](spark, sf_oracle)
+    plan = plan_of(df)
+    # one semi-join per decode branch feeds each MapInPandas
+    assert plan.count("LeftSemi") >= 2, plan[:2000]
+    assert plan.count("MapInPandas") >= 2
+
+
 def test_contamination_broadcasts_benchmark(spark, sf_oracle):
     """The benchmark gram set must broadcast; the corpus side must not
     shuffle before the join."""
