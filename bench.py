@@ -122,10 +122,10 @@ def main() -> None:
     # Noise-adaptive best-of-N: the host is a shared microVM — minute-
     # scale neighbor load inflates wall clock 2-3× (measured: identical
     # code+data, 62 s vs 112 s totals an hour apart). Two runs per
-    # query; when they disagree by >35% the spread is noise, so take up
-    # to two more samples, under a global extra-time budget so a storm
-    # can't run the bench unbounded. min stays the honest steady-state
-    # cost either way.
+    # query; when the two fastest disagree by >20% the spread is noise,
+    # so take up to two more samples, under a global extra-time budget
+    # so a storm can't run the bench unbounded. min stays the honest
+    # steady-state cost either way.
     import gc
     extra_budget = 90.0
     for name in HEADLINE:

@@ -39,6 +39,7 @@ SCALE_QUERIES = (
     "dedup_incremental_lsh", "sim_topk_pq", "decontamination_containment",
     "ml_quality_classifier", "audio_decode_features",
     "video_decode_features",
+    "dedup_connected_components", "multimodal_curation",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),

@@ -413,6 +413,7 @@ def _driver_union_find(spark, pdf, id_type: str,
     nodes that only appear in self-pairs; plain propagation keeps them
     (labeled as their own singleton cluster)."""
     import numpy as np
+    import pandas as pd
     a = pdf["doc_id_a"].to_numpy()
     b = pdf["doc_id_b"].to_numpy()
     if drop_self:
@@ -434,14 +435,15 @@ def _driver_union_find(spark, pdf, id_type: str,
         ru, rv = find(u), find(v)
         if ru != rv:
             parent[rv] = ru
-    vals = nodes.tolist()
-    comp_min: dict[int, int] = {}
-    roots = [find(i) for i in range(len(nodes))]
-    for i, r in enumerate(roots):  # vals ascending -> first hit is min
-        if r not in comp_min:
-            comp_min[r] = vals[i]
-    rows = [(vals[i], comp_min[roots[i]]) for i in range(len(nodes))]
-    return spark.createDataFrame(rows, schema)
+    roots = np.fromiter((find(i) for i in range(len(nodes))),
+                        dtype=np.int64, count=len(nodes))
+    # nodes is ascending ⇒ min doc_id per root = groupby-min transform
+    out = pd.DataFrame({"doc_id": nodes,
+                        "cluster_id": pd.Series(nodes)
+                        .groupby(roots).transform("min").to_numpy()})
+    # pandas input → Arrow conversion path (a list of tuples would be
+    # pickled row-by-row, eroding the fast path near the 1M-pair cap)
+    return spark.createDataFrame(out, schema=schema)
 
 
 def connected_components(pairs: DataFrame, max_iter: int = 25,
@@ -482,13 +484,23 @@ def connected_components(pairs: DataFrame, max_iter: int = 25,
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
     spark = pairs.sparkSession
-    id_type = dict(pairs.dtypes)["doc_id_a"]
-    head = (pairs.select("doc_id_a", "doc_id_b")
-            .limit(driver_path_max_pairs + 1).toPandas())
-    if len(head) <= driver_path_max_pairs:
-        return _driver_union_find(spark, head, id_type, drop_self=False)
     before = persistent_rdd_ids(spark)
+    # Checkpoint BEFORE probing: the caller's pair plan (typically the
+    # full similarity join) runs exactly once either way — probing the
+    # raw plan first would re-run it from scratch on above-cap inputs,
+    # since a shuffle-heavy limit() still executes every upstream stage.
     pairs = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+    dts = dict(pairs.dtypes)
+    if dts["doc_id_a"] == dts["doc_id_b"]:  # mixed-width ids: the driver
+        # path would narrow one side — stay distributed (coerces via
+        # least/greatest like any join)
+        head = pairs.limit(driver_path_max_pairs + 1).toPandas()
+        if len(head) <= driver_path_max_pairs:
+            out = _driver_union_find(spark, head, dts["doc_id_a"],
+                                     drop_self=False)
+            release_persistent_rdds(spark,
+                                    persistent_rdd_ids(spark) - before)
+            return out
     edges = (pairs.select(F.col("doc_id_a").alias("src"),
                           F.col("doc_id_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_id_b").alias("src"),
@@ -610,12 +622,19 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 20,
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
     spark = pairs.sparkSession
-    id_type = dict(pairs.dtypes)["doc_id_a"]
-    head = (pairs.select("doc_id_a", "doc_id_b")
-            .limit(driver_path_max_pairs + 1).toPandas())
-    if len(head) <= driver_path_max_pairs:
-        return _driver_union_find(spark, head, id_type, drop_self=True)
     before = persistent_rdd_ids(spark)
+    # checkpoint-then-probe: see connected_components (one pass of the
+    # caller's expensive pair plan on BOTH sides of the switch)
+    pairs = pairs.select("doc_id_a", "doc_id_b").localCheckpoint(eager=True)
+    dts = dict(pairs.dtypes)
+    if dts["doc_id_a"] == dts["doc_id_b"]:
+        head = pairs.limit(driver_path_max_pairs + 1).toPandas()
+        if len(head) <= driver_path_max_pairs:
+            out = _driver_union_find(spark, head, dts["doc_id_a"],
+                                     drop_self=True)
+            release_persistent_rdds(spark,
+                                    persistent_rdd_ids(spark) - before)
+            return out
     edges = (pairs.select(F.col("doc_id_a").alias("a"),
                           F.col("doc_id_b").alias("b"))
              .where(F.col("a") != F.col("b"))

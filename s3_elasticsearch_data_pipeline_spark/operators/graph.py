@@ -120,6 +120,10 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # 17 jobs → slower wall clock on the 3-iteration loop) buy nothing
     # — scope it off for the materializing action; the partitioned
     # (huge-graph) mode keeps AQE for its skew handling.
+    # NB: conf toggles are session-global — concurrent queries planned
+    # inside this window (or racing pagerank calls) would see AQE off.
+    # Acceptable for the single-driver batch/bench callers here; a
+    # multi-tenant service should hand pagerank its own session clone.
     mid = persistent_rdd_ids(spark)
     aqe_key = "spark.sql.adaptive.enabled"
     prior_aqe = spark.conf.get(aqe_key, "true")

@@ -768,7 +768,11 @@ def q_multimodal_curation(spark, sf_dir):
     materialized once (lazy checkpoint): three consumers would
     otherwise each re-run the tokenize scan, costing more than the
     decode saved — it is the survivors manifest a production curation
-    pipeline persists anyway."""
+    pipeline persists anyway. (The lazy checkpoint pins one small
+    per-doc-id RDD per invocation, released by session GC — callers
+    that loop this query should unpersist between calls as bench.py
+    does; the iterative-operator deterministic-release pattern cannot
+    apply to a lazily returned plan.)"""
     docs = _t(spark, sf_dir, "documents")
     q = (text.quality_scores(docs)
          .select("doc_id", "quality_score")

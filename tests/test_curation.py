@@ -179,6 +179,27 @@ def test_star_cc_equals_label_propagation(spark, edges):
     assert a == b == c == d
 
 
+def test_cc_self_pair_semantics_match_across_paths(spark):
+    """Self-pairs are where the two variants intentionally differ —
+    plain propagation keeps a self-pair-only node as its own singleton
+    cluster, star drops it — and the GRAPHS strategy above filters
+    a != b, so pin the contract here on BOTH physical paths."""
+    from s3_elasticsearch_data_pipeline_spark.operators import dedup
+    df = spark.createDataFrame([(1, 1), (2, 3), (3, 3)],
+                               "doc_id_a long, doc_id_b long")
+    plain = {(1, 1), (2, 2), (3, 2)}
+    star = {(2, 2), (3, 2)}
+    for cap in (0, 10**6):  # distributed vs driver union-find
+        got_p = {(r.doc_id, r.cluster_id)
+                 for r in dedup.connected_components(
+                     df, driver_path_max_pairs=cap).collect()}
+        got_s = {(r.doc_id, r.cluster_id)
+                 for r in dedup.connected_components_star(
+                     df, driver_path_max_pairs=cap).collect()}
+        assert got_p == plain, (cap, got_p)
+        assert got_s == star, (cap, got_s)
+
+
 def test_dataset_shuffle_positions_are_dense_permutations(spark, sf_oracle):
     """Within every shard the positions must be exactly 0..n-1 (dense,
     no gaps/dupes) — the property a sharded training-set writer relies
