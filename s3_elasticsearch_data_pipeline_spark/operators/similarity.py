@@ -220,6 +220,123 @@ def _kmeans_centroids(embeddings: DataFrame, n_cells: int,
     return centroids
 
 
+def _cell_assign_fn(centroids, n_take: int):
+    """Arrow-batched cosine cell assignment against a fixed centroid
+    matrix (kilobytes, shipped in the closure): one (N, D) @ (D, C)
+    matmul per batch, stable argsort so ties break to the lowest cell
+    index on every partitioning. Shared by the inline IVF search, the
+    index builder, and the persisted-index probe."""
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+            c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+            sims = e @ c.T
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy().repeat(n_take),
+                "cell": order.reshape(-1),
+            })
+    return run
+
+
+def build_ivf_index(embeddings: DataFrame, path: str,
+                    n_cells: int = 16, iters: int = 2) -> None:
+    """Train coarse centroids and PERSIST the IVF index at ``path``:
+
+    * ``{path}/cells`` — the corpus written ``partitionBy("cell")``;
+      at 100 TB this is the one full-corpus pass, and the directory
+      layout IS the inverted file (a probe reads only its cells'
+      partitions — partition pruning is the index lookup).
+    * ``{path}/centroids`` — (cell, centroid) rows, kilobytes; the
+      only state a prober needs besides the cell store.
+
+    Build once, probe many: the serving path (``ivf_probe_topk``)
+    never re-trains or re-assigns the corpus. Deterministic: fixed
+    init + stable argmax, so rebuilds are bit-identical and the
+    inline ``ivf_topk`` agrees with build+probe exactly (tested).
+    """
+    spark = embeddings.sparkSession
+    import numpy as np
+    if embeddings.select("embedding").first() is None:
+        spark.createDataFrame([], "vec_id long, cell int, "
+                                  "embedding array<double>") \
+             .write.mode("overwrite").partitionBy("cell") \
+             .parquet(path + "/cells")
+        spark.createDataFrame([], "cell int, centroid array<double>") \
+             .write.mode("overwrite").parquet(path + "/centroids")
+        return
+    centroids = _kmeans_centroids(embeddings, n_cells, iters)
+    assigned = (embeddings.select("vec_id", "embedding")
+                .mapInPandas(_cell_assign_fn(centroids, 1),
+                             "vec_id long, cell int")
+                .join(embeddings.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>")
+                    .alias("embedding")), "vec_id"))
+    (assigned.write.mode("overwrite").partitionBy("cell")
+     .parquet(path + "/cells"))
+    cent_rows = [(i, [float(x) for x in centroids[i]])
+                 for i in range(len(centroids))]
+    (spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/centroids"))
+
+
+def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                   n_probe: int = 4) -> DataFrame:
+    """Approximate top-k against a PERSISTED IVF index (the serving
+    loop): load the kilobyte centroid table, assign each query its
+    ``n_probe`` nearest cells, and scan ONLY those cells' partitions
+    of the index store — the `.where(cell IN probed)` filter prunes
+    at the directory level, so a 100 TB index reads
+    ~n_probe/n_cells of its bytes per batch of queries. Exact cosine
+    rerank within the probed candidates, deterministic tie-breaks.
+    """
+    import numpy as np
+    cent_rows = (spark.read.parquet(path + "/centroids")
+                 .orderBy("cell").collect())
+    if not cent_rows or queries.select("embedding").first() is None:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
+    centroids = np.array([list(r["centroid"]) for r in cent_rows],
+                         dtype=np.float64)
+    query_cells = (queries.select("vec_id", "embedding")
+                   .mapInPandas(_cell_assign_fn(centroids, n_probe),
+                                "vec_id long, cell int"))
+    qry = (query_cells
+           .join(queries.select(F.col("vec_id"),
+                                F.col("embedding").cast("array<double>")
+                                .alias("query_vec")), "vec_id")
+           .select(F.col("vec_id").alias("query_id"), "cell", "query_vec")
+           .localCheckpoint(eager=True))  # reused: probed-cell set + join
+    # the probed-cell union is ≤ n_cells ints — a driver-safe scalar
+    # set that becomes a STATIC partition filter on the index scan
+    probed = sorted(r["cell"] for r in qry.select("cell").distinct().collect())
+    cand = (spark.read.parquet(path + "/cells")
+            .where(F.col("cell").isin(probed))
+            .select(F.col("vec_id").alias("neighbor_id"), "cell",
+                    F.col("embedding").alias("cand_vec")))
+    matched = (cand.join(F.broadcast(qry), "cell")
+               .where(F.col("neighbor_id") != F.col("query_id"))
+               .select("query_id", "neighbor_id", "query_vec", "cand_vec")
+               .distinct())
+    scored = matched.select(
+        "query_id", "neighbor_id",
+        cosine(F.col("query_vec"), F.col("cand_vec")).alias("sim"))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))
+
+
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
              n_cells: int = 16, n_probe: int = 4,
              iters: int = 2) -> DataFrame:
@@ -237,38 +354,18 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     if embeddings.select("embedding").first() is None:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
-    import numpy as np
     centroids = _kmeans_centroids(embeddings, n_cells, iters)
-
-    def cell_assigner(n_take):
-        cents = centroids
-
-        def run(batches):
-            import pandas as pd
-            for pdf in batches:
-                if not len(pdf):
-                    continue
-                emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-                e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-                c = cents / np.linalg.norm(cents, axis=1, keepdims=True)
-                sims = e @ c.T
-                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
-                n = len(pdf)
-                yield pd.DataFrame({
-                    "vec_id": pdf["vec_id"].to_numpy().repeat(n_take),
-                    "cell": order.reshape(-1),
-                })
-        return run
-
     corpus_cells = (embeddings.select("vec_id", "embedding")
-                    .mapInPandas(cell_assigner(1), "vec_id long, cell int"))
+                    .mapInPandas(_cell_assign_fn(centroids, 1),
+                                 "vec_id long, cell int"))
     cand = (corpus_cells
             .join(embeddings.select(F.col("vec_id"),
                                     F.col("embedding").cast("array<double>")
                                     .alias("cand_vec")), "vec_id")
             .select(F.col("vec_id").alias("neighbor_id"), "cell", "cand_vec"))
     query_cells = (queries.select("vec_id", "embedding")
-                   .mapInPandas(cell_assigner(n_probe), "vec_id long, cell int"))
+                   .mapInPandas(_cell_assign_fn(centroids, n_probe),
+                                "vec_id long, cell int"))
     qry = (query_cells
            .join(queries.select(F.col("vec_id"),
                                 F.col("embedding").cast("array<double>")

@@ -1848,6 +1848,23 @@ def q_sim_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+@register("sim_ivf_persisted", None)  # approximate + index build → rows-only
+def q_sim_ivf_persisted(spark, sf_dir):
+    """Build-once/probe-many IVF: persist the cell-partitioned index +
+    centroid table into a scratch dir, then answer top-k purely from
+    the PERSISTED index — the serving loop, where the probe's
+    cell-IN-set filter prunes index partitions at the directory level.
+    Deterministic training makes build+probe agree exactly with the
+    inline ``sim_topk_ivf`` (equivalence-tested in tests/test_similarity
+    invariants)."""
+    import tempfile
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_index_")
+    similarity.build_ivf_index(emb, path)
+    return similarity.ivf_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10)
+
+
 @register("agg_grouping_sets", """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
 FROM orders

@@ -102,6 +102,47 @@ def test_ivf_recall_vs_brute_force(spark, embeddings):
     assert found == again
 
 
+def test_ivf_persisted_index_matches_inline(spark, embeddings, tmp_path):
+    """build_ivf_index + ivf_probe_topk must return EXACTLY the inline
+    ivf_topk result (deterministic centroids + stable tie-breaks), and
+    the probe's scan must carry the probed-cell partition filter —
+    the pruning that makes the persisted index an index at 100 TB."""
+    queries = embeddings.where(F.col("vec_id") < 10)
+    inline = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+              for r in similarity.ivf_topk(
+                  embeddings, queries, k=10,
+                  n_cells=8, n_probe=4).collect()}
+    path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(embeddings, path, n_cells=8)
+    probe = similarity.ivf_probe_topk(spark, path, queries,
+                                      k=10, n_probe=4)
+    got = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+           for r in probe.collect()}
+    assert got == inline
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and \
+        "cell" in plan.split("PartitionFilters", 1)[1][:150], \
+        "probe scan must prune index partitions by probed cell set"
+    # rebuild determinism: a second build produces the identical index
+    path2 = str(tmp_path / "ivf2")
+    similarity.build_ivf_index(embeddings, path2, n_cells=8)
+    again = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+             for r in similarity.ivf_probe_topk(
+                 spark, path2, queries, k=10, n_probe=4).collect()}
+    assert again == got
+
+
+def test_ivf_persisted_empty_corpus(spark, embeddings, tmp_path):
+    path = str(tmp_path / "ivf_empty")
+    similarity.build_ivf_index(
+        embeddings.where(F.lit(False)), path, n_cells=8)
+    out = similarity.ivf_probe_topk(
+        spark, path, embeddings.where(F.col("vec_id") < 3), k=5)
+    assert out.count() == 0
+    assert [f.name for f in out.schema.fields] == [
+        "query_id", "neighbor_id", "sim", "rank"]
+
+
 def test_blocked_semantic_dedup_recall_and_precision(spark, embeddings):
     """K-means-blocked near-dup must (a) report only true >=threshold
     pairs — precision 1.0 by construction since it reranks exactly —
