@@ -287,6 +287,39 @@ def build_ivf_index(embeddings: DataFrame, path: str,
      .write.mode("overwrite").parquet(path + "/centroids"))
 
 
+def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
+    """Incremental index ingest — the production loop's other half:
+    assign a NEW batch of vectors against the PERSISTED centroids (no
+    retrain, no touch of existing cells) and append them to the cell
+    store. Dynamic partition overwrite is not needed: parquet append
+    adds files inside each cell directory, so the operation is
+    corpus-size-independent (cost ~ batch size). Centroids drift is a
+    rebuild decision, not an ingest step — same contract as FAISS's
+    IVF ``add`` after ``train``."""
+    import numpy as np
+    cent_rows = (spark.read.parquet(path + "/centroids")
+                 .orderBy("cell").collect())
+    if not cent_rows:
+        raise ValueError(
+            "ivf_index_append: index at %r has no centroids — build it "
+            "with build_ivf_index first (appending to an untrained "
+            "index would silently create a single unsearchable cell)"
+            % path)
+    if new_embeddings.select("embedding").first() is None:
+        return
+    centroids = np.array([list(r["centroid"]) for r in cent_rows],
+                         dtype=np.float64)
+    assigned = (new_embeddings.select("vec_id", "embedding")
+                .mapInPandas(_cell_assign_fn(centroids, 1),
+                             "vec_id long, cell int")
+                .join(new_embeddings.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>")
+                    .alias("embedding")), "vec_id"))
+    (assigned.write.mode("append").partitionBy("cell")
+     .parquet(path + "/cells"))
+
+
 def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4) -> DataFrame:
     """Approximate top-k against a PERSISTED IVF index (the serving

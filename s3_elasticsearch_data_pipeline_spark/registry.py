@@ -1865,6 +1865,22 @@ def q_sim_ivf_persisted(spark, sf_dir):
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
 
 
+@register("sim_ivf_incremental", None)  # approximate + index build → rows-only
+def q_sim_ivf_incremental(spark, sf_dir):
+    """The IVF ingest loop: train+build on the existing half of the
+    corpus, APPEND the new half against the persisted centroids (no
+    retrain, cost ~ batch not corpus — FAISS's add-after-train
+    contract), then serve top-k from the combined persisted index."""
+    import tempfile
+    emb = _t(spark, sf_dir, "embeddings")
+    path = tempfile.mkdtemp(prefix="ivf_inc_")
+    similarity.build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    similarity.ivf_index_append(spark, path,
+                                emb.where(F.col("vec_id") % 2 == 1))
+    return similarity.ivf_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10)
+
+
 @register("agg_grouping_sets", """
 SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
 FROM orders

