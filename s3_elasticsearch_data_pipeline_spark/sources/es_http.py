@@ -23,12 +23,20 @@ No driver funnel, restartable per partition, linear in executors.
 Transient HTTP failures retry with exponential backoff — the read twin
 of the ``_bulk`` writer's policy (``sinks/es_wire.py``).
 
-Production note: on a live cluster, sliced ``search_after`` over a
-mutating index should run inside a point-in-time (PIT) context for a
-consistent snapshot; the request/cursor shape is identical (the PIT id
-rides in the body). The stub (``tests/es_stub.py``) serves the same
-``_search`` API against an immutable store, so no PIT is needed there.
-Stdlib urllib only.
+**Point-in-time (PIT)**: real Elasticsearch REJECTS ``slice`` in a
+plain ``_search`` — slicing is only valid inside a scroll or PIT
+context — so whenever the scan is sliced (``nslices > 1``) the source
+opens ONE PIT for the whole scan (``POST /{index}/_pit?keep_alive=``)
+at planning time and every slice's ``_search`` carries
+``pit: {id, keep_alive}`` (and, per the PIT API, posts to ``/_search``
+with no index in the path). One shared PIT also means all slices read
+the SAME index snapshot — the consistency a reconcile diff needs on a
+mutating cluster. The PIT is released by ``keep_alive`` expiry (there
+is no per-partition close hook; expiry is the documented cleanup).
+Single-slice scans skip the PIT (plain ``search_after`` is valid
+without one); ``use_pit`` overrides either way. The stub
+(``tests/es_stub.py``) enforces the same slice-requires-PIT rule a
+live cluster does. Stdlib urllib only.
 """
 
 from __future__ import annotations
@@ -45,19 +53,46 @@ DEFAULT_SCHEMA = "id string, month string, value double"
 
 
 class _Slice(InputPartition):
-    def __init__(self, index: int, n: int):
-        self.index, self.n = index, n
+    def __init__(self, index: int, n: int, pit_id: str | None = None):
+        self.index, self.n, self.pit_id = index, n, pit_id
+
+
+def _post_json(full_url: str, body: dict | None, timeout_s: float,
+               max_retries: int, backoff_s: float) -> dict:
+    """POST with the shared retry policy: 5xx and 429 (ES's standard
+    backpressure signal) retry with exponential backoff — same policy
+    as the ``_bulk`` writer; other 4xx raises immediately (a malformed
+    request never heals)."""
+    req = urllib.request.Request(
+        full_url,
+        data=None if body is None else json.dumps(body).encode("utf-8"),
+        headers={"Content-Type": "application/json"},
+        method="POST")
+    attempt = 0
+    while True:
+        try:
+            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+                return json.loads(resp.read().decode("utf-8"))
+        except urllib.error.HTTPError as e:
+            if (e.code < 500 and e.code != 429) or attempt >= max_retries:
+                raise
+        except (urllib.error.URLError, OSError, TimeoutError):
+            if attempt >= max_retries:
+                raise
+        time.sleep(backoff_s * (2 ** attempt))
+        attempt += 1
 
 
 def _search_page(url: str, index: str, sl: int, nsl: int,
                  after: list | None, size: int, sort_field: str,
                  timeout_s: float, max_retries: int,
-                 backoff_s: float) -> dict:
-    """One ``POST /{index}/_search`` page: match_all + single-field
-    ascending sort + optional slice + optional search_after — the
-    reference's exact body shape, sliced. Retries 5xx/transport errors
-    with exponential backoff; 4xx raises immediately (a malformed
-    request never heals)."""
+                 backoff_s: float, pit_id: str | None = None,
+                 keep_alive: str = "2m") -> dict:
+    """One ``_search`` page: match_all + single-field ascending sort +
+    optional slice + optional search_after — the reference's exact body
+    shape, sliced. With a PIT the request targets ``/_search`` (no
+    index in the path — the PIT pins the index) and carries
+    ``pit: {id, keep_alive}``, per the real API."""
     body: dict = {
         "size": size,
         "sort": [{sort_field: "asc"}],
@@ -68,27 +103,12 @@ def _search_page(url: str, index: str, sl: int, nsl: int,
         body["slice"] = {"id": sl, "max": nsl}
     if after is not None:
         body["search_after"] = after
-    req = urllib.request.Request(
-        f"{url.rstrip('/')}/{index}/_search",
-        data=json.dumps(body).encode("utf-8"),
-        headers={"Content-Type": "application/json"},
-        method="POST")
-    attempt = 0
-    while True:
-        try:
-            with urllib.request.urlopen(req, timeout=timeout_s) as resp:
-                return json.loads(resp.read().decode("utf-8"))
-        except urllib.error.HTTPError as e:
-            # 5xx and 429 (ES's standard backpressure signal) are
-            # transient — same policy as the _bulk writer; other 4xx
-            # means a malformed request that never heals
-            if (e.code < 500 and e.code != 429) or attempt >= max_retries:
-                raise
-        except (urllib.error.URLError, OSError, TimeoutError):
-            if attempt >= max_retries:
-                raise
-        time.sleep(backoff_s * (2 ** attempt))
-        attempt += 1
+    if pit_id is not None:
+        body["pit"] = {"id": pit_id, "keep_alive": keep_alive}
+        full = f"{url.rstrip('/')}/_search"
+    else:
+        full = f"{url.rstrip('/')}/{index}/_search"
+    return _post_json(full, body, timeout_s, max_retries, backoff_s)
 
 
 class ESHttpReader(DataSourceReader):
@@ -101,10 +121,28 @@ class ESHttpReader(DataSourceReader):
         self.timeout_s = float(options.get("timeout", 30))
         self.max_retries = int(options.get("max_retries", 3))
         self.backoff_s = float(options.get("backoff", 0.5))
+        self.keep_alive = options.get("pit_keep_alive", "2m")
+        # slicing is only valid inside a PIT (or scroll) on a real
+        # cluster, so sliced scans default PIT ON; a single-slice scan
+        # is plain search_after and skips it. "true"/"false" overrides.
+        use_pit = options.get("use_pit")
+        self.use_pit = (self.nslices > 1 if use_pit is None
+                        else str(use_pit).lower() == "true")
         self.fields = schema_fields
 
     def partitions(self):
-        return [_Slice(i, self.nslices) for i in range(self.nslices)]
+        pit_id = None
+        if self.use_pit:
+            # ONE PIT for the whole scan: every slice pages the same
+            # index snapshot (opened here at planning time; released by
+            # keep_alive expiry — the API has no per-partition close)
+            resp = _post_json(
+                f"{self.url.rstrip('/')}/{self.es_index}/_pit"
+                f"?keep_alive={self.keep_alive}",
+                None, self.timeout_s, self.max_retries, self.backoff_s)
+            pit_id = resp["id"]
+        return [_Slice(i, self.nslices, pit_id)
+                for i in range(self.nslices)]
 
     def read(self, partition):
         # executor-side search_after pagination over this slice
@@ -113,7 +151,9 @@ class ESHttpReader(DataSourceReader):
             page = _search_page(self.url, self.es_index, partition.index,
                                 partition.n, after, self.pagesize,
                                 self.sort_field, self.timeout_s,
-                                self.max_retries, self.backoff_s)
+                                self.max_retries, self.backoff_s,
+                                pit_id=partition.pit_id,
+                                keep_alive=self.keep_alive)
             hits = page["hits"]["hits"]
             for h in hits:
                 src = dict(h.get("_source") or {})
@@ -144,7 +184,9 @@ class ESHttpSource(DataSource):
     ``defaultParallelism``; a fixed small default would cap a
     1000-executor scan at a handful of tasks), ``pagesize``,
     ``sort_field`` (unique keyset column, default ``id`` like the
-    reference), ``timeout``, ``max_retries``, ``backoff``.
+    reference), ``timeout``, ``max_retries``, ``backoff``,
+    ``use_pit`` (default: on when sliced — required by the real API),
+    ``pit_keep_alive`` (default ``2m``).
     """
 
     @classmethod

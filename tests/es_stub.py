@@ -7,14 +7,18 @@ repo's ES surface end-to-end:
   upsert semantics, ES-shaped item responses, plus fault injection
   (transport errors for retry tests, per-doc rejection for
   partial-failure tests) — what ``sinks.es_wire`` writes;
-* ``POST /{index}/_search`` — match_all + single-field ascending
-  ``sort`` + ``search_after`` + ``slice:{id,max}`` bodies, answered
-  with ES-shaped ``hits.hits[]`` (``_id``/``_source``/``sort``) — what
-  ``sources.es_http`` reads. Slicing hashes ``_id`` server-side like
-  ES's doc-based slicing (hash-mod here vs murmur3 there — same
-  disjoint-cover contract). The sort field is assumed unique (the
-  reference sorts on its unique ``id``; real deployments add a
-  tiebreaker field).
+* ``POST /{index}/_search`` and PIT-style ``POST /_search`` —
+  match_all + single-field ascending ``sort`` + ``search_after`` +
+  ``slice:{id,max}`` bodies, answered with ES-shaped ``hits.hits[]``
+  (``_id``/``_source``/``sort``) — what ``sources.es_http`` reads.
+  Slicing hashes ``_id`` server-side like ES's doc-based slicing
+  (hash-mod here vs murmur3 there — same disjoint-cover contract).
+  Like a real cluster, a ``slice`` body WITHOUT a ``pit`` is rejected
+  with 400 (slicing is only valid inside a PIT/scroll context), and
+  ``POST /{index}/_pit`` mints point-in-time ids that pin the index
+  for subsequent ``/_search`` bodies carrying ``pit.id``. The sort
+  field is assumed unique (the reference sorts on its unique ``id``;
+  real deployments get the implicit ``_shard_doc`` tiebreaker).
 
 Runs a ThreadingHTTPServer on an ephemeral localhost port; local-mode
 executors are threads in this process, so they reach it directly.
@@ -30,6 +34,27 @@ from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # silence request logging
         pass
+
+    def _error(self, status: int, etype: str, reason: str):
+        resp = json.dumps({"error": {"type": etype, "reason": reason},
+                           "status": status}).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(resp)))
+        self.end_headers()
+        self.wfile.write(resp)
+
+    def _handle_pit_open(self, index: str):
+        with self.server.lock:
+            self.server.pit_seq += 1
+            pit_id = f"pit-{self.server.pit_seq}"
+            self.server.pits[pit_id] = index
+        resp = json.dumps({"id": pit_id}).encode()
+        self.send_response(200)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(resp)))
+        self.end_headers()
+        self.wfile.write(resp)
 
     def _handle_search(self, index: str):
         """Real ``_search`` semantics over the immutable store: sort by
@@ -49,6 +74,25 @@ class _Handler(BaseHTTPRequestHandler):
                 return
         body = json.loads(
             self.rfile.read(int(self.headers["Content-Length"])) or b"{}")
+        if "pit" in body:
+            pit_id = (body["pit"] or {}).get("id")
+            with self.server.lock:
+                pit_index = self.server.pits.get(pit_id)
+            if pit_index is None:
+                self._error(404, "search_context_missing_exception",
+                            f"No point in time found for id [{pit_id}]")
+                return
+            if index is not None:
+                self._error(400, "action_request_validation_exception",
+                            "[indices] cannot be used with point in time")
+                return
+            index = pit_index
+        elif body.get("slice") is not None:
+            # real ES: slicing is only supported inside a PIT or scroll
+            self._error(400, "action_request_validation_exception",
+                        "[slice] can only be used with [scroll] or "
+                        "[point-in-time] requests")
+            return
         with self.server.lock:
             self.server.search_bodies.append((index, body))
         size = int(body.get("size", 10))
@@ -88,6 +132,12 @@ class _Handler(BaseHTTPRequestHandler):
         parts = [p for p in self.path.split("?")[0].split("/") if p]
         if len(parts) == 2 and parts[1] == "_search":
             self._handle_search(parts[0])
+            return
+        if len(parts) == 1 and parts[0] == "_search":  # PIT-style
+            self._handle_search(None)
+            return
+        if len(parts) == 2 and parts[1] == "_pit":
+            self._handle_pit_open(parts[0])
             return
         with srv.lock:
             srv.requests_seen += 1
@@ -147,6 +197,8 @@ class ESStub:
         self.server.fail_search_next_n = fail_search_next_n
         self.server.fail_search_status = fail_search_status
         self.server.search_bodies = []  # [(index, parsed _search body)]
+        self.server.pits = {}           # pit_id -> index
+        self.server.pit_seq = 0
         self.server.reject = reject     # callable(doc) -> reason | None
         self.thread = threading.Thread(
             target=self.server.serve_forever, daemon=True)

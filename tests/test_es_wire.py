@@ -262,6 +262,13 @@ def test_es_http_source_speaks_real_search_protocol(spark, docs_df):
         assert b["query"] == {"match_all": {}}
         assert b["size"] == 100
         assert b["slice"]["max"] == 2 and b["slice"]["id"] in (0, 1)
+        # sliced _search is only valid inside a PIT on a real cluster
+        # (the stub enforces this with a 400, like ES does): every
+        # sliced request must carry the pit opened at planning time
+        assert b["pit"]["id"].startswith("pit-")
+        assert b["pit"]["keep_alive"]
+    # ONE pit for the whole scan — all slices read the same snapshot
+    assert len({b["pit"]["id"] for b in bodies}) == 1
     # at least one continuation page per non-trivial slice, and every
     # continuation carries the cursor as a sort-values ARRAY
     conts = [b for b in bodies if "search_after" in b]
