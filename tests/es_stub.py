@@ -48,7 +48,11 @@ class _Handler(BaseHTTPRequestHandler):
         with self.server.lock:
             self.server.pit_seq += 1
             pit_id = f"pit-{self.server.pit_seq}"
-            self.server.pits[pit_id] = index
+            # a real PIT pins the index STATE, not just the name:
+            # searches through it see the docs as of open time even if
+            # _bulk writes land mid-scan — snapshot the store here
+            self.server.pits[pit_id] = (
+                index, dict(self.server.store.get(index, {})))
         resp = json.dumps({"id": pit_id}).encode()
         self.send_response(200)
         self.send_header("Content-Type", "application/json")
@@ -74,11 +78,12 @@ class _Handler(BaseHTTPRequestHandler):
                 return
         body = json.loads(
             self.rfile.read(int(self.headers["Content-Length"])) or b"{}")
+        snapshot = None
         if "pit" in body:
             pit_id = (body["pit"] or {}).get("id")
             with self.server.lock:
-                pit_index = self.server.pits.get(pit_id)
-            if pit_index is None:
+                pit = self.server.pits.get(pit_id)
+            if pit is None:
                 self._error(404, "search_context_missing_exception",
                             f"No point in time found for id [{pit_id}]")
                 return
@@ -86,7 +91,7 @@ class _Handler(BaseHTTPRequestHandler):
                 self._error(400, "action_request_validation_exception",
                             "[indices] cannot be used with point in time")
                 return
-            index = pit_index
+            index, snapshot = pit
         elif body.get("slice") is not None:
             # real ES: slicing is only supported inside a PIT or scroll
             self._error(400, "action_request_validation_exception",
@@ -102,7 +107,8 @@ class _Handler(BaseHTTPRequestHandler):
         sl = body.get("slice")
         after = body.get("search_after")
         with self.server.lock:
-            store = dict(self.server.store.get(index, {}))
+            store = (dict(snapshot) if snapshot is not None
+                     else dict(self.server.store.get(index, {})))
 
         def key(kv):
             k, doc = kv
@@ -197,7 +203,7 @@ class ESStub:
         self.server.fail_search_next_n = fail_search_next_n
         self.server.fail_search_status = fail_search_status
         self.server.search_bodies = []  # [(index, parsed _search body)]
-        self.server.pits = {}           # pit_id -> index
+        self.server.pits = {}      # pit_id -> (index, snapshot)
         self.server.pit_seq = 0
         self.server.reject = reject     # callable(doc) -> reason | None
         self.thread = threading.Thread(

@@ -278,6 +278,50 @@ def test_es_http_source_speaks_real_search_protocol(spark, docs_df):
         assert len(b["search_after"]) == 1
 
 
+def test_pit_snapshot_isolation_against_mid_scan_writes():
+    """A PIT pins the index STATE at open time (the property the sliced
+    scan relies on for a consistent snapshot): docs bulk-written after
+    the PIT opens must be invisible through it, while a plain
+    index-path _search sees them — asserted wire-level against the
+    stub, which implements the real semantics."""
+    import json as _json
+    import urllib.request
+
+    def post(url, body):
+        req = urllib.request.Request(
+            url, data=_json.dumps(body).encode() if body is not None
+            else None,
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return _json.loads(r.read().decode())
+
+    def bulk(url, index, docs):
+        lines = []
+        for d in docs:
+            lines.append(_json.dumps({"index": {"_index": index,
+                                                "_id": d["id"]}}))
+            lines.append(_json.dumps(d))
+        req = urllib.request.Request(
+            f"{url}/{index}/_bulk", data=("\n".join(lines) + "\n").encode(),
+            headers={"Content-Type": "application/json"}, method="POST")
+        with urllib.request.urlopen(req, timeout=10) as r:
+            return _json.loads(r.read().decode())
+
+    with ESStub() as stub:
+        bulk(stub.url, "serving", [{"id": "a", "value": 1.0}])
+        pit = post(f"{stub.url}/serving/_pit?keep_alive=1m", None)["id"]
+        bulk(stub.url, "serving", [{"id": "b", "value": 2.0}])  # mid-scan
+        through_pit = post(f"{stub.url}/_search", {
+            "size": 10, "sort": [{"id": "asc"}],
+            "query": {"match_all": {}},
+            "pit": {"id": pit, "keep_alive": "1m"}})
+        assert [h["_id"] for h in through_pit["hits"]["hits"]] == ["a"]
+        live = post(f"{stub.url}/serving/_search", {
+            "size": 10, "sort": [{"id": "asc"}],
+            "query": {"match_all": {}}})
+        assert [h["_id"] for h in live["hits"]["hits"]] == ["a", "b"]
+
+
 def test_es_http_source_retries_transient_search_errors(spark, docs_df):
     """The read side mirrors the writer's retry discipline: injected
     503s are retried with backoff and the scan still returns every row;
