@@ -127,7 +127,8 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame,
 
     cand = with_buckets(embeddings, "neighbor_id", "cand_vec")
     qry = with_buckets(queries, "query_id", "query_vec")
-    matched = (cand.join(F.broadcast(qry), ["tbl", "bucket"])
+    hint = _query_join_hint(queries)
+    matched = (cand.join(hint(qry), ["tbl", "bucket"])
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id", "query_vec", "cand_vec")
                .distinct())
@@ -350,11 +351,15 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     # the probed-cell union is ≤ n_cells ints — a driver-safe scalar
     # set that becomes a STATIC partition filter on the index scan
     probed = sorted(r["cell"] for r in qry.select("cell").distinct().collect())
+    # serving-sized query frames broadcast; larger ones shuffle-join
+    # (the checkpointed frame makes this count a cached-block scan)
+    hint = (F.broadcast if qry.count() <= MAX_DRIVER_QUERIES
+            else (lambda d: d))
     cand = (spark.read.parquet(path + "/cells")
             .where(F.col("cell").isin(probed))
             .select(F.col("vec_id").alias("neighbor_id"), "cell",
                     F.col("embedding").alias("cand_vec")))
-    matched = (cand.join(F.broadcast(qry), "cell")
+    matched = (cand.join(hint(qry), "cell")
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id", "query_vec", "cand_vec")
                .distinct())
@@ -405,7 +410,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                 .alias("query_vec")), "vec_id")
            .select(F.col("vec_id").alias("query_id"), "cell", "query_vec"))
 
-    matched = (cand.join(F.broadcast(qry), "cell")
+    matched = (cand.join(_query_join_hint(queries)(qry), "cell")
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id", "query_vec", "cand_vec")
                .distinct())
@@ -458,6 +463,18 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
 #: memory bottleneck (the same failure mode PageRank's broadcast limit
 #: guards against).
 MAX_DRIVER_QUERIES = 10_000
+
+
+def _query_join_hint(queries: DataFrame):
+    """Broadcast the query side only when it is serving-sized: one
+    cheap ``limit(cap+1)`` probe decides. A forced broadcast of a
+    corpus-sized query frame would OOM the driver (the r2-review
+    failure mode the PQ/Arrow paths already guard); above the cap the
+    join runs un-hinted — the optimizer/AQE picks a shuffle join and
+    the plan stays executor-only. Returns a function applied to the
+    query frame at join time."""
+    n = queries.limit(MAX_DRIVER_QUERIES + 1).count()
+    return F.broadcast if n <= MAX_DRIVER_QUERIES else (lambda d: d)
 
 
 def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,

@@ -132,6 +132,32 @@ def test_ivf_persisted_index_matches_inline(spark, embeddings, tmp_path):
     assert again == got
 
 
+def test_ann_query_side_switch_above_cap(spark, embeddings, monkeypatch,
+                                         tmp_path):
+    """Above MAX_DRIVER_QUERIES the ANN joins must drop the forced
+    query-side broadcast (a corpus-sized query frame would OOM the
+    driver) and still return the identical result set."""
+    queries = embeddings.where(F.col("vec_id") < 10)
+    with_hint = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+                 for r in similarity.ivf_topk(
+                     embeddings, queries, k=10,
+                     n_cells=8, n_probe=4).collect()}
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 2)
+    without = similarity.ivf_topk(embeddings, queries, k=10,
+                                  n_cells=8, n_probe=4)
+    got = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+           for r in without.collect()}
+    assert got == with_hint
+    lsh_a = {(r.query_id, r.neighbor_id)
+             for r in similarity.ann_lsh_topk(
+                 embeddings, queries, k=10).collect()}
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERIES", 10_000)
+    lsh_b = {(r.query_id, r.neighbor_id)
+             for r in similarity.ann_lsh_topk(
+                 embeddings, queries, k=10).collect()}
+    assert lsh_a == lsh_b
+
+
 def test_ivf_index_append_equals_bulk_assign(spark, embeddings, tmp_path):
     """Appending a batch against persisted centroids must land every
     vector exactly where a bulk assignment with the SAME centroids
