@@ -186,7 +186,16 @@ def main() -> None:
     for name in HEADLINE:
         one_run(name)
         one_run(name)
-    for name in HEADLINE:
+    # worst-inflated first: under a sustained storm the budget runs
+    # out — spend it where the recorded number is furthest from the
+    # best this code has achieved, not wherever HEADLINE ordering
+    # happens to put it
+
+    def severity(name: str) -> float:
+        ref = reference.get(name)
+        return (min(samples[name]) / ref) if ref else 1.0
+
+    for name in sorted(HEADLINE, key=severity, reverse=True):
         while (len(samples[name]) < 5 and extra_budget > 0
                and noisy(name)):
             t0 = time.perf_counter()
