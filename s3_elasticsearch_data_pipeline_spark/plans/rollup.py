@@ -58,7 +58,12 @@ def maintain_rollup(spark: SparkSession, source: DataFrame,
                 .agg(F.count(F.lit(1)).alias("n_rows"),
                      F.sum(F.col(value_col).cast("decimal(28,6)"))
                       .alias("sum_value")))
-    (partials.write.mode("append").partitionBy(partition_key)
+    # repartition on the partition key first — the groupBy leaves the
+    # frame hashed on (key, dim), which would fan each month's rows
+    # across every task's writer (small-files bug); the frame is
+    # aggregate-sized, so this shuffle is trivial
+    (partials.repartition(partition_key)
+     .write.mode("append").partitionBy(partition_key)
      .format("parquet").save(rollup_path))
     return sorted(keys)
 

@@ -53,7 +53,12 @@ def upsert_by_key(spark: SparkSession, incoming: DataFrame, path: str,
                .withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1)
                .drop("_rn", "_prio"))
-    (deduped.write.mode("overwrite")
+    # one shuffle keyed on the partition column before the partitioned
+    # write: the dedup window left the frame hash-partitioned on
+    # key_col, so every task would otherwise open a writer per month it
+    # sees (tasks × months tiny files — the classic partitioned-write
+    # small-files bug)
+    (deduped.repartition(partition_col).write.mode("overwrite")
      .partitionBy(partition_col).format("parquet").save(path))
 
 
