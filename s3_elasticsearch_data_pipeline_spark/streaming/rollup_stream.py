@@ -33,6 +33,10 @@ def rollup_stream(spark: SparkSession, source_path: str, rollup_path: str,
          .agg(F.count(F.lit(1)).alias("n_rows"),
               F.sum(F.col(value_col).cast("decimal(28,6)"))
                .alias("sum_value"))
+         # shuffle on the partition key before the partitioned write —
+         # the groupBy hashes on (key, dim), which would open a writer
+         # per key per task (small-files bug); partials are tiny
+         .repartition(partition_key)
          .write.mode("append").partitionBy(partition_key)
          .format("parquet").save(rollup_path))
 
