@@ -178,6 +178,20 @@ def test_ivf_index_append_equals_bulk_assign(spark, embeddings, tmp_path):
     cells = spark.read.parquet(path + "/cells")
     assert cells.count() == embeddings.count()
     assert cells.select("vec_id").distinct().count() == embeddings.count()
+    # EXACT: the persisted (vec_id, cell) assignment equals a bulk
+    # assignment of the full corpus with the index's own centroids —
+    # append is the canonical ingest, not an approximation of build
+    import numpy as np
+    cents = np.array(
+        [list(r["centroid"]) for r in
+         spark.read.parquet(path + "/centroids").orderBy("cell").collect()],
+        dtype=np.float64)
+    bulk = embeddings.select("vec_id", "embedding").mapInPandas(
+        similarity._cell_assign_fn(cents, 1), "vec_id long, cell int")
+    diff = (cells.select("vec_id", "cell")
+            .exceptAll(bulk).unionAll(
+                bulk.exceptAll(cells.select("vec_id", "cell"))))
+    assert diff.count() == 0
     # and the probe still finds true neighbors (sanity recall floor)
     exact = similarity.brute_force_topk(embeddings, queries, k=10)
     truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
