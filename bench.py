@@ -209,6 +209,21 @@ def main() -> None:
         print(f"# {name}: {dt:.3f}s ({rows_of[name]} rows)",
               file=sys.stderr)
 
+    # write back any new best-known minima so the resample trigger
+    # tracks what THIS host can actually achieve (best-effort: a
+    # read-only checkout just skips it)
+    improved = {q: t for q, t in timings.items()
+                if t < reference.get(q, float("inf"))}
+    if improved:
+        reference.update(improved)
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_REFERENCE.json"), "w") as fh:
+                json.dump(dict(sorted(reference.items())), fh, indent=1)
+        except OSError:
+            pass
+
     print(json.dumps({
         "metric": "headline_queries_total_wall_sec",
         "value": round(total, 3),

@@ -238,12 +238,49 @@ def _cell_assign_fn(centroids, n_take: int):
             e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
             sims = e @ c.T
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :n_take]
+            # clamp: probing more cells than exist (tiny corpora train
+            # fewer centroids than n_cells) must take every cell, not
+            # crash on a ragged repeat/reshape
+            take = min(n_take, centroids.shape[0])
+            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
             yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy().repeat(n_take),
+                "vec_id": pdf["vec_id"].to_numpy().repeat(take),
                 "cell": order.reshape(-1),
             })
     return run
+
+
+def _load_centroids(spark, path: str):
+    """The kilobyte centroid table of a persisted IVF index as an
+    (n_cells × dims) ndarray, or None when the index is untrained."""
+    import numpy as np
+    rows = (spark.read.parquet(path + "/centroids")
+            .orderBy("cell").collect())
+    if not rows:
+        return None
+    return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
+
+
+def _assign_and_write(embeddings: DataFrame, centroids, path: str,
+                      mode: str) -> None:
+    """Assign every vector its nearest cell and write into the
+    cell-partitioned store. Repartitions on the partition column BEFORE
+    the partitioned write: otherwise every upstream task opens a writer
+    per cell it sees — up to tasks × n_cells tiny files (the classic
+    partitioned-write small-files bug; measured 512 files for 16 cells
+    here). One shuffle keyed on cell gives one well-sized file per cell
+    per task; at corpus scale cap file size with
+    spark.sql.files.maxRecordsPerFile instead of more partitions."""
+    assigned = (embeddings.select("vec_id", "embedding")
+                .mapInPandas(_cell_assign_fn(centroids, 1),
+                             "vec_id long, cell int")
+                .join(embeddings.select(
+                    "vec_id",
+                    F.col("embedding").cast("array<double>")
+                    .alias("embedding")), "vec_id"))
+    (assigned.repartition("cell")
+     .write.mode(mode).partitionBy("cell")
+     .parquet(path + "/cells"))
 
 
 def build_ivf_index(embeddings: DataFrame, path: str,
@@ -263,7 +300,6 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     inline ``ivf_topk`` agrees with build+probe exactly (tested).
     """
     spark = embeddings.sparkSession
-    import numpy as np
     if embeddings.select("embedding").first() is None:
         spark.createDataFrame([], "vec_id long, cell int, "
                                   "embedding array<double>") \
@@ -273,23 +309,7 @@ def build_ivf_index(embeddings: DataFrame, path: str,
              .write.mode("overwrite").parquet(path + "/centroids")
         return
     centroids = _kmeans_centroids(embeddings, n_cells, iters)
-    assigned = (embeddings.select("vec_id", "embedding")
-                .mapInPandas(_cell_assign_fn(centroids, 1),
-                             "vec_id long, cell int")
-                .join(embeddings.select(
-                    "vec_id",
-                    F.col("embedding").cast("array<double>")
-                    .alias("embedding")), "vec_id"))
-    # repartition on the partition column BEFORE the partitioned write:
-    # otherwise every upstream task opens a writer per cell it sees —
-    # up to tasks × n_cells tiny files (the classic partitioned-write
-    # small-files bug; measured 512 files for 16 cells here). One
-    # shuffle keyed on cell gives one well-sized file per cell per
-    # task; at corpus scale cap file size with
-    # spark.sql.files.maxRecordsPerFile instead of more partitions.
-    (assigned.repartition("cell")
-     .write.mode("overwrite").partitionBy("cell")
-     .parquet(path + "/cells"))
+    _assign_and_write(embeddings, centroids, path, "overwrite")
     cent_rows = [(i, [float(x) for x in centroids[i]])
                  for i in range(len(centroids))]
     (spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
@@ -305,10 +325,8 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
     corpus-size-independent (cost ~ batch size). Centroids drift is a
     rebuild decision, not an ingest step — same contract as FAISS's
     IVF ``add`` after ``train``."""
-    import numpy as np
-    cent_rows = (spark.read.parquet(path + "/centroids")
-                 .orderBy("cell").collect())
-    if not cent_rows:
+    centroids = _load_centroids(spark, path)
+    if centroids is None:
         raise ValueError(
             "ivf_index_append: index at %r has no centroids — build it "
             "with build_ivf_index first (appending to an untrained "
@@ -316,20 +334,7 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
             % path)
     if new_embeddings.select("embedding").first() is None:
         return
-    centroids = np.array([list(r["centroid"]) for r in cent_rows],
-                         dtype=np.float64)
-    assigned = (new_embeddings.select("vec_id", "embedding")
-                .mapInPandas(_cell_assign_fn(centroids, 1),
-                             "vec_id long, cell int")
-                .join(new_embeddings.select(
-                    "vec_id",
-                    F.col("embedding").cast("array<double>")
-                    .alias("embedding")), "vec_id"))
-    # see build_ivf_index: shuffle on cell first or every task writes
-    # a sliver into every cell directory
-    (assigned.repartition("cell")
-     .write.mode("append").partitionBy("cell")
-     .parquet(path + "/cells"))
+    _assign_and_write(new_embeddings, centroids, path, "append")
 
 
 def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
@@ -342,14 +347,10 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     ~n_probe/n_cells of its bytes per batch of queries. Exact cosine
     rerank within the probed candidates, deterministic tie-breaks.
     """
-    import numpy as np
-    cent_rows = (spark.read.parquet(path + "/centroids")
-                 .orderBy("cell").collect())
-    if not cent_rows or queries.select("embedding").first() is None:
+    centroids = _load_centroids(spark, path)
+    if centroids is None or queries.select("embedding").first() is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
-    centroids = np.array([list(r["centroid"]) for r in cent_rows],
-                         dtype=np.float64)
     query_cells = (queries.select("vec_id", "embedding")
                    .mapInPandas(_cell_assign_fn(centroids, n_probe),
                                 "vec_id long, cell int"))
@@ -362,10 +363,12 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     # the probed-cell union is ≤ n_cells ints — a driver-safe scalar
     # set that becomes a STATIC partition filter on the index scan
     probed = sorted(r["cell"] for r in qry.select("cell").distinct().collect())
-    # serving-sized query frames broadcast; larger ones shuffle-join
-    # (the checkpointed frame makes this count a cached-block scan)
-    hint = (F.broadcast if qry.count() <= MAX_DRIVER_QUERIES
-            else (lambda d: d))
+    # serving-sized QUERY counts broadcast; larger ones shuffle-join.
+    # Count distinct queries, not the n_probe-expanded rows — the cap
+    # is defined in queries, same unit as the other two ANN paths
+    # (cheap: a cached-block scan of the checkpointed frame).
+    nq = qry.select("query_id").distinct().count()
+    hint = F.broadcast if nq <= MAX_DRIVER_QUERIES else (lambda d: d)
     cand = (spark.read.parquet(path + "/cells")
             .where(F.col("cell").isin(probed))
             .select(F.col("vec_id").alias("neighbor_id"), "cell",

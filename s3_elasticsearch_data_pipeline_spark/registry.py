@@ -1848,6 +1848,22 @@ def q_sim_topk_ivf(spark, sf_dir):
     return similarity.ivf_topk(emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
+#: One scratch index dir per (sf_dir, flavor), reused across
+#: invocations: the cell store is a full copy of the embeddings table,
+#: so mkdtemp-per-call would leak one corpus copy per bench/driver
+#: sample until the disk fills. build_ivf_index's overwrite mode
+#: resets the reused dir (including previously appended batches).
+_IVF_SCRATCH: dict = {}
+
+
+def _ivf_scratch(sf_dir: str, flavor: str) -> str:
+    import tempfile
+    key = (sf_dir, flavor)
+    if key not in _IVF_SCRATCH:
+        _IVF_SCRATCH[key] = tempfile.mkdtemp(prefix=f"ivf_{flavor}_")
+    return _IVF_SCRATCH[key]
+
+
 @register("sim_ivf_persisted", None)  # approximate + index build → rows-only
 def q_sim_ivf_persisted(spark, sf_dir):
     """Build-once/probe-many IVF: persist the cell-partitioned index +
@@ -1857,9 +1873,8 @@ def q_sim_ivf_persisted(spark, sf_dir):
     Deterministic training makes build+probe agree exactly with the
     inline ``sim_topk_ivf`` (equivalence-tested in tests/test_similarity
     invariants)."""
-    import tempfile
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_index_")
+    path = _ivf_scratch(sf_dir, "persisted")
     similarity.build_ivf_index(emb, path)
     return similarity.ivf_probe_topk(
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
@@ -1871,9 +1886,8 @@ def q_sim_ivf_incremental(spark, sf_dir):
     corpus, APPEND the new half against the persisted centroids (no
     retrain, cost ~ batch not corpus — FAISS's add-after-train
     contract), then serve top-k from the combined persisted index."""
-    import tempfile
     emb = _t(spark, sf_dir, "embeddings")
-    path = tempfile.mkdtemp(prefix="ivf_inc_")
+    path = _ivf_scratch(sf_dir, "incremental")
     similarity.build_ivf_index(emb.where(F.col("vec_id") % 2 == 0), path)
     similarity.ivf_index_append(spark, path,
                                 emb.where(F.col("vec_id") % 2 == 1))

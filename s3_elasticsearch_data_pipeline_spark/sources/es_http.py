@@ -121,7 +121,13 @@ class ESHttpReader(DataSourceReader):
         self.timeout_s = float(options.get("timeout", 30))
         self.max_retries = int(options.get("max_retries", 3))
         self.backoff_s = float(options.get("backoff", 0.5))
-        self.keep_alive = options.get("pit_keep_alive", "2m")
+        # keep_alive must outlive the LONGEST wait between PIT open and
+        # a slice's first request — with more slices than task slots,
+        # queued slices start minutes after planning, and an expired
+        # PIT is a non-retryable 404 baked into every retry of the
+        # task. Default generously; size it to the expected scan
+        # duration on busy clusters. In-flight requests extend it.
+        self.keep_alive = options.get("pit_keep_alive", "30m")
         # slicing is only valid inside a PIT (or scroll) on a real
         # cluster, so sliced scans default PIT ON; a single-slice scan
         # is plain search_after and skips it. "true"/"false" overrides.
@@ -186,7 +192,8 @@ class ESHttpSource(DataSource):
     ``sort_field`` (unique keyset column, default ``id`` like the
     reference), ``timeout``, ``max_retries``, ``backoff``,
     ``use_pit`` (default: on when sliced — required by the real API),
-    ``pit_keep_alive`` (default ``2m``).
+    ``pit_keep_alive`` (default ``30m`` — must
+    outlive the longest queue-delay before a slice's first request).
     """
 
     @classmethod

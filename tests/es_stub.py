@@ -79,6 +79,15 @@ class _Handler(BaseHTTPRequestHandler):
         body = json.loads(
             self.rfile.read(int(self.headers["Content-Length"])) or b"{}")
         snapshot = None
+        if index is None and "pit" not in body:
+            # bare /_search with no pit: real ES would search ALL
+            # indices — this stub has no cross-index concept, and a
+            # reader that lost its pit body should fail loudly in
+            # tests, not read an accidental empty result
+            self._error(400, "illegal_argument_exception",
+                        "stub: /_search without an index requires a "
+                        "[pit] body")
+            return
         if "pit" in body:
             pit_id = (body["pit"] or {}).get("id")
             with self.server.lock:
