@@ -252,8 +252,16 @@ def _cell_assign_fn(centroids, n_take: int):
 
 def _load_centroids(spark, path: str):
     """The kilobyte centroid table of a persisted IVF index as an
-    (n_cells × dims) ndarray, or None when the index is untrained."""
+    (n_cells × dims) ndarray, or None when the index is untrained —
+    including the never-bootstrapped case where the centroid dir does
+    not exist yet (a streaming ingest that saw only empty batches).
+    Any other read failure propagates: a corrupt centroid table must
+    not be mistaken for 'untrained'."""
+    import os
+
     import numpy as np
+    if not os.path.exists(path + "/centroids"):
+        return None
     rows = (spark.read.parquet(path + "/centroids")
             .orderBy("cell").collect())
     if not rows:
@@ -261,16 +269,18 @@ def _load_centroids(spark, path: str):
     return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
 
 
-def _assign_and_write(embeddings: DataFrame, centroids, path: str,
+def _assign_and_write(embeddings: DataFrame, centroids, cells_dir: str,
                       mode: str) -> None:
     """Assign every vector its nearest cell and write into the
-    cell-partitioned store. Repartitions on the partition column BEFORE
-    the partitioned write: otherwise every upstream task opens a writer
-    per cell it sees — up to tasks × n_cells tiny files (the classic
-    partitioned-write small-files bug; measured 512 files for 16 cells
-    here). One shuffle keyed on cell gives one well-sized file per cell
-    per task; at corpus scale cap file size with
-    spark.sql.files.maxRecordsPerFile instead of more partitions."""
+    cell-partitioned store at ``cells_dir`` (callers pass
+    ``{index}/cells`` or a per-epoch subdir of it). Repartitions on the
+    partition column BEFORE the partitioned write: otherwise every
+    upstream task opens a writer per cell it sees — up to tasks ×
+    n_cells tiny files (the classic partitioned-write small-files bug;
+    measured 512 files for 16 cells here). One shuffle keyed on cell
+    gives one well-sized file per cell per task; at corpus scale cap
+    file size with spark.sql.files.maxRecordsPerFile instead of more
+    partitions."""
     assigned = (embeddings.select("vec_id", "embedding")
                 .mapInPandas(_cell_assign_fn(centroids, 1),
                              "vec_id long, cell int")
@@ -280,7 +290,7 @@ def _assign_and_write(embeddings: DataFrame, centroids, path: str,
                     .alias("embedding")), "vec_id"))
     (assigned.repartition("cell")
      .write.mode(mode).partitionBy("cell")
-     .parquet(path + "/cells"))
+     .parquet(cells_dir))
 
 
 def build_ivf_index(embeddings: DataFrame, path: str,
@@ -309,7 +319,7 @@ def build_ivf_index(embeddings: DataFrame, path: str,
              .write.mode("overwrite").parquet(path + "/centroids")
         return
     centroids = _kmeans_centroids(embeddings, n_cells, iters)
-    _assign_and_write(embeddings, centroids, path, "overwrite")
+    _assign_and_write(embeddings, centroids, path + "/cells", "overwrite")
     cent_rows = [(i, [float(x) for x in centroids[i]])
                  for i in range(len(centroids))]
     (spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
@@ -334,7 +344,7 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
             % path)
     if new_embeddings.select("embedding").first() is None:
         return
-    _assign_and_write(new_embeddings, centroids, path, "append")
+    _assign_and_write(new_embeddings, centroids, path + "/cells", "append")
 
 
 def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,

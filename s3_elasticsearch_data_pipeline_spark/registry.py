@@ -2717,6 +2717,32 @@ def q_stream_lsh_ingest(spark, sf_dir):
     return corpus.select("doc_id").orderBy("doc_id")
 
 
+@register("stream_ivf_ingest", None)  # approximate + streaming → rows-only
+def q_stream_ivf_ingest(spark, sf_dir):
+    """Streaming vector-index ingest: two embedding drops flow through
+    the checkpointed IVF ingest loop (streaming/ivf_ingest.py) — the
+    first drop bootstraps the centroids, the second is assigned against
+    them (add-after-train, streamed, per-epoch effectively-once) — then
+    top-k is served from the persisted index. Probe-equivalent to the
+    batch build(half)+append(rest) path by construction (tested)."""
+    import os
+
+    from s3_elasticsearch_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_ingest_stream)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = _ivf_scratch(sf_dir, "stream")
+    src, index = os.path.join(work, "src"), os.path.join(work, "index")
+    ckpt = os.path.join(work, "ckpt")
+    if not os.path.exists(src):  # scratch is reused across invocations
+        emb.where(F.col("vec_id") % 2 == 0).write.parquet(src)
+        ivf_ingest_stream(spark, src, index, ckpt)
+        emb.where(F.col("vec_id") % 2 == 1) \
+           .write.mode("append").parquet(src)
+    ivf_ingest_stream(spark, src, index, ckpt)  # drains anything new
+    return similarity.ivf_probe_topk(
+        spark, index, emb.where(F.col("vec_id") < 10), k=10)
+
+
 @register("stream_purchase_attribution", """
 SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts,
        c.event_id AS click_id, c.ts AS click_ts
