@@ -220,7 +220,13 @@ def resize_images_real(payloads: DataFrame, width: int = 16,
     """Real nearest-neighbor resize over decoded pixels: decode →
     sample source pixel per target pixel → digest of the resized RGB
     raster. Same Arrow batch shape as the fake path; undecodable rows
-    degrade to ``decode_ok=false`` instead of failing."""
+    degrade to ``decode_ok=false`` instead of failing.
+
+    ``resized_md5`` digests the LOWERCASE-HEX rendering of the raster
+    (not the raw bytes): byte-for-byte equivalent pinning of the pixel
+    content, but expressible in ANSI SQL (md5 over a hex string_agg),
+    so the registry query carries a symbolic DuckDB oracle that
+    recomputes every resized pixel from the generative formula."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -247,7 +253,7 @@ def resize_images_real(payloads: DataFrame, width: int = 16,
                         resized += px[base:base + ch]
                 out["decode_ok"].append(True)
                 out["resized_md5"].append(
-                    hashlib.md5(bytes(resized)).hexdigest())
+                    hashlib.md5(bytes(resized).hex().encode()).hexdigest())
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(run, RESIZE_REAL_SCHEMA)

@@ -470,7 +470,7 @@ def q_dedup_embedding_blocked(spark, sf_dir):
 # Extension surface: similarity search (M4 north star)
 # ---------------------------------------------------------------------------
 
-@register("sim_topk_bruteforce", """
+_BRUTE_TOPK_ORACLE = """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
            FROM embeddings WHERE vec_id < 10),
      c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
@@ -488,7 +488,10 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
        FROM scored)
 SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
 FROM ranked WHERE rank <= 10
-""")
+"""
+
+
+@register("sim_topk_bruteforce", _BRUTE_TOPK_ORACLE)
 def q_sim_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for query vectors vec_id<10 — broadcast
     nested-loop + windowed rank."""
@@ -504,10 +507,13 @@ def q_sim_topk_ann_lsh(spark, sf_dir):
         emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register("sim_topk_bruteforce_arrow", None)  # BLAS sum order → rows-only
+@register("sim_topk_bruteforce_arrow", _BRUTE_TOPK_ORACLE)
 def q_sim_topk_bruteforce_arrow(spark, sf_dir):
     """Arrow/numpy-vectorized exact top-10 — same answer as the HOF
-    path (equivalence pytest-checked), ~10x the scoring throughput."""
+    path, so it shares ``sim_topk_bruteforce``'s oracle: the top-k SET
+    and 6-decimal sims are BLAS-order-independent on this corpus (the
+    raw-score gaps dwell far above float64 summation error; the
+    equivalence pytest pins both paths to each other as well)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.brute_force_topk_arrow(
         emb, emb.where(F.col("vec_id") < 10), k=10)
@@ -1911,10 +1917,23 @@ def q_agg_grouping_sets(spark, sf_dir):
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))""")
 
 
-@register("describe_table", None)  # engine-specific type names → rows-only
+@register("describe_table", """
+SELECT column_name AS col_name,
+       CASE column_type
+         WHEN 'BIGINT' THEN 'bigint' WHEN 'INTEGER' THEN 'int'
+         WHEN 'DOUBLE' THEN 'double' WHEN 'VARCHAR' THEN 'string'
+         WHEN 'DATE' THEN 'date' WHEN 'TIMESTAMP' THEN 'timestamp_ntz'
+         WHEN 'BOOLEAN' THEN 'boolean' ELSE lower(column_type)
+       END AS data_type,
+       "null" = 'YES' AS nullable
+FROM (DESCRIBE orders)
+""")
 def q_describe_table(spark, sf_dir):
     """Debug.py equivalent as a queryable surface: column name/type/
-    nullability of a table (the engine's printSchema, as data)."""
+    nullability of a table (the engine's printSchema, as data). The
+    oracle maps DuckDB's DESCRIBE type names onto Spark simpleStrings
+    (parquet µs/isAdjustedToUTC=false timestamps surface as
+    ``timestamp_ntz`` under Spark 4's default NTZ inference)."""
     orders = _t(spark, sf_dir, "orders")
     rows = [(f.name, f.dataType.simpleString(), f.nullable)
             for f in orders.schema.fields]
@@ -2472,13 +2491,80 @@ def q_dedup_connected_components_star(spark, sf_dir):
     return dedup.connected_components_star(pairs)
 
 
-@register("text_bpe_encode", None)  # merges are data-derived → rows-only
+def _bpe_oracle_sql(n_merges: int = 8, head_symbols: int = 12) -> str:
+    """DuckDB twin of the FULL tokenizer round trip (bpe_train +
+    bpe_encode): the ``n_merges`` training rounds unroll as chained
+    CTEs — per round, one weighted pair-count aggregate, one
+    deterministic argmax (count desc, pair asc — the trainer's exact
+    tie-break), and one greedy left-to-right non-overlapping merge
+    application. Words render as control-char-wrapped symbol strings
+    (``\\x02 sym \\x03`` per symbol — both chars verified absent from
+    the corpus), so ``replace()``'s left-to-right non-overlapping scan
+    IS the Sennrich apply rule, with no shared-boundary or mid-symbol
+    false matches. Data-independent SQL: the oracle re-derives the
+    merges itself at whatever SF it runs."""
+    o, c = "chr(2)", "chr(3)"          # symbol open / close markers
+    sep = f"{c} || {o}"                # between-symbol boundary
+    wrap = f"{o} || array_to_string(string_split(word, ''), {sep}) || {c}"
+    unwrap = f"string_split(substr(s, 2, length(s) - 2), {sep})"
+    apply = (f"replace(t.s, {o} || m.l || {c} || {o} || m.r || {c}, "
+             f"{o} || m.l || m.r || {c})")
+    parts = [f"""tok0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+r0 AS (
+  SELECT {wrap} AS s, count(*) AS n
+  FROM (SELECT unnest(toks) AS word FROM tok0)
+  WHERE length(word) >= 2 GROUP BY word)"""]
+    for k in range(1, n_merges + 1):
+        parts.append(f"""m{k} AS (
+  SELECT string_split(pr, {c})[1] AS l, string_split(pr, {c})[2] AS r
+  FROM (
+    SELECT pr, sum(n) AS cnt
+    FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
+                     i -> syms[i] || {c} || syms[i+1])) AS pr
+          FROM (SELECT {unwrap} AS syms, n FROM r{k - 1}))
+    GROUP BY pr)
+  ORDER BY cnt DESC, l, r LIMIT 1)""")
+        if k < n_merges:
+            parts.append(
+                f"r{k} AS (SELECT {apply} AS s, t.n FROM r{k - 1} t, m{k} m)")
+    parts.append(f"""e0 AS (
+  SELECT word, {wrap} AS s
+  FROM (SELECT DISTINCT unnest(toks) AS word FROM tok0))""")
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f"e{k} AS (SELECT word, {apply} AS s FROM e{k - 1} t, m{k} m)")
+    parts.append(f"""enc AS (
+  SELECT word, {unwrap} AS syms FROM e{n_merges}),
+pos AS (
+  SELECT doc_id, unnest(toks) AS word, generate_subscripts(toks, 1) AS pos
+  FROM tok0),
+agg AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(length(word)) AS INT) AS n_chars,
+         CAST(sum(len(syms)) AS INT) AS n_symbols,
+         array_to_string(flatten(list(syms ORDER BY pos))[1:{head_symbols}],
+                         '|') AS head
+  FROM pos JOIN enc USING (word) GROUP BY doc_id)""")
+    return ("WITH " + ",\n".join(parts) + """
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.n_symbols, 0) AS n_symbols,
+       coalesce(a.head, '') AS head
+FROM documents d LEFT JOIN agg a USING (doc_id)""")
+
+
+@register("text_bpe_encode", _bpe_oracle_sql())
 def q_text_bpe_encode(spark, sf_dir):
     """Tokenizer round trip: train the BPE merge table on the corpus
     (text_bpe_train's loop), then ENCODE every document with it —
     word-type encode + join-back, so the interpreted merge fold runs
     over vocab-sized data only. Exact-match tested against a textbook
-    Python encoder (tests/test_tokenizer_train.py)."""
+    Python encoder (tests/test_tokenizer_train.py); the DuckDB oracle
+    re-runs train AND encode itself (``_bpe_oracle_sql``)."""
     return text.bpe_encode(_t(spark, sf_dir, "documents"))
 
 
@@ -3578,11 +3664,29 @@ def q_multimodal_resize(spark, sf_dir):
     return multimodal.resize_images(multimodal.attach_payload(docs))
 
 
-@register("image_resize_real", None)  # digest of real pixels → rows-only
+@register("image_resize_real", """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS sw, 6 + doc_id % 7 AS sh
+  FROM documents),
+b AS (
+  -- resized raster byte i (16x16x3, row-major RGB): nearest-neighbor
+  -- source coords, pixel value from the generative formula
+  SELECT d.doc_id, i.i,
+         (least(((i.i // 3) % 16) * d.sw // 16, d.sw - 1) * 7
+          + least((i.i // 48) * d.sh // 16, d.sh - 1) * 13
+          + (i.i % 3) * 31 + d.doc_id) % 256 AS v
+  FROM dims d CROSS JOIN generate_series(0, 767) AS i(i))
+SELECT doc_id, TRUE AS decode_ok, 16 AS width, 16 AS height,
+       md5(string_agg(printf('%02x', v), '' ORDER BY i)) AS resized_md5
+FROM b GROUP BY doc_id
+""")
 def q_image_resize_real(spark, sf_dir):
     """REAL nearest-neighbor resize: decode the generated PPMs and
     resample actual pixels (multimodal.py:resize_images_real); digests
-    are pinned exactly in tests/test_multimodal_decode.py."""
+    are pinned exactly in tests/test_multimodal_decode.py. The oracle
+    recomputes every resized pixel symbolically (nearest-sampled
+    generative formula) and digests the same lowercase-hex rendering —
+    an independent end-to-end check of decode + resample."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.resize_images_real(
         multimodal.attach_image_payload(docs))

@@ -94,7 +94,8 @@ def test_resize_real_exact_digest(spark, sf_smoke):
             for tx in range(4):
                 sx = min(tx * sw // 4, sw - 1)
                 expected += px[(sy * sw + sx) * 3:(sy * sw + sx) * 3 + 3]
-        assert r["resized_md5"] == hashlib.md5(bytes(expected)).hexdigest()
+        assert r["resized_md5"] == hashlib.md5(
+            bytes(expected).hex().encode()).hexdigest()
 
 
 def test_image_decode_oracle_parity(spark, sf_oracle):
