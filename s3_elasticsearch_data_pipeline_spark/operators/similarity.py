@@ -723,6 +723,114 @@ def product_quantize(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
                 "recon_mse double")
 
 
+def _adc_partial_topk(tables, q_ids, codes, ids, rerank: int, m: int):
+    """Shared ADC kernel: per-query partial shortlist over one block of
+    PQ codes. ``tables`` is (n_q, m, k_codes); rows are first put in
+    canonical ascending-id order so the stable argsort resolves
+    exact-distance ties by neighbor id — the per-block order is then
+    byte-identical to the global window's (adc_dist, neighbor_id)
+    order, which makes the shortlist independent of batch/block
+    boundaries (the standard distributed-top-k argument). Distances
+    are rounded to 8 decimals HERE for the same reason. Processes
+    queries in sub-batches so the (q × block) distance matrix stays
+    ~tens of MB regardless of chunk size."""
+    import numpy as np
+    import pandas as pd
+    ord0 = np.argsort(ids)
+    ids, codes = ids[ord0], codes[ord0]
+    top = min(rerank, codes.shape[0])
+    out_q, out_n, out_d = [], [], []
+    for lo in range(0, len(q_ids), 512):
+        t = tables[lo:lo + 512]
+        # dist[q, v] = Σ_j t[q, j, codes[v, j]]
+        dist = np.round(
+            t[np.arange(len(t))[:, None, None],
+              np.arange(m)[None, None, :],
+              codes[None, :, :]].sum(axis=2), 8)
+        part = np.argsort(dist, axis=1, kind="stable")[:, :top]
+        out_q.append(np.asarray(q_ids[lo:lo + 512]).repeat(top))
+        out_n.append(ids[part].reshape(-1))
+        out_d.append(np.take_along_axis(dist, part, axis=1).reshape(-1))
+    return pd.DataFrame({"query_id": np.concatenate(out_q),
+                         "neighbor_id": np.concatenate(out_n),
+                         "adc_dist": np.concatenate(out_d)})
+
+
+#: Target PQ-code rows per corpus block in the distributed ADC path —
+#: one cogroup task materializes (block codes + chunk tables), so this
+#: bounds task memory (~65k × m int64 codes ≈ 4 MB) independent of
+#: corpus size.
+ADC_BLOCK_ROWS = 65_536
+
+
+def _pq_adc_candidates_distributed(codes_df, queries, books, m: int,
+                                   k_codes: int, rerank: int,
+                                   chunk_rows: int, n_corpus: int,
+                                   n_queries: int):
+    """Fully distributed ADC scan — no driver funnel anywhere: the
+    (tiny, KB-scale) codebooks broadcast via closure, each query's
+    (m × k_codes) distance table is computed EXECUTOR-side, and the
+    inherently all-pairs scan runs as a block-nested-loop cogroup:
+    corpus codes split into ``vec_id % B`` blocks, queries into
+    ``query_id % C`` chunks, each (block, chunk) cell cogrouped through
+    one ``applyInPandas`` that emits ≤ rerank candidates per (query,
+    block). Shuffle volume is C × the 8-byte code table + B × the
+    query tables + B × rerank rows per query into the global shortlist
+    window — never Q × N pairs as rows, and never raw d-dim vectors."""
+    import math
+
+    spark = codes_df.sparkSession
+    sub = books.shape[2]
+    n_blocks = max(1, math.ceil(n_corpus / ADC_BLOCK_ROWS))
+    n_chunks = max(1, math.ceil(n_queries / chunk_rows))
+
+    def tbl(batches):
+        import numpy as np
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            t = np.stack([
+                ((qm[:, j * sub:(j + 1) * sub][:, None, :]
+                  - books[j][None, :, :]) ** 2).sum(axis=2)
+                for j in range(m)], axis=1)          # (n, m, k_codes)
+            yield pd.DataFrame({"query_id": pdf["vec_id"],
+                                "tbl": list(t.reshape(len(qm), -1))})
+
+    q_tbl = (queries.select("vec_id", "embedding")
+             .mapInPandas(tbl, "query_id long, tbl array<double>"))
+    corpus_rep = (codes_df
+                  .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+                  .crossJoin(spark.range(n_chunks)
+                             .select(F.col("id").alias("chunk"))))
+    queries_rep = (q_tbl
+                   .withColumn("chunk",
+                               F.pmod(F.col("query_id"), F.lit(n_chunks)))
+                   .crossJoin(spark.range(n_blocks)
+                              .select(F.col("id").alias("blk"))))
+
+    def adc(left, right):
+        import numpy as np
+        import pandas as pd
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "adc_dist": pd.Series(dtype="float64")})
+        codes = np.stack(left["codes"].to_numpy()).astype(np.int64)
+        ids = left["vec_id"].to_numpy()
+        tables = np.stack(right["tbl"].to_numpy()).reshape(
+            len(right), m, k_codes)
+        return _adc_partial_topk(tables, right["query_id"].to_numpy(),
+                                 codes, ids, rerank, m)
+
+    return (corpus_rep.groupby("blk", "chunk")
+            .cogroup(queries_rep.groupby("blk", "chunk"))
+            .applyInPandas(
+                adc, "query_id long, neighbor_id long, adc_dist double"))
+
+
 def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 8, k_codes: int = 16, train_sample: int = 256,
             iters: int = 8, rerank: int = 50,
@@ -739,82 +847,68 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     n_queries × rerank rows of raw vectors — the full corpus is read
     once as 8-byte codes, never as d-dim floats.
 
-    The query set rides driver→executor inside the closure, so it must
-    be serving-sized: above ``max_driver_queries`` this raises rather
-    than silently bottlenecking the driver — for corpus-sized query
-    frames use the fully distributed :func:`brute_force_topk` /
-    :func:`ann_lsh_topk` instead (their query side never leaves the
-    executors).
+    A serving-sized query set (≤ ``max_driver_queries``) rides
+    driver→executor inside the closure; above the cap the search
+    AUTO-SWITCHES to :func:`_pq_adc_candidates_distributed` — query
+    tables computed executor-side, block-nested-loop cogroup over
+    (corpus-block × query-chunk) cells, no driver collect of the query
+    frame — and returns the bit-identical answer under the same
+    (adc_dist, neighbor_id) total order (mirrors the
+    ``brute_force_topk_arrow`` auto-switch; equivalence-tested with a
+    monkeypatched cap in tests/test_approx_ops.py).
 
-    Determinism: each batch's ADC shortlist is taken under the TOTAL
+    Determinism: every partial ADC shortlist is taken under the TOTAL
     order (adc_dist asc, neighbor_id asc) — stable argsort over
-    id-presorted batch rows — so the shortlist (and hence the reranked
-    top-k) is independent of partitioning and Arrow batch boundaries
-    even when exact distance ties straddle the per-batch cutoff."""
+    id-presorted rows (``_adc_partial_topk``) — so the shortlist (and
+    hence the reranked top-k) is independent of partitioning, Arrow
+    batch boundaries, and block/chunk geometry even when exact
+    distance ties straddle a per-partial cutoff."""
     import numpy as np
     # one action guards AND fetches (cap+1 rows; see
     # brute_force_topk_arrow for why a separate count() is wasteful)
     q_rows = (queries.select("vec_id", "embedding")
               .limit(max_driver_queries + 1).collect())
-    if len(q_rows) > max_driver_queries:
-        raise ValueError(
-            f"pq_topk holds the query set driver-side: >"
-            f"{max_driver_queries} queries exceed max_driver_queries. "
-            "Use brute_force_topk / ann_lsh_topk for corpus-sized "
-            "query frames, or raise max_driver_queries explicitly.")
     books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
-    if books is None:
+    if books is None or not q_rows:  # empty corpus / queries → empty
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
-    sub = books.shape[2]
-    if not q_rows:  # no queries → empty result, not a numpy IndexError
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, sim double, rank int")
-    q_ids = np.array([r["vec_id"] for r in q_rows])
-    q_mat = np.array([list(r["embedding"]) for r in q_rows],
-                     dtype=np.float64)
-    # (n_q, m, k_codes) squared-L2 lookup tables
-    tables = np.stack([
-        ((q_mat[:, j * sub:(j + 1) * sub][:, None, :]
-          - books[j][None, :, :]) ** 2).sum(axis=2)
-        for j in range(m)], axis=1)
 
     codes_df = product_quantize(embeddings, m, k_codes, train_sample,
                                 iters, _books=books)  # reuse, not retrain
 
-    def scan(batches):
-        import pandas as pd
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
-            ids = pdf["vec_id"].to_numpy()
-            # canonical in-batch order: ascending neighbor id, so the
-            # stable sort below resolves exact-distance ties by id
-            ord0 = np.argsort(ids)
-            ids, codes = ids[ord0], codes[ord0]
-            # dist[q, v] = Σ_j tables[q, j, codes[v, j]]; rounded HERE
-            # so the in-batch shortlist order is byte-identical to the
-            # global window's (adc_dist, neighbor_id) order — the
-            # standard distributed-top-k argument then makes the
-            # shortlist batch-boundary-independent
-            dist = np.round(
-                tables[np.arange(len(q_ids))[:, None, None],
-                       np.arange(m)[None, None, :],
-                       codes[None, :, :]].sum(axis=2), 8)
-            top = min(rerank, dist.shape[1])
-            part = np.argsort(dist, axis=1, kind="stable")[:, :top]
-            out = {"query_id": [], "neighbor_id": [], "adc_dist": []}
-            for qi in range(len(q_ids)):
-                for vi in part[qi]:
-                    out["query_id"].append(q_ids[qi])
-                    out["neighbor_id"].append(ids[vi])
-                    out["adc_dist"].append(float(dist[qi, vi]))
-            yield pd.DataFrame(out)
+    if len(q_rows) > max_driver_queries:
+        # corpus-sized query frame: never funnel it through the driver
+        cand = _pq_adc_candidates_distributed(
+            codes_df, queries, books, m, k_codes, rerank,
+            chunk_rows=max(max_driver_queries, 1),
+            n_corpus=embeddings.count(), n_queries=queries.count())
+        q_hint = lambda d: d  # noqa: E731 — too big to broadcast
+    else:
+        sub = books.shape[2]
+        q_ids = np.array([r["vec_id"] for r in q_rows])
+        q_mat = np.array([list(r["embedding"]) for r in q_rows],
+                         dtype=np.float64)
+        # (n_q, m, k_codes) squared-L2 lookup tables
+        tables = np.stack([
+            ((q_mat[:, j * sub:(j + 1) * sub][:, None, :]
+              - books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)], axis=1)
+
+        def scan(batches):
+            import pandas as pd
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+                ids = pdf["vec_id"].to_numpy()
+                yield _adc_partial_topk(tables, q_ids, codes, ids,
+                                        rerank, m)
+
+        cand = codes_df.mapInPandas(
+            scan, "query_id long, neighbor_id long, adc_dist double")
+        q_hint = F.broadcast
 
     from pyspark.sql import Window
-    cand = codes_df.mapInPandas(
-        scan, "query_id long, neighbor_id long, adc_dist double")
     w_short = Window.partitionBy("query_id").orderBy("adc_dist",
                                                      "neighbor_id")
     shortlist = (cand.withColumn("rank", F.row_number().over(w_short))
@@ -828,7 +922,7 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                            .alias("__nv"))
     from s3_elasticsearch_data_pipeline_spark.functions.vector import cosine
     reranked = (shortlist
-                .join(F.broadcast(qv), "query_id")
+                .join(q_hint(qv), "query_id")
                 .join(nv, "neighbor_id")
                 .withColumn("sim", cosine(F.col("__qv"), F.col("__nv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),

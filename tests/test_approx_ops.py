@@ -466,11 +466,22 @@ def test_arrow_bruteforce_autoswitches_above_query_cap(spark, embeddings):
         sorted(map(tuple, small.collect()))
 
 
-def test_pq_topk_refuses_corpus_sized_query_frame(spark):
-    from s3_elasticsearch_data_pipeline_spark.tables import load_table
-    embs = load_table(spark, "/root/testdata/sf0.01", "embeddings")
-    with pytest.raises(ValueError, match="max_driver_queries"):
-        similarity.pq_topk(embs, embs, k=5, max_driver_queries=10)
+def test_pq_topk_autoswitches_above_query_cap(spark, embeddings):
+    """A query frame above max_driver_queries must NOT be collected to
+    the driver: pq_topk auto-switches to the block-nested-loop cogroup
+    ADC scan (query tables computed executor-side) and still returns
+    the bit-identical answer — same rounded (adc_dist, neighbor_id)
+    total order on both paths."""
+    queries = embeddings.where(F.col("vec_id") < 25)
+    big = similarity.pq_topk(embeddings, queries, k=5, m=4, k_codes=8,
+                             rerank=12, max_driver_queries=10)
+    plan = big._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapCoGroupsInPandas" in plan, \
+        "over-cap query frame must take the cogroup ADC path"
+    small = similarity.pq_topk(embeddings, queries, k=5, m=4, k_codes=8,
+                               rerank=12)
+    assert sorted(map(tuple, big.collect())) == \
+        sorted(map(tuple, small.collect()))
 
 
 def test_batch_topk_partitioning_invariant_under_exact_ties(spark):
