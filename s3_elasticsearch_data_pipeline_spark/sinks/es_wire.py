@@ -40,6 +40,7 @@ petabyte loads — so the final accounting agg is driver-safe.
 
 from __future__ import annotations
 
+import contextlib
 import json
 import math
 import time
@@ -59,9 +60,16 @@ DEFAULT_BATCH_SIZE = 50_000
 DEFAULT_MAX_RETRIES = 3
 DEFAULT_BACKOFF_BASE_S = 20.0
 DEFAULT_TIMEOUT_S = 120.0
+DEFAULT_SETTINGS_TIMEOUT_S = 10.0
+
+#: Bulk-load index tuning (data-s3-elastic-transfer.py:26-31): replica
+#: writes off, refresh batched to 30 s — the reference's single biggest
+#: ingest-throughput lever on a live cluster.
+BULK_LOAD_SETTINGS = {"number_of_replicas": 0, "refresh_interval": "30s"}
 
 STATS_SCHEMA = ("batch_rows long, attempts int, ok boolean, "
-                "failed_items long, error_sample string")
+                "failed_items long, error_sample string, "
+                "payload_bytes long")
 
 
 def _json_safe(v):
@@ -114,16 +122,21 @@ def _post(url: str, payload: bytes, timeout_s: float):
 
 def send_batch(docs: list[dict], url: str, index: str, id_col: str | None,
                max_retries: int, backoff_base_s: float,
-               timeout_s: float) -> tuple[bool, int, int, str]:
+               timeout_s: float) -> tuple[bool, int, int, str, int]:
     """Send one batch with the reference's retry policy. Returns
-    ``(ok, attempts, failed_items, error_sample)``."""
+    ``(ok, attempts, failed_items, error_sample, payload_bytes)`` —
+    the byte count is the serialized NDJSON size, the reference's
+    per-request ingest telemetry (``data-s3-elastic-transfer.py:
+    198-199`` logs MB per ``_bulk`` POST); counted once per batch,
+    not per retry attempt."""
     payload = build_ndjson(docs, index, id_col)
+    n_bytes = len(payload)
     error_sample = ""
     for attempt in range(max_retries):
         status, body = _post(url, payload, timeout_s)
         if status == 200 and body is not None:
             if not body.get("errors"):
-                return True, attempt + 1, 0, ""
+                return True, attempt + 1, 0, "", n_bytes
             failed, samples = 0, []
             for item in body.get("items", []):
                 info = item.get("index", {})
@@ -134,12 +147,82 @@ def send_batch(docs: list[dict], url: str, index: str, id_col: str | None,
             error_sample = "; ".join(samples)
             if failed == len(docs):
                 # complete failure: data problem, don't retry
-                return False, attempt + 1, failed, error_sample
-            return True, attempt + 1, failed, error_sample  # partial
+                return False, attempt + 1, failed, error_sample, n_bytes
+            return True, attempt + 1, failed, error_sample, n_bytes
         error_sample = f"http_{status}"
         if attempt < max_retries - 1 and backoff_base_s > 0:
             time.sleep((attempt + 1) * backoff_base_s)
-    return False, max_retries, len(docs), error_sample
+    return False, max_retries, len(docs), error_sample, n_bytes
+
+
+def _settings_request(method: str, url: str, index: str,
+                      body: dict | None, timeout_s: float):
+    """One ``/{index}/_settings`` request → parsed JSON body or None
+    (best-effort, like the reference's try/warn wrapper)."""
+    data = None if body is None else json.dumps(body).encode("utf-8")
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/{index}/_settings", data=data,
+        headers={"Content-Type": "application/json"}, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            if resp.status != 200:
+                return None
+            return json.loads(resp.read().decode("utf-8"))
+    except (urllib.error.URLError, OSError, ValueError):
+        return None
+
+
+def get_index_settings(url: str, index: str,
+                       timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S
+                       ) -> dict | None:
+    """Current ``index.*`` settings dict for ``index`` (GET
+    ``/{index}/_settings``), or None when unreachable."""
+    body = _settings_request("GET", url, index, None, timeout_s)
+    if not isinstance(body, dict) or not body:
+        return None
+    entry = body.get(index) or next(iter(body.values()), None)
+    if not isinstance(entry, dict):
+        return None
+    return (entry.get("settings") or {}).get("index", {})
+
+
+def put_index_settings(url: str, index: str, settings: dict,
+                       timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S
+                       ) -> bool:
+    """PUT ``/{index}/_settings`` with an ``index.*`` settings dict —
+    the wire twin of the reference's
+    ``setup_elasticsearch_for_bulk_operations``
+    (``data-s3-elastic-transfer.py:23-43``). Best-effort: False on any
+    transport/HTTP failure, never raises (tuning is an optimization,
+    not a correctness requirement — matching the reference's
+    log-and-continue)."""
+    body = _settings_request("PUT", url, index, {"index": settings},
+                             timeout_s)
+    return bool(body and body.get("acknowledged"))
+
+
+@contextlib.contextmanager
+def setup_index_for_bulk(url: str, index: str,
+                         timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S):
+    """Bulk-load window: apply :data:`BULK_LOAD_SETTINGS` on entry and
+    restore the index's prior replica/refresh settings on exit (the
+    reference only ever sets them — restoring is the documented
+    SURVEY §4 improvement; a crashed loader otherwise leaves the index
+    unreplicated). Yields True when the tuning was acknowledged.
+    Settings that did not exist before revert to cluster defaults by
+    PUTting null. All best-effort: an unreachable settings endpoint
+    degrades to an untuned (but correct) load."""
+    prior = get_index_settings(url, index, timeout_s)
+    applied = put_index_settings(url, index, BULK_LOAD_SETTINGS, timeout_s)
+    try:
+        yield applied
+    finally:
+        if applied:
+            restore = {
+                key: (prior or {}).get(key)  # None → reset to default
+                for key in BULK_LOAD_SETTINGS
+            }
+            put_index_settings(url, index, restore, timeout_s)
 
 
 def bulk_index(df: DataFrame, url: str, index: str,
@@ -174,11 +257,12 @@ def bulk_index(df: DataFrame, url: str, index: str,
                     docs = [d for d in docs if d[id_col] is not None]
                 n_rows = len(docs) + null_keyed
                 if docs:
-                    ok, attempts, failed, sample = send_batch(
+                    ok, attempts, failed, sample, n_bytes = send_batch(
                         docs, url, index, id_col,
                         max_retries, backoff_base_s, timeout_s)
                 else:
-                    ok, attempts, failed, sample = True, 0, 0, ""
+                    ok, attempts, failed, sample, n_bytes = (
+                        True, 0, 0, "", 0)
                 if null_keyed:
                     failed += null_keyed
                     sample = "; ".join(
@@ -187,7 +271,8 @@ def bulk_index(df: DataFrame, url: str, index: str,
                 yield pd.DataFrame({
                     "batch_rows": [n_rows], "attempts": [attempts],
                     "ok": [ok], "failed_items": [failed],
-                    "error_sample": [sample]})
+                    "error_sample": [sample],
+                    "payload_bytes": [n_bytes]})
 
     return df.mapInPandas(_send, schema=STATS_SCHEMA)
 
@@ -195,17 +280,33 @@ def bulk_index(df: DataFrame, url: str, index: str,
 @dataclass
 class BulkReport:
     """Aggregate accounting, mirroring the reference's end-of-run log
-    (``data-s3-elastic-transfer.py:430-446``)."""
+    (``data-s3-elastic-transfer.py:430-446``); ``bytes_sent`` is the
+    total serialized NDJSON payload — the distributed sum of the
+    reference's per-request MB log line
+    (``data-s3-elastic-transfer.py:198-199``), one count per batch
+    regardless of retry attempts."""
     batches: int = 0
     batches_failed: int = 0
     rows_sent: int = 0
     rows_failed: int = 0
     max_attempts: int = 0
+    bytes_sent: int = 0
     error_samples: list[str] = None  # type: ignore[assignment]
 
 
-def write_df(df: DataFrame, url: str, index: str, **kwargs) -> BulkReport:
-    """Trigger the bulk write and return aggregate accounting."""
+def write_df(df: DataFrame, url: str, index: str,
+             optimize_for_bulk: bool = False,
+             settings_timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S,
+             **kwargs) -> BulkReport:
+    """Trigger the bulk write and return aggregate accounting.
+
+    ``optimize_for_bulk=True`` wraps the load in
+    :func:`setup_index_for_bulk` — replicas off / refresh batched for
+    the duration, prior settings restored after — the reference's
+    pre-load tuning on the wire path that actually runs here."""
+    if optimize_for_bulk:
+        with setup_index_for_bulk(url, index, settings_timeout_s):
+            return write_df(df, url, index, **kwargs)
     stats = bulk_index(df, url, index, **kwargs)
     agg = (stats.agg(
         F.count(F.lit(1)).alias("batches"),
@@ -216,6 +317,7 @@ def write_df(df: DataFrame, url: str, index: str, **kwargs) -> BulkReport:
         F.sum(F.when(F.col("ok"), F.col("failed_items"))
               .otherwise(F.col("batch_rows"))).alias("rows_failed"),
         F.max("attempts").alias("max_attempts"),
+        F.sum("payload_bytes").alias("bytes_sent"),
         F.array_sort(F.collect_set(
             F.when(F.col("error_sample") != "", F.col("error_sample"))
         )).alias("error_samples"),
@@ -226,5 +328,6 @@ def write_df(df: DataFrame, url: str, index: str, **kwargs) -> BulkReport:
         rows_sent=agg["rows_sent"] or 0,
         rows_failed=agg["rows_failed"] or 0,
         max_attempts=agg["max_attempts"] or 0,
+        bytes_sent=agg["bytes_sent"] or 0,
         error_samples=list(agg["error_samples"] or []),
     )

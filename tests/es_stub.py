@@ -18,7 +18,10 @@ repo's ES surface end-to-end:
   ``POST /{index}/_pit`` mints point-in-time ids that pin the index
   for subsequent ``/_search`` bodies carrying ``pit.id``. The sort
   field is assumed unique (the reference sorts on its unique ``id``;
-  real deployments get the implicit ``_shard_doc`` tiebreaker).
+  real deployments get the implicit ``_shard_doc`` tiebreaker);
+* ``GET``/``PUT /{index}/_settings`` — dynamic index settings with
+  real merge semantics (null clears back to default), recording every
+  PUT body — what ``sinks.es_wire.setup_index_for_bulk`` tunes.
 
 Runs a ThreadingHTTPServer on an ephemeral localhost port; local-mode
 executors are threads in this process, so they reach it directly.
@@ -142,6 +145,54 @@ class _Handler(BaseHTTPRequestHandler):
         self.end_headers()
         self.wfile.write(resp)
 
+    def _send_json(self, obj, status: int = 200):
+        resp = json.dumps(obj).encode()
+        self.send_response(status)
+        self.send_header("Content-Type", "application/json")
+        self.send_header("Content-Length", str(len(resp)))
+        self.end_headers()
+        self.wfile.write(resp)
+
+    def do_GET(self):
+        """``GET /{index}/_settings`` — ES-shaped settings document;
+        unset dynamic settings are omitted, like a real index that
+        never had them PUT (cluster defaults are not echoed back)."""
+        srv = self.server
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        if len(parts) == 2 and parts[1] == "_settings":
+            index = parts[0]
+            with srv.lock:
+                current = dict(srv.index_settings.get(index, {}))
+            self._send_json(
+                {index: {"settings": {"index": current}}})
+            return
+        self.send_response(404)
+        self.end_headers()
+
+    def do_PUT(self):
+        """``PUT /{index}/_settings`` — merge dynamic settings like a
+        real cluster (accepts both ``{"index": {...}}`` and flat
+        bodies; a null value clears the setting back to default)."""
+        srv = self.server
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        if len(parts) != 2 or parts[1] != "_settings":
+            self.send_response(404)
+            self.end_headers()
+            return
+        index = parts[0]
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])) or b"{}")
+        settings = body.get("index", body)
+        with srv.lock:
+            srv.settings_calls.append((index, dict(settings)))
+            current = srv.index_settings.setdefault(index, {})
+            for key, value in settings.items():
+                if value is None:
+                    current.pop(key, None)
+                else:
+                    current[key] = value
+        self._send_json({"acknowledged": True})
+
     def do_POST(self):
         srv = self.server
         parts = [p for p in self.path.split("?")[0].split("/") if p]
@@ -167,6 +218,8 @@ class _Handler(BaseHTTPRequestHandler):
             self.end_headers()
             return
         body = self.rfile.read(int(self.headers["Content-Length"]))
+        with srv.lock:
+            srv.bulk_bytes += len(body)
         lines = [ln for ln in body.decode("utf-8").split("\n") if ln]
         items, had_error = [], False
         for i in range(0, len(lines) - 1, 2):
@@ -214,6 +267,9 @@ class ESStub:
         self.server.search_bodies = []  # [(index, parsed _search body)]
         self.server.pits = {}      # pit_id -> (index, snapshot)
         self.server.pit_seq = 0
+        self.server.index_settings = {}  # index -> {setting: value}
+        self.server.settings_calls = []  # [(index, PUT body)]
+        self.server.bulk_bytes = 0       # total /_bulk payload bytes
         self.server.reject = reject     # callable(doc) -> reason | None
         self.thread = threading.Thread(
             target=self.server.serve_forever, daemon=True)
@@ -239,3 +295,15 @@ class ESStub:
     @property
     def requests_seen(self) -> int:
         return self.server.requests_seen
+
+    @property
+    def index_settings(self) -> dict:
+        return self.server.index_settings
+
+    @property
+    def settings_calls(self) -> list:
+        return self.server.settings_calls
+
+    @property
+    def bulk_bytes(self) -> int:
+        return self.server.bulk_bytes

@@ -56,6 +56,50 @@ def test_keyed_upsert_idempotent_on_rerun(spark, docs_df):
         assert stub.store["serving"] == first
 
 
+def test_bulk_settings_roundtrip_and_payload_accounting(spark, docs_df):
+    """S11 on the wire: optimize_for_bulk must PUT replicas=0 /
+    refresh=30s BEFORE the load, restore the prior settings after
+    (unset ones cleared back to default via null), and the report must
+    carry total NDJSON payload bytes — the reference's per-request MB
+    telemetry (data-s3-elastic-transfer.py:23-43,198-199)."""
+    with ESStub() as stub:
+        # pre-existing replica setting that the load window must restore
+        assert es_wire.put_index_settings(stub.url, "serving",
+                                          {"number_of_replicas": 2})
+        report = es_wire.write_df(docs_df, stub.url, "serving",
+                                  id_col="id", batch_size=100,
+                                  optimize_for_bulk=True, **FAST)
+        assert report.rows_sent == 500 and report.batches == 5
+        # telemetry: bytes reported == bytes the server actually received
+        assert report.bytes_sent == stub.bulk_bytes > 0
+        # call order: tune → (bulk) → restore
+        assert stub.settings_calls[1] == ("serving", es_wire.BULK_LOAD_SETTINGS)
+        assert stub.settings_calls[2] == (
+            "serving", {"number_of_replicas": 2, "refresh_interval": None})
+        # post-load state: replicas restored, refresh back to default
+        assert stub.index_settings["serving"] == {"number_of_replicas": 2}
+
+
+def test_bulk_settings_restore_runs_even_when_load_fails(spark, docs_df):
+    """A failed load must not leave the index unreplicated: the restore
+    PUT runs from the context manager's finally."""
+    with ESStub() as stub:
+        with es_wire.setup_index_for_bulk(stub.url, "serving") as applied:
+            assert applied
+            assert stub.index_settings["serving"] == \
+                es_wire.BULK_LOAD_SETTINGS
+            # (simulated load failure — the window still restores)
+        assert stub.index_settings["serving"] == {}
+
+
+def test_bulk_settings_unreachable_endpoint_degrades_gracefully(spark):
+    """No settings endpoint (connection refused) → untuned but working
+    load path: setup yields False and never raises."""
+    with es_wire.setup_index_for_bulk(
+            "http://127.0.0.1:9", "serving", timeout_s=0.2) as applied:
+        assert applied is False
+
+
 def test_unkeyed_write_auto_ids(spark, docs_df):
     with ESStub() as stub:
         report = es_wire.write_df(docs_df.limit(50), stub.url, "raw",
