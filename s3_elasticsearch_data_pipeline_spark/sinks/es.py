@@ -52,15 +52,30 @@ def es_write_options(index: str, nodes: str = "localhost", port: int = 9200,
     return opts
 
 
+def _is_connector_missing(exc: BaseException) -> bool:
+    """True only for the connector-jar-not-on-classpath failure shapes
+    (Spark's data-source lookup error / JVM ClassNotFound) — a genuine
+    write failure on a cluster that HAS the connector must surface
+    as-is, not be mislabeled as an environment problem."""
+    msg = str(exc)
+    return ("Failed to find data source" in msg
+            or "DATA_SOURCE_NOT_FOUND" in msg
+            or "ClassNotFoundException" in msg)
+
+
 def write_to_es(df: DataFrame, index: str, **kwargs) -> None:
     """Executor-parallel bulk write through the connector. Raises a
-    clear error when the connector jar is absent (this environment)."""
+    clear error when the connector jar is absent (this environment);
+    any other failure (connection refused, mapping conflict, rejected
+    docs) propagates unchanged."""
     opts = es_write_options(index, **kwargs)
     try:
         (df.write.format("org.elasticsearch.spark.sql")
          .options(**opts).mode("append").save())
-    except Exception as exc:  # connector jar not on classpath here
-        raise RuntimeError(
-            "elasticsearch-hadoop connector not available in this "
-            "environment; use sinks.keyed.upsert_by_key as the offline "
-            "stand-in (same observable semantics)") from exc
+    except Exception as exc:
+        if _is_connector_missing(exc):
+            raise RuntimeError(
+                "elasticsearch-hadoop connector not available in this "
+                "environment; use sinks.keyed.upsert_by_key as the "
+                "offline stand-in (same observable semantics)") from exc
+        raise

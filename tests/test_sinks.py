@@ -39,6 +39,25 @@ def test_write_to_es_raises_cleanly_without_connector(spark):
         write_to_es(df, "idx")
 
 
+def test_write_to_es_propagates_genuine_write_failures():
+    """Only the jar-missing failure shapes map to the friendly
+    RuntimeError; a data/transport error from a cluster that HAS the
+    connector must surface unchanged (was: blanket except mislabeling
+    every failure as 'connector not available')."""
+    from s3_elasticsearch_data_pipeline_spark.sinks.es import (
+        _is_connector_missing)
+    assert _is_connector_missing(Exception(
+        "[DATA_SOURCE_NOT_FOUND] Failed to find data source: "
+        "org.elasticsearch.spark.sql."))
+    assert _is_connector_missing(Exception(
+        "java.lang.ClassNotFoundException: org.elasticsearch.spark.sql"))
+    assert not _is_connector_missing(Exception(
+        "org.elasticsearch.hadoop.rest.EsHadoopRemoteException: "
+        "mapper_parsing_exception: failed to parse field [value]"))
+    assert not _is_connector_missing(Exception(
+        "Connection refused: es-node-7:9200"))
+
+
 def test_upsert_last_write_wins(spark, tmp_path):
     path = str(tmp_path / "serving")
     v1 = spark.createDataFrame(
