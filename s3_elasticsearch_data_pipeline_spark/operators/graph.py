@@ -15,19 +15,34 @@ any IEEE-754 engine.
 
 from __future__ import annotations
 
+import threading
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-#: Above this node count the rank vector no longer broadcasts: a node
-#: row is ~30 bytes (key + double), so 10M nodes ≈ 300 MB — past any
-#: sane spark.sql.autoBroadcastJoinThreshold / driver-memory budget.
-BROADCAST_NODE_LIMIT = 10_000_000
+#: Estimated broadcast bytes per rank-vector row: 8 B double + a short
+#: node key + JVM object/hash-relation overhead. Deliberately on the
+#: high side — over-estimating flips to the (always-correct)
+#: partitioned strategy early rather than OOMing an executor late.
+RANK_ROW_BYTES = 32
+
+#: Rank-vector broadcast budget. 64 MB ≈ 2M nodes at ~32 B/row — a
+#: per-iteration broadcast each executor must hold next to its shuffle
+#: memory; well below driver/executor pain, comfortably above every
+#: serving-sized graph. (The old limit was a 10M-node COUNT — ~300 MB,
+#: the very size its own comment called past any sane threshold.)
+BROADCAST_RANKS_BUDGET_BYTES = 64 * 1024 * 1024
+
+#: The materializing action scopes an AQE toggle that is session-global
+#: (see pagerank body); serialize that window across pagerank callers
+#: so racing calls cannot plan under each other's setting.
+_AQE_SCOPE_LOCK = threading.Lock()
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              broadcast_ranks: bool | None = None,
-             broadcast_node_limit: int = BROADCAST_NODE_LIMIT,
+             broadcast_budget_bytes: int = BROADCAST_RANKS_BUDGET_BYTES,
              materialize: bool = True) -> DataFrame:
     """PageRank over a directed edge list ``(src, dst)``.
 
@@ -35,9 +50,11 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     both edge directions — that also removes dangling-node mass).
 
     Scale shape — two physical strategies behind one logical plan,
-    selected automatically by node count (``broadcast_ranks=None``):
+    selected automatically (``broadcast_ranks=None``) by ESTIMATED
+    rank-vector bytes (node count × :data:`RANK_ROW_BYTES`) against
+    ``broadcast_budget_bytes``:
 
-    * **broadcast** (nodes ≤ ``broadcast_node_limit``): out-degrees and
+    * **broadcast** (estimated vector ≤ budget): out-degrees and
       the per-iteration rank vector broadcast; each iteration is a
       map-side join over the partitioned edges plus one shuffle of
       (node, partial-sum) pairs. Edges+degrees materialize ONCE via
@@ -73,7 +90,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
            .localCheckpoint(eager=True))
     n = deg.count()  # node count — a driver-safe scalar, never the rows
     if broadcast_ranks is None:
-        broadcast_ranks = n <= broadcast_node_limit
+        broadcast_ranks = n * RANK_ROW_BYTES <= broadcast_budget_bytes
     hint = F.broadcast if broadcast_ranks else (lambda d: d)
     if broadcast_ranks:
         edges_d = (edges.join(F.broadcast(deg), "src")
@@ -120,19 +137,21 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # 17 jobs → slower wall clock on the 3-iteration loop) buy nothing
     # — scope it off for the materializing action; the partitioned
     # (huge-graph) mode keeps AQE for its skew handling.
-    # NB: conf toggles are session-global — concurrent queries planned
-    # inside this window (or racing pagerank calls) would see AQE off.
-    # Acceptable for the single-driver batch/bench callers here; a
+    # NB: conf toggles are session-global — _AQE_SCOPE_LOCK serializes
+    # the window across pagerank callers (racing calls can no longer
+    # plan under each other's setting); OTHER queries planned
+    # concurrently in the same session would still see AQE off, so a
     # multi-tenant service should hand pagerank its own session clone.
     mid = persistent_rdd_ids(spark)
     aqe_key = "spark.sql.adaptive.enabled"
-    prior_aqe = spark.conf.get(aqe_key, "true")
-    try:
-        if broadcast_ranks:
-            spark.conf.set(aqe_key, "false")
-        out = out.localCheckpoint(eager=True)
-    finally:
-        spark.conf.set(aqe_key, prior_aqe)
+    with _AQE_SCOPE_LOCK:
+        prior_aqe = spark.conf.get(aqe_key, "true")
+        try:
+            if broadcast_ranks:
+                spark.conf.set(aqe_key, "false")
+            out = out.localCheckpoint(eager=True)
+        finally:
+            spark.conf.set(aqe_key, prior_aqe)
     release_persistent_rdds(spark, mid - before)
     return out
 

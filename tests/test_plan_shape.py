@@ -512,6 +512,14 @@ def test_pagerank_partitioned_path_never_broadcasts_ranks(spark, sf_oracle):
         plan_small = plan_of(pagerank(edges, iters=2, broadcast_ranks=True,
                                       materialize=False))
         assert plan_small.count("BroadcastHashJoin") >= 2
+        # AUTO mode crosses over on estimated rank-vector BYTES: with a
+        # budget smaller than this graph's n × RANK_ROW_BYTES estimate,
+        # the partitioned strategy must engage without being forced
+        plan_auto = plan_of(pagerank(edges, iters=2,
+                                     broadcast_budget_bytes=1024,
+                                     materialize=False))
+        assert "BroadcastHashJoin" not in plan_auto, \
+            "byte budget exceeded — auto mode must pick partitioned"
         # Value equality on the production (materialized) path:
         big = pagerank(edges, iters=2, broadcast_ranks=False)
         small = pagerank(edges, iters=2, broadcast_ranks=True)
