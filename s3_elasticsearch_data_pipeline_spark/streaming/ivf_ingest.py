@@ -52,10 +52,17 @@ def _centroids_if_trained(spark: SparkSession, index_path: str):
 def ivf_ingest_stream(spark: SparkSession, source_path: str,
                       index_path: str, checkpoint_path: str,
                       n_cells: int = 16, iters: int = 2,
-                      schema=None) -> None:
+                      schema=None, fault_hook=None) -> None:
     """Drain all new embedding files into the persisted IVF index
     (``Trigger.AvailableNow`` — call repeatedly; each call processes
-    exactly the files that arrived since the last call)."""
+    exactly the files that arrived since the last call).
+
+    ``fault_hook(stage, epoch_id)``: crash-consistency seam — called
+    after each sink write (stages ``"after_centroids_write"`` on the
+    bootstrap epoch and ``"after_cells_write"`` every epoch); a hook
+    that raises simulates a process kill in the torn window between a
+    completed write and the checkpoint commit."""
+    fault = fault_hook or (lambda stage, epoch_id: None)
     if schema is None:
         schema = spark.read.parquet(source_path).schema
     stream = (spark.readStream
@@ -77,6 +84,7 @@ def ivf_ingest_stream(spark: SparkSession, source_path: str,
                     for i in range(len(centroids))]
             (sess.createDataFrame(rows, "cell int, centroid array<double>")
              .write.mode("overwrite").parquet(index_path + "/centroids"))
+            fault("after_centroids_write", epoch_id)
         # per-epoch subdir of the cell store + overwrite = idempotent
         # replay; hive discovery reads cells/epoch=<id>/cell=<c> as
         # two partition columns, and the probe's cell filter prunes
@@ -85,6 +93,7 @@ def ivf_ingest_stream(spark: SparkSession, source_path: str,
             batch_df, centroids,
             os.path.join(index_path, "cells", f"epoch={epoch_id}"),
             "overwrite")
+        fault("after_cells_write", epoch_id)
 
     q = (stream.writeStream
          .foreachBatch(handle)

@@ -55,7 +55,8 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
                       corpus_path: str, index_path: str,
                       checkpoint_path: str, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5, schema=None) -> None:
+                      threshold: float = 0.5, schema=None,
+                      fault_hook=None) -> None:
     """Drain all new document files through the dedup-at-ingest loop
     (``Trigger.AvailableNow`` — run repeatedly; each call processes
     exactly the files that arrived since the last call).
@@ -75,7 +76,14 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
     ``schema``: pass the source schema to skip the batch-read
     inference pass (which lists the whole source tree on every call);
     when omitted it is derived from ``source_path`` once per call.
+
+    ``fault_hook(stage, epoch_id)``: crash-consistency seam — called
+    after each sink write (stages ``"after_corpus_write"`` and
+    ``"after_index_write"``); a hook that raises simulates a process
+    kill in the torn window between a completed write and the
+    checkpoint commit, so tests can assert the replay heals it.
     """
+    fault = fault_hook or (lambda stage, epoch_id: None)
     if schema is None:
         schema = spark.read.parquet(source_path).schema
     stream = (spark.readStream
@@ -132,10 +140,12 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
         # the epoch reruns after a failure before checkpoint commit)
         (survivors.write.mode("overwrite")
          .parquet(os.path.join(corpus_path, f"epoch={epoch_id}")))
+        fault("after_corpus_write", epoch_id)
         (probe.join(dropped, "doc_id", "left_anti")
          .select("doc_id", "sig", "band", "bucket")
          .write.mode("overwrite")
          .parquet(os.path.join(index_path, f"epoch={epoch_id}")))
+        fault("after_index_write", epoch_id)
 
     q = (stream.writeStream
          .foreachBatch(handle)
