@@ -59,17 +59,84 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 _ROW_GROUP_CACHE: dict[tuple[str, int, float], int] = {}
 
 
-def _scan_split_estimate(df: DataFrame) -> int | None:
-    """Cheaply estimate how many tasks the scan stage of ``df`` gets.
+_SIZE_SUFFIXES = (("tb", 1024 ** 4), ("gb", 1024 ** 3), ("mb", 1024 ** 2),
+                  ("kb", 1024), ("t", 1024 ** 4), ("g", 1024 ** 3),
+                  ("m", 1024 ** 2), ("k", 1024), ("b", 1))
 
-    Spark assigns each parquet ROW GROUP to the byte-range split that
-    contains its midpoint, so a file's effective parallelism is
-    ``min(row_groups, ceil(bytes / maxPartitionBytes))``. Both inputs
-    are available driver-side without materializing an RDD: the plan's
-    ``inputFiles()`` plus a (cached) pyarrow footer read per file.
-    Returns None when the estimate isn't cheaply available (non-local
-    storage, derived frames) — callers then fall back to the exact but
-    costlier ``df.rdd.getNumPartitions()``.
+
+def _parse_size_bytes(value, default: int) -> int:
+    """Spark byte-size conf value → bytes. Accepts plain integers and
+    the k/m/g/t (or kb/mb/gb/tb) suffixes Spark itself accepts —
+    '128m'-style values used to raise and silently fall back."""
+    try:
+        s = str(value).strip().lower()
+        mult = 1
+        for suffix, m in _SIZE_SUFFIXES:
+            if s.endswith(suffix):
+                s, mult = s[:-len(suffix)], m
+                break
+        return int(float(s) * mult)
+    except (ValueError, TypeError):
+        return default
+
+
+def _packed_scan_partitions(file_infos: list[tuple[int, int]],
+                            max_partition_bytes: int,
+                            open_cost_bytes: int,
+                            parallelism: int) -> int:
+    """Mirror of Spark's ``FilePartition`` planning over
+    ``(file_bytes, row_groups)`` pairs → number of scan partitions that
+    carry actual rows.
+
+    Spark first derives the split size
+    (``FilePartition.maxSplitBytes``)::
+
+        totalBytes    = Σ (fileSize + openCostInBytes)
+        maxSplitBytes = min(maxPartitionBytes,
+                            max(openCostInBytes, totalBytes / parallelism))
+
+    then slices each file into byte ranges of ``maxSplitBytes`` and
+    bin-packs the slices (sorted by size, descending) into partitions,
+    closing a bin when the next slice would overflow, with each packed
+    slice padded by ``openCostInBytes``. Parquet rows land in the
+    slice containing their row group's midpoint, so a file contributes
+    rows to at most ``row_groups`` of its slices — slices beyond that
+    are planned but empty, hence the work-bearing-bin count, which is
+    what a repartition decision should compare against cores.
+    """
+    total = sum(size + open_cost_bytes for size, _ in file_infos)
+    max_split = max(1, min(max_partition_bytes,
+                           max(open_cost_bytes,
+                               total // max(parallelism, 1))))
+    pieces: list[tuple[int, bool]] = []
+    for size, row_groups in file_infos:
+        n = max(1, -(-size // max_split))
+        for i in range(n):
+            piece = max_split if i < n - 1 else size - max_split * (n - 1)
+            pieces.append((piece, i < row_groups))
+    pieces.sort(key=lambda p: -p[0])
+    work_bins = 0
+    cur_bytes, cur_work, bin_open = 0, False, False
+    for piece, has_work in pieces:
+        if bin_open and cur_bytes + piece > max_split:
+            work_bins += cur_work
+            cur_bytes, cur_work, bin_open = 0, False, False
+        cur_bytes += piece + open_cost_bytes
+        cur_work = cur_work or has_work
+        bin_open = True
+    if bin_open:
+        work_bins += cur_work
+    return work_bins
+
+
+def _scan_split_estimate(df: DataFrame) -> int | None:
+    """Cheaply estimate how many WORK-BEARING tasks the scan stage of
+    ``df`` gets, using Spark's own split planning
+    (:func:`_packed_scan_partitions`) over driver-side file metadata:
+    the plan's ``inputFiles()`` plus a (cached) pyarrow footer read per
+    file. Returns None when the estimate isn't cheaply available
+    (non-local storage, derived frames) — callers then fall back to the
+    exact but costlier ``df.rdd.getNumPartitions()``.
     """
     try:
         files = df.inputFiles()
@@ -77,12 +144,14 @@ def _scan_split_estimate(df: DataFrame) -> int | None:
         return None
     if not files:
         return None
-    try:
-        max_bytes = int(df.sparkSession.conf.get(
-            "spark.sql.files.maxPartitionBytes", "134217728").rstrip("b"))
-    except ValueError:
-        max_bytes = 128 * 1024 * 1024
-    total = 0
+    conf = df.sparkSession.conf
+    max_bytes = _parse_size_bytes(
+        conf.get("spark.sql.files.maxPartitionBytes", "134217728b"),
+        128 * 1024 * 1024)
+    open_cost = _parse_size_bytes(
+        conf.get("spark.sql.files.openCostInBytes", "4194304b"),
+        4 * 1024 * 1024)
+    infos: list[tuple[int, int]] = []
     for uri in files:
         if uri.startswith("file:"):
             path = uri[len("file://"):] if uri.startswith("file://") \
@@ -97,11 +166,12 @@ def _scan_split_estimate(df: DataFrame) -> int | None:
             if key not in _ROW_GROUP_CACHE:
                 import pyarrow.parquet as pq
                 _ROW_GROUP_CACHE[key] = pq.ParquetFile(path).metadata.num_row_groups
-            total += min(_ROW_GROUP_CACHE[key],
-                         -(-st.st_size // max_bytes))
+            infos.append((st.st_size, _ROW_GROUP_CACHE[key]))
         except Exception:
             return None
-    return total
+    return _packed_scan_partitions(
+        infos, max_bytes, open_cost,
+        df.sparkSession.sparkContext.defaultParallelism)
 
 
 def parallelize_for_compute(df: DataFrame,
