@@ -684,9 +684,18 @@ def connected_components_star(pairs: DataFrame, max_iter: int = 20,
                       F.greatest("a", "b").alias("b"))
               .distinct().localCheckpoint(eager=False))
         sig = _sig(e2)
-        edges = e2
+        prev_edges, edges = edges, e2
         if sig == prev_sig:
-            break
+            # Signature equality is (count, Σ xxhash64) — confirm the
+            # fixpoint EXACTLY, once, at convergence: counts already
+            # match, so one empty one-way exceptAll proves the sets
+            # identical (distinct + equal cardinality). A sum collision
+            # (never observed, but the signature alone can't exclude
+            # it) just keeps iterating instead of silently returning
+            # wrong cluster labels. Cost: one extra job at convergence,
+            # zero in steady rounds.
+            if e2.exceptAll(prev_edges).isEmpty():
+                break
         prev_sig = sig
 
     labels = (_symmetrize(edges).groupBy(F.col("a").alias("doc_id"))

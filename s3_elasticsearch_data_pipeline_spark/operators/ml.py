@@ -82,18 +82,25 @@ def train_quality_classifier(documents: DataFrame, iters: int = 15,
       numpy. Same algorithm, same fixed iteration count, deterministic
       (fixed row order ⇒ fixed float summation order).
     """
-    feats = quality_features(documents)
-    # Path probe and driver-path data acquisition in ONE job: pull at
-    # most cap+1 feature rows; an overflow row means "stay distributed".
-    head = (feats.select("doc_id", "y", *FEATURES)
-            .limit(driver_path_max_rows + 1).toPandas())
+    # Checkpoint BEFORE probing (the bpe_train/connected_components
+    # discipline): quality_features happens to be shuffle-free today,
+    # so the old probe-then-checkpoint order only cost one extra
+    # narrow scan — but the ordering invariant should not depend on
+    # that staying true.
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    spark = documents.sparkSession
+    before = persistent_rdd_ids(spark)
+    feats = (quality_features(documents)
+             .select("doc_id", "y", *FEATURES)
+             .localCheckpoint(eager=True))
+    head = feats.limit(driver_path_max_rows + 1).toPandas()
     n_row = len(head)
-    if n_row == 0:
-        return documents.sparkSession.createDataFrame(
-            [], "feature string, weight double")
     if n_row <= driver_path_max_rows:
-        return _train_driver_side(documents.sparkSession, head, iters, lr)
-    feats = feats.localCheckpoint(eager=True)
+        release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
+        if n_row == 0:
+            return spark.createDataFrame([], "feature string, weight double")
+        return _train_driver_side(spark, head, iters, lr)
     n_row = feats.count()
     # Right-size the GD tasks: every iteration re-scans this frame with
     # a tight columnar aggregate, so target ~1M rows per task — at
@@ -125,8 +132,9 @@ def train_quality_classifier(documents: DataFrame, iters: int = 15,
     loss = float(loss_row["L"]) / n_row
     rows = [(f, round(w[i], 10)) for i, f in enumerate(FEATURES)]
     rows.append(("__loss__", round(loss, 10)))
-    return documents.sparkSession.createDataFrame(
-        rows, "feature string, weight double")
+    # weights are driver data now — free the feature checkpoints
+    release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
+    return spark.createDataFrame(rows, "feature string, weight double")
 
 
 def _train_driver_side(spark, pdf, iters: int, lr: float) -> DataFrame:

@@ -961,18 +961,26 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
     # data-sized pass); the word-TYPE aggregate downstream is
     # vocab-sized and AQE already coalesces its shuffle output, so the
     # merge rounds run on right-sized partitions without extra jobs.
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    spark = documents.sparkSession
+    before = persistent_rdd_ids(spark)
     words = (_par(documents)
              .select(F.explode(tokens(F.col("text"))).alias("word"))
              .groupBy("word").agg(F.count(F.lit(1)).alias("n"))
              .select(F.split(F.col("word"), "").alias("syms"), "n")
              .where(F.size("syms") >= 2))
-    # Path probe and driver-path data acquisition in ONE job: pull at
-    # most cap+1 type rows; an overflow row means "stay distributed".
+    # Checkpoint BEFORE probing (connected_components' discipline): the
+    # corpus-sized tokenize + groupBy runs exactly once either way —
+    # probing the raw plan first would re-run it from scratch on
+    # above-cap vocabularies, since a shuffle-heavy limit() still
+    # executes every upstream stage.
+    words = words.localCheckpoint(eager=True)
     head = words.limit(driver_path_max_types + 1).toPandas()
     if len(head) <= driver_path_max_types:
-        return _bpe_train_driver_side(documents.sparkSession, head,
-                                      n_merges)
-    words = words.localCheckpoint(eager=True)
+        out = _bpe_train_driver_side(spark, head, n_merges)
+        release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
+        return out
     merges = []
     for rank in range(1, n_merges + 1):
         lefts = F.slice(F.col("syms"), F.lit(1), F.size("syms") - 1)
@@ -993,7 +1001,10 @@ def bpe_train(documents: DataFrame, n_merges: int = 8,
         words = (words.select(
             _merge_pair_in_arrays(F.col("syms"), l, r).alias("syms"), "n")
             .localCheckpoint(eager=False))
-    return documents.sparkSession.createDataFrame(
+    # the merge table is driver data now — free every checkpoint block
+    # this call pinned (deterministic release, not GC timing)
+    release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
+    return spark.createDataFrame(
         merges, "merge_rank int, left_tok string, right_tok string, "
                 "pair_count bigint, new_symbol string")
 

@@ -111,6 +111,39 @@ def _search_page(url: str, index: str, sl: int, nsl: int,
     return _post_json(full, body, timeout_s, max_retries, backoff_s)
 
 
+_KEEP_ALIVE_UNITS = {"d": 86400.0, "h": 3600.0, "m": 60.0, "s": 1.0,
+                     "ms": 0.001}
+
+
+def _keep_alive_seconds(value: str, default: float = 1800.0) -> float:
+    """ES time-value string ('30m', '90s', '1h', '500ms') → seconds."""
+    try:
+        s = str(value).strip().lower()
+        for unit in ("ms", "d", "h", "m", "s"):
+            if s.endswith(unit):
+                return float(s[:-len(unit)]) * _KEEP_ALIVE_UNITS[unit]
+        return float(s)
+    except (ValueError, TypeError):
+        return default
+
+
+def delete_pit(url: str, pit_id: str, timeout_s: float = 10.0) -> bool:
+    """Best-effort ``DELETE /_pit`` — frees the search context's pinned
+    segments on a live cluster instead of waiting out ``keep_alive``.
+    Never raises: the PIT expires on its own eventually, so a failed
+    close is a missed optimization, not an error."""
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/_pit",
+        data=json.dumps({"id": pit_id}).encode("utf-8"),
+        headers={"Content-Type": "application/json"}, method="DELETE")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+            return bool(body.get("succeeded"))
+    except (urllib.error.URLError, OSError, ValueError):
+        return False
+
+
 class ESHttpReader(DataSourceReader):
     def __init__(self, options, schema_fields, default_nslices: int):
         self.url = options["url"]
@@ -135,18 +168,35 @@ class ESHttpReader(DataSourceReader):
         self.use_pit = (self.nslices > 1 if use_pit is None
                         else str(use_pit).lower() == "true")
         self.fields = schema_fields
+        self._pit_id: str | None = None   # cached per reader instance
+        self._pit_born = 0.0
 
     def partitions(self):
+        """ONE PIT for the whole scan: every slice pages the same index
+        snapshot. The PIT is CACHED on this reader instance, so
+        repeated actions on one DataFrame re-scan the same snapshot
+        instead of minting (and leaking) a fresh search context per
+        action; a cached PIT past half its ``keep_alive`` is
+        best-effort DELETEd and re-minted rather than risking a
+        non-retryable expiry mid-scan. Readers have no close hook, so
+        the final PIT is freed by keep_alive expiry (or by the caller
+        via :func:`delete_pit`) — size ``pit_keep_alive`` accordingly
+        in tight re-scan loops."""
         pit_id = None
         if self.use_pit:
-            # ONE PIT for the whole scan: every slice pages the same
-            # index snapshot (opened here at planning time; released by
-            # keep_alive expiry — the API has no per-partition close)
-            resp = _post_json(
-                f"{self.url.rstrip('/')}/{self.es_index}/_pit"
-                f"?keep_alive={self.keep_alive}",
-                None, self.timeout_s, self.max_retries, self.backoff_s)
-            pit_id = resp["id"]
+            now = time.time()
+            if (self._pit_id is not None
+                    and now - self._pit_born
+                    > 0.5 * _keep_alive_seconds(self.keep_alive)):
+                delete_pit(self.url, self._pit_id, self.timeout_s)
+                self._pit_id = None
+            if self._pit_id is None:
+                resp = _post_json(
+                    f"{self.url.rstrip('/')}/{self.es_index}/_pit"
+                    f"?keep_alive={self.keep_alive}",
+                    None, self.timeout_s, self.max_retries, self.backoff_s)
+                self._pit_id, self._pit_born = resp["id"], now
+            pit_id = self._pit_id
         return [_Slice(i, self.nslices, pit_id)
                 for i in range(self.nslices)]
 

@@ -169,6 +169,23 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_response(404)
         self.end_headers()
 
+    def do_DELETE(self):
+        """``DELETE /_pit`` — close a point-in-time context (frees the
+        snapshot), mirroring the real API's ``{"id": ...}`` body and
+        ``{"succeeded": ..., "num_freed": ...}`` response."""
+        srv = self.server
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        if parts != ["_pit"]:
+            self.send_response(404)
+            self.end_headers()
+            return
+        body = json.loads(
+            self.rfile.read(int(self.headers["Content-Length"])) or b"{}")
+        with srv.lock:
+            freed = srv.pits.pop(body.get("id"), None)
+        self._send_json({"succeeded": freed is not None,
+                         "num_freed": 1 if freed is not None else 0})
+
     def do_PUT(self):
         """``PUT /{index}/_settings`` — merge dynamic settings like a
         real cluster (accepts both ``{"index": {...}}`` and flat

@@ -486,6 +486,48 @@ def test_read_es_index_defaults_slices_to_parallelism(spark, docs_df):
         assert pinned.rdd.getNumPartitions() == 3
 
 
+def test_pit_reused_across_actions_and_closeable(spark, docs_df):
+    """Repeated actions on one es_http DataFrame must NOT mint a new
+    PIT per re-scan (each open pins segments on a live cluster until
+    keep_alive expiry); delete_pit frees the context on demand."""
+    from s3_elasticsearch_data_pipeline_spark.sources import es_http
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        df = es_http.read_es_index(spark, stub.url, "serving", nslices=4)
+        n1, n2 = df.count(), df.count()
+        assert n1 == n2 == docs_df.count()
+        assert stub.server.pit_seq == 1, \
+            "re-scan of one DataFrame must reuse the cached PIT"
+        # caller-side close: the stub frees the snapshot
+        pit_id = next(iter(stub.server.pits))
+        assert es_http.delete_pit(stub.url, pit_id)
+        assert not stub.server.pits
+        assert not es_http.delete_pit(stub.url, pit_id)  # already gone
+
+
+def test_pit_past_half_keep_alive_is_closed_and_reminted():
+    """A cached PIT older than half its keep_alive must be best-effort
+    DELETEd and replaced (an expired PIT is a non-retryable 404 baked
+    into every task retry)."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        ESHttpReader, _keep_alive_seconds)
+    assert _keep_alive_seconds("30m") == 1800.0
+    assert _keep_alive_seconds("90s") == 90.0
+    assert _keep_alive_seconds("1h") == 3600.0
+    assert _keep_alive_seconds("500ms") == 0.5
+    assert _keep_alive_seconds("bogus", 7.0) == 7.0
+    with ESStub() as stub:
+        reader = ESHttpReader(
+            {"url": stub.url, "index": "serving", "nslices": "2",
+             "pit_keep_alive": "0s"},  # half-life 0 → always stale
+            ["id"], 2)
+        first = reader.partitions()[0].pit_id
+        second = reader.partitions()[0].pit_id
+        assert first != second, "stale PIT must be re-minted"
+        assert list(stub.server.pits) == [second], \
+            "the stale PIT must have been closed server-side"
+
+
 def test_es_http_source_retries_429_backpressure(spark, docs_df):
     """429 is ES's transient throttle signal — it must retry like the
     writer, not fail the task."""
