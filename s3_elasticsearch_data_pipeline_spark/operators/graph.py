@@ -54,18 +54,20 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     rank-vector bytes (node count × :data:`RANK_ROW_BYTES`) against
     ``broadcast_budget_bytes``:
 
-    * **broadcast** (estimated vector ≤ budget): out-degrees and
-      the per-iteration rank vector broadcast; each iteration is a
-      map-side join over the partitioned edges plus one shuffle of
-      (node, partial-sum) pairs. Edges+degrees materialize ONCE via
+    * **broadcast** (estimated vector ≤ budget): the per-source
+      contribution ``rank/deg`` is computed NODE-side (one node-sized
+      join per iteration — the division and decimal cast run once per
+      source, not once per edge) and broadcast; each iteration is then
+      a map-side hash join over the partitioned edges plus one shuffle
+      of (node, partial-sum) pairs. Edges materialize ONCE via
       localCheckpoint — Spark never reuses an exchange across a
       self-referential lineage.
     * **partitioned** (beyond the limit — billions of nodes): nothing
-      node-sized is ever broadcast or collected. Edges+degrees are
-      hash-partitioned on ``src`` once and cached; the rank join runs
-      as a co-located sort-merge join where only the (much smaller)
-      rank side shuffles per iteration, and the recompute joins are
-      plain shuffled joins on ``node``.
+      node-sized is ever broadcast or collected. Edges are
+      hash-partitioned on ``src`` once and cached; the per-source
+      contribution frame shuffles (node-sized) into a co-located join
+      per iteration, and the recompute joins are plain shuffled joins
+      on ``node``.
 
     The per-node contribution sums accumulate in DECIMAL(28,14) — exact,
     so both strategies produce bit-identical ranks regardless of
@@ -85,34 +87,40 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         persistent_rdd_ids, release_persistent_rdds)
     spark = edges.sparkSession
     before = persistent_rdd_ids(spark)
-    edges = edges.localCheckpoint(eager=True)
-    deg = (edges.groupBy("src").agg(F.count(F.lit(1)).alias("__deg"))
+    # lazy edge checkpoint, materialized as a side effect of the eager
+    # degree checkpoint right below — one pass over the edge plan, not
+    # two (the degree aggregate has to scan every edge anyway)
+    edges = edges.localCheckpoint(eager=False)
+    deg = (edges.groupBy(F.col("src").alias("node"))
+           .agg(F.count(F.lit(1)).alias("__deg"))
            .localCheckpoint(eager=True))
     n = deg.count()  # node count — a driver-safe scalar, never the rows
     if broadcast_ranks is None:
         broadcast_ranks = n * RANK_ROW_BYTES <= broadcast_budget_bytes
     hint = F.broadcast if broadcast_ranks else (lambda d: d)
-    if broadcast_ranks:
-        edges_d = (edges.join(F.broadcast(deg), "src")
-                   .localCheckpoint(eager=False))
-    else:
+    if not broadcast_ranks:
         # one explicit hash partitioning on src, materialized: the
         # checkpointed relation keeps its outputPartitioning, so every
-        # iteration's rank join reuses it and only the rank side
-        # exchanges
-        edges_d = (edges.repartition("src").join(deg, "src")
-                   .localCheckpoint(eager=False))
-    base = (deg.select(F.col("src").alias("node"))
+        # iteration's contribution join reuses it and only the (node-
+        # sized) contribution side exchanges
+        edges = edges.repartition("src").localCheckpoint(eager=False)
+    base = (deg.select("node")
             .localCheckpoint(eager=False))
 
     n_lit = F.lit(float(n)) if n else F.lit(1.0)  # guard: no rows anyway
     ranks = base.select("node", (F.lit(1.0) / n_lit).alias("rank"))
     for _ in range(iters):
-        contrib = (edges_d
-                   .join(hint(ranks), edges_d["src"] == ranks["node"])
-                   .select(F.col("dst").alias("node"),
-                           (F.col("rank") / F.col("__deg"))
-                           .cast("decimal(28,14)").alias("__c"))
+        # per-SOURCE contribution rank/deg, computed and decimal-cast on
+        # the node-sized frame (one division per node) instead of per
+        # edge row — mathematically identical (every edge of a source
+        # carries the same value), ~|E|/|V| fewer divisions and casts,
+        # and the edge-side join probe carries a ready-made decimal
+        c_src = (ranks.join(hint(deg), "node")
+                 .select(F.col("node").alias("src"),
+                         (F.col("rank") / F.col("__deg"))
+                         .cast("decimal(28,14)").alias("__c")))
+        contrib = (edges.join(hint(c_src), "src")
+                   .select(F.col("dst").alias("node"), "__c")
                    .groupBy("node")
                    .agg(F.sum("__c").alias("__s")))
         ranks = (base

@@ -82,26 +82,25 @@ def train_quality_classifier(documents: DataFrame, iters: int = 15,
       numpy. Same algorithm, same fixed iteration count, deterministic
       (fixed row order ⇒ fixed float summation order).
     """
-    # Checkpoint BEFORE probing (the bpe_train/connected_components
-    # discipline): quality_features happens to be shuffle-free today,
-    # so the old probe-then-checkpoint order only cost one extra
-    # narrow scan — but the ordering invariant should not depend on
-    # that staying true.
+    # Path decision WITHOUT touching the feature expressions:
+    # quality_features is a 1:1 projection, so the feature-frame row
+    # count IS documents.count() — metadata-only on a parquet scan,
+    # and never more than a column-pruned pass of the upstream plan on
+    # derived inputs. This sidesteps the probe-ordering trap entirely
+    # (bpe_train must checkpoint-then-probe because its word-type
+    # count is data-dependent; here the expensive extraction runs
+    # exactly once on either path, with no below-cap checkpoint job).
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
     spark = documents.sparkSession
-    before = persistent_rdd_ids(spark)
-    feats = (quality_features(documents)
-             .select("doc_id", "y", *FEATURES)
-             .localCheckpoint(eager=True))
-    head = feats.limit(driver_path_max_rows + 1).toPandas()
-    n_row = len(head)
+    n_row = documents.count()
+    feats = quality_features(documents).select("doc_id", "y", *FEATURES)
+    if n_row == 0:
+        return spark.createDataFrame([], "feature string, weight double")
     if n_row <= driver_path_max_rows:
-        release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
-        if n_row == 0:
-            return spark.createDataFrame([], "feature string, weight double")
-        return _train_driver_side(spark, head, iters, lr)
-    n_row = feats.count()
+        return _train_driver_side(spark, feats.toPandas(), iters, lr)
+    before = persistent_rdd_ids(spark)
+    feats = feats.localCheckpoint(eager=True)
     # Right-size the GD tasks: every iteration re-scans this frame with
     # a tight columnar aggregate, so target ~1M rows per task — at
     # corpus scale that keeps tasks meaty, and at small SF it avoids
