@@ -290,6 +290,7 @@ _PYTHON_ALLOWED = {
     "text_chunks_udtf",            # Python UDTF demo
     "multimodal_features",         # mapInPandas media plumbing
     "image_decode_features",       # mapInPandas REAL image decode
+    "image_resize_real",           # mapInPandas REAL pixel resample
     "audio_decode_features",       # mapInPandas REAL WAV decode
     "audio_chunk_rms",             # mapInPandas REAL PCM chunking
     "video_decode_features",       # mapInPandas REAL y4m decode
