@@ -2491,7 +2491,8 @@ def q_dedup_connected_components_star(spark, sf_dir):
     return dedup.connected_components_star(pairs)
 
 
-def _bpe_oracle_sql(n_merges: int = 8, head_symbols: int = 12) -> str:
+def _bpe_oracle_sql(n_merges: int = 8, head_symbols: int = 12,
+                    emit: str = "encode") -> str:
     """DuckDB twin of the FULL tokenizer round trip (bpe_train +
     bpe_encode): the ``n_merges`` training rounds unroll as chained
     CTEs — per round, one weighted pair-count aggregate, one
@@ -2502,7 +2503,16 @@ def _bpe_oracle_sql(n_merges: int = 8, head_symbols: int = 12) -> str:
     the corpus), so ``replace()``'s left-to-right non-overlapping scan
     IS the Sennrich apply rule, with no shared-boundary or mid-symbol
     false matches. Data-independent SQL: the oracle re-derives the
-    merges itself at whatever SF it runs."""
+    merges itself at whatever SF it runs.
+
+    ``emit="merges"`` returns the trained merge TABLE itself (the
+    text_bpe_train oracle: rank/left/right/count/new-symbol rows
+    unioned from the per-round argmax CTEs) instead of the per-doc
+    encode aggregation."""
+    return _bpe_oracle(n_merges, head_symbols, emit)
+
+
+def _bpe_oracle(n_merges: int, head_symbols: int, emit: str) -> str:
     o, c = "chr(2)", "chr(3)"          # symbol open / close markers
     sep = f"{c} || {o}"                # between-symbol boundary
     wrap = f"{o} || array_to_string(string_split(word, ''), {sep}) || {c}"
@@ -2519,7 +2529,8 @@ r0 AS (
   WHERE length(word) >= 2 GROUP BY word)"""]
     for k in range(1, n_merges + 1):
         parts.append(f"""m{k} AS (
-  SELECT string_split(pr, {c})[1] AS l, string_split(pr, {c})[2] AS r
+  SELECT string_split(pr, {c})[1] AS l, string_split(pr, {c})[2] AS r,
+         CAST(cnt AS BIGINT) AS cnt
   FROM (
     SELECT pr, sum(n) AS cnt
     FROM (SELECT n, unnest(list_transform(range(1, len(syms)),
@@ -2530,6 +2541,12 @@ r0 AS (
         if k < n_merges:
             parts.append(
                 f"r{k} AS (SELECT {apply} AS s, t.n FROM r{k - 1} t, m{k} m)")
+    if emit == "merges":
+        rows = "\nUNION ALL ".join(
+            f"SELECT {k} AS merge_rank, l AS left_tok, r AS right_tok, "
+            f"cnt AS pair_count, l || r AS new_symbol FROM m{k}"
+            for k in range(1, n_merges + 1))
+        return "WITH " + ",\n".join(parts) + "\n" + rows
     parts.append(f"""e0 AS (
   SELECT word, {wrap} AS s
   FROM (SELECT DISTINCT unnest(toks) AS word FROM tok0))""")
@@ -3455,11 +3472,26 @@ def q_graph_triangle_count(spark, sf_dir):
     return triangle_count(copurchase_edges(_t(spark, sf_dir, "lineitem")))
 
 
-@register("multimodal_frame_sample", None)  # binary plumbing → rows-only
+@register("multimodal_frame_sample", """
+WITH p AS (
+  SELECT doc_id, text, length(text) AS n,
+         greatest(length(text) // 4, 1) AS step
+  FROM documents),
+f AS (
+  SELECT doc_id, i.i AS frame_index,
+         least(i.i * step, greatest(n - 1, 0)) AS off, step, text
+  FROM p CROSS JOIN generate_series(0, 3) AS i(i))
+SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
+       md5(substr(text, off + 1, step)) AS frame_md5,
+       CAST(off AS BIGINT) AS frame_offset_bytes
+FROM f
+""")
 def q_multimodal_frame_sample(spark, sf_dir):
     """Video-style frame sampling over opaque binary payloads via
     Arrow-batched mapInPandas (decode stubbed — no media libs here;
-    the schema/batching/partitioning plumbing is real)."""
+    the schema/batching/partitioning plumbing is real). Payloads are
+    the ASCII text bytes, so every frame window is a substring and
+    the frame digests oracle exactly."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(docs))
 
@@ -3655,11 +3687,18 @@ def q_text_encode_ids(spark, sf_dir):
     return text.encode_token_ids(_t(spark, sf_dir, "documents"))
 
 
-@register("multimodal_resize", None)  # binary plumbing → rows-only
+@register("multimodal_resize", """
+SELECT doc_id, 'image/fake' AS media_type,
+       64 AS width, 64 AS height,
+       md5(text || ':64x64') AS resized_md5
+FROM documents
+""")
 def q_multimodal_resize(spark, sf_dir):
     """Image-resize plumbing over binary payloads via Arrow-batched
     mapInPandas (decode/resample stubbed deterministically — no media
-    libs in this container; batch shape and schema are real)."""
+    libs in this container; batch shape and schema are real). The
+    fake digest md5(payload + ':WxH') over ASCII-text payloads is
+    byte-equal to a VARCHAR md5, so the oracle pins it exactly."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.resize_images(multimodal.attach_payload(docs))
 
@@ -4242,13 +4281,31 @@ def q_agg_approx_quantiles(spark, sf_dir):
                  F.count(F.lit(1)).alias("n")))
 
 
-@register("multimodal_audio_chunks", None)  # binary plumbing → rows-only
+@register("multimodal_audio_chunks", """
+WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
+c AS (
+  -- window 32 B / hop 16 B at 16 kHz * 2 B: chunk count is
+  -- ceil(max(n-32,0)/16)+1 (range() excludes its stop)
+  SELECT doc_id, text, n,
+         unnest(range(0, (greatest(n - 32, 0) + 15) // 16 + 1))
+           AS chunk_index
+  FROM p),
+o AS (SELECT doc_id, text, n, chunk_index, chunk_index * 16 AS off FROM c)
+SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
+       off / 32.0 AS start_ms,
+       (off + least(32, n - off)) / 32.0 AS end_ms,
+       CAST(least(32, n - off) AS BIGINT) AS n_chunk_bytes,
+       md5(substr(text, off + 1, 32)) AS chunk_md5
+FROM o
+""")
 def q_multimodal_audio_chunks(spark, sf_dir):
     """Sliding-window audio chunking over opaque binary payloads
     (overlapping windows, window > hop) via Arrow-batched mapInPandas —
     completes the modality set next to image resize and video frame
     sampling; decode stubbed, plumbing real
-    (cf. operators/multimodal.py:chunk_audio)."""
+    (cf. operators/multimodal.py:chunk_audio). ASCII-text payloads
+    make every chunk a substring, so offsets, sizes, timestamps and
+    digests all oracle exactly."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.chunk_audio(
         multimodal.attach_payload(docs, media_type="audio/fake"))
@@ -6206,12 +6263,14 @@ def q_stat_correlation_matrix(spark, sf_dir):
 # Round 2 — tokenizer training + product quantization
 # ---------------------------------------------------------------------------
 
-@register("text_bpe_train", None)  # iterative argmax loop → rows-only
+@register("text_bpe_train", _bpe_oracle_sql(emit="merges"))
 def q_text_bpe_train(spark, sf_dir):
     """Full distributed BPE training loop over the word-type table —
     8 merge rounds, each one hash aggregate + a 1-row argmax collect
     (operators/text.py:bpe_train); exact-match tested against a pure
-    Python reference implementation in tests/test_tokenizer_train.py."""
+    Python reference implementation in tests/test_tokenizer_train.py,
+    AND against the unrolled-CTE DuckDB trainer (``_bpe_oracle_sql``
+    merge-table mode) — rank, pair, count and new symbol all pinned."""
     return text.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 

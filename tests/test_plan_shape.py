@@ -289,6 +289,9 @@ _PYTHON_ALLOWED = {
     "udf_grouped_map_interarrival",  # grouped-map applyInPandas demo
     "text_chunks_udtf",            # Python UDTF demo
     "multimodal_features",         # mapInPandas media plumbing
+    "multimodal_resize",           # mapInPandas fake-resize plumbing
+    "multimodal_frame_sample",     # mapInPandas frame fan-out plumbing
+    "multimodal_audio_chunks",     # mapInPandas chunk fan-out plumbing
     "image_decode_features",       # mapInPandas REAL image decode
     "image_resize_real",           # mapInPandas REAL pixel resample
     "audio_decode_features",       # mapInPandas REAL WAV decode
