@@ -55,20 +55,37 @@ def compact_partitions(spark: SparkSession, path: str,
     rewritten; rows are untouched (verified by the round-trip test).
     File count per partition = ceil(partition_bytes / target_bytes),
     laid out with repartition(n) inside each partition.
+
+    Crash consistency: partitions are swapped one at a time, and each
+    swap stages its output fully before the committer touches the
+    table — a crash mid-job leaves the original files intact, and a
+    crash between partitions leaves a correct (partially-compacted)
+    table; re-running is idempotent. The only exposed window is the
+    committer's delete-then-rename inside ONE partition swap, which is
+    non-atomic on plain filesystems/object stores — the standard
+    Hive-style-overwrite caveat; a transactional table format closes
+    it. The partitionOverwriteMode override is restored on exit (a
+    session-global leak would silently change unrelated writers'
+    overwrite semantics from whole-table to matched-partitions).
     """
     stats = {r[0]: r for r in
              partition_file_stats(spark, path, partition_key)
              .where(F.col(partition_key).isin(partitions)).collect()}
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    df = spark.read.parquet(path)
-    for part in partitions:
-        row = stats.get(part)
-        n_files = (max(1, math.ceil(row["bytes"] / target_bytes))
-                   if row else 1)
-        (df.where(F.col(partition_key) == part)
-         .repartition(n_files)
-         .write.mode("overwrite").partitionBy(partition_key)
-         .format("parquet").save(path))
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        df = spark.read.parquet(path)
+        for part in partitions:
+            row = stats.get(part)
+            n_files = (max(1, math.ceil(row["bytes"] / target_bytes))
+                       if row else 1)
+            (df.where(F.col(partition_key) == part)
+             .repartition(n_files)
+             .write.mode("overwrite").partitionBy(partition_key)
+             .format("parquet").save(path))
+    finally:
+        spark.conf.set(mode_key, prior)
 
 
 def observed_write(df, path: str, mode: str = "overwrite",

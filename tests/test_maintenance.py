@@ -80,6 +80,11 @@ def test_compaction_preserves_rows_and_reduces_files(spark, monthly_events,
     # untouched partitions keep their layout (dynamic overwrite)
     assert len(glob.glob(os.path.join(
         path, f"month={months[-1]}", "*.parquet"))) == other_files_before
+    # the dynamic-overwrite override must not leak into the session:
+    # an unrelated writer relying on the static default would silently
+    # switch from whole-table to matched-partition overwrites
+    assert spark.conf.get(
+        "spark.sql.sources.partitionOverwriteMode") == "static"
 
 
 def test_streaming_rollup_exactly_once_including_late_files(spark,
