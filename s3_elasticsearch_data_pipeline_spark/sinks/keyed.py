@@ -36,30 +36,40 @@ def upsert_by_key(spark: SparkSession, incoming: DataFrame, path: str,
 
     Only partitions present in ``incoming`` are rewritten (dynamic
     partition overwrite), so cost scales with the delta, not the table.
+    The overwrite-mode override is scoped to this call (a session-
+    global leak would silently flip unrelated writers from whole-table
+    to matched-partition overwrite semantics).
     """
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    incoming = incoming.withColumn("_prio", F.lit(0))
-    if os.path.exists(path):
-        existing = spark.read.parquet(path).withColumn("_prio", F.lit(1))
-        # Restrict existing rows to the touched partitions: everything
-        # else is untouched on disk by dynamic overwrite anyway.
-        touched = incoming.select(partition_col).distinct()
-        existing = existing.join(F.broadcast(touched), partition_col, "left_semi")
-        merged = incoming.unionByName(existing)
-    else:
-        merged = incoming
-    w = Window.partitionBy(key_col).orderBy("_prio")
-    deduped = (merged
-               .withColumn("_rn", F.row_number().over(w))
-               .where(F.col("_rn") == 1)
-               .drop("_rn", "_prio"))
-    # one shuffle keyed on the partition column before the partitioned
-    # write: the dedup window left the frame hash-partitioned on
-    # key_col, so every task would otherwise open a writer per month it
-    # sees (tasks × months tiny files — the classic partitioned-write
-    # small-files bug)
-    (deduped.repartition(partition_col).write.mode("overwrite")
-     .partitionBy(partition_col).format("parquet").save(path))
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        incoming = incoming.withColumn("_prio", F.lit(0))
+        if os.path.exists(path):
+            existing = spark.read.parquet(path).withColumn("_prio", F.lit(1))
+            # Restrict existing rows to the touched partitions:
+            # everything else is untouched on disk by dynamic
+            # overwrite anyway.
+            touched = incoming.select(partition_col).distinct()
+            existing = existing.join(F.broadcast(touched), partition_col,
+                                     "left_semi")
+            merged = incoming.unionByName(existing)
+        else:
+            merged = incoming
+        w = Window.partitionBy(key_col).orderBy("_prio")
+        deduped = (merged
+                   .withColumn("_rn", F.row_number().over(w))
+                   .where(F.col("_rn") == 1)
+                   .drop("_rn", "_prio"))
+        # one shuffle keyed on the partition column before the
+        # partitioned write: the dedup window left the frame
+        # hash-partitioned on key_col, so every task would otherwise
+        # open a writer per month it sees (tasks × months tiny files —
+        # the classic partitioned-write small-files bug)
+        (deduped.repartition(partition_col).write.mode("overwrite")
+         .partitionBy(partition_col).format("parquet").save(path))
+    finally:
+        spark.conf.set(mode_key, prior)
 
 
 def read_serving(spark: SparkSession, path: str) -> DataFrame:
