@@ -99,6 +99,11 @@ def main(argv: list[str] | None = None) -> int:
     pt.add_argument("--checkpoint", default=None,
                     help="enable incremental streaming mode with this "
                          "checkpoint dir (only new files are sent)")
+    pt.add_argument("--optimize-for-bulk", action="store_true",
+                    help="PUT replicas=0/refresh=30s on the index for "
+                         "the duration of the load, restoring prior "
+                         "settings after (the reference's pre-load "
+                         "tuning; batch mode only)")
 
     args = p.parse_args(argv)
     spark = _spark()
@@ -181,7 +186,8 @@ def main(argv: list[str] | None = None) -> int:
                 write_df)
             rep = write_df(spark.read.parquet(args.source), args.es_url,
                            args.index, id_col=id_col,
-                           batch_size=args.batch_size)
+                           batch_size=args.batch_size,
+                           optimize_for_bulk=args.optimize_for_bulk)
             print(json.dumps(rep.__dict__, default=str))
             return 0 if rep.batches_failed == 0 else 1
     elif args.cmd == "dq":

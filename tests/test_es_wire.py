@@ -222,10 +222,15 @@ def test_cli_transfer_batch_and_streaming(spark, docs_df, tmp_path, capsys):
     docs_df.limit(100).write.partitionBy("month").parquet(src)
     with ESStub() as stub:
         rc = main(["transfer", "--source", src, "--es-url", stub.url,
-                   "--index", "cli-serving", "--batch-size", "50"])
+                   "--index", "cli-serving", "--batch-size", "50",
+                   "--optimize-for-bulk"])
         out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
         assert rc == 0 and out["rows_sent"] == 100
+        assert out["bytes_sent"] == stub.bulk_bytes > 0
         assert len(stub.store["cli-serving"]) == 100
+        # S11 on the CLI: tuning applied before the load, restored after
+        assert stub.settings_calls[0][1] == es_wire.BULK_LOAD_SETTINGS
+        assert stub.index_settings["cli-serving"] == {}
     with ESStub() as stub:
         ckpt = str(tmp_path / "ckpt")
         main(["transfer", "--source", src, "--es-url", stub.url,
