@@ -501,6 +501,10 @@ def test_batch_topk_partitioning_invariant_under_exact_ties(spark):
         lambda e: similarity.brute_force_topk_arrow(e, queries, k=7),
         lambda e: similarity.pq_topk(e, queries, k=7, m=4, k_codes=8,
                                      rerank=9),
+        # the block-nested-loop cogroup ADC path: ties must also be
+        # stable across BLOCK/CHUNK geometry, not just Arrow batches
+        lambda e: similarity.pq_topk(e, queries, k=7, m=4, k_codes=8,
+                                     rerank=9, max_driver_queries=1),
     ):
         got = [sorted(map(tuple, fn(embs.repartition(n)).collect()))
                for n in (1, 7)]
