@@ -877,3 +877,68 @@ def containment_decontamination(documents: DataFrame, n: int = 3,
             .select("eval_doc", "train_doc",
                     F.round(containment, 6).alias("containment"))
             .where(F.col("containment") >= threshold))
+
+
+def duplicate_spans(documents: DataFrame, k: int = 10,
+                    min_docs: int = 2) -> DataFrame:
+    """ExactSubstr-style duplicated-span statistics (Lee et al., ACL
+    2022, "Deduplicating Training Data Makes Language Models Better" —
+    the criterion their suffix-array pass implements): a k-token span
+    is DUPLICATED when it occurs in at least ``min_docs`` distinct
+    documents; each document reports its span counts and the fraction
+    of its tokens covered by at least one duplicated span (the mass an
+    ExactSubstr trimmer would cut).
+
+    Relational formulation (vs the paper's suffix array): every doc
+    emits its n−k+1 sliding spans as md5 DIGESTS — 32 bytes regardless
+    of span text, computable identically by any engine, so the op is
+    oracle-checkable AND the shuffle never carries span text. One hash
+    aggregate finds digests with ≥ ``min_docs`` distinct docs; the
+    join back is digest-keyed; coverage explodes only DUPLICATED spans
+    (k rows each — rare by construction), then distinct positions per
+    doc. At 100 TB: two shuffles on 32-byte keys plus one bounded
+    explode — no suffix array, no text movement, same decision.
+    """
+    base = (parallelize_for_compute(documents)
+            .select("doc_id", tokens(F.col("text")).alias("toks"))
+            .select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+            .localCheckpoint(eager=True))  # feeds spans + final join
+    spans = (base.where(F.col("n_tokens") >= k)
+             .select("doc_id", F.explode(F.transform(
+                 F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
+                 lambda i: F.struct(
+                     i.alias("start"),
+                     F.md5(F.array_join(F.slice("toks", i, F.lit(k)), " "))
+                     .alias("h")))).alias("s"))
+             .select("doc_id", "s.start", "s.h"))
+    dup = (spans.groupBy("h")
+           .agg(F.count_distinct("doc_id").alias("__nd"))
+           .where(F.col("__nd") >= min_docs)
+           .select("h"))
+    dup_spans = spans.join(dup, "h")
+    per_doc = (dup_spans.groupBy("doc_id")
+               .agg(F.count(F.lit(1)).cast("int").alias("n_dup_spans")))
+    coverage = (dup_spans
+                .select("doc_id", F.explode(
+                    F.sequence("start", F.col("start") + k - 1)).alias("p"))
+                .distinct()
+                .groupBy("doc_id")
+                .agg(F.count(F.lit(1)).cast("int").alias("n_dup_tokens")))
+    return (base.select("doc_id", "n_tokens")
+            .join(per_doc, "doc_id", "left")
+            .join(coverage, "doc_id", "left")
+            .select("doc_id", "n_tokens",
+                    F.greatest(F.col("n_tokens") - k + 1, F.lit(0))
+                    .alias("n_spans"),
+                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                    F.coalesce("n_dup_tokens", F.lit(0))
+                    .alias("n_dup_tokens"),
+                    F.when(F.col("n_tokens") > 0,
+                           # identical-IEEE half-up rounding on both
+                           # engines (see SCALING.md: F.round's exact
+                           # HALF_UP vs DuckDB's float round disagree
+                           # on 7th-digit halves, e.g. n_tokens=128)
+                           F.floor(F.coalesce("n_dup_tokens", F.lit(0))
+                                   / F.col("n_tokens") * 1000000.0
+                                   + 0.5) / 1000000.0)
+                    .otherwise(F.lit(0.0)).alias("dup_token_ratio")))

@@ -2574,6 +2574,45 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)""")
 
 
+@register("dedup_duplicate_spans", """
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents),
+sp AS (
+  SELECT doc_id, i AS start,
+         md5(array_to_string(toks[i:i+9], ' ')) AS h
+  FROM (SELECT doc_id, toks,
+               unnest(range(1, greatest(len(toks) - 10 + 1, 0) + 1)) AS i
+        FROM t)),
+dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
+ds AS (SELECT sp.doc_id, sp.start FROM sp JOIN dup USING (h)),
+agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans
+        FROM ds GROUP BY doc_id),
+cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS INT) AS n_dup_tokens
+        FROM (SELECT doc_id, unnest(range(start, start + 10)) AS p FROM ds)
+        GROUP BY doc_id)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS INT) AS n_tokens,
+       CAST(greatest(len(t.toks) - 10 + 1, 0) AS INT) AS n_spans,
+       coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
+       CASE WHEN len(t.toks) > 0
+            THEN floor(CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE)
+                       / len(t.toks) * 1000000.0 + 0.5) / 1000000.0
+            ELSE 0.0 END AS dup_token_ratio
+FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN cov USING (doc_id)
+""")
+def q_dedup_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-style duplicated-span statistics (Lee et al., ACL
+    2022): per document, how many of its sliding 10-token spans occur
+    in ≥2 distinct documents and what fraction of its tokens at least
+    one duplicated span covers — the mass an ExactSubstr trimmer cuts
+    (operators/dedup.py:duplicate_spans; spans travel as md5 digests,
+    never text)."""
+    return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), k=10)
+
+
 @register("text_bpe_encode", _bpe_oracle_sql())
 def q_text_bpe_encode(spark, sf_dir):
     """Tokenizer round trip: train the BPE merge table on the corpus

@@ -352,3 +352,37 @@ def test_ngram_prefix_equivalence_fuzz(spark):
             b = sorted(map(tuple, dedup.ngram_jaccard_pairs(
                 docs, threshold=t, prefix_filter=False).collect()))
             assert a == b, f"trial {trial} t={t}: {a} != {b}"
+
+
+def test_duplicate_spans_seeded_fixture(spark):
+    """ExactSubstr-style span stats on a constructed corpus: a 10-token
+    run shared verbatim by two docs must flag BOTH with exact span and
+    coverage counts; unrelated docs and short docs report zeros."""
+    shared = " ".join(f"s{i}" for i in range(10))      # one shared span
+    rows = [
+        # doc 0: 12 tokens, shared run at positions 2..11 → 3 spans
+        # total, 1 duplicated, 10 covered tokens
+        (0, "a b " + shared, "en"),
+        # doc 1: exactly the shared run → 1 span, duplicated, 10/10
+        (1, shared, "en"),
+        # doc 2: 12 unique tokens → spans but none duplicated
+        (2, " ".join(f"u{i}" for i in range(12)), "en"),
+        # doc 3: too short to span
+        (3, "tiny doc", "en"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    out = {r["doc_id"]: r for r in dedup.duplicate_spans(docs, k=10).collect()}
+    assert (out[0]["n_spans"], out[0]["n_dup_spans"],
+            out[0]["n_dup_tokens"]) == (3, 1, 10)
+    assert out[0]["dup_token_ratio"] == 0.833333       # 10/12
+    assert (out[1]["n_spans"], out[1]["n_dup_spans"],
+            out[1]["n_dup_tokens"], out[1]["dup_token_ratio"]) == \
+        (1, 1, 10, 1.0)
+    assert (out[2]["n_dup_spans"], out[2]["n_dup_tokens"]) == (0, 0)
+    assert (out[3]["n_spans"], out[3]["n_dup_spans"],
+            out[3]["dup_token_ratio"]) == (0, 0, 0.0)
+    # within-doc repetition alone is NOT cross-doc duplication
+    solo = spark.createDataFrame(
+        [(9, " ".join(["r"] * 25), "en")], "doc_id long, text string, lang string")
+    r = dedup.duplicate_spans(solo, k=10).collect()[0]
+    assert r["n_dup_spans"] == 0
