@@ -40,6 +40,7 @@ SCALE_QUERIES = (
     "ml_quality_classifier", "audio_decode_features",
     "video_decode_features",
     "dedup_connected_components", "multimodal_curation",
+    "dedup_duplicate_spans",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),
