@@ -168,6 +168,15 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"partitions_compacted": sorted(map(str, todo))}))
     elif args.cmd == "transfer":
         id_col = args.id_col or None
+        if args.checkpoint and args.optimize_for_bulk:
+            # fail loudly rather than silently skip the tuning the
+            # operator asked for: per-epoch settings churn is wrong for
+            # a long-lived stream, so the flag is batch-only by design
+            print(json.dumps({"error": "--optimize-for-bulk applies to "
+                                       "batch mode only (tune the index "
+                                       "once around the whole streaming "
+                                       "campaign instead)"}))
+            return 2
         if args.checkpoint:
             from s3_elasticsearch_data_pipeline_spark.streaming.incremental_stream import (
                 incremental_stream_to_es)

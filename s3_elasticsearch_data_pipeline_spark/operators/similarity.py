@@ -731,24 +731,30 @@ def _adc_partial_topk(tables, q_ids, codes, ids, rerank: int, m: int):
     byte-identical to the global window's (adc_dist, neighbor_id)
     order, which makes the shortlist independent of batch/block
     boundaries (the standard distributed-top-k argument). Distances
-    are rounded to 8 decimals HERE for the same reason. Processes
-    queries in sub-batches so the (q × block) distance matrix stays
-    ~tens of MB regardless of chunk size."""
+    are rounded to 8 decimals HERE for the same reason.
+
+    Memory shape: queries run in sub-batches of 128 and the m subspace
+    lookups ACCUMULATE into one (q_sub × block) float64 matrix — the
+    largest live array is 128 × block_rows doubles (~67 MB at the
+    65k-row block target), independent of m. A single fancy-index
+    gather over all m subspaces at once would transiently materialize
+    (q_sub × block × m) — ~2 GB at the same sizes — and OOM executors
+    on exactly the over-cap searches the distributed path serves."""
     import numpy as np
     import pandas as pd
     ord0 = np.argsort(ids)
     ids, codes = ids[ord0], codes[ord0]
     top = min(rerank, codes.shape[0])
     out_q, out_n, out_d = [], [], []
-    for lo in range(0, len(q_ids), 512):
-        t = tables[lo:lo + 512]
-        # dist[q, v] = Σ_j t[q, j, codes[v, j]]
-        dist = np.round(
-            t[np.arange(len(t))[:, None, None],
-              np.arange(m)[None, None, :],
-              codes[None, :, :]].sum(axis=2), 8)
+    for lo in range(0, len(q_ids), 128):
+        t = tables[lo:lo + 128]
+        # dist[q, v] = Σ_j t[q, j, codes[v, j]], one subspace at a time
+        dist = np.zeros((len(t), codes.shape[0]))
+        for j in range(m):
+            dist += t[:, j, :][:, codes[:, j]]
+        dist = np.round(dist, 8)
         part = np.argsort(dist, axis=1, kind="stable")[:, :top]
-        out_q.append(np.asarray(q_ids[lo:lo + 512]).repeat(top))
+        out_q.append(np.asarray(q_ids[lo:lo + 128]).repeat(top))
         out_n.append(ids[part].reshape(-1))
         out_d.append(np.take_along_axis(dist, part, axis=1).reshape(-1))
     return pd.DataFrame({"query_id": np.concatenate(out_q),
@@ -757,9 +763,10 @@ def _adc_partial_topk(tables, q_ids, codes, ids, rerank: int, m: int):
 
 
 #: Target PQ-code rows per corpus block in the distributed ADC path —
-#: one cogroup task materializes (block codes + chunk tables), so this
-#: bounds task memory (~65k × m int64 codes ≈ 4 MB) independent of
-#: corpus size.
+#: one cogroup task holds the block's codes (~65k × m int64 ≈ 4 MB),
+#: the chunk's query tables, and the kernel's (128 × block) distance
+#: accumulator (~67 MB) — the task's peak, bounded independent of
+#: corpus size and of m (see _adc_partial_topk's memory shape).
 ADC_BLOCK_ROWS = 65_536
 
 
@@ -877,7 +884,11 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                 iters, _books=books)  # reuse, not retrain
 
     if len(q_rows) > max_driver_queries:
-        # corpus-sized query frame: never funnel it through the driver
+        # corpus-sized query frame: never funnel it through the driver.
+        # The two count() jobs only SIZE the block/chunk grid — on
+        # parquet scans they are metadata-fast; callers handing in
+        # expensive derived frames should checkpoint them first (the
+        # same contract as every other multi-action consumer here).
         cand = _pq_adc_candidates_distributed(
             codes_df, queries, books, m, k_codes, rerank,
             chunk_rows=max(max_driver_queries, 1),

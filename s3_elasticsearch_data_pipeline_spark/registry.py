@@ -3530,7 +3530,10 @@ def q_multimodal_frame_sample(spark, sf_dir):
     Arrow-batched mapInPandas (decode stubbed — no media libs here;
     the schema/batching/partitioning plumbing is real). Payloads are
     the ASCII text bytes, so every frame window is a substring and
-    the frame digests oracle exactly."""
+    the frame digests oracle exactly. Oracle precondition: non-empty
+    documents (the operator substitutes b'\\x00' windows for an empty
+    payload, which VARCHAR SQL can't digest; the generated corpus has
+    none at any SF — verified)."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(docs))
 
@@ -4324,11 +4327,13 @@ def q_agg_approx_quantiles(spark, sf_dir):
 WITH p AS (SELECT doc_id, text, length(text) AS n FROM documents),
 c AS (
   -- window 32 B / hop 16 B at 16 kHz * 2 B: chunk count is
-  -- ceil(max(n-32,0)/16)+1 (range() excludes its stop)
+  -- ceil(max(n-32,0)/16)+1 (range() excludes its stop); a zero-length
+  -- payload yields NO chunks (the operator breaks on the first empty
+  -- window), not one empty chunk
   SELECT doc_id, text, n,
          unnest(range(0, (greatest(n - 32, 0) + 15) // 16 + 1))
            AS chunk_index
-  FROM p),
+  FROM p WHERE n > 0),
 o AS (SELECT doc_id, text, n, chunk_index, chunk_index * 16 AS off FROM c)
 SELECT doc_id, CAST(chunk_index AS INT) AS chunk_index,
        off / 32.0 AS start_ms,

@@ -211,15 +211,21 @@ def setup_index_for_bulk(url: str, index: str,
     unreplicated). Yields True when the tuning was acknowledged.
     Settings that did not exist before revert to cluster defaults by
     PUTting null. All best-effort: an unreachable settings endpoint
-    degrades to an untuned (but correct) load."""
+    degrades to an untuned (but correct) load — and when the PRIOR
+    settings cannot be read, the tuning is NOT applied at all: a
+    restore that cannot know the previous values would null an
+    explicitly-set replica count back to the cluster default, so a
+    successful load would silently downgrade the index's durability."""
     prior = get_index_settings(url, index, timeout_s)
-    applied = put_index_settings(url, index, BULK_LOAD_SETTINGS, timeout_s)
+    applied = (prior is not None
+               and put_index_settings(url, index, BULK_LOAD_SETTINGS,
+                                      timeout_s))
     try:
         yield applied
     finally:
         if applied:
             restore = {
-                key: (prior or {}).get(key)  # None → reset to default
+                key: prior.get(key)  # absent before → reset to default
                 for key in BULK_LOAD_SETTINGS
             }
             put_index_settings(url, index, restore, timeout_s)

@@ -42,6 +42,7 @@ live cluster does. Stdlib urllib only.
 from __future__ import annotations
 
 import json
+import threading
 import time
 import urllib.error
 import urllib.request
@@ -170,33 +171,52 @@ class ESHttpReader(DataSourceReader):
         self.fields = schema_fields
         self._pit_id: str | None = None   # cached per reader instance
         self._pit_born = 0.0
+        self._pit_lock = threading.Lock()
+
+    # The reader pickles to executors for read(); locks don't pickle.
+    # Only the planner-side instance ever uses the PIT cache, so the
+    # executor copy just gets a fresh (unused) lock.
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        del state["_pit_lock"]
+        return state
+
+    def __setstate__(self, state):
+        self.__dict__.update(state)
+        self._pit_lock = threading.Lock()
 
     def partitions(self):
         """ONE PIT for the whole scan: every slice pages the same index
         snapshot. The PIT is CACHED on this reader instance, so
         repeated actions on one DataFrame re-scan the same snapshot
         instead of minting (and leaking) a fresh search context per
-        action; a cached PIT past half its ``keep_alive`` is
-        best-effort DELETEd and re-minted rather than risking a
-        non-retryable expiry mid-scan. Readers have no close hook, so
-        the final PIT is freed by keep_alive expiry (or by the caller
-        via :func:`delete_pit`) — size ``pit_keep_alive`` accordingly
-        in tight re-scan loops."""
+        action; a cached PIT past half its ``keep_alive`` is dropped
+        and re-minted rather than risking a non-retryable expiry
+        mid-scan. The stale PIT is NOT deleted here — an in-flight
+        scan launched from an earlier ``partitions()`` call may still
+        be paging it, and a server-side close would 404 its remaining
+        tasks; it expires on its own ``keep_alive``. The cache is
+        lock-protected so concurrent actions share one PIT instead of
+        minting and leaking a racing extra. Readers have no close
+        hook, so the final PIT is freed by keep_alive expiry (or by
+        the caller via :func:`delete_pit`) — size ``pit_keep_alive``
+        accordingly in tight re-scan loops."""
         pit_id = None
         if self.use_pit:
-            now = time.time()
-            if (self._pit_id is not None
-                    and now - self._pit_born
-                    > 0.5 * _keep_alive_seconds(self.keep_alive)):
-                delete_pit(self.url, self._pit_id, self.timeout_s)
-                self._pit_id = None
-            if self._pit_id is None:
-                resp = _post_json(
-                    f"{self.url.rstrip('/')}/{self.es_index}/_pit"
-                    f"?keep_alive={self.keep_alive}",
-                    None, self.timeout_s, self.max_retries, self.backoff_s)
-                self._pit_id, self._pit_born = resp["id"], now
-            pit_id = self._pit_id
+            with self._pit_lock:
+                now = time.time()
+                if (self._pit_id is not None
+                        and now - self._pit_born
+                        > 0.5 * _keep_alive_seconds(self.keep_alive)):
+                    self._pit_id = None  # stale: expires server-side
+                if self._pit_id is None:
+                    resp = _post_json(
+                        f"{self.url.rstrip('/')}/{self.es_index}/_pit"
+                        f"?keep_alive={self.keep_alive}",
+                        None, self.timeout_s, self.max_retries,
+                        self.backoff_s)
+                    self._pit_id, self._pit_born = resp["id"], now
+                pit_id = self._pit_id
         return [_Slice(i, self.nslices, pit_id)
                 for i in range(self.nslices)]
 
