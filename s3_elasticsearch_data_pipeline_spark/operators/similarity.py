@@ -75,7 +75,7 @@ def brute_force_topk(embeddings: DataFrame, queries: DataFrame,
 
 def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame,
                  k: int = 10, num_planes: int = 4,
-                 num_tables: int = 8) -> DataFrame:
+                 num_tables: int = 8, dims: int = None) -> DataFrame:
     """Approximate top-k: ``num_tables`` independent sign-sketches (bit
     offsets stagger the planes); query and candidate must collide in at
     least one table. Exact cosine rerank within collisions.
@@ -83,14 +83,21 @@ def ann_lsh_topk(embeddings: DataFrame, queries: DataFrame,
     Approximation is inherent (recall < 1 by design) → no SQL oracle;
     the driver's rows-only check applies, and tests measure recall
     against ``brute_force_topk``.
+
+    Pass ``dims`` when the embedding dimensionality is known (Spark's
+    ArrayType carries no length, so the schema can't tell us): with it
+    the plan builds with ZERO extra Spark jobs. Without it, a one-row
+    ``.first()`` probe runs at plan-build time — the documented
+    fallback, one extra job per invocation.
     """
-    # Probe the dimensionality once (plan-build time) to fix the plane
-    # matrix; planes are deterministic md5-derived ±1 rows.
-    probe = embeddings.select("embedding").first()
-    if probe is None:  # empty corpus → empty result, stable schema
-        return embeddings.sparkSession.createDataFrame(
-            [], "query_id long, neighbor_id long, sim double, rank int")
-    dims = len(probe[0])
+    if dims is None:
+        # Fallback: probe the dimensionality once (plan-build time) to
+        # fix the plane matrix; planes are deterministic md5-derived ±1.
+        probe = embeddings.select("embedding").first()
+        if probe is None:  # empty corpus → empty result, stable schema
+            return embeddings.sparkSession.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double, rank int")
+        dims = len(probe[0])
     import numpy as np
     planes = np.array([_rademacher_plane(i, dims)
                        for i in range(num_tables * num_planes)])  # (T·P, D)
@@ -807,13 +814,21 @@ def _pq_adc_candidates_distributed(codes_df, queries, books, m: int,
 
     q_tbl = (queries.select("vec_id", "embedding")
              .mapInPandas(tbl, "query_id long, tbl array<double>"))
+    # block/chunk assignment hashes the id rather than taking the raw
+    # residue: id schemes with a stride or common factor (sharded /
+    # snowflake-style ids, ids that are all multiples of K) would
+    # collapse many rows into few residue classes and break the
+    # per-task memory bound ADC_BLOCK_ROWS documents. Block geometry
+    # is order-independent, so results are unaffected.
     corpus_rep = (codes_df
-                  .withColumn("blk", F.pmod(F.col("vec_id"), F.lit(n_blocks)))
+                  .withColumn("blk", F.pmod(F.xxhash64("vec_id"),
+                                            F.lit(n_blocks)))
                   .crossJoin(spark.range(n_chunks)
                              .select(F.col("id").alias("chunk"))))
     queries_rep = (q_tbl
                    .withColumn("chunk",
-                               F.pmod(F.col("query_id"), F.lit(n_chunks)))
+                               F.pmod(F.xxhash64("query_id"),
+                                      F.lit(n_chunks)))
                    .crossJoin(spark.range(n_blocks)
                               .select(F.col("id").alias("blk"))))
 

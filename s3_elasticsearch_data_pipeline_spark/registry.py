@@ -26,6 +26,11 @@ from s3_elasticsearch_data_pipeline_spark.tables import load_table
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+#: Dimensionality of the test-data embeddings table (TESTDATA.md).
+#: Spark ArrayType carries no length, so ANN entry points that need it
+#: at plan-build time take it as an argument instead of probing.
+EMBEDDING_DIMS = 64
+
 # name → (query_fn, oracle_sql | None). Filled via @register below.
 _REGISTRY: dict[str, tuple[QueryFn, str | None]] = {}
 
@@ -504,7 +509,7 @@ def q_sim_topk_bruteforce(spark, sf_dir):
 def q_sim_topk_ann_lsh(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(
-        emb, emb.where(F.col("vec_id") < 10), k=10)
+        emb, emb.where(F.col("vec_id") < 10), k=10, dims=EMBEDDING_DIMS)
 
 
 @register("sim_topk_bruteforce_arrow", _BRUTE_TOPK_ORACLE)
@@ -3518,10 +3523,11 @@ WITH p AS (
   FROM documents),
 f AS (
   SELECT doc_id, i.i AS frame_index,
-         least(i.i * step, greatest(n - 1, 0)) AS off, step, text
+         least(i.i * step, greatest(n - 1, 0)) AS off, step, n, text
   FROM p CROSS JOIN generate_series(0, 3) AS i(i))
 SELECT doc_id, CAST(frame_index AS INT) AS frame_index,
-       md5(substr(text, off + 1, step)) AS frame_md5,
+       CASE WHEN n = 0 THEN '93b885adfe0da089cdf634904fd59f71'
+            ELSE md5(substr(text, off + 1, step)) END AS frame_md5,
        CAST(off AS BIGINT) AS frame_offset_bytes
 FROM f
 """)
@@ -3530,10 +3536,11 @@ def q_multimodal_frame_sample(spark, sf_dir):
     Arrow-batched mapInPandas (decode stubbed — no media libs here;
     the schema/batching/partitioning plumbing is real). Payloads are
     the ASCII text bytes, so every frame window is a substring and
-    the frame digests oracle exactly. Oracle precondition: non-empty
-    documents (the operator substitutes b'\\x00' windows for an empty
-    payload, which VARCHAR SQL can't digest; the generated corpus has
-    none at any SF — verified)."""
+    the frame digests oracle exactly — INCLUDING the empty-payload
+    case: the operator substitutes a b'\\x00' window, and the oracle
+    encodes that semantics as the literal md5(b'\\x00') constant
+    (VARCHAR SQL can't digest a NUL byte), so an empty document in a
+    future corpus reads as covered, not as an engine mismatch."""
     docs = _t(spark, sf_dir, "documents")
     return multimodal.sample_frames(multimodal.attach_payload(docs))
 

@@ -42,6 +42,7 @@ from __future__ import annotations
 
 import contextlib
 import json
+import logging
 import math
 import time
 import urllib.error
@@ -54,6 +55,8 @@ import pandas as pd
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+_LOG = logging.getLogger(__name__)
 
 # Reference constants (data-s3-elastic-transfer.py:19-21,249-253).
 DEFAULT_BATCH_SIZE = 50_000
@@ -201,6 +204,20 @@ def put_index_settings(url: str, index: str, settings: dict,
     return bool(body and body.get("acknowledged"))
 
 
+@dataclass
+class BulkTuningWindow:
+    """Yielded by :func:`setup_index_for_bulk`. ``applied`` says the
+    bulk tuning PUT was acknowledged; ``restored`` is None inside the
+    window and records the restore PUT's outcome after exit (True when
+    no restore was needed). Truthiness == ``applied`` so existing
+    ``with ... as applied: if applied:`` call sites keep working."""
+    applied: bool
+    restored: bool | None = None
+
+    def __bool__(self) -> bool:
+        return self.applied
+
+
 @contextlib.contextmanager
 def setup_index_for_bulk(url: str, index: str,
                          timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S):
@@ -208,27 +225,42 @@ def setup_index_for_bulk(url: str, index: str,
     restore the index's prior replica/refresh settings on exit (the
     reference only ever sets them — restoring is the documented
     SURVEY §4 improvement; a crashed loader otherwise leaves the index
-    unreplicated). Yields True when the tuning was acknowledged.
-    Settings that did not exist before revert to cluster defaults by
-    PUTting null. All best-effort: an unreachable settings endpoint
-    degrades to an untuned (but correct) load — and when the PRIOR
-    settings cannot be read, the tuning is NOT applied at all: a
-    restore that cannot know the previous values would null an
-    explicitly-set replica count back to the cluster default, so a
-    successful load would silently downgrade the index's durability."""
+    unreplicated). Yields a :class:`BulkTuningWindow` (truthy when the
+    tuning was acknowledged). Settings that did not exist before revert
+    to cluster defaults by PUTting null. All best-effort: an
+    unreachable settings endpoint degrades to an untuned (but correct)
+    load — and when the PRIOR settings cannot be read, the tuning is
+    NOT applied at all: a restore that cannot know the previous values
+    would null an explicitly-set replica count back to the cluster
+    default, so a successful load would silently downgrade the index's
+    durability. A FAILED restore (transient settings-endpoint outage
+    after a successful load would otherwise leave the index at
+    replicas=0/refresh=30s forever with no signal) is logged as a
+    warning and surfaced on ``window.restored`` so callers can re-PUT
+    manually; :func:`write_df` carries it into
+    ``BulkReport.settings_restored``."""
     prior = get_index_settings(url, index, timeout_s)
     applied = (prior is not None
                and put_index_settings(url, index, BULK_LOAD_SETTINGS,
                                       timeout_s))
+    window = BulkTuningWindow(applied=applied)
     try:
-        yield applied
+        yield window
     finally:
         if applied:
             restore = {
                 key: prior.get(key)  # absent before → reset to default
                 for key in BULK_LOAD_SETTINGS
             }
-            put_index_settings(url, index, restore, timeout_s)
+            window.restored = put_index_settings(url, index, restore,
+                                                 timeout_s)
+            if not window.restored:
+                _LOG.warning(
+                    "failed to restore index settings on %s/%s after "
+                    "bulk load — index left at %s; re-PUT %s manually",
+                    url, index, BULK_LOAD_SETTINGS, restore)
+        else:
+            window.restored = True  # nothing was changed
 
 
 def bulk_index(df: DataFrame, url: str, index: str,
@@ -298,6 +330,10 @@ class BulkReport:
     max_attempts: int = 0
     bytes_sent: int = 0
     error_samples: list[str] = None  # type: ignore[assignment]
+    #: False when optimize_for_bulk tuned the index but the post-load
+    #: restore PUT failed — the index is still at bulk settings and an
+    #: operator must re-PUT (also logged as a warning at restore time).
+    settings_restored: bool = True
 
 
 def write_df(df: DataFrame, url: str, index: str,
@@ -311,8 +347,10 @@ def write_df(df: DataFrame, url: str, index: str,
     the duration, prior settings restored after — the reference's
     pre-load tuning on the wire path that actually runs here."""
     if optimize_for_bulk:
-        with setup_index_for_bulk(url, index, settings_timeout_s):
-            return write_df(df, url, index, **kwargs)
+        with setup_index_for_bulk(url, index, settings_timeout_s) as win:
+            report = write_df(df, url, index, **kwargs)
+        report.settings_restored = bool(win.restored)
+        return report
     stats = bulk_index(df, url, index, **kwargs)
     agg = (stats.agg(
         F.count(F.lit(1)).alias("batches"),

@@ -168,6 +168,11 @@ class ESHttpReader(DataSourceReader):
         use_pit = options.get("use_pit")
         self.use_pit = (self.nslices > 1 if use_pit is None
                         else str(use_pit).lower() == "true")
+        # pit_reuse=false → mint a fresh PIT per action so every
+        # re-scan sees the live index (poll loops / incremental
+        # drivers); the default reuses one snapshot for keep_alive/2.
+        self.pit_reuse = (str(options.get("pit_reuse", "true")).lower()
+                          == "true")
         self.fields = schema_fields
         self._pit_id: str | None = None   # cached per reader instance
         self._pit_born = 0.0
@@ -205,7 +210,9 @@ class ESHttpReader(DataSourceReader):
         if self.use_pit:
             with self._pit_lock:
                 now = time.time()
-                if (self._pit_id is not None
+                if not self.pit_reuse:
+                    self._pit_id = None  # per-action freshness opt-out
+                elif (self._pit_id is not None
                         and now - self._pit_born
                         > 0.5 * _keep_alive_seconds(self.keep_alive)):
                     self._pit_id = None  # stale: expires server-side
@@ -289,7 +296,18 @@ def read_es_index(spark, url: str, index: str,
     the session's ``defaultParallelism`` (resolved HERE, in the driver,
     because option values are the only state that reaches the
     DataSource planner worker). Extra ``options`` pass through
-    (``pagesize``, ``sort_field``, ``schema``, ...)."""
+    (``pagesize``, ``sort_field``, ``schema``, ...).
+
+    Read semantics (sliced scans): the DataFrame reads through ONE
+    point-in-time snapshot that is REUSED across re-plans for up to
+    ``pit_keep_alive``/2 (default 15 min) — repeated actions on the
+    same DataFrame see a consistent, possibly stale, snapshot instead
+    of minting (and leaking) a search context per action. Callers that
+    re-scan expecting fresh data (poll loops, incremental drivers) must
+    build a NEW DataFrame per poll (Spark caches the partition list per
+    scan, so no reader option can force per-action freshness) and may
+    pass ``pit_reuse="false"`` to additionally disable the reader-side
+    snapshot cache across planner re-invocations."""
     register(spark)
     if nslices is None:
         nslices = max(2, spark.sparkContext.defaultParallelism)

@@ -86,6 +86,26 @@ def test_ann_recall_vs_brute_force(spark, embeddings):
             assert abs(r.sim - exact_scores[key]) < 1e-9
 
 
+def test_ann_lsh_dims_arg_skips_probe_job(spark, embeddings, monkeypatch):
+    """With ``dims`` supplied, plan-build must never run the one-row
+    ``.first()`` dimensionality probe (documented fallback only) — and
+    the dims path must return the probe path's exact answer."""
+    from pyspark.sql import DataFrame
+    queries = embeddings.where(F.col("vec_id") < 10)
+    probed = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+              for r in similarity.ann_lsh_topk(
+                  embeddings, queries, k=10).collect()}
+
+    def boom(self, *a, **kw):
+        raise AssertionError("dims was supplied but plan-build probed")
+    monkeypatch.setattr(DataFrame, "first", boom)
+    plan = similarity.ann_lsh_topk(embeddings, queries, k=10, dims=64)
+    monkeypatch.undo()
+    got = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+           for r in plan.collect()}
+    assert got == probed
+
+
 def test_ivf_recall_vs_brute_force(spark, embeddings):
     queries = embeddings.where(F.col("vec_id") < 10)
     exact = similarity.brute_force_topk(embeddings, queries, k=10)
@@ -509,3 +529,56 @@ def test_batch_topk_partitioning_invariant_under_exact_ties(spark):
         got = [sorted(map(tuple, fn(embs.repartition(n)).collect()))
                for n in (1, 7)]
         assert got[0] == got[1]
+
+
+def test_brute_topk_oracle_precondition_margins():
+    """The shared sim_topk_bruteforce/_arrow oracle assumes the corpus
+    keeps cosine scores away from two knife edges where a float64
+    summation-order difference (HOF sequential fold vs BLAS blocked
+    sum, ~1e-12 relative) could flip the ORACLE-visible output:
+
+      1. the rank-k boundary — distinct scores straddling rank 10 must
+         differ by far more than summation error;
+      2. the 6-decimal rounding grid — no reported score may sit within
+         summation error of a .xxxxxx5 rounding boundary.
+
+    Asserted here at BOTH oracle scale factors so a future corpus
+    generator change reads as 'precondition broken', not 'engine
+    wrong' (the failure message says which)."""
+    import duckdb
+
+    margin_sql = """
+    WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+               FROM read_parquet('{p}') WHERE vec_id < 10),
+         c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv
+               FROM read_parquet('{p}')),
+         scored AS (
+           SELECT query_id, neighbor_id,
+                  list_inner_product(qv, cv)
+                  / (sqrt(list_inner_product(qv, qv))
+                     * sqrt(list_inner_product(cv, cv))) AS s
+           FROM c CROSS JOIN q WHERE neighbor_id <> query_id),
+         ranked AS (
+           SELECT query_id, s,
+                  row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id) AS rank
+           FROM scored)
+    SELECT
+      min((SELECT min(a.s - b.s) FROM ranked a, ranked b
+           WHERE a.query_id = b.query_id AND a.rank <= 10
+             AND b.rank = a.rank + 1 AND a.s <> b.s)) AS min_boundary_gap,
+      min((SELECT min(abs(abs(s * 1e6 - floor(s * 1e6)) - 0.5))
+           FROM ranked WHERE rank <= 10)) AS min_round_margin
+    """
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        p = os.path.join(sf_dir, "embeddings.parquet")
+        gap, rmargin = duckdb.sql(margin_sql.format(p=p)).fetchone()
+        # summation error ~1e-12 on unit-norm dots; demand ≥1000× slack
+        assert gap is None or gap > 1e-9, (
+            f"oracle precondition broken at {sf_dir}: adjacent distinct "
+            f"scores at the rank-10 boundary differ by {gap} — "
+            f"summation order could flip the top-k set")
+        assert rmargin is not None and rmargin > 1e-3, (
+            f"oracle precondition broken at {sf_dir}: a top-10 score "
+            f"sits {rmargin} (×1e-6) from a 6-decimal rounding edge — "
+            f"summation order could flip the reported sim")

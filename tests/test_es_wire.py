@@ -97,7 +97,43 @@ def test_bulk_settings_unreachable_endpoint_degrades_gracefully(spark):
     load path: setup yields False and never raises."""
     with es_wire.setup_index_for_bulk(
             "http://127.0.0.1:9", "serving", timeout_s=0.2) as applied:
-        assert applied is False
+        assert bool(applied) is False and applied.applied is False
+
+
+def test_bulk_settings_restore_failure_is_surfaced(spark, docs_df,
+                                                   monkeypatch, caplog):
+    """A restore PUT that fails after a successful load must not vanish:
+    the report carries settings_restored=False (→ CLI JSON) and a
+    warning names the index so an operator can re-PUT manually."""
+    import logging as _logging
+    with ESStub() as stub:
+        real = es_wire.put_index_settings
+        calls = []
+
+        def flaky(url, index, settings, timeout_s=es_wire
+                  .DEFAULT_SETTINGS_TIMEOUT_S):
+            calls.append(settings)
+            if len(calls) >= 2:  # the restore PUT (post-load) fails
+                return False
+            return real(url, index, settings, timeout_s)
+
+        monkeypatch.setattr(es_wire, "put_index_settings", flaky)
+        with caplog.at_level(_logging.WARNING,
+                             logger=es_wire.__name__):
+            report = es_wire.write_df(docs_df.limit(50), stub.url,
+                                      "serving", id_col="id",
+                                      optimize_for_bulk=True, **FAST)
+        assert report.rows_sent == 50
+        assert report.settings_restored is False
+        assert any("restore" in r.message for r in caplog.records)
+        # the load itself still indexed — tuning is never a correctness gate
+        assert len(stub.store["serving"]) == 50
+        # a clean window reports restored=True
+        monkeypatch.undo()
+        report2 = es_wire.write_df(docs_df.limit(10), stub.url, "clean",
+                                   id_col="id", optimize_for_bulk=True,
+                                   **FAST)
+        assert report2.settings_restored is True
 
 
 def test_unkeyed_write_auto_ids(spark, docs_df):
@@ -508,6 +544,32 @@ def test_pit_reused_across_actions_and_closeable(spark, docs_df):
         assert es_http.delete_pit(stub.url, pit_id)
         assert not stub.server.pits
         assert not es_http.delete_pit(stub.url, pit_id)  # already gone
+
+
+def test_pit_reuse_false_mints_fresh_pit_per_plan(spark, docs_df):
+    """pit_reuse=false is the freshness opt-out: every planner
+    ``partitions()`` invocation opens a NEW point-in-time instead of
+    serving the ≤keep_alive/2 cached snapshot. (Spark itself caches
+    the partition list per scan, so per-ACTION freshness additionally
+    needs a new DataFrame per poll — documented on read_es_index; this
+    asserts the reader-side contract directly.)"""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        ESHttpReader)
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        fields = ["id", "month"]
+        fresh = ESHttpReader(
+            {"url": stub.url, "index": "serving", "nslices": "4",
+             "pit_reuse": "false"}, fields, 4)
+        fresh.partitions(); fresh.partitions()
+        assert stub.server.pit_seq == 2, \
+            "pit_reuse=false must open one PIT per partitions() call"
+        cached = ESHttpReader(
+            {"url": stub.url, "index": "serving", "nslices": "4"},
+            fields, 4)
+        cached.partitions(); cached.partitions()
+        assert stub.server.pit_seq == 3, \
+            "default must reuse the cached PIT across re-plans"
 
 
 def test_pit_past_half_keep_alive_is_reminted_not_closed():

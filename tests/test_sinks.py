@@ -114,6 +114,16 @@ def test_multimodal_resize_and_frames(spark, sf_smoke):
     for decoder in (decode_image, decode_audio):
         with _pytest.raises(NotImplementedError):
             decoder(b"xx")
+    # empty payload: every frame window substitutes b"\x00" — the exact
+    # constant the registry oracle encodes, so a future corpus with an
+    # empty document stays oracle-covered rather than hash-mismatching
+    empty = spark.createDataFrame([(999, bytearray(b""), 0)],
+                                  "doc_id long, payload binary, "
+                                  "n_payload_bytes long")
+    efr = sample_frames(empty, 4).collect()
+    assert len(efr) == 4
+    assert all(f.frame_md5 == "93b885adfe0da089cdf634904fd59f71"
+               and f.frame_offset_bytes == 0 for f in efr)
 
 
 def test_orc_round_trip(spark, tmp_path):
