@@ -213,6 +213,61 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
             .where(F.col("jaccard") >= threshold))
 
 
+# ---------------------------------------------------------------------------
+# Portable-hash mode (oracle-checkable LSH): every hash in the MinHash /
+# SimHash pipeline re-expressed with primitives BOTH engines compute
+# identically — md5 (verbatim in DuckDB) and modular affine arithmetic
+# (integer math is portable; xxhash64 is not). Used by the registry
+# queries so the driver's DuckDB twin can re-derive the SAME signatures,
+# buckets, and pairs in SQL. xxhash64 stays the scale default (compact
+# integer-only hashing, no hex-string materialization per shingle);
+# tests/test_approx_ops.py equivalence-tests the two modes' band-
+# collision behavior on identical-document and high-Jaccard fixtures.
+# ---------------------------------------------------------------------------
+
+#: Modulus for the portable affine permutations: the Mersenne prime
+#: 2^31−1. With a, x mod P < 2^31 the product a·x stays < 2^62 — exact
+#: signed-64-bit arithmetic on BOTH engines (no Spark decimal widening,
+#: no DuckDB HUGEINT), so the permutations cost three long ops per
+#: element, same order as the xxhash64 path.
+PORTABLE_MOD = (1 << 31) - 1
+
+
+def portable_hash60(col):
+    """Engine-portable 60-bit hash of a string column: the low 15 hex
+    chars of md5, parsed base-16. Spark: conv(substr(md5,18,15),16,10);
+    DuckDB: CAST('0x'||substr(md5(s),18,15) AS UBIGINT). 60 bits keeps
+    the value positive in a signed 64-bit long on both engines."""
+    return F.conv(F.substring(F.md5(col), 18, 15), 16, 10).cast("long")
+
+
+def minhash_affine_constants(num_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) pairs for the portable permutations
+    h_i(x) = (a_i·(x mod P) + b_i) mod P, P = 2^31−1, derived from md5
+    of fixed labels so the registry's oracle SQL can interpolate the
+    SAME constants as literals. a_i ∈ [1, P−1], b_i ∈ [0, P−1]."""
+    import hashlib
+
+    def low60(label: str) -> int:
+        return int(hashlib.md5(label.encode()).hexdigest()[17:32], 16)
+
+    return [(low60(f"minhash:a:{i}") % (PORTABLE_MOD - 1) + 1,
+             low60(f"minhash:b:{i}") % PORTABLE_MOD)
+            for i in range(num_hashes)]
+
+
+def _seeded_min_hash_portable(hash_arr, a: int, b: int):
+    """Min over the base shingle hashes permuted with the portable
+    affine map — pure long arithmetic (a·(x%P) ≤ (P−1)² < 2^62, no
+    overflow under ANSI mode); everything is non-negative, so Spark %
+    == DuckDB %."""
+    def h(x):
+        return (F.lit(a) * (x % F.lit(PORTABLE_MOD)) + F.lit(b)) \
+            % F.lit(PORTABLE_MOD)
+
+    return F.array_min(F.transform(hash_arr, h))
+
+
 def _seeded_min_hash(hash_arr, seed: int):
     """Min over the base shingle hashes re-hashed with the seed —
     ``xxhash64(seed, x)`` is integer-only (no per-seed string
@@ -227,10 +282,15 @@ def _seeded_min_hash(hash_arr, seed: int):
     return F.array_min(F.transform(hash_arr, h))
 
 
-def _minhash_signature(hash_arr, num_hashes: int):
+def _minhash_signature(hash_arr, num_hashes: int,
+                       hash_mode: str = "xxhash64"):
     """num_hashes MinHash values over an ``array<long>`` column of base
-    shingle hashes (xxhash64). The base hash is computed once; the
-    per-seed permutations are two long ops per element."""
+    shingle hashes. The base hash is computed once; the per-seed
+    permutations are two long ops per element (xxhash64 mode) or one
+    decimal affine-mod per element (portable mode)."""
+    if hash_mode == "portable":
+        return F.array(*[_seeded_min_hash_portable(hash_arr, a, b)
+                         for a, b in minhash_affine_constants(num_hashes)])
     return F.array(*[_seeded_min_hash(hash_arr, i) for i in range(num_hashes)])
 
 
@@ -247,38 +307,49 @@ def sig_agreement(left_sig, right_sig, num_hashes: int):
 
 
 def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
-                bands: int) -> DataFrame:
+                bands: int, hash_mode: str = "xxhash64") -> DataFrame:
     """(doc_id, sig, band, bucket) rows — the LSH band index layout a
     100 TB pipeline persists as its dedup index table (bands × docs
-    compact rows)."""
+    compact rows). ``hash_mode="portable"`` swaps every hash for an
+    engine-portable twin (md5-low-60 base hash, affine-mod
+    permutations, md5-hex band buckets) so a SQL oracle can re-derive
+    the identical index; xxhash64 stays the scale default (integer-only,
+    8-byte buckets)."""
     rows_per_band = num_hashes // bands
+    base_hash = (portable_hash60 if hash_mode == "portable"
+                 else F.xxhash64)
     shingled = (parallelize_for_compute(documents)
                 .withColumn("toks", tokens(F.col("text")))
                 .where(F.size("toks") >= n)  # see ngram_jaccard_pairs note
                 .select("doc_id",
                         F.transform(word_ngrams_from_tokens(F.col("toks"), n),
-                                    lambda s: F.xxhash64(s))
+                                    lambda s: base_hash(s))
                         .alias("sh_hashes")))
     signed = shingled.select(
         "doc_id",
-        _minhash_signature(F.col("sh_hashes"), num_hashes).alias("sig"))
+        _minhash_signature(F.col("sh_hashes"), num_hashes,
+                           hash_mode).alias("sig"))
+
+    def bucket_of(bi):
+        joined = F.concat_ws(
+            ",", *[F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
+                   .cast("string") for r in range(rows_per_band)])
+        return (F.md5(joined) if hash_mode == "portable"
+                else F.xxhash64(joined))
+
     banded = signed.select(
         "doc_id", "sig",
         F.explode(F.array(*[
             F.struct(F.lit(bi).alias("band"),
-                     F.xxhash64(F.concat_ws(
-                         ",", *[F.element_at(F.col("sig"),
-                                             bi * rows_per_band + r + 1)
-                                .cast("string")
-                                for r in range(rows_per_band)]))
-                     .alias("bucket"))
+                     bucket_of(bi).alias("bucket"))
             for bi in range(bands)])).alias("bb"))
     return banded.select("doc_id", "sig", "bb.band", "bb.bucket")
 
 
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      hash_mode: str = "xxhash64") -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the sub-quadratic path.
 
     signature → split into ``bands`` bands of ``num_hashes/bands`` rows
@@ -287,12 +358,14 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
     minhashes, thresholded.
 
     At 100 TB: cost is bands×docs exploded rows shuffled on compact
-    band hashes; only colliding candidates are compared. (Not
-    SQL-expressible in the oracle dialect deterministically — driver
-    records the rows-only check; ``ngram_jaccard_pairs`` is the
-    oracle-checked exact twin.)
+    band hashes; only colliding candidates are compared.
+    ``hash_mode="portable"`` (the registry default) makes every hash
+    engine-portable so the DuckDB oracle re-derives identical
+    signatures/buckets in SQL — the operator stops being "approximate
+    vs a twin engine" and becomes deterministically oracle-checked;
+    xxhash64 remains the scale default for persisted indexes.
     """
-    banded = _lsh_banded(documents, n, num_hashes, bands)
+    banded = _lsh_banded(documents, n, num_hashes, bands, hash_mode)
     # materialize signatures once — see ngram_jaccard_pairs note
     banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
@@ -307,7 +380,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
             .distinct())
 
 
-def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+def simhash_fingerprints(documents: DataFrame,
+                         hash_mode: str = "xxhash64") -> DataFrame:
     """64-bit SimHash per document: per-token 64-bit hash, per-bit
     +1/−1 vote across tokens, sign → fingerprint bit.
 
@@ -317,19 +391,27 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     partial+final aggregate over compact (doc_id, hash) rows. This
     beats 64 nested array folds per row ~3×, and the aggregate combines
     map-side, so the shuffle carries one 64-int row per doc per task.
+
+    ``hash_mode="portable"`` hashes tokens with md5-low-60 instead of
+    xxhash64 (bits 60–63 are then constantly 0 — a 60-effective-bit
+    SimHash), letting the DuckDB oracle recompute identical
+    fingerprints; the Hamming/banding semantics are unchanged.
     """
+    token_hash = (portable_hash60 if hash_mode == "portable"
+                  else F.xxhash64)
+    n_bits = 60 if hash_mode == "portable" else 64
     exploded = (documents
                 .select("doc_id",
                         F.explode(F.transform(tokens(F.col("text")),
-                                              lambda t: F.xxhash64(t)))
+                                              lambda t: token_hash(t)))
                         .alias("h")))
     bit_sums = [
         F.sum(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)))
-        .alias(f"s{b}") for b in range(64)]
+        .alias(f"s{b}") for b in range(n_bits)]
     agg = exploded.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n"), *bit_sums)
     fingerprint = None
-    for b in range(64):
+    for b in range(n_bits):
         vote = 2 * F.col(f"s{b}") - F.col("n")  # Σ(+1/−1) votes
         bit = F.when(vote > 0, F.lit(1).cast("long")) \
                .otherwise(F.lit(0).cast("long"))
@@ -346,12 +428,15 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
 
 
 def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
-                  bands: int = 4) -> DataFrame:
+                  bands: int = 4,
+                  hash_mode: str = "xxhash64") -> DataFrame:
     """SimHash near-dup pairs: band the 64 bits into ``bands`` 16-bit
     blocks (pigeonhole: any pair within Hamming ≤ bands−1 shares a
     block; wider radii trade recall), self-join on (band, block),
-    verify exact Hamming distance ≤ ``max_hamming``."""
-    fp = simhash_fingerprints(documents)
+    verify exact Hamming distance ≤ ``max_hamming``.
+    ``hash_mode="portable"`` → oracle-reproducible fingerprints (see
+    :func:`simhash_fingerprints`); band/Hamming logic is identical."""
+    fp = simhash_fingerprints(documents, hash_mode)
     width = 64 // bands
     mask = (1 << width) - 1
     banded = fp.select(

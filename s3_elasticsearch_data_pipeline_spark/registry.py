@@ -437,14 +437,96 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
-@register("dedup_minhash_lsh", None)  # approximate → rows-only check
+# MinHash-LSH in PORTABLE hash mode: md5-low-60 base shingle hash,
+# (a·x+b) mod 2^61−1 affine permutations with md5-derived constants
+# interpolated below as SQL literals, md5-hex band buckets — every hash
+# recomputable verbatim in DuckDB, so the "approximate" operator is
+# deterministically oracle-checked (approximate only vs ground-truth
+# Jaccard, not vs a twin engine). xxhash64 stays the scale default in
+# dedup._lsh_banded for persisted indexes.
+_MINHASH_SIG_SQL = ",\n    ".join(
+    f"list_min(list_transform(hs, x -> ({a} * (x % {dedup.PORTABLE_MOD}) "
+    f"+ {b}) % {dedup.PORTABLE_MOD}))"
+    for a, b in dedup.minhash_affine_constants(16))
+
+@register("dedup_minhash_lsh", f"""
+WITH tk AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(range(1, len(toks) - 1),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS shingles
+  FROM tk WHERE len(toks) >= 3),
+hs AS (
+  SELECT doc_id, list_transform(shingles,
+           s -> CAST(('0x' || substr(md5(s), 18, 15)) AS UBIGINT)::BIGINT)
+         AS hs
+  FROM sh),
+sig AS (
+  SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sig FROM hs),
+banded AS (
+  SELECT doc_id, sig, b.band,
+         md5(concat_ws(',', sig[b.band*4+1], sig[b.band*4+2],
+                            sig[b.band*4+3], sig[b.band*4+4])) AS bucket
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+             / 16.0, 6) AS est_jaccard
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+WHERE round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
+            / 16.0, 6) >= 0.5
+""")
 def q_dedup_minhash_lsh(spark, sf_dir):
-    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                   hash_mode="portable")
 
 
-@register("dedup_simhash", None)  # engine-specific hash → rows-only check
+_SIMHASH_BIT_SUMS = ",\n  ".join(
+    f"sum((h >> {b}) & 1) AS s{b}" for b in range(60))
+_SIMHASH_FP_TERMS = "\n       + ".join(
+    f"(CASE WHEN 2*s{b} - n > 0 THEN 1::BIGINT << {b} ELSE 0 END)"
+    for b in range(60))
+
+@register("dedup_simhash", f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS t
+  FROM documents),
+h AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(t), 18, 15)) AS UBIGINT)::BIGINT AS h
+  FROM tok),
+agg AS (
+  SELECT doc_id, count(*) AS n,
+  {_SIMHASH_BIT_SUMS}
+  FROM h GROUP BY doc_id),
+fp0 AS (
+  SELECT doc_id,
+       {_SIMHASH_FP_TERMS} AS simhash
+  FROM agg),
+fp AS (
+  SELECT d.doc_id, coalesce(f.simhash, 0)::BIGINT AS simhash
+  FROM (SELECT doc_id FROM documents) d LEFT JOIN fp0 f USING (doc_id)),
+banded AS (
+  SELECT doc_id, simhash, b.band,
+         (simhash >> (b.band * 16)) & 65535 AS block
+  FROM fp CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
+SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM banded a JOIN banded b
+  ON a.band = b.band AND a.block = b.block AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+""")
 def q_dedup_simhash(spark, sf_dir):
-    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"))
+    """Portable-hash SimHash pairs (md5-low-60 token hash → 60
+    effective fingerprint bits): the DuckDB twin recomputes identical
+    fingerprints, band blocks, and Hamming distances in SQL."""
+    return dedup.simhash_pairs(_t(spark, sf_dir, "documents"),
+                               hash_mode="portable")
 
 
 @register("dedup_embedding_cosine", """
@@ -505,8 +587,54 @@ def q_sim_topk_bruteforce(spark, sf_dir):
         emb, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register("sim_topk_ann_lsh", None)  # approximate by design → rows-only
+@register("sim_topk_ann_lsh", """
+WITH planes AS (
+  SELECT pp.p AS p,
+         list_transform(range(0, 64), d ->
+           CASE WHEN (CAST(('0x' || substr(md5('plane:' || pp.p || ':0'),
+                                           2 * (d // 8) + 1, 2)) AS INT)
+                      >> (d % 8)) & 1 = 1
+                THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS pl
+  FROM (SELECT unnest(range(0, 32)) AS p) pp),
+vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+bits AS (
+  SELECT v.vec_id, pl.p // 4 AS tbl,
+         CASE WHEN list_inner_product(v.emb, pl.pl) > 0
+              THEN 1 << (pl.p % 4) ELSE 0 END AS term
+  FROM vecs v CROSS JOIN planes pl),
+buck AS (
+  SELECT vec_id, tbl, sum(term)::BIGINT AS bucket
+  FROM bits GROUP BY vec_id, tbl),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM (SELECT * FROM buck WHERE vec_id < 10) q
+  JOIN buck c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE c.vec_id <> q.vec_id),
+scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         list_inner_product(qv.emb, cv.emb)
+         / (sqrt(list_inner_product(qv.emb, qv.emb))
+            * sqrt(list_inner_product(cv.emb, cv.emb))) AS s
+  FROM cand JOIN vecs qv ON qv.vec_id = cand.query_id
+            JOIN vecs cv ON cv.vec_id = cand.neighbor_id),
+ranked AS (
+  SELECT query_id, neighbor_id, s,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY s DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(s, 6) AS sim, CAST(rank AS INT) AS rank
+FROM ranked WHERE rank <= 10
+""")
 def q_sim_topk_ann_lsh(spark, sf_dir):
+    """Sign-sketch LSH ANN top-10 — the planes are md5-derived ±1 rows
+    (already engine-portable), so the DuckDB twin re-derives the SAME
+    32 hyperplanes from md5 hex in SQL, recomputes every bucket, and
+    replays the collide→exact-cosine-rerank pipeline. "Approximate"
+    therefore means approximate vs ground truth (recall<1 by design),
+    NOT vs a twin engine — deterministically oracle-checked. Oracle
+    precondition (pytest-asserted at both oracle SFs): no |emb·plane|
+    sits within float64 summation error of 0, so the numpy-matmul and
+    sequential-SQL sign tests agree."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.ann_lsh_topk(
         emb, emb.where(F.col("vec_id") < 10), k=10, dims=EMBEDDING_DIMS)

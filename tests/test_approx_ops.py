@@ -582,3 +582,69 @@ def test_brute_topk_oracle_precondition_margins():
             f"oracle precondition broken at {sf_dir}: a top-10 score "
             f"sits {rmargin} (×1e-6) from a 6-decimal rounding edge — "
             f"summation order could flip the reported sim")
+
+
+def test_ann_lsh_oracle_precondition_plane_margins():
+    """The sim_topk_ann_lsh oracle recomputes bucket sign bits with a
+    sequential SQL sum while the engine uses a numpy/BLAS matmul —
+    different float64 summation orders. The sketches agree iff no
+    |embedding·plane| dot sits within summation error of 0. Assert the
+    margin at both oracle SFs so a corpus change reads as 'precondition
+    broken', not 'engine wrong'."""
+    import duckdb
+    margin_sql = """
+    WITH planes AS (
+      SELECT pp.p AS p,
+             list_transform(range(0, 64), d ->
+               CASE WHEN (CAST(('0x' || substr(md5('plane:' || pp.p || ':0'),
+                                               2 * (d // 8) + 1, 2)) AS INT)
+                          >> (d % 8)) & 1 = 1
+                    THEN 1.0::DOUBLE ELSE -1.0::DOUBLE END) AS pl
+      FROM (SELECT unnest(range(0, 32)) AS p) pp)
+    SELECT min(abs(list_inner_product(v.embedding::DOUBLE[], pl.pl)))
+    FROM read_parquet('{p}') v CROSS JOIN planes pl
+    """
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        p = os.path.join(sf_dir, "embeddings.parquet")
+        (margin,) = duckdb.sql(margin_sql.format(p=p)).fetchone()
+        # ±1-coefficient sums of 64 doubles: error ~1e-15; demand 1e6× slack
+        assert margin > 1e-9, (
+            f"oracle precondition broken at {sf_dir}: an embedding·plane "
+            f"dot is {margin} from 0 — summation order could flip a "
+            f"bucket sign bit")
+
+
+def test_portable_hash_mode_band_collision_equivalence(spark, documents):
+    """xxhash64 stays the scale default only because the portable mode
+    behaves the same way where it matters: identical documents collide
+    with est_jaccard=1 / hamming=0 in BOTH modes, and both modes
+    recover the high-Jaccard (>=0.7) truth pairs at equal-or-better
+    recall than the banding-theory floor."""
+    a = documents.limit(30)
+    dup = a.withColumn("doc_id", F.col("doc_id") + 100000)
+    both = a.unionByName(dup)
+    expected = {(r.doc_id, r.doc_id + 100000)
+                for r in a.select("doc_id").collect()}
+    for mode in ("xxhash64", "portable"):
+        mh = {(r.doc_id_a, r.doc_id_b): r.est_jaccard
+              for r in dedup.minhash_lsh_pairs(
+                  both, threshold=0.9, hash_mode=mode).collect()}
+        assert expected <= set(mh) and \
+            all(mh[k] == 1.0 for k in expected), f"minhash[{mode}]"
+        sh = {(r.doc_id_a, r.doc_id_b)
+              for r in dedup.simhash_pairs(
+                  both, max_hamming=0, hash_mode=mode).collect()}
+        assert expected <= sh, f"simhash[{mode}]"
+    # high-similarity recall parity on the real corpus
+    truth = {(r.doc_id_a, r.doc_id_b)
+             for r in dedup.ngram_jaccard_pairs(
+                 documents.withColumn("lang", F.lit("x")),
+                 n=3, threshold=0.7).collect()}
+    if truth:
+        for mode in ("xxhash64", "portable"):
+            found = {(r.doc_id_a, r.doc_id_b)
+                     for r in dedup.minhash_lsh_pairs(
+                         documents, threshold=0.4,
+                         hash_mode=mode).collect()}
+            recall = len(truth & found) / len(truth)
+            assert recall >= 0.6, f"{mode} recall {recall}"
