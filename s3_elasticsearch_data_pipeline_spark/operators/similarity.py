@@ -856,7 +856,8 @@ def _pq_adc_candidates_distributed(codes_df, queries, books, m: int,
 def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             m: int = 8, k_codes: int = 16, train_sample: int = 256,
             iters: int = 8, rerank: int = 50,
-            max_driver_queries: int = MAX_DRIVER_QUERIES) -> DataFrame:
+            max_driver_queries: int = MAX_DRIVER_QUERIES,
+            _books=None) -> DataFrame:
     """Asymmetric-distance (ADC) approximate top-k over PQ codes with
     an exact rerank stage — the canonical two-phase PQ search: each
     query precomputes an (m × k_codes) distance table against the
@@ -890,7 +891,11 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # brute_force_topk_arrow for why a separate count() is wasteful)
     q_rows = (queries.select("vec_id", "embedding")
               .limit(max_driver_queries + 1).collect())
-    books = _pq_codebooks(embeddings, m, k_codes, train_sample, iters)
+    # _books: callers with already-trained codebooks (the IVF-PQ probe
+    # equivalence test, pipelines sharing one training pass) skip the
+    # sample collect + Lloyd loop
+    books = (_books if _books is not None else
+             _pq_codebooks(embeddings, m, k_codes, train_sample, iters))
     if books is None or not q_rows:  # empty corpus / queries → empty
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
@@ -949,6 +954,234 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     from s3_elasticsearch_data_pipeline_spark.functions.vector import cosine
     reranked = (shortlist
                 .join(q_hint(qv), "query_id")
+                .join(nv, "neighbor_id")
+                .withColumn("sim", cosine(F.col("__qv"), F.col("__nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (reranked.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ: the composed 100 TB serving layout (FAISS IVFPQ, Jégou/Douze/
+# Schmid TPAMI 2011 §V): coarse cells prune the corpus at the DIRECTORY
+# level, PQ codes make the within-cell scan read 8-byte codes instead of
+# d-dim floats, and an exact cosine rerank on the shortlist's raw
+# vectors restores precision. build once / probe many, like the plain
+# IVF index — but the probe's hot path never touches the embedding
+# column (column pruning keeps the ADC scan at (vec_id, cell, codes)).
+# ---------------------------------------------------------------------------
+
+
+def _load_codebooks(spark, path: str):
+    """The kilobyte PQ codebook table of a persisted IVF-PQ index as an
+    (m × k_codes × sub) ndarray, or None when absent/empty."""
+    import os
+
+    import numpy as np
+    if not os.path.exists(path + "/codebooks"):
+        return None
+    rows = (spark.read.parquet(path + "/codebooks")
+            .orderBy("subspace", "code").collect())
+    if not rows:
+        return None
+    m = max(r["subspace"] for r in rows) + 1
+    k_codes = max(r["code"] for r in rows) + 1
+    sub = len(rows[0]["centroid"])
+    books = np.empty((m, k_codes, sub), dtype=np.float64)
+    for r in rows:
+        books[r["subspace"], r["code"]] = list(r["centroid"])
+    return books
+
+
+def build_ivfpq_index(embeddings: DataFrame, path: str,
+                      n_cells: int = 16, iters: int = 2, m: int = 8,
+                      k_codes: int = 16, train_sample: int = 256,
+                      pq_iters: int = 8) -> None:
+    """Train and PERSIST an IVF-PQ index at ``path``:
+
+    * ``{path}/cells`` — the corpus ``partitionBy("cell")`` with BOTH
+      the PQ code array and the raw vector per row: the probe's ADC
+      stage projects only (vec_id, codes) — parquet column pruning
+      keeps that scan at ~8 bytes/vector — while the rerank stage
+      fetches raw vectors for shortlist rows only, from the same
+      pruned cell directories.
+    * ``{path}/centroids`` — coarse (cell, centroid) rows, kilobytes.
+    * ``{path}/codebooks`` — (subspace, code, centroid) rows, kilobytes.
+
+    Codes quantize the RAW vectors with globally trained codebooks (not
+    per-cell residuals), so within any probed cell set the ADC
+    distances are bit-identical to :func:`pq_topk` over that sub-corpus
+    — the exact-equivalence contract the tests pin. One full-corpus
+    pass total: assignment and PQ encoding ride a single mapInPandas
+    before the one partitioned write."""
+    import numpy as np
+
+    spark = embeddings.sparkSession
+    probe = embeddings.select("embedding").first()
+    if probe is None:
+        spark.createDataFrame(
+            [], "vec_id long, codes array<bigint>, "
+                "embedding array<double>, cell int") \
+            .write.mode("overwrite").partitionBy("cell") \
+            .parquet(path + "/cells")
+        spark.createDataFrame([], "cell int, centroid array<double>") \
+            .write.mode("overwrite").parquet(path + "/centroids")
+        spark.createDataFrame(
+            [], "subspace int, code int, centroid array<double>") \
+            .write.mode("overwrite").parquet(path + "/codebooks")
+        return
+    centroids = _kmeans_centroids(embeddings, n_cells, iters)
+    books = _pq_codebooks(embeddings, m, k_codes, train_sample, pq_iters)
+    sub = books.shape[2]
+
+    def assign_encode(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            # identical math (incl. stable tie-break) to _cell_assign_fn
+            e = x / np.linalg.norm(x, axis=1, keepdims=True)
+            c = centroids / np.linalg.norm(centroids, axis=1,
+                                           keepdims=True)
+            sims = e @ c.T
+            cell = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = x[:, j * sub:(j + 1) * sub]
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cell": cell.astype(np.int32),
+                                "codes": list(codes),
+                                "embedding": pdf["embedding"]})
+
+    encoded = (embeddings
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("embedding"))
+               .mapInPandas(assign_encode,
+                            "vec_id long, cell int, codes array<bigint>, "
+                            "embedding array<double>"))
+    (encoded.repartition("cell")  # see _assign_and_write: one shuffle
+     .write.mode("overwrite").partitionBy("cell")  # beats tasks×cells files
+     .parquet(path + "/cells"))
+    (spark.createDataFrame(
+        [(i, [float(v) for v in centroids[i]])
+         for i in range(len(centroids))],
+        "cell int, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/centroids"))
+    (spark.createDataFrame(
+        [(j, c, [float(v) for v in books[j, c]])
+         for j in range(m) for c in range(books.shape[1])],
+        "subspace int, code int, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/codebooks"))
+
+
+def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
+                     n_probe: int = 4, rerank: int = 50) -> DataFrame:
+    """Serve top-k from a PERSISTED IVF-PQ index — the full FAISS IVFPQ
+    probe pipeline, each stage reading the minimum bytes it can:
+
+    1. coarse prune: each query picks its ``n_probe`` nearest cells
+       from the kilobyte centroid table; the probed-cell union becomes
+       a STATIC partition filter, so only those cell DIRECTORIES are
+       read at all;
+    2. ADC scan: within probed cells the scan projects (vec_id, cell,
+       codes) — column pruning never deserializes the raw vectors —
+       and a per-cell cogroup kernel (:func:`_adc_partial_topk`, the
+       same kernel as ``pq_topk``) emits ≤ ``rerank`` candidates per
+       (query, cell) under the total (adc_dist, neighbor_id) order;
+    3. global shortlist: a per-query window keeps the ``rerank``
+       best candidates across that query's probed cells — two-level
+       top-k, so the result equals a flat ADC scan of those cells;
+    4. exact rerank: raw vectors are fetched (from the same pruned
+       directories) for shortlist rows only; exact cosine, top-k.
+
+    Query ADC tables are computed EXECUTOR-side (mapInPandas with the
+    kilobyte codebooks in the closure) — no driver funnel, any query
+    frame size. Equivalence contract (tested): for a single query,
+    the result is bit-identical to ``pq_topk`` restricted to that
+    query's probed cells with the same codebooks."""
+    import numpy as np
+
+    centroids = _load_centroids(spark, path)
+    books = _load_codebooks(spark, path)
+    if (centroids is None or books is None
+            or queries.select("embedding").first() is None):
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
+    m, k_codes, sub = books.shape
+
+    def tables(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            t = np.stack([
+                ((qm[:, j * sub:(j + 1) * sub][:, None, :]
+                  - books[j][None, :, :]) ** 2).sum(axis=2)
+                for j in range(m)], axis=1)
+            yield pd.DataFrame({"query_id": pdf["vec_id"],
+                                "tbl": list(t.reshape(len(qm), -1))})
+
+    q_cells = (queries.select("vec_id", "embedding")
+               .mapInPandas(_cell_assign_fn(centroids, n_probe),
+                            "vec_id long, cell int"))
+    q_tbl = (queries.select("vec_id", "embedding")
+             .mapInPandas(tables, "query_id long, tbl array<double>"))
+    qry = (q_cells.withColumnRenamed("vec_id", "query_id")
+           .join(q_tbl, "query_id")
+           .localCheckpoint(eager=True))  # reused: probed set + cogroup
+    probed = sorted(r["cell"]
+                    for r in qry.select("cell").distinct().collect())
+
+    codes_scan = (spark.read.parquet(path + "/cells")
+                  .where(F.col("cell").isin(probed))
+                  .select("vec_id", "cell", "codes"))
+
+    def adc(left, right):
+        import pandas as pd
+        if not len(left) or not len(right):
+            return pd.DataFrame(
+                {"query_id": pd.Series(dtype="int64"),
+                 "neighbor_id": pd.Series(dtype="int64"),
+                 "adc_dist": pd.Series(dtype="float64")})
+        codes = np.stack(left["codes"].to_numpy()).astype(np.int64)
+        ids = left["vec_id"].to_numpy()
+        tbls = np.stack(right["tbl"].to_numpy()).reshape(
+            len(right), m, k_codes)
+        return _adc_partial_topk(tbls, right["query_id"].to_numpy(),
+                                 codes, ids, rerank, m)
+
+    cand = (codes_scan.groupby("cell")
+            .cogroup(qry.groupby("cell"))
+            .applyInPandas(
+                adc, "query_id long, neighbor_id long, adc_dist double"))
+    w_short = Window.partitionBy("query_id").orderBy("adc_dist",
+                                                     "neighbor_id")
+    shortlist = (cand.withColumn("rank", F.row_number().over(w_short))
+                 .where(F.col("rank") <= rerank).drop("rank"))
+    # exact rerank: raw vectors only for shortlist rows, read from the
+    # SAME pruned cell directories (second scan, embedding column)
+    nv = (spark.read.parquet(path + "/cells")
+          .where(F.col("cell").isin(probed))
+          .select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("__nv")))
+    qv = queries.select(F.col("vec_id").alias("query_id"),
+                        F.col("embedding").cast("array<double>")
+                        .alias("__qv"))
+    # NB: like pq_topk (and unlike the raw-vector ANN paths), self-
+    # matches are NOT excluded — the equivalence contract with pq_topk
+    # is exact, and a query inside the corpus legitimately retrieves
+    # itself at sim 1.0
+    reranked = (shortlist
+                .join(_query_join_hint(queries)(qv), "query_id")
                 .join(nv, "neighbor_id")
                 .withColumn("sim", cosine(F.col("__qv"), F.col("__nv"))))
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),

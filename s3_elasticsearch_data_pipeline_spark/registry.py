@@ -2019,6 +2019,22 @@ def q_sim_ivf_persisted(spark, sf_dir):
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
 
 
+@register("sim_ivfpq_persisted", None)  # approximate + index build → rows-only
+def q_sim_ivfpq_persisted(spark, sf_dir):
+    """IVF-PQ build-once/probe-many — the composed 100 TB serving
+    layout (FAISS IVFPQ): coarse cells prune index DIRECTORIES, the
+    in-cell ADC scan reads 8-byte PQ codes (column pruning skips the
+    raw vectors), exact cosine rerank touches raw vectors for
+    shortlist rows only. Per-query exact equivalence with ``pq_topk``
+    over the probed cells is pytest-pinned; plan tests assert both the
+    partition filter and the codes-only ReadSchema."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_scratch(sf_dir, "ivfpq")
+    similarity.build_ivfpq_index(emb, path)
+    return similarity.ivfpq_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10)
+
+
 @register("sim_ivf_incremental", None)  # approximate + index build → rows-only
 def q_sim_ivf_incremental(spark, sf_dir):
     """The IVF ingest loop: train+build on the existing half of the

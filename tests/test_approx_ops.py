@@ -648,3 +648,106 @@ def test_portable_hash_mode_band_collision_equivalence(spark, documents):
                          hash_mode=mode).collect()}
             recall = len(truth & found) / len(truth)
             assert recall >= 0.6, f"{mode} recall {recall}"
+
+
+def test_ivfpq_probe_equals_pq_topk_on_probed_cells(spark, embeddings,
+                                                    tmp_path):
+    """The FAISS-IVFPQ composition contract: for each query, probing
+    the persisted IVF-PQ index returns EXACTLY what pq_topk (same
+    codebooks) returns over the sub-corpus of that query's probed
+    cells — cell pruning + ADC-over-codes + exact rerank must add no
+    approximation beyond the cell restriction itself."""
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(embeddings, path, n_cells=8)
+    queries = embeddings.where(F.col("vec_id") < 3)
+    got = {}
+    for r in similarity.ivfpq_probe_topk(spark, path, queries,
+                                         k=10, n_probe=4).collect():
+        got.setdefault(r.query_id, set()).add(
+            (r.neighbor_id, r.sim, r.rank))
+
+    centroids = similarity._load_centroids(spark, path)
+    books = similarity._load_codebooks(spark, path)
+    cells_df = spark.read.parquet(path + "/cells")
+    for q in queries.select("vec_id", "embedding").collect():
+        one = spark.createDataFrame([(q.vec_id, list(q.embedding))],
+                                    "vec_id long, embedding array<double>")
+        probed = sorted({r.cell for r in one.mapInPandas(
+            similarity._cell_assign_fn(centroids, 4),
+            "vec_id long, cell int").collect()})
+        sub_corpus = (cells_df.where(F.col("cell").isin(probed))
+                      .select("vec_id", F.lit(0).alias("label"),
+                              "embedding"))
+        want = {(r.neighbor_id, r.sim, r.rank)
+                for r in similarity.pq_topk(sub_corpus, one, k=10,
+                                            _books=books).collect()}
+        assert got.get(q.vec_id, set()) == want, f"query {q.vec_id}"
+
+
+def test_ivfpq_probe_plan_prunes_partitions_and_columns(spark, embeddings,
+                                                        tmp_path):
+    """The two physical properties that make IVF-PQ an index at 100 TB:
+    (1) the scans carry the probed-cell PARTITION filter (directory
+    pruning), and (2) the ADC-stage scan's ReadSchema has codes but NOT
+    the raw embedding column (8-byte codes per vector, not d-dim
+    floats)."""
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(embeddings, path, n_cells=8)
+    queries = embeddings.where(F.col("vec_id") < 3)
+    probe = similarity.ivfpq_probe_topk(spark, path, queries,
+                                        k=10, n_probe=2)
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    # cell-store scans are the ones carrying the cell partition column
+    # (the Location path string is truncated under pytest's long tmp
+    # paths, so match on the projected column list instead)
+    scans = [seg for seg in plan.split("FileScan")[1:]
+             if "cell#" in seg.split("\n")[0]]
+    assert scans, "expected FileScan nodes over the cell store"
+    for seg in scans:
+        head = seg.split("\n")[0]
+        assert "PartitionFilters" in head and \
+            "cell" in head.split("PartitionFilters", 1)[1][:200], \
+            "every cell-store scan must prune by probed cell set"
+    adc_scans = [seg for seg in scans
+                 if "codes" in seg.split("ReadSchema", 1)[-1][:200]]
+    assert adc_scans, "expected a codes-projecting ADC scan"
+    for seg in adc_scans:
+        schema = seg.split("ReadSchema", 1)[-1][:200]
+        assert "embedding" not in schema, \
+            "ADC scan must not deserialize raw vectors"
+    # build determinism: rebuild → identical probe answer
+    path2 = str(tmp_path / "ivfpq2")
+    similarity.build_ivfpq_index(embeddings, path2, n_cells=8)
+    a = sorted(map(tuple, probe.collect()))
+    b = sorted(map(tuple, similarity.ivfpq_probe_topk(
+        spark, path2, queries, k=10, n_probe=2).collect()))
+    assert a == b
+
+
+def test_ivfpq_recall_and_empty_inputs(spark, embeddings, tmp_path):
+    """IVF-PQ is doubly approximate (cell restriction + PQ shortlist) —
+    still must recover most true neighbors at generous probe width, and
+    the empty-index / empty-query edges return empty stable-schema
+    frames instead of throwing."""
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(embeddings, path, n_cells=8)
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, queries, k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    found = {(r.query_id, r.neighbor_id)
+             for r in similarity.ivfpq_probe_topk(
+                 spark, path, queries, k=10, n_probe=6,
+                 rerank=100).collect()
+             if r.query_id != r.neighbor_id}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"IVF-PQ recall {recall}"
+    # empty corpus index
+    epath = str(tmp_path / "empty")
+    similarity.build_ivfpq_index(embeddings.where(F.lit(False)), epath)
+    out = similarity.ivfpq_probe_topk(spark, epath, queries, k=10)
+    assert out.count() == 0
+    assert out.columns == ["query_id", "neighbor_id", "sim", "rank"]
+    # empty queries against a real index
+    out2 = similarity.ivfpq_probe_topk(
+        spark, path, queries.where(F.lit(False)), k=10)
+    assert out2.count() == 0 and out2.columns == out.columns
