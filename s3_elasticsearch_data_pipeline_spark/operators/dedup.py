@@ -964,6 +964,17 @@ def containment_decontamination(documents: DataFrame, n: int = 3,
             .where(F.col("containment") >= threshold))
 
 
+#: Rabin–Karp span-digest parameters: two independent polynomial
+#: hashes mod the Mersenne prime 2^31−1, combined into one 62-bit key
+#: (h1·2^31 + h2). acc·B + t stays < 2^62 — exact signed-64 arithmetic
+#: on both engines — and the paired moduli push the birthday collision
+#: rate to S²/2·4.6e18 (≈4e-6 at ten million spans), where a single
+#: M31 hash would produce thousands of false duplicate spans.
+SPAN_HASH_MOD = (1 << 31) - 1
+SPAN_HASH_B1 = 1_000_003
+SPAN_HASH_B2 = 2_000_029
+
+
 def duplicate_spans(documents: DataFrame, k: int = 10,
                     min_docs: int = 2) -> DataFrame:
     """ExactSubstr-style duplicated-span statistics (Lee et al., ACL
@@ -974,56 +985,116 @@ def duplicate_spans(documents: DataFrame, k: int = 10,
     of its tokens covered by at least one duplicated span (the mass an
     ExactSubstr trimmer would cut).
 
-    Relational formulation (vs the paper's suffix array): every doc
-    emits its n−k+1 sliding spans as md5 DIGESTS — 32 bytes regardless
-    of span text, computable identically by any engine, so the op is
-    oracle-checkable AND the shuffle never carries span text. One hash
-    aggregate finds digests with ≥ ``min_docs`` distinct docs; the
-    join back is digest-keyed; coverage explodes only DUPLICATED spans
-    (k rows each — rare by construction), then distinct positions per
-    doc. At 100 TB: two shuffles on 32-byte keys plus one bounded
-    explode — no suffix array, no text movement, same decision.
+    Relational formulation (vs the paper's suffix array): each TOKEN is
+    md5-hashed once (O(corpus bytes) hashed, total), and every span
+    digest is a Rabin–Karp polynomial over the k token hashes,
+    evaluated as ONE Arrow-batched numpy pass (sliding-window
+    multiply-add — r5 measured the HOF fold/Horner forms slower than
+    even the r4 per-span ``md5(array_join(...))``: interpreter dispatch
+    per element dominates, so the vectorized kernel is the fast path
+    here exactly as in ``ann_lsh_topk``'s sketching; SCALING.md
+    "Round-5 duplicate_spans digests" has the numbers). No per-span
+    string materialization: the r4 version re-hashed every token's
+    BYTES k times. Digests are 8-byte longs computable identically by
+    any engine (md5 + modular arithmetic — the DuckDB twin re-derives
+    them with ``list_reduce``), so the op stays oracle-checkable and
+    the dup aggregate shuffles 8-byte keys, not 32-byte hex. One hash
+    aggregate finds digests in ≥ ``min_docs`` distinct docs; span
+    counts and covered positions come from ONE aggregate over the
+    (rare) duplicated spans. Checkpoint hygiene: the token-hash table
+    is eagerly checkpointed (it feeds the span fan-out AND the final
+    join — Spark does not reuse the subtree), and all corpus-sized
+    blocks are RELEASED before returning; only the doc-count-sized
+    result stays pinned (pagerank/CC discipline — see SCALING.md's
+    2.5→14 s session-degradation measurement).
     """
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    spark = documents.sparkSession
+    before = persistent_rdd_ids(spark)
+    mod = F.lit(SPAN_HASH_MOD)
     base = (parallelize_for_compute(documents)
             .select("doc_id", tokens(F.col("text")).alias("toks"))
-            .select("doc_id", "toks", F.size("toks").alias("n_tokens"))
+            .select("doc_id",
+                    F.transform("toks",
+                                lambda t: portable_hash60(t) % mod)
+                    .alias("th"),
+                    F.size("toks").alias("n_tokens"))
             .localCheckpoint(eager=True))  # feeds spans + final join
+
+    # Horner weights B^(k-1-j) mod M, precomputed at plan time. In the
+    # kernel every product t·w < 2^62 fits uint64 exactly, and the
+    # ≤k·2^31 term sum fits long before its final mod — bit-identical
+    # to the sequential Horner fold the oracle runs.
+    m_val = SPAN_HASH_MOD
+    w1 = [pow(SPAN_HASH_B1, k - 1 - j, m_val) for j in range(k)]
+    w2 = [pow(SPAN_HASH_B2, k - 1 - j, m_val) for j in range(k)]
+
+    def span_hashes(batches):
+        import numpy as np
+        import pandas as pd
+        a1 = np.asarray(w1, dtype=np.uint64)
+        a2 = np.asarray(w2, dtype=np.uint64)
+        for pdf in batches:
+            docs_out, starts_out, hs_out = [], [], []
+            for doc_id, th in zip(pdf["doc_id"], pdf["th"]):
+                t = np.asarray(th, dtype=np.uint64)
+                if len(t) < k:
+                    continue
+                win = np.lib.stride_tricks.sliding_window_view(t, k)
+                h1 = ((win * a1) % m_val).sum(axis=1) % m_val
+                h2 = ((win * a2) % m_val).sum(axis=1) % m_val
+                h = (h1.astype(np.int64) << 31) + h2.astype(np.int64)
+                docs_out.append(np.full(len(h), doc_id, dtype=np.int64))
+                starts_out.append(np.arange(1, len(h) + 1,
+                                            dtype=np.int32))
+                hs_out.append(h)
+            if not docs_out:
+                yield pd.DataFrame({"doc_id": pd.Series(dtype="int64"),
+                                    "start": pd.Series(dtype="int32"),
+                                    "h": pd.Series(dtype="int64")})
+                continue
+            yield pd.DataFrame({"doc_id": np.concatenate(docs_out),
+                                "start": np.concatenate(starts_out),
+                                "h": np.concatenate(hs_out)})
+
     spans = (base.where(F.col("n_tokens") >= k)
-             .select("doc_id", F.explode(F.transform(
-                 F.sequence(F.lit(1), F.col("n_tokens") - k + 1),
-                 lambda i: F.struct(
-                     i.alias("start"),
-                     F.md5(F.array_join(F.slice("toks", i, F.lit(k)), " "))
-                     .alias("h")))).alias("s"))
-             .select("doc_id", "s.start", "s.h"))
+             .select("doc_id", "th")
+             .mapInPandas(span_hashes,
+                          "doc_id long, start int, h long"))
     dup = (spans.groupBy("h")
            .agg(F.count_distinct("doc_id").alias("__nd"))
            .where(F.col("__nd") >= min_docs)
            .select("h"))
-    dup_spans = spans.join(dup, "h")
-    per_doc = (dup_spans.groupBy("doc_id")
-               .agg(F.count(F.lit(1)).cast("int").alias("n_dup_spans")))
-    coverage = (dup_spans
-                .select("doc_id", F.explode(
-                    F.sequence("start", F.col("start") + k - 1)).alias("p"))
-                .distinct()
-                .groupBy("doc_id")
-                .agg(F.count(F.lit(1)).cast("int").alias("n_dup_tokens")))
-    return (base.select("doc_id", "n_tokens")
-            .join(per_doc, "doc_id", "left")
-            .join(coverage, "doc_id", "left")
-            .select("doc_id", "n_tokens",
-                    F.greatest(F.col("n_tokens") - k + 1, F.lit(0))
-                    .alias("n_spans"),
-                    F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
-                    F.coalesce("n_dup_tokens", F.lit(0))
-                    .alias("n_dup_tokens"),
-                    F.when(F.col("n_tokens") > 0,
-                           # identical-IEEE half-up rounding on both
-                           # engines (see SCALING.md: F.round's exact
-                           # HALF_UP vs DuckDB's float round disagree
-                           # on 7th-digit halves, e.g. n_tokens=128)
-                           F.floor(F.coalesce("n_dup_tokens", F.lit(0))
-                                   / F.col("n_tokens") * 1000000.0
-                                   + 0.5) / 1000000.0)
-                    .otherwise(F.lit(0.0)).alias("dup_token_ratio")))
+    # span count + covered positions in ONE aggregate over duplicated
+    # spans (each start is one span, so distinct-start == span count)
+    stats = (spans.join(dup, "h")
+             .select("doc_id", "start",
+                     F.explode(F.sequence(
+                         "start", F.col("start") + k - 1)).alias("p"))
+             .groupBy("doc_id")
+             .agg(F.count_distinct("start").cast("int")
+                  .alias("n_dup_spans"),
+                  F.count_distinct("p").cast("int")
+                  .alias("n_dup_tokens")))
+    out = (base.select("doc_id", "n_tokens")
+           .join(stats, "doc_id", "left")
+           .select("doc_id", "n_tokens",
+                   F.greatest(F.col("n_tokens") - k + 1, F.lit(0))
+                   .alias("n_spans"),
+                   F.coalesce("n_dup_spans", F.lit(0)).alias("n_dup_spans"),
+                   F.coalesce("n_dup_tokens", F.lit(0))
+                   .alias("n_dup_tokens"),
+                   F.when(F.col("n_tokens") > 0,
+                          # identical-IEEE half-up rounding on both
+                          # engines (see SCALING.md: F.round's exact
+                          # HALF_UP vs DuckDB's float round disagree
+                          # on 7th-digit halves, e.g. n_tokens=128)
+                          F.floor(F.coalesce("n_dup_tokens", F.lit(0))
+                                  / F.col("n_tokens") * 1000000.0
+                                  + 0.5) / 1000000.0)
+                   .otherwise(F.lit(0.0)).alias("dup_token_ratio")))
+    mid = persistent_rdd_ids(spark)
+    out = out.localCheckpoint(eager=True)  # doc-sized result
+    release_persistent_rdds(spark, mid - before)
+    return out

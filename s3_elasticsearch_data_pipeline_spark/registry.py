@@ -2723,42 +2723,56 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN agg a USING (doc_id)""")
 
 
-@register("dedup_duplicate_spans", """
+@register("dedup_duplicate_spans", f"""
 WITH t AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
   FROM documents),
+th AS (
+  SELECT doc_id, len(toks) AS n_tokens,
+         list_transform(toks, tk ->
+           CAST(('0x' || substr(md5(tk), 18, 15)) AS UBIGINT)::BIGINT
+           % {dedup.SPAN_HASH_MOD}) AS th
+  FROM t),
 sp AS (
   SELECT doc_id, i AS start,
-         md5(array_to_string(toks[i:i+9], ' ')) AS h
-  FROM (SELECT doc_id, toks,
-               unnest(range(1, greatest(len(toks) - 10 + 1, 0) + 1)) AS i
-        FROM t)),
+         list_reduce(list_slice(th, i, i + 9),
+           (acc, x) -> (acc * {dedup.SPAN_HASH_B1} + x)
+                       % {dedup.SPAN_HASH_MOD}) * {1 << 31}
+       + list_reduce(list_slice(th, i, i + 9),
+           (acc, x) -> (acc * {dedup.SPAN_HASH_B2} + x)
+                       % {dedup.SPAN_HASH_MOD}) AS h
+  FROM (SELECT doc_id, th,
+               unnest(range(1, greatest(n_tokens - 10 + 1, 0) + 1)) AS i
+        FROM th)),
 dup AS (SELECT h FROM sp GROUP BY h HAVING count(DISTINCT doc_id) >= 2),
 ds AS (SELECT sp.doc_id, sp.start FROM sp JOIN dup USING (h)),
-agg AS (SELECT doc_id, CAST(count(*) AS INT) AS n_dup_spans
-        FROM ds GROUP BY doc_id),
-cov AS (SELECT doc_id, CAST(count(DISTINCT p) AS INT) AS n_dup_tokens
-        FROM (SELECT doc_id, unnest(range(start, start + 10)) AS p FROM ds)
-        GROUP BY doc_id)
-SELECT t.doc_id,
-       CAST(len(t.toks) AS INT) AS n_tokens,
-       CAST(greatest(len(t.toks) - 10 + 1, 0) AS INT) AS n_spans,
-       coalesce(agg.n_dup_spans, 0) AS n_dup_spans,
-       coalesce(cov.n_dup_tokens, 0) AS n_dup_tokens,
-       CASE WHEN len(t.toks) > 0
-            THEN floor(CAST(coalesce(cov.n_dup_tokens, 0) AS DOUBLE)
-                       / len(t.toks) * 1000000.0 + 0.5) / 1000000.0
+stats AS (
+  SELECT doc_id, CAST(count(DISTINCT start) AS INT) AS n_dup_spans,
+         CAST(count(DISTINCT p) AS INT) AS n_dup_tokens
+  FROM (SELECT doc_id, start, unnest(range(start, start + 10)) AS p
+        FROM ds)
+  GROUP BY doc_id)
+SELECT th.doc_id,
+       CAST(th.n_tokens AS INT) AS n_tokens,
+       CAST(greatest(th.n_tokens - 10 + 1, 0) AS INT) AS n_spans,
+       coalesce(stats.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(stats.n_dup_tokens, 0) AS n_dup_tokens,
+       CASE WHEN th.n_tokens > 0
+            THEN floor(CAST(coalesce(stats.n_dup_tokens, 0) AS DOUBLE)
+                       / th.n_tokens * 1000000.0 + 0.5) / 1000000.0
             ELSE 0.0 END AS dup_token_ratio
-FROM t LEFT JOIN agg USING (doc_id) LEFT JOIN cov USING (doc_id)
+FROM th LEFT JOIN stats USING (doc_id)
 """)
 def q_dedup_duplicate_spans(spark, sf_dir):
     """ExactSubstr-style duplicated-span statistics (Lee et al., ACL
     2022): per document, how many of its sliding 10-token spans occur
     in ≥2 distinct documents and what fraction of its tokens at least
     one duplicated span covers — the mass an ExactSubstr trimmer cuts
-    (operators/dedup.py:duplicate_spans; spans travel as md5 digests,
-    never text)."""
+    (operators/dedup.py:duplicate_spans; tokens md5-hashed once, span
+    digests are Rabin-Karp polynomials over the token-hash stream —
+    the DuckDB twin re-derives the identical 62-bit digests with
+    list_reduce, since modular arithmetic is engine-portable)."""
     return dedup.duplicate_spans(_t(spark, sf_dir, "documents"), k=10)
 
 
