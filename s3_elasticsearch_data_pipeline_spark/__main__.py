@@ -104,6 +104,11 @@ def main(argv: list[str] | None = None) -> int:
                          "the duration of the load, restoring prior "
                          "settings after (the reference's pre-load "
                          "tuning; batch mode only)")
+    pt.add_argument("--create-index", action="store_true",
+                    help="PUT /{index} with field mappings derived "
+                         "from the parquet schema before loading (no-op "
+                         "if the index already exists — ES mappings are "
+                         "immutable on a live index)")
 
     args = p.parse_args(argv)
     spark = _spark()
@@ -180,6 +185,11 @@ def main(argv: list[str] | None = None) -> int:
         if args.checkpoint:
             from s3_elasticsearch_data_pipeline_spark.streaming.incremental_stream import (
                 incremental_stream_to_es)
+            if args.create_index:  # fresh cluster before the campaign
+                from s3_elasticsearch_data_pipeline_spark.sinks.es_wire \
+                    import create_index
+                create_index(args.es_url, args.index,
+                             spark.read.parquet(args.source).schema)
             try:
                 reports = incremental_stream_to_es(
                     spark, args.source, args.es_url, args.index,
@@ -192,12 +202,20 @@ def main(argv: list[str] | None = None) -> int:
             return 0 if not any(r.batches_failed for r in reports) else 1
         else:
             from s3_elasticsearch_data_pipeline_spark.sinks.es_wire import (
-                write_df)
-            rep = write_df(spark.read.parquet(args.source), args.es_url,
+                create_index, write_df)
+            src = spark.read.parquet(args.source)
+            created = None
+            if args.create_index:
+                created = create_index(args.es_url, args.index,
+                                       src.schema)
+            rep = write_df(src, args.es_url,
                            args.index, id_col=id_col,
                            batch_size=args.batch_size,
                            optimize_for_bulk=args.optimize_for_bulk)
-            print(json.dumps(rep.__dict__, default=str))
+            out = dict(rep.__dict__)
+            if args.create_index:
+                out["index_created"] = created
+            print(json.dumps(out, default=str))
             return 0 if rep.batches_failed == 0 else 1
     elif args.cmd == "dq":
         from s3_elasticsearch_data_pipeline_spark.operators.expectations import (

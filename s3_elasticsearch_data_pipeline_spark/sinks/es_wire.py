@@ -175,6 +175,105 @@ def _settings_request(method: str, url: str, index: str,
         return None
 
 
+def _index_request(method: str, url: str, index: str, body: dict | None,
+                   timeout_s: float):
+    """One ``/{index}`` request → (HTTP status, parsed JSON body|None);
+    status 0 on transport failure. Separate from ``_settings_request``
+    because index creation must DISTINGUISH 'already exists' (400) from
+    'created' (200) — settings tuning never needs the status code."""
+    data = None if body is None else json.dumps(body).encode("utf-8")
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/{index}", data=data,
+        headers={"Content-Type": "application/json"}, method=method)
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            payload = resp.read().decode("utf-8")
+            return resp.status, (json.loads(payload) if payload else None)
+    except urllib.error.HTTPError as exc:
+        return exc.code, None
+    except (urllib.error.URLError, OSError, ValueError):
+        return 0, None
+
+
+#: Spark simpleString prefixes → Elasticsearch field types. Strings map
+#: to ``keyword`` (the reference's fields are structured record values
+#: queried with term/terms — ``ID-based-transfer.py``'s id lookups and
+#: ``Debug.py``'s month terms agg both require keyword semantics; a
+#: free-text corpus field should be overridden to ``text`` by the
+#: caller). Decimals map to double: ES has no arbitrary-precision
+#: numeric, and scaled_float needs a per-field factor the schema does
+#: not carry. Dates/timestamps map to ES ``date`` (its default parser
+#: accepts both date-only and date-time renderings that ``_json_safe``
+#: emits).
+_ES_TYPES = {
+    "bigint": "long", "int": "integer", "smallint": "short",
+    "tinyint": "byte", "double": "double", "float": "float",
+    "string": "keyword", "boolean": "boolean", "date": "date",
+    "timestamp": "date", "timestamp_ntz": "date", "binary": "binary",
+}
+
+
+def _es_field_mapping(dtype) -> dict:
+    """One Spark DataType → ES field mapping. Arrays map to their
+    element type (ES fields are multi-valued natively — there is no
+    array type on the wire); structs map to ``object`` with recursive
+    properties; anything unmapped raises rather than guessing (a wrong
+    mapping silently corrupts every later query on the field)."""
+    from pyspark.sql import types as T
+    if isinstance(dtype, T.ArrayType):
+        return _es_field_mapping(dtype.elementType)
+    if isinstance(dtype, T.StructType):
+        return {"properties": {
+            f.name: _es_field_mapping(f.dataType) for f in dtype.fields}}
+    if isinstance(dtype, T.DecimalType):
+        return {"type": "double"}
+    simple = dtype.simpleString()
+    if simple not in _ES_TYPES:
+        raise ValueError(
+            f"no Elasticsearch mapping for Spark type {simple!r} — "
+            "pass an explicit mapping or drop the column before "
+            "create_index")
+    return {"type": _ES_TYPES[simple]}
+
+
+def es_mapping_for(schema) -> dict:
+    """Derive the ``PUT /{index}`` mappings body from a Spark schema
+    (``df.schema``): ``{"mappings": {"properties": {...}}}``."""
+    return {"mappings": {"properties": {
+        f.name: _es_field_mapping(f.dataType) for f in schema.fields}}}
+
+
+def index_exists(url: str, index: str,
+                 timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S) -> bool:
+    """``HEAD /{index}`` — True iff the index exists (200)."""
+    status, _ = _index_request("HEAD", url, index, None, timeout_s)
+    return status == 200
+
+
+def create_index(url: str, index: str, schema,
+                 timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S) -> bool:
+    """Create ``index`` with field mappings derived from a Spark schema
+    (``PUT /{index}``) — the one piece of the reference's ES lifecycle
+    a FRESH cluster needs before the first load (the reference assumes
+    pre-created indices; without an explicit mapping the first bulk
+    write dynamic-maps strings to text+keyword multifields and ids to
+    whatever the first document suggests). Returns True when the index
+    was created; False when it already exists (the mapping is NOT
+    overwritten — ES rejects mapping changes on a live index, and this
+    helper inherits that contract) and on transport failure (logged,
+    best-effort like the settings tuning: the load itself still
+    proceeds against dynamic mappings)."""
+    status, body = _index_request("PUT", url, index,
+                                  es_mapping_for(schema), timeout_s)
+    if status == 200 and body and body.get("acknowledged"):
+        return True
+    if status == 400:  # resource_already_exists_exception
+        return False
+    _LOG.warning("create_index %s/%s failed (HTTP %s) — proceeding "
+                 "with dynamic mappings", url, index, status)
+    return False
+
+
 def get_index_settings(url: str, index: str,
                        timeout_s: float = DEFAULT_SETTINGS_TIMEOUT_S
                        ) -> dict | None:

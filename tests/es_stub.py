@@ -166,6 +166,16 @@ class _Handler(BaseHTTPRequestHandler):
             self._send_json(
                 {index: {"settings": {"index": current}}})
             return
+        if len(parts) == 2 and parts[1] == "_mapping":
+            index = parts[0]
+            with srv.lock:
+                mappings = srv.index_mappings.get(index)
+            if mappings is None:
+                self._error(404, "index_not_found_exception",
+                            f"no such index [{index}]")
+                return
+            self._send_json({index: {"mappings": mappings}})
+            return
         self.send_response(404)
         self.end_headers()
 
@@ -186,12 +196,46 @@ class _Handler(BaseHTTPRequestHandler):
         self._send_json({"succeeded": freed is not None,
                          "num_freed": 1 if freed is not None else 0})
 
+    def do_HEAD(self):
+        """``HEAD /{index}`` — 200 iff the index exists (explicitly
+        created OR implicitly by a bulk write, like a real cluster's
+        auto-create)."""
+        srv = self.server
+        parts = [p for p in self.path.split("?")[0].split("/") if p]
+        with srv.lock:
+            known = (len(parts) == 1
+                     and (parts[0] in srv.index_mappings
+                          or parts[0] in srv.store))
+        self.send_response(200 if known else 404)
+        self.end_headers()
+
     def do_PUT(self):
         """``PUT /{index}/_settings`` — merge dynamic settings like a
         real cluster (accepts both ``{"index": {...}}`` and flat
-        bodies; a null value clears the setting back to default)."""
+        bodies; a null value clears the setting back to default).
+        ``PUT /{index}`` — create the index with mappings; 400
+        resource_already_exists_exception on a second create, matching
+        the real API's mapping-immutability contract."""
         srv = self.server
         parts = [p for p in self.path.split("?")[0].split("/") if p]
+        if len(parts) == 1:  # index create with mappings
+            index = parts[0]
+            body = json.loads(
+                self.rfile.read(int(self.headers["Content-Length"]))
+                or b"{}")
+            with srv.lock:
+                if index in srv.index_mappings or index in srv.store:
+                    exists = True
+                else:
+                    exists = False
+                    srv.index_mappings[index] = body.get("mappings", {})
+            if exists:
+                self._error(400, "resource_already_exists_exception",
+                            f"index [{index}] already exists")
+                return
+            self._send_json({"acknowledged": True,
+                             "shards_acknowledged": True, "index": index})
+            return
         if len(parts) != 2 or parts[1] != "_settings":
             self.send_response(404)
             self.end_headers()
@@ -286,6 +330,7 @@ class ESStub:
         self.server.pit_seq = 0
         self.server.index_settings = {}  # index -> {setting: value}
         self.server.settings_calls = []  # [(index, PUT body)]
+        self.server.index_mappings = {}  # index -> mappings body
         self.server.bulk_bytes = 0       # total /_bulk payload bytes
         self.server.reject = reject     # callable(doc) -> reason | None
         self.thread = threading.Thread(

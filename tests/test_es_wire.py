@@ -278,6 +278,76 @@ def test_cli_transfer_batch_and_streaming(spark, docs_df, tmp_path, capsys):
         assert stub.requests_seen == seen  # nothing new → no HTTP
 
 
+def test_create_index_mapping_derived_from_schema(spark):
+    """create_index PUTs /{index} with mappings derived from the Spark
+    schema (the fresh-cluster DDL the reference's lifecycle assumes):
+    field-type table, array flattening (ES fields are multivalued
+    natively), nested struct → object properties, and the
+    immutable-mapping contract (second create → False, mapping kept)."""
+    import json as _json
+    import urllib.request
+
+    df = spark.createDataFrame(
+        [], "id string, n long, score double, ok boolean, "
+            "when timestamp, day date, tags array<string>, "
+            "vec array<double>, meta struct<k:string,v:int>, "
+            "amount decimal(18,2)")
+    want = {
+        "id": {"type": "keyword"}, "n": {"type": "long"},
+        "score": {"type": "double"}, "ok": {"type": "boolean"},
+        "when": {"type": "date"}, "day": {"type": "date"},
+        "tags": {"type": "keyword"}, "vec": {"type": "double"},
+        "meta": {"properties": {"k": {"type": "keyword"},
+                                "v": {"type": "integer"}}},
+        "amount": {"type": "double"},
+    }
+    assert es_wire.es_mapping_for(df.schema) == {
+        "mappings": {"properties": want}}
+    with ESStub() as stub:
+        assert es_wire.index_exists(stub.url, "typed") is False
+        assert es_wire.create_index(stub.url, "typed", df.schema) is True
+        assert es_wire.index_exists(stub.url, "typed") is True
+        # round-trip: the server holds exactly the derived mapping
+        with urllib.request.urlopen(f"{stub.url}/typed/_mapping") as r:
+            served = _json.loads(r.read())
+        assert served["typed"]["mappings"]["properties"] == want
+        # mappings are immutable on a live index: re-create is refused
+        assert es_wire.create_index(stub.url, "typed", df.schema) is False
+    # unmapped Spark type → loud error, not a silent wrong mapping
+    weird = spark.createDataFrame([], "id string, m map<string,int>")
+    with pytest.raises(ValueError, match="no Elasticsearch mapping"):
+        es_wire.es_mapping_for(weird.schema)
+    # unreachable cluster → best-effort False, never raises
+    assert es_wire.create_index("http://127.0.0.1:9", "x", df.schema,
+                                timeout_s=0.2) is False
+
+
+def test_cli_transfer_create_index(spark, docs_df, tmp_path, capsys):
+    """--create-index on the CLI derives the mapping from the parquet
+    source and creates the index before the load; re-running reports
+    index_created=false and still loads."""
+    import json as _json
+
+    from s3_elasticsearch_data_pipeline_spark.__main__ import main
+    src = str(tmp_path / "src")
+    docs_df.limit(20).write.parquet(src)
+    with ESStub() as stub:
+        rc = main(["transfer", "--source", src, "--es-url", stub.url,
+                   "--index", "fresh", "--batch-size", "50",
+                   "--create-index"])
+        out = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert rc == 0 and out["rows_sent"] == 20
+        assert out["index_created"] is True
+        assert "properties" in stub.server.index_mappings["fresh"]
+        rc2 = main(["transfer", "--source", src, "--es-url", stub.url,
+                    "--index", "fresh", "--batch-size", "50",
+                    "--create-index"])
+        out2 = _json.loads(capsys.readouterr().out.strip()
+                           .splitlines()[-1])
+        assert rc2 == 0 and out2["index_created"] is False
+        assert len(stub.store["fresh"]) == 20
+
+
 def test_wire_json_safety_for_rich_types(spark):
     """Timestamps, dates, arrays, nulls and NaN must serialize to clean
     JSON on the wire (the executor-side twin of the reference's
