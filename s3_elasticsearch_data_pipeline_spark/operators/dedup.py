@@ -349,7 +349,8 @@ def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5,
-                      hash_mode: str = "xxhash64") -> DataFrame:
+                      hash_mode: str = "xxhash64",
+                      max_bucket_docs: int | None = None) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the sub-quadratic path.
 
     signature → split into ``bands`` bands of ``num_hashes/bands`` rows
@@ -364,10 +365,28 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
     signatures/buckets in SQL — the operator stops being "approximate
     vs a twin engine" and becomes deterministically oracle-checked;
     xxhash64 remains the scale default for persisted indexes.
+
+    ``max_bucket_docs`` is the production hot-bucket guard (standard in
+    deployed LSH — boilerplate/templated corpora put thousands of docs
+    into one (band, bucket), and the self-join inside such a bucket is
+    df² — the classic LSH failure mode; tests/test_skew_stress.py
+    measures it). When set, buckets holding more docs are DROPPED
+    before the join: one extra aggregate + semi-join on the compact
+    (band, bucket) keys, bounding every bucket's join cost at cap².
+    Recall note: a true near-dup pair is only lost if EVERY band bucket
+    it shares is hot — overwhelmingly boilerplate near-copies, which
+    exact dedup (``exact_dedup``/``duplicate_spans``) already handles;
+    default None keeps the exhaustive behavior for oracle parity.
     """
     banded = _lsh_banded(documents, n, num_hashes, bands, hash_mode)
     # materialize signatures once — see ngram_jaccard_pairs note
     banded = banded.localCheckpoint(eager=True)
+    if max_bucket_docs is not None:
+        cool = (banded.groupBy("band", "bucket")
+                .agg(F.count(F.lit(1)).alias("__df"))
+                .where(F.col("__df") <= max_bucket_docs)
+                .select("band", "bucket"))
+        banded = banded.join(cool, ["band", "bucket"], "left_semi")
     a, b = banded.alias("a"), banded.alias("b")
     est = sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
