@@ -157,7 +157,13 @@ def _prefix_candidates(shingled: DataFrame, threshold: float) -> DataFrame:
     pos_ok = (F.least(F.col("a.n_sh") - F.col("a.pos"),
                       F.col("b.n_sh") - F.col("b.pos"))
               + F.lit(1) >= min_overlap)
-    return (a.join(b, (F.col("a.block") == F.col("b.block"))
+    # merge hint: the prefix index is corpus-sized — checkpoint-backed
+    # stats undershoot the broadcast threshold at mid scale and Spark
+    # builds a driver-serial hash relation over the whole index
+    # (measured +1.7 s at 10× sf0.1, and a guaranteed driver OOM at
+    # real scale); sort-merge is the only plan that survives 100 TB
+    return (a.join(b.hint("merge"),
+                   (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.sh") == F.col("b.sh"))
                    & (F.col("a.doc_id") < F.col("b.doc_id"))
                    & size_ok & pos_ok)
@@ -194,7 +200,12 @@ def ngram_jaccard_pairs(documents: DataFrame, n: int = 3,
     shingled = shingled.localCheckpoint(eager=True)
     cands = (_prefix_candidates(shingled, threshold) if prefix_filter
              else _all_pairs_candidates(shingled))
-    sides = shingled.select("doc_id", "n_sh", "sh_arr")
+    # merge hint: never hash-broadcast the shingle-ARRAY table — its
+    # checkpoint-backed size estimate undershoots the broadcast
+    # threshold while the real (array-heavy) rows are corpus-sized;
+    # Spark picked it as the build side at 10× sf0.1 (driver-serial
+    # relation build, +1.7 s) and would OOM the driver at real scale
+    sides = shingled.select("doc_id", "n_sh", "sh_arr").hint("merge")
     pairs = (cands
              .join(sides.alias("da"),
                    F.col("doc_id_a") == F.col("da.doc_id"))
@@ -967,14 +978,19 @@ def containment_decontamination(documents: DataFrame, n: int = 3,
                  .select("doc_id", "block", "sh"))
     tr_index = tr.select(F.col("doc_id").alias("train_doc"), "block",
                          F.explode("sh_arr").alias("sh"))
-    cands = (ev_prefix.join(tr_index, ["block", "sh"])
+    # merge hints: the train inverted index and both shingle-ARRAY
+    # tables are corpus-sized; checkpoint-backed stats undershoot the
+    # broadcast threshold at mid scale and Spark would build
+    # driver-serial hash relations over them (see _prefix_candidates —
+    # measured +1.7 s at 10× sf0.1, driver OOM at real scale)
+    cands = (ev_prefix.join(tr_index.hint("merge"), ["block", "sh"])
              .select(F.col("doc_id").alias("eval_doc"), "train_doc")
              .distinct())
     ev_arr = ev.select(F.col("doc_id").alias("eval_doc"),
                        F.col("n_sh").alias("n_a"),
-                       F.col("sh_arr").alias("arr_a"))
+                       F.col("sh_arr").alias("arr_a")).hint("merge")
     tr_arr = tr.select(F.col("doc_id").alias("train_doc"),
-                       F.col("sh_arr").alias("arr_b"))
+                       F.col("sh_arr").alias("arr_b")).hint("merge")
     containment = (F.size(F.array_intersect("arr_a", "arr_b"))
                    / F.col("n_a"))
     return (cands.join(ev_arr, "eval_doc").join(tr_arr, "train_doc")
