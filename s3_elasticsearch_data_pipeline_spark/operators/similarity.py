@@ -228,12 +228,28 @@ def _kmeans_centroids(embeddings: DataFrame, n_cells: int,
     return centroids
 
 
+def _nearest_cells(emb, centroids, n_take: int):
+    """THE cosine nearest-cell math (normalize both sides, one matmul,
+    stable argsort so ties break to the lowest cell index on every
+    partitioning): (N, take) cell indices. Every IVF/IVF-PQ surface —
+    inline search, index build, ingest append, persisted probe — MUST
+    route through this one kernel: the build/probe equivalence
+    contracts are pinned to index-build cell assignment and query cell
+    probing staying in exact lockstep. ``n_take`` is clamped to the
+    trained cell count (tiny corpora train fewer centroids than
+    n_cells; a ragged repeat/reshape would crash otherwise)."""
+    import numpy as np
+    e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    sims = e @ c.T
+    take = min(n_take, centroids.shape[0])
+    return np.argsort(-sims, axis=1, kind="stable")[:, :take]
+
+
 def _cell_assign_fn(centroids, n_take: int):
-    """Arrow-batched cosine cell assignment against a fixed centroid
-    matrix (kilobytes, shipped in the closure): one (N, D) @ (D, C)
-    matmul per batch, stable argsort so ties break to the lowest cell
-    index on every partitioning. Shared by the inline IVF search, the
-    index builder, and the persisted-index probe."""
+    """Arrow-batched cell assignment against a fixed centroid matrix
+    (kilobytes, shipped in the closure) — mapInPandas wrapper around
+    :func:`_nearest_cells`."""
     import numpy as np
 
     def run(batches):
@@ -242,16 +258,10 @@ def _cell_assign_fn(centroids, n_take: int):
             if not len(pdf):
                 continue
             emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-            sims = e @ c.T
-            # clamp: probing more cells than exist (tiny corpora train
-            # fewer centroids than n_cells) must take every cell, not
-            # crash on a ragged repeat/reshape
-            take = min(n_take, centroids.shape[0])
-            order = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            order = _nearest_cells(emb, centroids, n_take)
             yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy().repeat(take),
+                "vec_id": pdf["vec_id"].to_numpy()
+                .repeat(order.shape[1]),
                 "cell": order.reshape(-1),
             })
     return run
@@ -785,8 +795,10 @@ def _pq_adc_candidates_distributed(codes_df, queries, books, m: int,
     (tiny, KB-scale) codebooks broadcast via closure, each query's
     (m × k_codes) distance table is computed EXECUTOR-side, and the
     inherently all-pairs scan runs as a block-nested-loop cogroup:
-    corpus codes split into ``vec_id % B`` blocks, queries into
-    ``query_id % C`` chunks, each (block, chunk) cell cogrouped through
+    corpus codes split into ``xxhash64(vec_id) mod B`` blocks, queries
+    into ``xxhash64(query_id) mod C`` chunks (HASHED ids — raw residues
+    collapse under strided/sharded id schemes and break the per-task
+    memory bound), each (block, chunk) cell cogrouped through
     one ``applyInPandas`` that emits ≤ rerank candidates per (query,
     block). Shuffle volume is C × the 8-byte code table + B × the
     query tables + B × rerank rows per query into the global shortlist
@@ -1043,12 +1055,7 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
             if not len(pdf):
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            # identical math (incl. stable tie-break) to _cell_assign_fn
-            e = x / np.linalg.norm(x, axis=1, keepdims=True)
-            c = centroids / np.linalg.norm(centroids, axis=1,
-                                           keepdims=True)
-            sims = e @ c.T
-            cell = np.argsort(-sims, axis=1, kind="stable")[:, 0]
+            cell = _nearest_cells(x, centroids, 1)[:, 0]
             codes = np.empty((len(x), m), dtype=np.int64)
             for j in range(m):
                 xs = x[:, j * sub:(j + 1) * sub]
@@ -1117,26 +1124,31 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
             [], "query_id long, neighbor_id long, sim double, rank int")
     m, k_codes, sub = books.shape
 
-    def tables(batches):
+    # ONE fused kernel emits (query_id, cell, tbl) directly — probed
+    # cells (shared _nearest_cells math) and the ADC lookup table come
+    # from the same batch pass, so the query frame is scanned once and
+    # there is no cells⋈tables re-join on the serving hot path.
+    def cells_and_tables(batches):
         import pandas as pd
         for pdf in batches:
             if not len(pdf):
                 continue
             qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            order = _nearest_cells(qm, centroids, n_probe)  # (N, take)
+            take = order.shape[1]
             t = np.stack([
                 ((qm[:, j * sub:(j + 1) * sub][:, None, :]
                   - books[j][None, :, :]) ** 2).sum(axis=2)
-                for j in range(m)], axis=1)
-            yield pd.DataFrame({"query_id": pdf["vec_id"],
-                                "tbl": list(t.reshape(len(qm), -1))})
+                for j in range(m)], axis=1).reshape(len(qm), -1)
+            yield pd.DataFrame({
+                "query_id": pdf["vec_id"].to_numpy().repeat(take),
+                "cell": order.reshape(-1),
+                "tbl": list(np.repeat(t, take, axis=0)),
+            })
 
-    q_cells = (queries.select("vec_id", "embedding")
-               .mapInPandas(_cell_assign_fn(centroids, n_probe),
-                            "vec_id long, cell int"))
-    q_tbl = (queries.select("vec_id", "embedding")
-             .mapInPandas(tables, "query_id long, tbl array<double>"))
-    qry = (q_cells.withColumnRenamed("vec_id", "query_id")
-           .join(q_tbl, "query_id")
+    qry = (queries.select("vec_id", "embedding")
+           .mapInPandas(cells_and_tables,
+                        "query_id long, cell int, tbl array<double>")
            .localCheckpoint(eager=True))  # reused: probed set + cogroup
     probed = sorted(r["cell"]
                     for r in qry.select("cell").distinct().collect())

@@ -438,7 +438,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 # MinHash-LSH in PORTABLE hash mode: md5-low-60 base shingle hash,
-# (a·x+b) mod 2^61−1 affine permutations with md5-derived constants
+# (a·(x mod P)+b) mod P (P = 2^31−1, products exact in int64) affine
+# permutations with md5-derived constants
 # interpolated below as SQL literals, md5-hex band buckets — every hash
 # recomputable verbatim in DuckDB, so the "approximate" operator is
 # deterministically oracle-checked (approximate only vs ground-truth

@@ -190,7 +190,14 @@ def _index_request(method: str, url: str, index: str, body: dict | None,
             payload = resp.read().decode("utf-8")
             return resp.status, (json.loads(payload) if payload else None)
     except urllib.error.HTTPError as exc:
-        return exc.code, None
+        # keep the ES error body: a 400 carries error.type, which is
+        # how callers tell resource_already_exists (benign) from
+        # invalid_index_name / mapper_parsing (a real failure)
+        try:
+            err_body = json.loads(exc.read().decode("utf-8"))
+        except (ValueError, OSError):
+            err_body = None
+        return exc.code, err_body
     except (urllib.error.URLError, OSError, ValueError):
         return 0, None
 
@@ -267,10 +274,20 @@ def create_index(url: str, index: str, schema,
                                   es_mapping_for(schema), timeout_s)
     if status == 200 and body and body.get("acknowledged"):
         return True
-    if status == 400:  # resource_already_exists_exception
+    # Only already-exists is the benign False: ES also 400s on
+    # invalid_index_name_exception (e.g. uppercase names) and
+    # mapper_parsing_exception (bad derived mapping) — those must not
+    # read as "the index is already there with correct mappings"
+    err_type = ""
+    if isinstance(body, dict):
+        err = body.get("error")
+        if isinstance(err, dict):
+            err_type = err.get("type", "")
+    if status == 400 and err_type == "resource_already_exists_exception":
         return False
-    _LOG.warning("create_index %s/%s failed (HTTP %s) — proceeding "
-                 "with dynamic mappings", url, index, status)
+    _LOG.warning("create_index %s/%s failed (HTTP %s, %s) — proceeding "
+                 "with dynamic mappings", url, index, status,
+                 err_type or "no error body")
     return False
 
 

@@ -211,7 +211,18 @@ class ESHttpReader(DataSourceReader):
             with self._pit_lock:
                 now = time.time()
                 if not self.pit_reuse:
-                    self._pit_id = None  # per-action freshness opt-out
+                    # freshness opt-out: CLOSE the superseded snapshot
+                    # before minting — a poll loop would otherwise pile
+                    # up ~keep_alive/poll_interval open contexts on the
+                    # cluster (each pinning segments until expiry). The
+                    # opt-out's contract is sequential re-plans; unlike
+                    # the half-keep-alive remint below, there is no
+                    # still-paging earlier scan to protect (a caller
+                    # overlapping concurrent actions on one
+                    # pit_reuse=false reader wants pit_reuse=true).
+                    if self._pit_id is not None:
+                        delete_pit(self.url, self._pit_id, self.timeout_s)
+                    self._pit_id = None
                 elif (self._pit_id is not None
                         and now - self._pit_born
                         > 0.5 * _keep_alive_seconds(self.keep_alive)):

@@ -220,6 +220,11 @@ class _Handler(BaseHTTPRequestHandler):
         parts = [p for p in self.path.split("?")[0].split("/") if p]
         if len(parts) == 1:  # index create with mappings
             index = parts[0]
+            if index != index.lower():  # real ES name validation
+                self._error(400, "invalid_index_name_exception",
+                            f"Invalid index name [{index}], must be "
+                            "lowercase")
+                return
             body = json.loads(
                 self.rfile.read(int(self.headers["Content-Length"]))
                 or b"{}")

@@ -313,6 +313,24 @@ def test_create_index_mapping_derived_from_schema(spark):
         assert served["typed"]["mappings"]["properties"] == want
         # mappings are immutable on a live index: re-create is refused
         assert es_wire.create_index(stub.url, "typed", df.schema) is False
+        # a NON-already-exists 400 (invalid name) must not read as
+        # benign: False plus a logged warning naming the error type
+        import logging as _logging
+        logger = _logging.getLogger(es_wire.__name__)
+        records = []
+
+        class _Catch(_logging.Handler):
+            def emit(self, record):
+                records.append(record.getMessage())
+
+        h = _Catch()
+        logger.addHandler(h)
+        try:
+            assert es_wire.create_index(stub.url, "Typed",
+                                        df.schema) is False
+        finally:
+            logger.removeHandler(h)
+        assert any("invalid_index_name_exception" in m for m in records)
     # unmapped Spark type → loud error, not a silent wrong mapping
     weird = spark.createDataFrame([], "id string, m map<string,int>")
     with pytest.raises(ValueError, match="no Elasticsearch mapping"):
@@ -634,6 +652,8 @@ def test_pit_reuse_false_mints_fresh_pit_per_plan(spark, docs_df):
         fresh.partitions(); fresh.partitions()
         assert stub.server.pit_seq == 2, \
             "pit_reuse=false must open one PIT per partitions() call"
+        assert len(stub.server.pits) == 1, \
+            "the superseded PIT must be closed, not leaked until expiry"
         cached = ESHttpReader(
             {"url": stub.url, "index": "serving", "nslices": "4"},
             fields, 4)

@@ -148,7 +148,12 @@ def test_ngram_jaccard_avoids_quadratic_join(spark, sf_oracle):
     """Prefix-filtered Jaccard: equi-joins + aggregates only — any
     nested-loop/cartesian operator means the quadratic path came back.
     The prefix path buys its skew immunity with a few extra compact-key
-    shuffles (df stats + prefix re-agg + verify joins); bound them."""
+    shuffles (df stats + prefix re-agg + verify joins), and r5's merge
+    hints DELIBERATELY trade broadcast joins for sort-merge exchanges
+    on the prefix self-join and both array-verification joins (3 SMJs
+    = 6 more exchanges): checkpoint-backed stats had Spark hash-
+    broadcasting the corpus-sized array tables — driver OOM at real
+    scale. Bound the count so a fourth unplanned shuffle still fails."""
     df = registry.queries()["dedup_ngram_jaccard"](spark, sf_oracle)
     df.collect()
     plan = df._jdf.queryExecution().executedPlan().toString()
@@ -156,7 +161,10 @@ def test_ngram_jaccard_avoids_quadratic_join(spark, sf_oracle):
     assert "BroadcastNestedLoopJoin" not in plan
     n_exchanges = (plan.count("Exchange hashpartitioning")
                    + plan.count("Exchange rangepartitioning"))
-    assert n_exchanges <= 10, f"too many shuffles:\n{plan[:800]}"
+    assert n_exchanges <= 14, f"too many shuffles:\n{plan[:800]}"
+    # and the trade actually happened: the array tables ride SMJ
+    assert plan.count("SortMergeJoin") >= 3, \
+        "verification/prefix joins must be sort-merge, not broadcast"
 
 
 def test_tpch_archetypes_no_cartesian(spark, sf_oracle):
