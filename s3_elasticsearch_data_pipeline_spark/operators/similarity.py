@@ -659,20 +659,12 @@ def pca_project(embeddings: DataFrame, k: int = 2) -> DataFrame:
     return out.drop("embedding")
 
 
-def _pq_codebooks(embeddings: DataFrame, m: int, k_codes: int,
-                  train_sample: int, iters: int):
-    """Per-subspace codebooks (m × k_codes × d/m) trained with
-    deterministic Lloyd iterations on a fixed sample — the standard PQ
-    recipe (Jégou/Douze/Schmid, "Product quantization for nearest
-    neighbor search", TPAMI 2011): codebooks always come from a sample;
-    only ENCODING touches the full corpus. Driver memory is
-    m·k·(d/m) = k·d floats — KB, independent of corpus size."""
+def _pq_train(x, m: int, k_codes: int, iters: int):
+    """Deterministic per-subspace Lloyd training over a sample MATRIX
+    (n × d) → (m × k_codes × d/m) codebooks. Shared by the raw-vector
+    path (:func:`_pq_codebooks`) and the IVF-PQ residual path (which
+    trains on x − centroid[cell] residuals of the same sample)."""
     import numpy as np
-    rows = (embeddings.orderBy("vec_id").limit(train_sample)
-            .select("embedding").collect())
-    if not rows:
-        return None  # empty corpus → callers emit an empty frame
-    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
     d = x.shape[1]
     if d % m:
         raise ValueError(f"dims {d} not divisible by m={m}")
@@ -692,6 +684,23 @@ def _pq_codebooks(embeddings: DataFrame, m: int, k_codes: int,
                     c[code] = xs[mask].mean(axis=0)
         books.append(c)
     return np.stack(books)  # (m, k_codes, sub)
+
+
+def _pq_codebooks(embeddings: DataFrame, m: int, k_codes: int,
+                  train_sample: int, iters: int):
+    """Per-subspace codebooks (m × k_codes × d/m) trained with
+    deterministic Lloyd iterations on a fixed sample — the standard PQ
+    recipe (Jégou/Douze/Schmid, "Product quantization for nearest
+    neighbor search", TPAMI 2011): codebooks always come from a sample;
+    only ENCODING touches the full corpus. Driver memory is
+    m·k·(d/m) = k·d floats — KB, independent of corpus size."""
+    import numpy as np
+    rows = (embeddings.orderBy("vec_id").limit(train_sample)
+            .select("embedding").collect())
+    if not rows:
+        return None  # empty corpus → callers emit an empty frame
+    x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+    return _pq_train(x, m, k_codes, iters)
 
 
 def product_quantize(embeddings: DataFrame, m: int = 8, k_codes: int = 16,
@@ -1008,10 +1017,68 @@ def _load_codebooks(spark, path: str):
     return books
 
 
+def _load_ivfpq_residual(spark, path: str) -> bool:
+    """The index's residual flag from ``{path}/meta`` (False for
+    indexes persisted before the flag existed — raw-vector codes)."""
+    import os
+    if not os.path.exists(path + "/meta"):
+        return False
+    rows = spark.read.parquet(path + "/meta").collect()
+    return bool(rows and rows[0]["residual"])
+
+
+def _ivfpq_assign_encode_fn(centroids, books, residual: bool):
+    """Arrow-batched assign+encode kernel shared by the IVF-PQ BUILDER
+    and incremental APPEND (one definition — the probe-equivalence
+    contracts require ingest paths to assign and encode identically):
+    nearest cell via :func:`_nearest_cells`, then PQ codes over the raw
+    vector (``residual=False``) or over x − centroid[cell]
+    (``residual=True``, the FAISS IVFPQ encoding — residuals have
+    smaller magnitude than raw vectors, so the same 8-byte code budget
+    quantizes finer)."""
+    import numpy as np
+    m, _, sub = books.shape
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            cell = _nearest_cells(x, centroids, 1)[:, 0]
+            base = x - centroids[cell] if residual else x
+            codes = np.empty((len(x), m), dtype=np.int64)
+            for j in range(m):
+                xs = base[:, j * sub:(j + 1) * sub]
+                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2) \
+                    .sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            yield pd.DataFrame({"vec_id": pdf["vec_id"],
+                                "cell": cell.astype(np.int32),
+                                "codes": list(codes),
+                                "embedding": pdf["embedding"]})
+    return run
+
+
+def _ivfpq_append_cells(embeddings: DataFrame, centroids, books,
+                        residual: bool, cells_dir: str, mode: str) -> None:
+    encoded = (embeddings
+               .select("vec_id",
+                       F.col("embedding").cast("array<double>")
+                       .alias("embedding"))
+               .mapInPandas(_ivfpq_assign_encode_fn(centroids, books,
+                                                    residual),
+                            "vec_id long, cell int, codes array<bigint>, "
+                            "embedding array<double>"))
+    (encoded.repartition("cell")  # see _assign_and_write: one shuffle
+     .write.mode(mode).partitionBy("cell")  # beats tasks×cells files
+     .parquet(cells_dir))
+
+
 def build_ivfpq_index(embeddings: DataFrame, path: str,
                       n_cells: int = 16, iters: int = 2, m: int = 8,
                       k_codes: int = 16, train_sample: int = 256,
-                      pq_iters: int = 8) -> None:
+                      pq_iters: int = 8, residual: bool = False) -> None:
     """Train and PERSIST an IVF-PQ index at ``path``:
 
     * ``{path}/cells`` — the corpus ``partitionBy("cell")`` with BOTH
@@ -1022,18 +1089,22 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
       pruned cell directories.
     * ``{path}/centroids`` — coarse (cell, centroid) rows, kilobytes.
     * ``{path}/codebooks`` — (subspace, code, centroid) rows, kilobytes.
+    * ``{path}/meta`` — the residual flag (one row).
 
-    Codes quantize the RAW vectors with globally trained codebooks (not
-    per-cell residuals), so within any probed cell set the ADC
-    distances are bit-identical to :func:`pq_topk` over that sub-corpus
-    — the exact-equivalence contract the tests pin. One full-corpus
-    pass total: assignment and PQ encoding ride a single mapInPandas
+    ``residual=False`` quantizes RAW vectors with globally trained
+    codebooks, so within any probed cell set the ADC distances are
+    bit-identical to :func:`pq_topk` over that sub-corpus — the
+    exact-equivalence contract the tests pin. ``residual=True`` is the
+    full FAISS IVFPQ encoding (Jégou et al. TPAMI 2011 §V): codes
+    quantize x − centroid[cell] and codebooks train on the sample's
+    residuals — finer quantization from the same 8 bytes, at the cost
+    of per-(query, cell) ADC tables in the probe. One full-corpus pass
+    either way: assignment and PQ encoding ride a single mapInPandas
     before the one partitioned write."""
     import numpy as np
 
     spark = embeddings.sparkSession
-    probe = embeddings.select("embedding").first()
-    if probe is None:
+    if embeddings.select("embedding").first() is None:
         spark.createDataFrame(
             [], "vec_id long, codes array<bigint>, "
                 "embedding array<double>, cell int") \
@@ -1044,39 +1115,23 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
         spark.createDataFrame(
             [], "subspace int, code int, centroid array<double>") \
             .write.mode("overwrite").parquet(path + "/codebooks")
+        spark.createDataFrame([(bool(residual),)], "residual boolean") \
+            .write.mode("overwrite").parquet(path + "/meta")
         return
     centroids = _kmeans_centroids(embeddings, n_cells, iters)
-    books = _pq_codebooks(embeddings, m, k_codes, train_sample, pq_iters)
-    sub = books.shape[2]
-
-    def assign_encode(batches):
-        import pandas as pd
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cell = _nearest_cells(x, centroids, 1)[:, 0]
-            codes = np.empty((len(x), m), dtype=np.int64)
-            for j in range(m):
-                xs = x[:, j * sub:(j + 1) * sub]
-                d2 = ((xs[:, None, :] - books[j][None, :, :]) ** 2) \
-                    .sum(axis=2)
-                codes[:, j] = d2.argmin(axis=1)
-            yield pd.DataFrame({"vec_id": pdf["vec_id"],
-                                "cell": cell.astype(np.int32),
-                                "codes": list(codes),
-                                "embedding": pdf["embedding"]})
-
-    encoded = (embeddings
-               .select("vec_id",
-                       F.col("embedding").cast("array<double>")
-                       .alias("embedding"))
-               .mapInPandas(assign_encode,
-                            "vec_id long, cell int, codes array<bigint>, "
-                            "embedding array<double>"))
-    (encoded.repartition("cell")  # see _assign_and_write: one shuffle
-     .write.mode("overwrite").partitionBy("cell")  # beats tasks×cells files
-     .parquet(path + "/cells"))
+    if residual:
+        # train codebooks on the SAMPLE's residuals — same deterministic
+        # sample as _pq_codebooks, shifted by each row's nearest cell
+        rows = (embeddings.orderBy("vec_id").limit(train_sample)
+                .select("embedding").collect())
+        x = np.array([list(r[0]) for r in rows], dtype=np.float64)
+        cells = _nearest_cells(x, centroids, 1)[:, 0]
+        books = _pq_train(x - centroids[cells], m, k_codes, pq_iters)
+    else:
+        books = _pq_codebooks(embeddings, m, k_codes, train_sample,
+                              pq_iters)
+    _ivfpq_append_cells(embeddings, centroids, books, residual,
+                        path + "/cells", "overwrite")
     (spark.createDataFrame(
         [(i, [float(v) for v in centroids[i]])
          for i in range(len(centroids))],
@@ -1087,6 +1142,31 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
          for j in range(m) for c in range(books.shape[1])],
         "subspace int, code int, centroid array<double>")
      .write.mode("overwrite").parquet(path + "/codebooks"))
+    (spark.createDataFrame([(bool(residual),)], "residual boolean")
+     .write.mode("overwrite").parquet(path + "/meta"))
+
+
+def ivfpq_index_append(spark, path: str,
+                       new_embeddings: DataFrame) -> None:
+    """Incremental IVF-PQ ingest — FAISS's add-after-train contract,
+    the PQ twin of :func:`ivf_index_append`: assign + encode a NEW
+    batch against the PERSISTED centroids/codebooks/residual-mode (no
+    retrain, no touch of existing cells; parquet append adds files
+    inside cell directories, cost ~ batch size). The shared
+    :func:`_ivfpq_assign_encode_fn` kernel guarantees appended vectors
+    land exactly where the bulk build would put them (tested)."""
+    centroids = _load_centroids(spark, path)
+    books = _load_codebooks(spark, path)
+    if centroids is None or books is None:
+        raise ValueError(
+            "ivfpq_index_append: index at %r is untrained — build it "
+            "with build_ivfpq_index first (appending would create "
+            "unsearchable cells)" % path)
+    if new_embeddings.select("embedding").first() is None:
+        return
+    residual = _load_ivfpq_residual(spark, path)
+    _ivfpq_append_cells(new_embeddings, centroids, books, residual,
+                        path + "/cells", "append")
 
 
 def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
@@ -1111,7 +1191,11 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
 
     Query ADC tables are computed EXECUTOR-side (mapInPandas with the
     kilobyte codebooks in the closure) — no driver funnel, any query
-    frame size. Equivalence contract (tested): for a single query,
+    frame size. A raw-code index gets ONE table per query (repeated
+    across its probed cells); a RESIDUAL index gets one table per
+    (query, cell) over q − centroid[cell] — the FAISS IVFPQ probe
+    shape, n_probe tables per query, still kilobytes each.
+    Equivalence contract (tested, residual=False): for a single query,
     the result is bit-identical to ``pq_topk`` restricted to that
     query's probed cells with the same codebooks."""
     import numpy as np
@@ -1123,6 +1207,13 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
     m, k_codes, sub = books.shape
+    residual = _load_ivfpq_residual(spark, path)
+
+    def _adc_tables(qm):
+        return np.stack([
+            ((qm[:, j * sub:(j + 1) * sub][:, None, :]
+              - books[j][None, :, :]) ** 2).sum(axis=2)
+            for j in range(m)], axis=1).reshape(len(qm), -1)
 
     # ONE fused kernel emits (query_id, cell, tbl) directly — probed
     # cells (shared _nearest_cells math) and the ADC lookup table come
@@ -1136,14 +1227,16 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
             qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             order = _nearest_cells(qm, centroids, n_probe)  # (N, take)
             take = order.shape[1]
-            t = np.stack([
-                ((qm[:, j * sub:(j + 1) * sub][:, None, :]
-                  - books[j][None, :, :]) ** 2).sum(axis=2)
-                for j in range(m)], axis=1).reshape(len(qm), -1)
+            if residual:
+                # per-(query, cell) tables over q − centroid[cell]
+                q_rep = np.repeat(qm, take, axis=0)
+                t = _adc_tables(q_rep - centroids[order.reshape(-1)])
+            else:
+                t = np.repeat(_adc_tables(qm), take, axis=0)
             yield pd.DataFrame({
                 "query_id": pdf["vec_id"].to_numpy().repeat(take),
                 "cell": order.reshape(-1),
-                "tbl": list(np.repeat(t, take, axis=0)),
+                "tbl": list(t),
             })
 
     qry = (queries.select("vec_id", "embedding")

@@ -2036,6 +2036,36 @@ def q_sim_ivfpq_persisted(spark, sf_dir):
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
 
 
+@register("sim_ivfpq_incremental", None)  # approx + index build → rows-only
+def q_sim_ivfpq_incremental(spark, sf_dir):
+    """IVF-PQ ingest loop: build on the even half, APPEND the odd half
+    against the persisted centroids+codebooks (FAISS add-after-train —
+    no retrain, cost ~ batch), then serve from the combined index.
+    Appended vectors land exactly where the bulk build would put them
+    (shared assign+encode kernel; equivalence-tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_scratch(sf_dir, "ivfpq_inc")
+    similarity.build_ivfpq_index(emb.where(F.col("vec_id") % 2 == 0), path)
+    similarity.ivfpq_index_append(spark, path,
+                                  emb.where(F.col("vec_id") % 2 == 1))
+    return similarity.ivfpq_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10)
+
+
+@register("sim_ivfpq_residual", None)  # approx + index build → rows-only
+def q_sim_ivfpq_residual(spark, sf_dir):
+    """Residual-encoded IVF-PQ (the full FAISS IVFPQ): codes quantize
+    x − centroid[cell] with residual-trained codebooks — finer
+    quantization from the same 8 bytes; the probe computes one ADC
+    table per (query, probed cell). Recall pytest-checked vs brute
+    force alongside the raw-code variant."""
+    emb = _t(spark, sf_dir, "embeddings")
+    path = _ivf_scratch(sf_dir, "ivfpq_res")
+    similarity.build_ivfpq_index(emb, path, residual=True)
+    return similarity.ivfpq_probe_topk(
+        spark, path, emb.where(F.col("vec_id") < 10), k=10)
+
+
 @register("sim_ivf_incremental", None)  # approximate + index build → rows-only
 def q_sim_ivf_incremental(spark, sf_dir):
     """The IVF ingest loop: train+build on the existing half of the

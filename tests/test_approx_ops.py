@@ -751,3 +751,90 @@ def test_ivfpq_recall_and_empty_inputs(spark, embeddings, tmp_path):
     out2 = similarity.ivfpq_probe_topk(
         spark, path, queries.where(F.lit(False)), k=10)
     assert out2.count() == 0 and out2.columns == out.columns
+
+
+def test_ivfpq_append_equals_bulk_assign(spark, embeddings, tmp_path):
+    """FAISS add-after-train for IVF-PQ: appending a batch against the
+    persisted centroids+codebooks must land every vector exactly where
+    a bulk assignment with the SAME parameters would — probe results
+    over (build-half + append-half) equal a probe over an index whose
+    cells hold ALL vectors assigned/encoded by the half-trained
+    parameters (shared kernel, no drift)."""
+    import shutil
+    half = embeddings.where(F.col("vec_id") % 2 == 0)
+    rest = embeddings.where(F.col("vec_id") % 2 == 1)
+    queries = embeddings.where(F.col("vec_id") < 5)
+    p1 = str(tmp_path / "inc")
+    similarity.build_ivfpq_index(half, p1, n_cells=8)
+    similarity.ivfpq_index_append(spark, p1, rest)
+    got = sorted(map(tuple, similarity.ivfpq_probe_topk(
+        spark, p1, queries, k=10, n_probe=4).collect()))
+    # reference: same half-trained params, bulk-assigned over ALL rows
+    p2 = str(tmp_path / "bulk")
+    centroids = similarity._load_centroids(spark, p1)
+    books = similarity._load_codebooks(spark, p1)
+    similarity._ivfpq_append_cells(embeddings, centroids, books, False,
+                                   p2 + "/cells", "overwrite")
+    for d in ("centroids", "codebooks", "meta"):
+        shutil.copytree(p1 + "/" + d, p2 + "/" + d)
+    want = sorted(map(tuple, similarity.ivfpq_probe_topk(
+        spark, p2, queries, k=10, n_probe=4).collect()))
+    assert got == want
+    # untrained append is refused loudly
+    with pytest.raises(ValueError, match="untrained"):
+        similarity.ivfpq_index_append(spark, str(tmp_path / "none"), rest)
+
+
+def test_ivfpq_residual_mode_recall_and_determinism(spark, embeddings,
+                                                    tmp_path):
+    """Residual encoding (the full FAISS IVFPQ): recall holds at the
+    same floor as the raw-code index, rebuilds are deterministic, the
+    meta flag round-trips, and residual codes reconstruct the corpus
+    STRICTLY better than raw codes from the same budget (the point of
+    encoding x − centroid[cell])."""
+    import numpy as np
+    path = str(tmp_path / "res")
+    similarity.build_ivfpq_index(embeddings, path, n_cells=8,
+                                 residual=True)
+    assert similarity._load_ivfpq_residual(spark, path) is True
+    queries = embeddings.where(F.col("vec_id") < 10)
+    exact = similarity.brute_force_topk(embeddings, queries, k=10)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    found = {(r.query_id, r.neighbor_id)
+             for r in similarity.ivfpq_probe_topk(
+                 spark, path, queries, k=10, n_probe=6,
+                 rerank=100).collect()
+             if r.query_id != r.neighbor_id}
+    recall = len(truth & found) / len(truth)
+    assert recall >= 0.5, f"residual IVF-PQ recall {recall}"
+    # deterministic rebuild
+    path2 = str(tmp_path / "res2")
+    similarity.build_ivfpq_index(embeddings, path2, n_cells=8,
+                                 residual=True)
+    a = sorted(map(tuple, similarity.ivfpq_probe_topk(
+        spark, path, queries, k=10, n_probe=4).collect()))
+    b = sorted(map(tuple, similarity.ivfpq_probe_topk(
+        spark, path2, queries, k=10, n_probe=4).collect()))
+    assert a == b
+    # reconstruction: residual codes beat raw codes at equal budget
+    raw_path = str(tmp_path / "raw")
+    similarity.build_ivfpq_index(embeddings, raw_path, n_cells=8,
+                                 residual=False)
+
+    def recon_mse(p, residual):
+        cents = similarity._load_centroids(spark, p)
+        books = similarity._load_codebooks(spark, p)
+        m, _, sub = books.shape
+        rows = spark.read.parquet(p + "/cells") \
+            .select("cell", "codes", "embedding").collect()
+        errs = []
+        for r in rows:
+            x = np.array(r.embedding)
+            dec = np.concatenate([books[j, r.codes[j]] for j in range(m)])
+            if residual:
+                dec = dec + cents[r.cell]
+            errs.append(((x - dec) ** 2).mean())
+        return float(np.mean(errs))
+
+    assert recon_mse(path, True) < recon_mse(raw_path, False), \
+        "residual codes must reconstruct better than raw codes"
