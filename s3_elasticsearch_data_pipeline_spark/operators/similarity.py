@@ -1101,8 +1101,6 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
     of per-(query, cell) ADC tables in the probe. One full-corpus pass
     either way: assignment and PQ encoding ride a single mapInPandas
     before the one partitioned write."""
-    import numpy as np
-
     spark = embeddings.sparkSession
     if embeddings.select("embedding").first() is None:
         spark.createDataFrame(
@@ -1118,10 +1116,26 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
         spark.createDataFrame([(bool(residual),)], "residual boolean") \
             .write.mode("overwrite").parquet(path + "/meta")
         return
+    centroids, books = _train_ivfpq_params(
+        embeddings, n_cells, iters, m, k_codes, train_sample, pq_iters,
+        residual)
+    _ivfpq_append_cells(embeddings, centroids, books, residual,
+                        path + "/cells", "overwrite")
+    _write_ivfpq_params(spark, path, centroids, books, residual)
+
+
+def _train_ivfpq_params(embeddings: DataFrame, n_cells: int, iters: int,
+                        m: int, k_codes: int, train_sample: int,
+                        pq_iters: int, residual: bool):
+    """Deterministic (centroids, codebooks) for an IVF-PQ index —
+    shared by the batch builder and the streaming bootstrap so a
+    streamed index trained on the same bootstrap set is bit-identical
+    to the batch-built one. Residual mode trains the codebooks on the
+    SAMPLE's x − centroid[cell] residuals (same deterministic
+    lowest-vec_id sample as _pq_codebooks)."""
+    import numpy as np
     centroids = _kmeans_centroids(embeddings, n_cells, iters)
     if residual:
-        # train codebooks on the SAMPLE's residuals — same deterministic
-        # sample as _pq_codebooks, shifted by each row's nearest cell
         rows = (embeddings.orderBy("vec_id").limit(train_sample)
                 .select("embedding").collect())
         x = np.array([list(r[0]) for r in rows], dtype=np.float64)
@@ -1130,8 +1144,15 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
     else:
         books = _pq_codebooks(embeddings, m, k_codes, train_sample,
                               pq_iters)
-    _ivfpq_append_cells(embeddings, centroids, books, residual,
-                        path + "/cells", "overwrite")
+    return centroids, books
+
+
+def _write_ivfpq_params(spark, path: str, centroids, books,
+                        residual: bool) -> None:
+    """Persist the kilobyte parameter tables (centroids, codebooks,
+    residual flag) — overwrite-idempotent, so a replayed bootstrap
+    epoch rewrites byte-identical state."""
+    m = books.shape[0]
     (spark.createDataFrame(
         [(i, [float(v) for v in centroids[i]])
          for i in range(len(centroids))],

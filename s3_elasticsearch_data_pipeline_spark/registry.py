@@ -450,8 +450,10 @@ _MINHASH_SIG_SQL = ",\n    ".join(
     f"+ {b}) % {dedup.PORTABLE_MOD}))"
     for a, b in dedup.minhash_affine_constants(16))
 
-@register("dedup_minhash_lsh", f"""
-WITH tk AS (
+#: Shared CTE chain: documents → shingles → md5-low-60 hashes →
+#: portable MinHash signatures → band buckets (reused by the pair
+#: query and the fuzzy-clusters composition below).
+_MINHASH_BANDED_CTES = f"""tk AS (
   SELECT doc_id,
          list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
   FROM documents),
@@ -471,18 +473,52 @@ banded AS (
   SELECT doc_id, sig, b.band,
          md5(concat_ws(',', sig[b.band*4+1], sig[b.band*4+2],
                             sig[b.band*4+3], sig[b.band*4+4])) AS bucket
-  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)
-SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)"""
+
+_MINHASH_PAIR_SELECT = """SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
        round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
              / 16.0, 6) AS est_jaccard
 FROM banded a JOIN banded b
   ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
 WHERE round(len(list_filter(range(1, 17), i -> a.sig[i] = b.sig[i]))
-            / 16.0, 6) >= 0.5
+            / 16.0, 6) >= 0.5"""
+
+
+@register("dedup_minhash_lsh", f"""
+WITH {_MINHASH_BANDED_CTES}
+{_MINHASH_PAIR_SELECT}
 """)
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
                                    hash_mode="portable")
+
+
+@register("dedup_fuzzy_clusters", f"""
+WITH RECURSIVE {_MINHASH_BANDED_CTES},
+near_pairs AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM ({_MINHASH_PAIR_SELECT})),
+edges AS (SELECT a AS src, b AS dst FROM near_pairs
+          UNION ALL SELECT b, a FROM near_pairs),
+reach(doc_id, member) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.member)
+SELECT doc_id, min(member) AS cluster_id FROM reach GROUP BY doc_id
+""")
+def q_dedup_fuzzy_clusters(spark, sf_dir):
+    """The END-TO-END sub-quadratic fuzzy-dedup pipeline, fully
+    oracle-checked: portable-hash MinHash-LSH candidate pairs (never
+    docs² — bands×docs rows joined on compact buckets) feed connected
+    components (star-contraction fixpoint / driver union-find under
+    the pair cap) into cluster assignments — the production shape for
+    near-dup removal at 100 TB, where ngram-Jaccard's exact pair join
+    is the audit tool and THIS is the corpus pass. The DuckDB twin
+    re-derives the same signatures/buckets/pairs in SQL and closes the
+    clusters with a recursive CTE."""
+    pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
+                                    hash_mode="portable")
+    return dedup.connected_components(
+        pairs.select("doc_id_a", "doc_id_b"))
 
 
 _SIMHASH_BIT_SUMS = ",\n  ".join(
@@ -3051,6 +3087,32 @@ def q_stream_lsh_ingest(spark, sf_dir):
     if corpus is None:  # empty source → empty corpus, not a crash
         return spark.createDataFrame([], "doc_id long")
     return corpus.select("doc_id").orderBy("doc_id")
+
+
+@register("stream_ivfpq_ingest", None)  # approx + streaming → rows-only
+def q_stream_ivfpq_ingest(spark, sf_dir):
+    """Streaming IVF-PQ ingest (streaming/ivfpq_ingest.py): the first
+    drop bootstraps centroids AND PQ codebooks, the second is
+    assigned+encoded against the persisted parameters through the same
+    kernel the batch builder uses (add-after-train, per-epoch
+    effectively-once, crash-recovery tested) — then top-k is served
+    from the persisted codes with exact rerank."""
+    import os
+
+    from s3_elasticsearch_data_pipeline_spark.streaming.ivfpq_ingest import (
+        ivfpq_ingest_stream)
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = _ivf_scratch(sf_dir, "ivfpq_stream")
+    src, index = os.path.join(work, "src"), os.path.join(work, "index")
+    ckpt = os.path.join(work, "ckpt")
+    if not os.path.exists(src):  # scratch is reused across invocations
+        emb.where(F.col("vec_id") % 2 == 0).write.parquet(src)
+        ivfpq_ingest_stream(spark, src, index, ckpt)
+        emb.where(F.col("vec_id") % 2 == 1) \
+           .write.mode("append").parquet(src)
+    ivfpq_ingest_stream(spark, src, index, ckpt)  # drains anything new
+    return similarity.ivfpq_probe_topk(
+        spark, index, emb.where(F.col("vec_id") < 10), k=10)
 
 
 @register("stream_ivf_ingest", None)  # approximate + streaming → rows-only
