@@ -44,6 +44,10 @@ def get_spark(app_name: str = "s3_elasticsearch_data_pipeline_spark",
         # Runtime bloom filter: pre-reduces the big probe side of the
         # id-level anti/semi joins before the shuffle (SURVEY.md §4).
         .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+        # Python DataSource filter pushdown (off by default in 4.1):
+        # lets the es_http reader translate predicates into ES
+        # query-DSL so the cluster prunes scans server-side.
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # Deterministic timestamps vs the DuckDB oracle (UTC-naive).
         .config("spark.sql.session.timeZone", "UTC")
         # Arrow transfer for the Pandas-UDF extension operators.

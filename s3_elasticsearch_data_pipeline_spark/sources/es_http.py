@@ -84,20 +84,64 @@ def _post_json(full_url: str, body: dict | None, timeout_s: float,
         attempt += 1
 
 
+def _es_clause(f):
+    """One pushed-down Spark Filter → an ES query-DSL clause, or None
+    when the filter can't be translated (nested column paths, exotic
+    value types — those stay Spark-side). Term/terms/range/exists/
+    prefix cover the reference's access patterns (id lookups, month
+    terms, windows)."""
+    from pyspark.sql.datasource import (EqualTo, GreaterThan,
+                                        GreaterThanOrEqual, In, IsNotNull,
+                                        IsNull, LessThan, LessThanOrEqual,
+                                        Not, StringStartsWith)
+
+    def ok_val(v):
+        return isinstance(v, (str, int, float, bool))
+
+    if isinstance(f, Not):
+        inner = _es_clause(f.child)
+        return (None if inner is None
+                else {"bool": {"must_not": [inner]}})
+    attr = getattr(f, "attribute", None)
+    if attr is None or len(attr) != 1:
+        return None  # nested paths → Spark-side
+    col = attr[0]
+    if isinstance(f, EqualTo):
+        return {"term": {col: f.value}} if ok_val(f.value) else None
+    if isinstance(f, In):
+        vals = list(f.value)
+        return ({"terms": {col: vals}}
+                if all(ok_val(v) for v in vals) else None)
+    rng = {GreaterThan: "gt", GreaterThanOrEqual: "gte",
+           LessThan: "lt", LessThanOrEqual: "lte"}.get(type(f))
+    if rng is not None:
+        return ({"range": {col: {rng: f.value}}}
+                if ok_val(f.value) else None)
+    if isinstance(f, IsNotNull):
+        return {"exists": {"field": col}}
+    if isinstance(f, IsNull):
+        return {"bool": {"must_not": [{"exists": {"field": col}}]}}
+    if isinstance(f, StringStartsWith):
+        return ({"prefix": {col: {"value": f.value}}}
+                if isinstance(f.value, str) else None)
+    return None
+
+
 def _search_page(url: str, index: str, sl: int, nsl: int,
                  after: list | None, size: int, sort_field: str,
                  timeout_s: float, max_retries: int,
                  backoff_s: float, pit_id: str | None = None,
-                 keep_alive: str = "2m") -> dict:
-    """One ``_search`` page: match_all + single-field ascending sort +
-    optional slice + optional search_after — the reference's exact body
-    shape, sliced. With a PIT the request targets ``/_search`` (no
-    index in the path — the PIT pins the index) and carries
-    ``pit: {id, keep_alive}``, per the real API."""
+                 keep_alive: str = "2m", query: dict | None = None) -> dict:
+    """One ``_search`` page: query (pushed-down filters, else
+    match_all) + single-field ascending sort + optional slice +
+    optional search_after — the reference's exact body shape, sliced.
+    With a PIT the request targets ``/_search`` (no index in the path —
+    the PIT pins the index) and carries ``pit: {id, keep_alive}``, per
+    the real API."""
     body: dict = {
         "size": size,
         "sort": [{sort_field: "asc"}],
-        "query": {"match_all": {}},
+        "query": query if query is not None else {"match_all": {}},
         "track_total_hits": False,
     }
     if nsl > 1:
@@ -174,9 +218,30 @@ class ESHttpReader(DataSourceReader):
         self.pit_reuse = (str(options.get("pit_reuse", "true")).lower()
                           == "true")
         self.fields = schema_fields
+        self.es_query: dict | None = None  # set by pushFilters
         self._pit_id: str | None = None   # cached per reader instance
         self._pit_born = 0.0
         self._pit_lock = threading.Lock()
+
+    def pushFilters(self, filters):
+        """Wire-level predicate pushdown (requires
+        ``spark.sql.python.filterPushdown.enabled=true``, set by
+        ``session.get_spark``): translatable filters become ES
+        query-DSL clauses ANDed in a ``bool.filter`` context — the
+        cluster prunes the scan server-side, so a selective predicate
+        reads its matches, not the whole index. Untranslatable filters
+        are returned for Spark to apply post-scan (exactness is never
+        up to the translation)."""
+        clauses, leftover = [], []
+        for f in filters:
+            clause = _es_clause(f)
+            if clause is None:
+                leftover.append(f)
+            else:
+                clauses.append(clause)
+        if clauses:
+            self.es_query = {"bool": {"filter": clauses}}
+        return leftover
 
     # The reader pickles to executors for read(); locks don't pickle.
     # Only the planner-side instance ever uses the PIT cache, so the
@@ -247,7 +312,8 @@ class ESHttpReader(DataSourceReader):
                                 self.sort_field, self.timeout_s,
                                 self.max_retries, self.backoff_s,
                                 pit_id=partition.pit_id,
-                                keep_alive=self.keep_alive)
+                                keep_alive=self.keep_alive,
+                                query=self.es_query)
             hits = page["hits"]["hits"]
             for h in hits:
                 src = dict(h.get("_source") or {})

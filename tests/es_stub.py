@@ -34,6 +34,44 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _matches(query: dict, _id: str, doc: dict) -> bool:
+    """Evaluate the query-DSL subset the es_http reader pushes down:
+    match_all, bool.filter / bool.must_not, term, terms, range
+    (gt/gte/lt/lte), exists, prefix — real filter-context semantics
+    (a clause on a null/absent field matches nothing)."""
+    (kind, spec), = query.items()
+    if kind == "match_all":
+        return True
+    if kind == "bool":
+        must = all(_matches(c, _id, doc)
+                   for c in spec.get("filter", []))
+        blocked = any(_matches(c, _id, doc)
+                      for c in spec.get("must_not", []))
+        return must and not blocked
+    if kind == "term":
+        (col, val), = spec.items()
+        return doc.get(col) == val
+    if kind == "terms":
+        (col, vals), = spec.items()
+        return doc.get(col) in set(vals)
+    if kind == "range":
+        (col, bounds), = spec.items()
+        v = doc.get(col)
+        if v is None:
+            return False
+        ops = {"gt": lambda a, b: a > b, "gte": lambda a, b: a >= b,
+               "lt": lambda a, b: a < b, "lte": lambda a, b: a <= b}
+        return all(ops[op](v, bound) for op, bound in bounds.items())
+    if kind == "exists":
+        return doc.get(spec["field"]) is not None
+    if kind == "prefix":
+        v = doc.get(next(iter(spec)))
+        want = next(iter(spec.values()))
+        want = want["value"] if isinstance(want, dict) else want
+        return isinstance(v, str) and v.startswith(want)
+    raise ValueError(f"stub: unsupported query kind {kind!r}")
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # silence request logging
         pass
@@ -126,7 +164,9 @@ class _Handler(BaseHTTPRequestHandler):
             k, doc = kv
             return k if sort_field == "_id" else doc.get(sort_field)
 
-        rows = sorted(store.items(), key=key)
+        query = body.get("query") or {"match_all": {}}
+        rows = sorted(((k, d) for k, d in store.items()
+                       if _matches(query, k, d)), key=key)
         if sl is not None:
             nsl, si = int(sl["max"]), int(sl["id"])
             rows = [(k, d) for k, d in rows
