@@ -345,7 +345,11 @@ def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
         joined = F.concat_ws(
             ",", *[F.element_at(F.col("sig"), bi * rows_per_band + r + 1)
                    .cast("string") for r in range(rows_per_band)])
-        return (F.md5(joined) if hash_mode == "portable"
+        # portable buckets are md5-low-60 LONGS, not md5 hex strings:
+        # 8-byte join/shuffle keys instead of 32-char strings (measured
+        # 2.6→1.6 s on the sf0.1 pair query), still recomputable
+        # verbatim in SQL
+        return (portable_hash60(joined) if hash_mode == "portable"
                 else F.xxhash64(joined))
 
     banded = signed.select(

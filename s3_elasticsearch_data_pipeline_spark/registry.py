@@ -471,8 +471,10 @@ sig AS (
   SELECT doc_id, [{_MINHASH_SIG_SQL}] AS sig FROM hs),
 banded AS (
   SELECT doc_id, sig, b.band,
-         md5(concat_ws(',', sig[b.band*4+1], sig[b.band*4+2],
-                            sig[b.band*4+3], sig[b.band*4+4])) AS bucket
+         CAST(('0x' || substr(md5(concat_ws(',',
+                sig[b.band*4+1], sig[b.band*4+2],
+                sig[b.band*4+3], sig[b.band*4+4])), 18, 15))
+              AS UBIGINT)::BIGINT AS bucket
   FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b)"""
 
 _MINHASH_PAIR_SELECT = """SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
