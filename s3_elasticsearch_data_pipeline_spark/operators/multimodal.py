@@ -48,27 +48,35 @@ def attach_payload(documents: DataFrame,
 
 
 def decode_image(payload: bytes) -> dict:
-    """Real, dependency-free image decode for two simple public formats:
+    """Real, dependency-free image decode for three public formats:
 
     * binary PPM/PGM (netpbm ``P6``/``P5``: ASCII header with optional
-      ``#`` comments, then a raw RGB/gray raster), and
+      ``#`` comments, then a raw RGB/gray raster),
     * uncompressed BMP (``BM`` + BITMAPINFOHEADER, 24/32 bpp,
       bottom-up or top-down, BGR(A) rows padded to 4 bytes —
-      normalized to RGB here).
+      normalized to RGB here), and
+    * PNG, 8-bit grayscale/truecolor non-interlaced (RFC 2083): chunk
+      walk with CRC verification, stdlib-zlib IDAT inflate, and full
+      None/Sub/Up/Average/Paeth scanline unfiltering — a genuinely
+      COMPRESSED format decoded end-to-end with no codec library.
 
     Returns ``{"width", "height", "channels", "pixels"}`` with pixels
     as a row-major RGB/gray byte string. Any other byte stream raises
-    ``NotImplementedError`` — richer formats (JPEG/PNG/…) need codec
-    libraries this container doesn't ship, and callers are expected to
-    catch and mark the row undecodable rather than fail the task.
+    ``NotImplementedError`` — formats that genuinely need codec
+    libraries this container doesn't ship (JPEG/WebP/…) stay
+    undecodable, and callers are expected to catch and mark the row
+    rather than fail the task.
     """
     if len(payload) >= 2 and payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
     if len(payload) >= 2 and payload[:2] == b"BM":
         return _decode_bmp(payload)
+    if payload[:8] == PNG_SIGNATURE:
+        return _decode_png(payload)
     raise NotImplementedError(
-        "only binary PPM/PGM and uncompressed BMP are decodable without "
-        "external image libraries; mark other payloads undecodable")
+        "only binary PPM/PGM, uncompressed BMP, and 8-bit gray/RGB PNG "
+        "are decodable without external image libraries; mark other "
+        "payloads undecodable")
 
 
 def _decode_pnm(payload: bytes) -> dict:
@@ -139,6 +147,145 @@ def encode_ppm(width: int, height: int, pixels: bytes) -> bytes:
     return b"P6\n%d %d\n255\n" % (width, height) + pixels
 
 
+PNG_SIGNATURE = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    import struct
+    import zlib
+    return (struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF))
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    return b if pb <= pc else c
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               channels: int = 3) -> bytes:
+    """Minimal-but-real PNG encoder (8-bit gray/RGB, non-interlaced):
+    each scanline gets filter type ``y % 5`` — deliberately cycling
+    through None/Sub/Up/Average/Paeth so round-trip tests exercise
+    every unfilter branch of :func:`_decode_png`, not just the trivial
+    one. IDAT is stdlib zlib."""
+    import struct
+    import zlib
+    if channels not in (1, 3):
+        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    bpp = channels
+    stride = width * channels
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        row = pixels[y * stride:(y + 1) * stride]
+        ftype = y % 5
+        raw.append(ftype)
+        for i in range(stride):
+            x = row[i]
+            a = row[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                raw.append(x)
+            elif ftype == 1:
+                raw.append((x - a) & 0xFF)
+            elif ftype == 2:
+                raw.append((x - b) & 0xFF)
+            elif ftype == 3:
+                raw.append((x - (a + b) // 2) & 0xFF)
+            else:
+                raw.append((x - _paeth(a, b, c)) & 0xFF)
+        prev = row
+    color_type = 0 if channels == 1 else 2
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return (PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IEND", b""))
+
+
+def _decode_png(payload: bytes) -> dict:
+    """8-bit gray/RGB non-interlaced PNG decode (RFC 2083): verify
+    chunk CRCs, inflate the IDAT stream, unfilter every scanline
+    (all five filter types). Unsupported color types / bit depths /
+    interlacing raise ``NotImplementedError`` (real unsupported-codec
+    guards, same contract as the BMP/PNM branches); structural damage
+    (bad CRC, truncation, size mismatch) raises ``ValueError``."""
+    import struct
+    import zlib
+    pos = len(PNG_SIGNATURE)
+    ihdr = None
+    idat = bytearray()
+    seen_end = False
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated PNG chunk header")
+        length, = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4:pos + 8]
+        data = payload[pos + 8:pos + 8 + length]
+        if len(data) != length or pos + 12 + length > len(payload):
+            raise ValueError("truncated PNG chunk body")
+        crc, = struct.unpack_from(">I", payload, pos + 8 + length)
+        if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
+            raise ValueError(f"PNG CRC mismatch in {ctype!r}")
+        if ctype == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            seen_end = True
+            break
+        pos += 12 + length
+    if ihdr is None or not seen_end:
+        raise ValueError("PNG missing IHDR/IEND")
+    width, height, depth, color_type, comp, filt, interlace = ihdr
+    if depth != 8 or color_type not in (0, 2):
+        raise NotImplementedError(
+            "only 8-bit grayscale/truecolor PNG without palette/alpha")
+    if comp != 0 or filt != 0 or interlace != 0:
+        raise NotImplementedError(
+            "only deflate/adaptive-filter/non-interlaced PNG")
+    channels = 1 if color_type == 0 else 3
+    stride = width * channels
+    raw = zlib.decompress(bytes(idat))
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("PNG raster size mismatch")
+    bpp = channels
+    out = bytearray()
+    prev = bytes(stride)
+    for y in range(height):
+        ftype = raw[y * (stride + 1)]
+        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
+        rec = bytearray(stride)
+        for i in range(stride):
+            x = line[i]
+            a = rec[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            if ftype == 0:
+                rec[i] = x
+            elif ftype == 1:
+                rec[i] = (x + a) & 0xFF
+            elif ftype == 2:
+                rec[i] = (x + b) & 0xFF
+            elif ftype == 3:
+                rec[i] = (x + (a + b) // 2) & 0xFF
+            elif ftype == 4:
+                rec[i] = (x + _paeth(a, b, c)) & 0xFF
+            else:
+                raise ValueError(f"PNG filter type {ftype} invalid")
+        out += rec
+        prev = bytes(rec)
+    return {"width": width, "height": height, "channels": channels,
+            "pixels": bytes(out)}
+
+
 # Deterministic generative image: dims and pixel values are pure
 # functions of doc_id, so an oracle can predict width/height/mean
 # independently (and tests can recompute pixels exactly).
@@ -166,6 +313,30 @@ def attach_image_payload(documents: DataFrame) -> DataFrame:
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
                 "media_type": "image/x-portable-pixmap",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads]})
+
+    return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+def attach_png_payload(documents: DataFrame) -> DataFrame:
+    """PNG fixture frame: the SAME deterministic generative pixels as
+    :func:`attach_image_payload`, but compressed through the real PNG
+    encoder (zlib IDAT, per-row filter cycling through all five types)
+    — so a feature query over these payloads proves the full
+    inflate + unfilter path reproduces the exact raster the symbolic
+    oracle predicts."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = _gen_dims(int(doc_id))
+                payloads.append(
+                    encode_png(w, h, _gen_pixels(int(doc_id), w, h)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image/png",
                 "payload": payloads,
                 "n_bytes": [len(p) for p in payloads]})
 

@@ -799,7 +799,10 @@ def q_multimodal_features(spark, sf_dir):
     return multimodal.multimodal_features(_t(spark, sf_dir, "documents"))
 
 
-@register("image_decode_features", """
+#: Symbolic pixel-statistics twin shared by the PPM and PNG decode
+#: queries — both payload generators emit the SAME generative raster,
+#: so one oracle independently predicts the decoded features of both.
+_IMAGE_FEATURES_ORACLE = """
 WITH dims AS (
   SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
   FROM documents),
@@ -817,7 +820,10 @@ SELECT doc_id,
                        + (i % 3) * 31 + doc_id) % 256 AS DOUBLE))
              * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity
 FROM px GROUP BY doc_id, w, h
-""")
+"""
+
+
+@register("image_decode_features", _IMAGE_FEATURES_ORACLE)
 def q_image_decode_features(spark, sf_dir):
     """REAL image decode end-to-end: generate one deterministic binary
     P6 PPM per document executor-side, decode the actual bytes back
@@ -828,6 +834,25 @@ def q_image_decode_features(spark, sf_dir):
     raster correctly, not an md5 tautology."""
     from pyspark.sql import functions as F
     payloads = multimodal.attach_image_payload(_t(spark, sf_dir, "documents"))
+    feats = multimodal.image_features(payloads)
+    return (feats.where(F.col("decode_ok"))
+            .select("doc_id", "width", "height", "channels", "n_pixels",
+                    (F.floor(F.col("mean_intensity") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("mean_intensity")))
+
+
+@register("image_decode_png", _IMAGE_FEATURES_ORACLE)
+def q_image_decode_png(spark, sf_dir):
+    """REAL compressed-image decode end-to-end: the same generative
+    raster as ``image_decode_features``, but encoded as PNG (stdlib
+    zlib IDAT, per-row filter cycling through None/Sub/Up/Average/
+    Paeth) and decoded back through the chunk-walk + CRC + inflate +
+    full-unfilter path (``operators/multimodal.py:_decode_png``). The
+    shared symbolic oracle predicts the pixel statistics independently,
+    so a hash match proves the decompressor and all five unfilter
+    branches reproduce the raster byte-for-byte."""
+    from pyspark.sql import functions as F
+    payloads = multimodal.attach_png_payload(_t(spark, sf_dir, "documents"))
     feats = multimodal.image_features(payloads)
     return (feats.where(F.col("decode_ok"))
             .select("doc_id", "width", "height", "channels", "n_pixels",

@@ -301,6 +301,7 @@ _PYTHON_ALLOWED = {
     "multimodal_frame_sample",     # mapInPandas frame fan-out plumbing
     "multimodal_audio_chunks",     # mapInPandas chunk fan-out plumbing
     "image_decode_features",       # mapInPandas REAL image decode
+    "image_decode_png",            # mapInPandas REAL PNG inflate+unfilter
     "image_resize_real",           # mapInPandas REAL pixel resample
     "audio_decode_features",       # mapInPandas REAL WAV decode
     "audio_chunk_rms",             # mapInPandas REAL PCM chunking
