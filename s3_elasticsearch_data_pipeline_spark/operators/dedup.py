@@ -323,7 +323,8 @@ def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
     100 TB pipeline persists as its dedup index table (bands × docs
     compact rows). ``hash_mode="portable"`` swaps every hash for an
     engine-portable twin (md5-low-60 base hash, affine-mod
-    permutations, md5-hex band buckets) so a SQL oracle can re-derive
+    permutations, md5-low-60 LONG band buckets) so a SQL oracle can
+    re-derive
     the identical index; xxhash64 stays the scale default (integer-only,
     8-byte buckets)."""
     rows_per_band = num_hashes // bands

@@ -235,6 +235,9 @@ def _decode_png(payload: bytes) -> dict:
         if crc != (zlib.crc32(ctype + data) & 0xFFFFFFFF):
             raise ValueError(f"PNG CRC mismatch in {ctype!r}")
         if ctype == b"IHDR":
+            if len(data) != 13:  # struct.error must not escape the
+                raise ValueError(   # ValueError/NotImplemented contract
+                    f"PNG IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
         elif ctype == b"IDAT":
             idat += data
@@ -253,7 +256,13 @@ def _decode_png(payload: bytes) -> dict:
             "only deflate/adaptive-filter/non-interlaced PNG")
     channels = 1 if color_type == 0 else 3
     stride = width * channels
-    raw = zlib.decompress(bytes(idat))
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as exc:
+        # corrupt/absent deflate stream is structural damage — map it
+        # into the documented ValueError contract so image_features
+        # marks the row decode_ok=false instead of failing the stage
+        raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG raster size mismatch")
     bpp = channels

@@ -1018,12 +1018,20 @@ def _load_codebooks(spark, path: str):
 
 
 def _load_ivfpq_residual(spark, path: str) -> bool:
-    """The index's residual flag from ``{path}/meta`` (False for
-    indexes persisted before the flag existed — raw-vector codes)."""
+    """The index's residual flag from ``{path}/meta``. False for
+    indexes persisted before the flag existed (raw-vector codes) AND
+    for a torn meta dir (exists but holds no readable parquet): the
+    codebooks table is the commit marker (`_write_ivfpq_params` writes
+    meta FIRST, codebooks LAST), so a torn meta implies the index never
+    finished training and whoever gates on the codebooks will retrain —
+    this reader must not crash on the remnant."""
     import os
     if not os.path.exists(path + "/meta"):
         return False
-    rows = spark.read.parquet(path + "/meta").collect()
+    try:
+        rows = spark.read.parquet(path + "/meta").collect()
+    except Exception:  # torn/empty dir → schema inference fails
+        return False
     return bool(rows and rows[0]["residual"])
 
 
@@ -1149,10 +1157,19 @@ def _train_ivfpq_params(embeddings: DataFrame, n_cells: int, iters: int,
 
 def _write_ivfpq_params(spark, path: str, centroids, books,
                         residual: bool) -> None:
-    """Persist the kilobyte parameter tables (centroids, codebooks,
-    residual flag) — overwrite-idempotent, so a replayed bootstrap
-    epoch rewrites byte-identical state."""
+    """Persist the kilobyte parameter tables — overwrite-idempotent, so
+    a replayed bootstrap epoch rewrites byte-identical state. WRITE
+    ORDER IS THE CRASH CONTRACT: meta (residual flag) first, centroids
+    second, CODEBOOKS LAST — readers treat the codebooks table as the
+    commit marker (``_params_if_trained`` requires all three), so a
+    process killed in any torn prefix leaves an index that reads as
+    UNTRAINED and is deterministically retrained on replay. The reverse
+    order had a silent-corruption window: codebooks committed but meta
+    missing made a residual=True bootstrap recover as residual=False
+    with residual-trained codebooks."""
     m = books.shape[0]
+    (spark.createDataFrame([(bool(residual),)], "residual boolean")
+     .write.mode("overwrite").parquet(path + "/meta"))
     (spark.createDataFrame(
         [(i, [float(v) for v in centroids[i]])
          for i in range(len(centroids))],
@@ -1163,8 +1180,6 @@ def _write_ivfpq_params(spark, path: str, centroids, books,
          for j in range(m) for c in range(books.shape[1])],
         "subspace int, code int, centroid array<double>")
      .write.mode("overwrite").parquet(path + "/codebooks"))
-    (spark.createDataFrame([(bool(residual),)], "residual boolean")
-     .write.mode("overwrite").parquet(path + "/meta"))
 
 
 def ivfpq_index_append(spark, path: str,

@@ -440,7 +440,8 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 # MinHash-LSH in PORTABLE hash mode: md5-low-60 base shingle hash,
 # (a·(x mod P)+b) mod P (P = 2^31−1, products exact in int64) affine
 # permutations with md5-derived constants
-# interpolated below as SQL literals, md5-hex band buckets — every hash
+# interpolated below as SQL literals, md5-low-60 LONG band buckets
+# (8-byte join keys) — every hash
 # recomputable verbatim in DuckDB, so the "approximate" operator is
 # deterministically oracle-checked (approximate only vs ground-truth
 # Jaccard, not vs a twin engine). xxhash64 stays the scale default in
@@ -823,6 +824,19 @@ FROM px GROUP BY doc_id, w, h
 """
 
 
+def _image_feature_query(spark, sf_dir, attach_fn):
+    """Shared body of the PPM/PNG decode-feature queries: attach the
+    generative payloads, decode for TRUE features, project + round the
+    columns the shared oracle predicts (one definition, so the two
+    queries cannot drift off the oracle independently)."""
+    feats = multimodal.image_features(
+        attach_fn(_t(spark, sf_dir, "documents")))
+    return (feats.where(F.col("decode_ok"))
+            .select("doc_id", "width", "height", "channels", "n_pixels",
+                    (F.floor(F.col("mean_intensity") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("mean_intensity")))
+
+
 @register("image_decode_features", _IMAGE_FEATURES_ORACLE)
 def q_image_decode_features(spark, sf_dir):
     """REAL image decode end-to-end: generate one deterministic binary
@@ -832,13 +846,8 @@ def q_image_decode_features(spark, sf_dir):
     recomputes the expected values symbolically from the generative
     formula — a genuine independent check that the decoder reads the
     raster correctly, not an md5 tautology."""
-    from pyspark.sql import functions as F
-    payloads = multimodal.attach_image_payload(_t(spark, sf_dir, "documents"))
-    feats = multimodal.image_features(payloads)
-    return (feats.where(F.col("decode_ok"))
-            .select("doc_id", "width", "height", "channels", "n_pixels",
-                    (F.floor(F.col("mean_intensity") * 1000000.0 + 0.5)
-                     / 1000000.0).alias("mean_intensity")))
+    return _image_feature_query(spark, sf_dir,
+                                multimodal.attach_image_payload)
 
 
 @register("image_decode_png", _IMAGE_FEATURES_ORACLE)
@@ -851,13 +860,8 @@ def q_image_decode_png(spark, sf_dir):
     shared symbolic oracle predicts the pixel statistics independently,
     so a hash match proves the decompressor and all five unfilter
     branches reproduce the raster byte-for-byte."""
-    from pyspark.sql import functions as F
-    payloads = multimodal.attach_png_payload(_t(spark, sf_dir, "documents"))
-    feats = multimodal.image_features(payloads)
-    return (feats.where(F.col("decode_ok"))
-            .select("doc_id", "width", "height", "channels", "n_pixels",
-                    (F.floor(F.col("mean_intensity") * 1000000.0 + 0.5)
-                     / 1000000.0).alias("mean_intensity")))
+    return _image_feature_query(spark, sf_dir,
+                                multimodal.attach_png_payload)
 
 
 @register("audio_decode_features", """

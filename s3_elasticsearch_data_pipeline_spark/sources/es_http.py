@@ -84,46 +84,103 @@ def _post_json(full_url: str, body: dict | None, timeout_s: float,
         attempt += 1
 
 
-def _es_clause(f):
+#: ES field types whose stored values compare exactly the way Spark
+#: compares the corresponding literals — safe targets for pushed
+#: term/terms/range clauses. ``text`` is deliberately ABSENT: analyzed
+#: fields compare per-token (a pushed ``term`` on a text field silently
+#: matches nothing), which would be wrong-results, not slow-results.
+_NUMERIC_ES_TYPES = frozenset(
+    {"long", "integer", "short", "byte", "double", "float"})
+
+
+def _fetch_field_types(url: str, index: str,
+                       timeout_s: float) -> dict | None:
+    """Top-level field→type map from ``GET /{index}/_mapping``, or None
+    when the mapping can't be read (unreachable cluster, missing
+    index) — callers then push only type-agnostic clauses."""
+    req = urllib.request.Request(
+        f"{url.rstrip('/')}/{index}/_mapping", method="GET")
+    try:
+        with urllib.request.urlopen(req, timeout=timeout_s) as resp:
+            body = json.loads(resp.read().decode("utf-8"))
+    except (urllib.error.URLError, OSError, ValueError):
+        return None
+    entry = body.get(index) or next(iter(body.values()), None)
+    if not isinstance(entry, dict):
+        return None
+    props = (entry.get("mappings") or {}).get("properties") or {}
+    return {name: spec.get("type", "object")
+            for name, spec in props.items() if isinstance(spec, dict)}
+
+
+def _value_type_ok(value, es_type: str | None) -> bool:
+    """A pushed comparison is exact only when the literal's kind and
+    the field's ES type agree: strings need ``keyword`` (text fields
+    are analyzed — see _NUMERIC_ES_TYPES note), bools need boolean,
+    numbers need a numeric field. Unknown field/type → not pushable."""
+    if es_type is None:
+        return False
+    if isinstance(value, bool):
+        return es_type == "boolean"
+    if isinstance(value, str):
+        return es_type == "keyword"
+    if isinstance(value, (int, float)):
+        return es_type in _NUMERIC_ES_TYPES
+    return False
+
+
+def _es_clause(f, field_types: dict | None):
     """One pushed-down Spark Filter → an ES query-DSL clause, or None
-    when the filter can't be translated (nested column paths, exotic
-    value types — those stay Spark-side). Term/terms/range/exists/
-    prefix cover the reference's access patterns (id lookups, month
-    terms, windows)."""
+    when the filter can't be translated EXACTLY (nested column paths,
+    exotic value types, fields whose mapping is analyzed/unknown —
+    those stay Spark-side). Term/terms/range/exists/prefix cover the
+    reference's access patterns (id lookups, month terms, windows)."""
     from pyspark.sql.datasource import (EqualTo, GreaterThan,
                                         GreaterThanOrEqual, In, IsNotNull,
                                         IsNull, LessThan, LessThanOrEqual,
                                         Not, StringStartsWith)
 
-    def ok_val(v):
-        return isinstance(v, (str, int, float, bool))
-
     if isinstance(f, Not):
-        inner = _es_clause(f.child)
-        return (None if inner is None
-                else {"bool": {"must_not": [inner]}})
+        child = f.child
+        inner = _es_clause(child, field_types)
+        if inner is None:
+            return None
+        if isinstance(child, (IsNull, IsNotNull)):
+            return {"bool": {"must_not": [inner]}}
+        # SQL negation of a value comparison is NULL-REJECTING; ES
+        # must_not alone would match missing-field docs, so AND an
+        # exists guard on the child's column
+        return {"bool": {"must_not": [inner],
+                         "filter": [{"exists":
+                                     {"field": child.attribute[0]}}]}}
     attr = getattr(f, "attribute", None)
     if attr is None or len(attr) != 1:
         return None  # nested paths → Spark-side
     col = attr[0]
-    if isinstance(f, EqualTo):
-        return {"term": {col: f.value}} if ok_val(f.value) else None
-    if isinstance(f, In):
-        vals = list(f.value)
-        return ({"terms": {col: vals}}
-                if all(ok_val(v) for v in vals) else None)
-    rng = {GreaterThan: "gt", GreaterThanOrEqual: "gte",
-           LessThan: "lt", LessThanOrEqual: "lte"}.get(type(f))
-    if rng is not None:
-        return ({"range": {col: {rng: f.value}}}
-                if ok_val(f.value) else None)
+    # null checks are type-agnostic (exists semantics match Spark's
+    # null semantics for any mapping, including absent fields)
     if isinstance(f, IsNotNull):
         return {"exists": {"field": col}}
     if isinstance(f, IsNull):
         return {"bool": {"must_not": [{"exists": {"field": col}}]}}
+    ftype = (field_types or {}).get(col)
+    if isinstance(f, EqualTo):
+        return ({"term": {col: f.value}}
+                if _value_type_ok(f.value, ftype) else None)
+    if isinstance(f, In):
+        vals = list(f.value)
+        return ({"terms": {col: vals}}
+                if vals and all(_value_type_ok(v, ftype) for v in vals)
+                else None)
+    rng = {GreaterThan: "gt", GreaterThanOrEqual: "gte",
+           LessThan: "lt", LessThanOrEqual: "lte"}.get(type(f))
+    if rng is not None:
+        return ({"range": {col: {rng: f.value}}}
+                if _value_type_ok(f.value, ftype) else None)
     if isinstance(f, StringStartsWith):
         return ({"prefix": {col: {"value": f.value}}}
-                if isinstance(f.value, str) else None)
+                if isinstance(f.value, str) and ftype == "keyword"
+                else None)
     return None
 
 
@@ -231,10 +288,21 @@ class ESHttpReader(DataSourceReader):
         cluster prunes the scan server-side, so a selective predicate
         reads its matches, not the whole index. Untranslatable filters
         are returned for Spark to apply post-scan (exactness is never
-        up to the translation)."""
+        up to the translation).
+
+        Exactness gate: the index MAPPING is fetched once here and
+        value comparisons are pushed only onto fields whose type
+        compares exactly (keyword for strings, numeric/boolean for
+        numbers — a ``term`` on an ANALYZED text field silently
+        matches nothing, which would be wrong results). With the
+        mapping unreachable (or a dynamic-mapped index whose strings
+        are text), only type-agnostic null checks are pushed; Spark
+        evaluates the rest post-scan."""
+        field_types = _fetch_field_types(self.url, self.es_index,
+                                         self.timeout_s)
         clauses, leftover = [], []
         for f in filters:
-            clause = _es_clause(f)
+            clause = _es_clause(f, field_types)
             if clause is None:
                 leftover.append(f)
             else:

@@ -39,11 +39,16 @@ from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
 
 def _params_if_trained(spark: SparkSession, index_path: str):
     """(centroids, books, residual) from the persisted parameter
-    tables, or None before the bootstrap epoch (only the
-    not-yet-trained case maps to None — an unreadable table must
-    propagate, not silently retrain and orphan already-encoded
-    cells)."""
-    if (_read_optional_parquet(spark, index_path + "/centroids") is None
+    tables, or None before the bootstrap epoch. ALL THREE tables (meta,
+    centroids, codebooks) must be present: ``_write_ivfpq_params``
+    writes meta first and codebooks last, so any torn prefix from a
+    crash mid-bootstrap reads as untrained and the replay retrains
+    deterministically — in particular a residual=True bootstrap can
+    never recover as residual=False (the silent-quantization-corruption
+    window a codebooks-before-meta order had)."""
+    if (_read_optional_parquet(spark, index_path + "/meta") is None
+            or _read_optional_parquet(spark,
+                                      index_path + "/centroids") is None
             or _read_optional_parquet(spark,
                                       index_path + "/codebooks") is None):
         return None

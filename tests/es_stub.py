@@ -210,6 +210,26 @@ class _Handler(BaseHTTPRequestHandler):
             index = parts[0]
             with srv.lock:
                 mappings = srv.index_mappings.get(index)
+                docs = list(srv.store.get(index, {}).values())
+            if mappings is None and docs:
+                # implicitly created by a bulk write → DYNAMIC mapping,
+                # with real ES's hazard modeled: strings become
+                # analyzed TEXT (not keyword), numbers become
+                # long/float, bools boolean
+                props = {}
+                for doc in docs:
+                    for k, v in doc.items():
+                        if k in props or v is None:
+                            continue
+                        if isinstance(v, bool):
+                            props[k] = {"type": "boolean"}
+                        elif isinstance(v, int):
+                            props[k] = {"type": "long"}
+                        elif isinstance(v, float):
+                            props[k] = {"type": "float"}
+                        elif isinstance(v, str):
+                            props[k] = {"type": "text"}
+                mappings = {"properties": props}
             if mappings is None:
                 self._error(404, "index_not_found_exception",
                             f"no such index [{index}]")

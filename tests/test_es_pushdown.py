@@ -1,7 +1,8 @@
 """Wire-level predicate pushdown for the es_http source: Spark filters
 become ES query-DSL clauses inside the ``_search`` body (the cluster
-prunes the scan server-side), untranslatable predicates stay
-Spark-side, and answers are identical either way."""
+prunes the scan server-side), gated on the index MAPPING so analyzed
+text fields never receive a silently-wrong ``term``; untranslatable
+predicates stay Spark-side, and answers are identical either way."""
 
 from __future__ import annotations
 
@@ -23,6 +24,13 @@ def docs_df(spark):
         rows, "id string, month string, value double, flagged boolean")
 
 
+def _load_keyword_index(stub, df, index):
+    """Explicitly create the index from the Spark schema (strings →
+    keyword — the exact-comparison mapping) and bulk-load it."""
+    assert es_wire.create_index(stub.url, index, df.schema)
+    es_wire.write_df(df, stub.url, index, id_col="id", **FAST)
+
+
 def _clauses_seen(stub):
     """Every bool.filter clause list the stub's _search received."""
     out = []
@@ -34,17 +42,16 @@ def _clauses_seen(stub):
 
 
 def test_pushdown_prunes_server_side_and_answers_match(spark, docs_df):
-    """Equality + range + IN predicates reach the ``_search`` body and
-    the server returns ONLY matching docs; the answer equals both the
-    source frame filtered in Spark and the same scan with pushdown
-    disabled."""
+    """Equality + range + IN predicates on a keyword-mapped index reach
+    the ``_search`` body; the answer equals the source frame filtered
+    in Spark."""
     expected = {(r.id, r.month, r.value)
                 for r in docs_df.where(
                     (F.col("month") == "m2") & (F.col("value") < 100.0))
                 .select("id", "month", "value").collect()}
     assert expected  # non-trivial selection
     with ESStub() as stub:
-        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        _load_keyword_index(stub, docs_df, "serving")
         df = es_http.read_es_index(spark, stub.url, "serving", nslices=4)
         got = {(r.id, r.month, r.value)
                for r in df.where((F.col("month") == "m2")
@@ -57,12 +64,7 @@ def test_pushdown_prunes_server_side_and_answers_match(spark, docs_df):
         flat = [c for cl in clause_lists for c in cl]
         assert {"term": {"month": "m2"}} in flat
         assert {"range": {"value": {"lt": 100.0}}} in flat
-        # server-side pruning: every returned hit already matched, so
-        # the per-slice page sizes sum to the match count, not 400
-        # (read through a fresh frame to count raw hits served)
-        n_match = len(expected)
-        served = stub.server.store["serving"]
-        assert len(served) == 400  # full corpus is on the server
+        assert len(stub.server.store["serving"]) == 400  # full corpus
         # IN-list → terms clause
         got_in = {r.id for r in df.where(
             F.col("month").isin("m0", "m1")).select("id").collect()}
@@ -78,7 +80,7 @@ def test_pushdown_untranslatable_predicates_stay_spark_side(spark,
     column) must still be answered correctly — Spark applies it
     post-scan; the translatable conjunct is still pushed."""
     with ESStub() as stub:
-        es_wire.write_df(docs_df, stub.url, "serving", id_col="id", **FAST)
+        _load_keyword_index(stub, docs_df, "serving")
         df = es_http.read_es_index(spark, stub.url, "serving", nslices=3)
         got = {r.id for r in df.where(
             (F.col("month") == "m1")
@@ -93,14 +95,38 @@ def test_pushdown_untranslatable_predicates_stay_spark_side(spark,
         assert not any("script" in c for c in flat)
 
 
+def test_pushdown_refuses_analyzed_text_fields(spark, docs_df):
+    """THE exactness gate: on a dynamic-mapped index (no create_index —
+    real ES maps strings to analyzed TEXT), string equality must NOT be
+    pushed (a term on text silently matches nothing) — answers stay
+    correct via Spark-side evaluation — while numeric predicates still
+    push (dynamic numeric mappings compare exactly)."""
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "dyn", id_col="id", **FAST)
+        df = es_http.read_es_index(spark, stub.url, "dyn", nslices=3)
+        got = {r.id for r in df.where(
+            (F.col("month") == "m2")
+            & (F.col("value") >= 100.0)).select("id").collect()}
+        want = {r.id for r in docs_df.where(
+            (F.col("month") == "m2")
+            & (F.col("value") >= 100.0)).collect()}
+        assert got == want
+        flat = [c for cl in _clauses_seen(stub) for c in cl]
+        assert not any("term" in c or "terms" in c or "prefix" in c
+                       for c in flat), \
+            "string comparisons must not be pushed onto text fields"
+        assert {"range": {"value": {"gte": 100.0}}} in flat
+
+
 def test_pushdown_null_prefix_and_negation(spark):
     """exists / must_not(exists) / prefix / Not(term) translations —
-    filter-context semantics on nullable fields."""
+    filter-context semantics on nullable keyword fields, including the
+    null-rejecting exists guard inside negations."""
     rows = [("a1", "alpha"), ("a2", None), ("b1", "beta"), ("b2", None)]
+    frame = None
     with ESStub() as stub:
-        es_wire.write_df(
-            spark.createDataFrame(rows, "id string, tag string"),
-            stub.url, "t", id_col="id", **FAST)
+        frame = spark.createDataFrame(rows, "id string, tag string")
+        _load_keyword_index(stub, frame, "t")
         df = es_http.read_es_index(spark, stub.url, "t", nslices=2,
                                    schema="id string, tag string")
         assert {r.id for r in df.where(F.col("tag").isNull())
@@ -117,20 +143,34 @@ def test_pushdown_null_prefix_and_negation(spark):
 
 
 def test_pushdown_clause_translation_table():
-    """Unit-level mapping checks, including the unsupported edges
-    (nested column path, exotic value type)."""
+    """Unit-level mapping checks with the type gate, including the
+    refused edges (nested path, exotic value, text/unknown fields,
+    unreadable mapping)."""
     from pyspark.sql.datasource import (EqualTo, GreaterThanOrEqual, In,
                                         IsNull, Not, StringStartsWith)
+    types = {"month": "keyword", "v": "long", "t": "keyword",
+             "body": "text", "ok": "boolean"}
     c = es_http._es_clause
-    assert c(EqualTo(("month",), "m1")) == {"term": {"month": "m1"}}
-    assert c(In(("month",), ("a", "b"))) == {"terms": {"month": ["a", "b"]}}
-    assert c(GreaterThanOrEqual(("v",), 3)) == {"range": {"v": {"gte": 3}}}
-    assert c(IsNull(("t",))) == {
+    assert c(EqualTo(("month",), "m1"), types) == {"term": {"month": "m1"}}
+    assert c(In(("month",), ("a", "b")), types) == {
+        "terms": {"month": ["a", "b"]}}
+    assert c(GreaterThanOrEqual(("v",), 3), types) == {
+        "range": {"v": {"gte": 3}}}
+    assert c(IsNull(("t",)), types) == {
         "bool": {"must_not": [{"exists": {"field": "t"}}]}}
-    assert c(Not(EqualTo(("m",), "x"))) == {
-        "bool": {"must_not": [{"term": {"m": "x"}}]}}
-    assert c(StringStartsWith(("m",), "ab")) == {
-        "prefix": {"m": {"value": "ab"}}}
-    assert c(EqualTo(("a", "b"), 1)) is None          # nested path
-    assert c(EqualTo(("a",), bytearray(b"x"))) is None  # exotic value
-    assert c(Not(EqualTo(("a", "b"), 1))) is None     # Not(unsupported)
+    # negation of a value comparison carries the exists guard
+    assert c(Not(EqualTo(("month",), "x")), types) == {
+        "bool": {"must_not": [{"term": {"month": "x"}}],
+                 "filter": [{"exists": {"field": "month"}}]}}
+    assert c(StringStartsWith(("month",), "ab"), types) == {
+        "prefix": {"month": {"value": "ab"}}}
+    # refusals
+    assert c(EqualTo(("a", "b"), 1), types) is None       # nested path
+    assert c(EqualTo(("month",), bytearray(b"x")), types) is None
+    assert c(EqualTo(("body",), "x"), types) is None      # analyzed text
+    assert c(EqualTo(("ghost",), "x"), types) is None     # unmapped field
+    assert c(EqualTo(("v",), "3"), types) is None         # str vs numeric
+    assert c(EqualTo(("ok",), 1), types) is None          # int vs boolean
+    assert c(EqualTo(("month",), "m"), None) is None      # no mapping
+    # null checks stay pushable even with the mapping unreachable
+    assert c(IsNull(("t",)), None) is not None

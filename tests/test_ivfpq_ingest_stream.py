@@ -121,3 +121,45 @@ def test_stream_ivfpq_crash_mid_epoch_recovers(spark, sf_oracle,
     b = sorted(map(tuple, spark.read.parquet(index2 + "/cells")
                    .select("vec_id", "cell", "codes").collect()))
     assert a == b
+
+
+def test_stream_ivfpq_torn_bootstrap_params_read_as_untrained(
+        spark, sf_oracle, tmp_path):
+    """The parameter-write crash contract: meta is written FIRST and
+    codebooks LAST, so ANY torn prefix (crash mid-bootstrap between
+    parameter writes) reads as untrained and the replay retrains —
+    a residual=True bootstrap can never silently recover as
+    residual=False with residual-trained codebooks."""
+    import shutil
+
+    from s3_elasticsearch_data_pipeline_spark.streaming.ivfpq_ingest \
+        import _params_if_trained
+    emb = (load_table(spark, sf_oracle, "embeddings")
+           .select("vec_id", "embedding").where(F.col("vec_id") < 200))
+    src, index, ckpt = _paths(tmp_path, "torn")
+    emb.write.parquet(src)
+
+    def boom(stage, epoch_id):
+        if stage == "after_params_write":
+            raise RuntimeError(stage)
+
+    with pytest.raises(Exception):
+        ivfpq_ingest_stream(spark, src, index, ckpt, n_cells=8,
+                            residual=True, fault_hook=boom)
+    # simulate the torn prefix: params written, commit marker removed
+    shutil.rmtree(index + "/codebooks")
+    assert _params_if_trained(spark, index) is None, \
+        "meta+centroids without codebooks must read as untrained"
+    # recovery drain re-bootstraps (caller re-passes the flag) — the
+    # healed index is residual and fully populated
+    ivfpq_ingest_stream(spark, src, index, ckpt, n_cells=8,
+                        residual=True)
+    assert similarity._load_ivfpq_residual(spark, index) is True
+    cells = spark.read.parquet(index + "/cells")
+    assert cells.count() == 200
+    assert cells.select("vec_id").distinct().count() == 200
+    # torn META dir (exists, no parquet) must not crash the flag reader
+    import os
+    os.makedirs(str(tmp_path / "tornmeta" / "meta"))
+    assert similarity._load_ivfpq_residual(
+        spark, str(tmp_path / "tornmeta")) is False

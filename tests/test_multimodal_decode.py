@@ -408,3 +408,42 @@ def test_png_decode_features_match_ppm_features(spark, sf_smoke):
     a = mm.attach_image_payload(docs).agg(F.sum("n_bytes")).first()[0]
     b = mm.attach_png_payload(docs).agg(F.sum("n_bytes")).first()[0]
     assert a != b
+
+
+def test_png_structural_damage_degrades_not_kills(spark):
+    """zlib/struct failures must surface as the documented ValueError —
+    and through image_features as decode_ok=false rows — never as a
+    stage-killing foreign exception."""
+    import struct
+
+    import pytest as _pytest
+
+    from s3_elasticsearch_data_pipeline_spark.operators import (
+        multimodal as mm)
+    # CRC-valid chunks but no IDAT stream at all
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 2, 0, 0, 0)
+    no_idat = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr)
+               + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="inflate"):
+        mm._decode_png(no_idat)
+    # CRC-valid IDAT carrying garbage (not a deflate stream)
+    bad_idat = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"IDAT", b"not-deflate")
+                + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="inflate"):
+        mm._decode_png(bad_idat)
+    # IHDR with the wrong length (struct.error must not escape)
+    short = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr[:9])
+             + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="IHDR length"):
+        mm._decode_png(short)
+    # end-to-end posture: the corrupt blob yields decode_ok=false, the
+    # good one decodes — one task, no exception
+    good = mm.encode_png(3, 2, bytes(range(18)), 3)
+    frame = spark.createDataFrame(
+        [(1, bytearray(bad_idat), len(bad_idat)),
+         (2, bytearray(good), len(good))],
+        "doc_id long, payload binary, n_payload_bytes long")
+    rows = {r.doc_id: r.decode_ok
+            for r in mm.image_features(frame).collect()}
+    assert rows == {1: False, 2: True}
