@@ -52,6 +52,7 @@ HEADLINE = (
     "q13_order_count_distribution",
     "q21_waiting_suppliers",
     "dedup_connected_components",
+    "dedup_fuzzy_clusters",
     "corpus_quality_filter",
     "text_search_bm25",
     "scd2_user_history",
