@@ -524,6 +524,46 @@ def q_dedup_fuzzy_clusters(spark, sf_dir):
         pairs.select("doc_id_a", "doc_id_b"))
 
 
+@register("dedup_fuzzy_apply", f"""
+WITH RECURSIVE {_MINHASH_BANDED_CTES},
+near_pairs AS (
+  SELECT doc_id_a AS a, doc_id_b AS b FROM ({_MINHASH_PAIR_SELECT})),
+edges AS (SELECT a AS src, b AS dst FROM near_pairs
+          UNION ALL SELECT b, a FROM near_pairs),
+reach(doc_id, member) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.doc_id, e.dst FROM reach r JOIN edges e ON e.src = r.member),
+clusters AS (
+  SELECT doc_id, min(member) AS cluster_id FROM reach GROUP BY doc_id)
+SELECT d.doc_id,
+       coalesce(c.cluster_id, d.doc_id) AS cluster_id,
+       (c.cluster_id IS NULL OR c.cluster_id = d.doc_id) AS kept
+FROM documents d LEFT JOIN clusters c USING (doc_id)
+""")
+def q_dedup_fuzzy_apply(spark, sf_dir):
+    """The REMOVAL step that completes the fuzzy-dedup pipeline
+    (detect → cluster → apply): every document labeled with its cluster
+    and a ``kept`` verdict — the cluster's minimum doc_id survives,
+    near-duplicates are dropped, singletons (never in any candidate
+    pair) keep themselves. One left join of the corpus against the
+    (small — only docs that ever collided) cluster table; a real
+    pipeline would anti-join the corpus on ``kept = false`` ids. Fully
+    oracle-checked end-to-end like ``dedup_fuzzy_clusters``."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, hash_mode="portable")
+    clusters = dedup.connected_components(
+        pairs.select("doc_id_a", "doc_id_b"))
+    return (docs.select("doc_id")
+            .join(clusters, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("cluster_id", F.col("doc_id"))
+                    .alias("cluster_id"),
+                    (F.col("cluster_id").isNull()
+                     | (F.col("cluster_id") == F.col("doc_id")))
+                    .alias("kept")))
+
+
 _SIMHASH_BIT_SUMS = ",\n  ".join(
     f"sum((h >> {b}) & 1) AS s{b}" for b in range(60))
 _SIMHASH_FP_TERMS = "\n       + ".join(
