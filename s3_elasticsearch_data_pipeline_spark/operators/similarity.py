@@ -186,14 +186,17 @@ def embedding_centroids(embeddings: DataFrame) -> DataFrame:
 
 
 def _kmeans_centroids(embeddings: DataFrame, n_cells: int,
-                      iters: int) -> "np.ndarray":
+                      iters: int, init_rows=None) -> "np.ndarray":
     """Deterministic mini k-means for IVF coarse cells: init = the
     ``n_cells`` lowest vec_ids, then Lloyd iterations with assignment
     in Arrow/numpy and centroid update as a posexplode aggregate. The
     (n_cells × dims) centroid matrix is driver-collected each round —
-    kilobytes, independent of corpus size."""
+    kilobytes, independent of corpus size. ``init_rows`` lets a caller
+    that already fetched the init sample (doubling as its emptiness
+    probe — one job instead of two) pass it through."""
     import numpy as np
-    init = (embeddings.orderBy("vec_id").limit(n_cells)
+    init = (init_rows if init_rows is not None
+            else embeddings.orderBy("vec_id").limit(n_cells)
             .select("embedding").collect())
     centroids = np.array([list(r[0]) for r in init], dtype=np.float64)
 
@@ -286,6 +289,26 @@ def _load_centroids(spark, path: str):
     return np.array([list(r["centroid"]) for r in rows], dtype=np.float64)
 
 
+def _guard_not_stream_layout(path: str, op: str) -> None:
+    """Refuse batch appends into a STREAM-built cell store. Streaming
+    ingest lands files under ``{index}/cells/epoch=<id>/cell=<c>/``;
+    a batch append would write ``cell=<c>`` at the top level, and the
+    mixed directory depths break parquet partition discovery for every
+    subsequent probe read of ``{path}/cells`` — the parameter tables
+    load fine, so without this guard the append is silently accepted
+    and the index bricks later, at read time."""
+    import os
+    cells = path + "/cells"
+    if not os.path.isdir(cells):
+        return
+    if any(e.startswith("epoch=") for e in os.listdir(cells)):
+        raise ValueError(
+            "%s: index at %r was built by a streaming ingest "
+            "(cells/epoch=<id>/ layout); batch appends would corrupt "
+            "partition discovery. Feed new batches through the "
+            "streaming ingest for this index instead." % (op, path))
+
+
 def _assign_and_write(embeddings: DataFrame, centroids, cells_dir: str,
                       mode: str) -> None:
     """Assign every vector its nearest cell and write into the
@@ -327,7 +350,11 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     inline ``ivf_topk`` agrees with build+probe exactly (tested).
     """
     spark = embeddings.sparkSession
-    if embeddings.select("embedding").first() is None:
+    # one probe job: the k-means init fetch doubles as the emptiness
+    # check (see build_ivfpq_index)
+    init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+                 .select("embedding").collect())
+    if not init_rows:
         spark.createDataFrame([], "vec_id long, cell int, "
                                   "embedding array<double>") \
              .write.mode("overwrite").partitionBy("cell") \
@@ -335,7 +362,8 @@ def build_ivf_index(embeddings: DataFrame, path: str,
         spark.createDataFrame([], "cell int, centroid array<double>") \
              .write.mode("overwrite").parquet(path + "/centroids")
         return
-    centroids = _kmeans_centroids(embeddings, n_cells, iters)
+    centroids = _kmeans_centroids(embeddings, n_cells, iters,
+                                  init_rows=init_rows)
     _assign_and_write(embeddings, centroids, path + "/cells", "overwrite")
     cent_rows = [(i, [float(x) for x in centroids[i]])
                  for i in range(len(centroids))]
@@ -359,6 +387,7 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
             "with build_ivf_index first (appending to an untrained "
             "index would silently create a single unsearchable cell)"
             % path)
+    _guard_not_stream_layout(path, "ivf_index_append")
     if new_embeddings.select("embedding").first() is None:
         return
     _assign_and_write(new_embeddings, centroids, path + "/cells", "append")
@@ -430,10 +459,13 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     partition pruning IS the index lookup. Deterministic end-to-end
     (fixed init, argmax ties break to the lowest cell index).
     """
-    if embeddings.select("embedding").first() is None:
+    init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+                 .select("embedding").collect())  # probe + init, one job
+    if not init_rows:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
-    centroids = _kmeans_centroids(embeddings, n_cells, iters)
+    centroids = _kmeans_centroids(embeddings, n_cells, iters,
+                                  init_rows=init_rows)
     corpus_cells = (embeddings.select("vec_id", "embedding")
                     .mapInPandas(_cell_assign_fn(centroids, 1),
                                  "vec_id long, cell int"))
@@ -1110,7 +1142,12 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
     either way: assignment and PQ encoding ride a single mapInPandas
     before the one partitioned write."""
     spark = embeddings.sparkSession
-    if embeddings.select("embedding").first() is None:
+    # ONE probe job: the k-means init fetch doubles as the emptiness
+    # check (the separate .first() probe cost an extra Spark job per
+    # build — same fix ann_lsh_topk got in r5).
+    init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+                 .select("embedding").collect())
+    if not init_rows:
         spark.createDataFrame(
             [], "vec_id long, codes array<bigint>, "
                 "embedding array<double>, cell int") \
@@ -1126,7 +1163,7 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
         return
     centroids, books = _train_ivfpq_params(
         embeddings, n_cells, iters, m, k_codes, train_sample, pq_iters,
-        residual)
+        residual, init_rows=init_rows)
     _ivfpq_append_cells(embeddings, centroids, books, residual,
                         path + "/cells", "overwrite")
     _write_ivfpq_params(spark, path, centroids, books, residual)
@@ -1134,7 +1171,7 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
 
 def _train_ivfpq_params(embeddings: DataFrame, n_cells: int, iters: int,
                         m: int, k_codes: int, train_sample: int,
-                        pq_iters: int, residual: bool):
+                        pq_iters: int, residual: bool, init_rows=None):
     """Deterministic (centroids, codebooks) for an IVF-PQ index —
     shared by the batch builder and the streaming bootstrap so a
     streamed index trained on the same bootstrap set is bit-identical
@@ -1142,7 +1179,8 @@ def _train_ivfpq_params(embeddings: DataFrame, n_cells: int, iters: int,
     SAMPLE's x − centroid[cell] residuals (same deterministic
     lowest-vec_id sample as _pq_codebooks)."""
     import numpy as np
-    centroids = _kmeans_centroids(embeddings, n_cells, iters)
+    centroids = _kmeans_centroids(embeddings, n_cells, iters,
+                                  init_rows=init_rows)
     if residual:
         rows = (embeddings.orderBy("vec_id").limit(train_sample)
                 .select("embedding").collect())
@@ -1198,6 +1236,7 @@ def ivfpq_index_append(spark, path: str,
             "ivfpq_index_append: index at %r is untrained — build it "
             "with build_ivfpq_index first (appending would create "
             "unsearchable cells)" % path)
+    _guard_not_stream_layout(path, "ivfpq_index_append")
     if new_embeddings.select("embedding").first() is None:
         return
     residual = _load_ivfpq_residual(spark, path)
@@ -1233,7 +1272,16 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     shape, n_probe tables per query, still kilobytes each.
     Equivalence contract (tested, residual=False): for a single query,
     the result is bit-identical to ``pq_topk`` restricted to that
-    query's probed cells with the same codebooks."""
+    query's probed cells with the same codebooks.
+
+    Checkpoint hygiene: NOTHING is pinned — the probed-cell set comes
+    from a separate cheap argmax kernel (``_cell_assign_fn``, same
+    ``_nearest_cells`` math) and the ADC-table kernel runs lazily
+    inside the cogroup. The earlier eager-checkpoint design pinned one
+    query-sized RDD per probe call for the session lifetime — the
+    exact degradation SCALING.md measures (2.5→14 s over eight calls);
+    the price here is scanning the (request-sized) query frame twice,
+    which is kilobytes against a corpus-sized index."""
     import numpy as np
 
     centroids = _load_centroids(spark, path)
@@ -1277,10 +1325,14 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
 
     qry = (queries.select("vec_id", "embedding")
            .mapInPandas(cells_and_tables,
-                        "query_id long, cell int, tbl array<double>")
-           .localCheckpoint(eager=True))  # reused: probed set + cogroup
+                        "query_id long, cell int, tbl array<double>"))
+    # probed set via the cheap cells-only kernel (no ADC tables, no
+    # checkpoint) — same _nearest_cells math, so the sets agree
     probed = sorted(r["cell"]
-                    for r in qry.select("cell").distinct().collect())
+                    for r in queries.select("vec_id", "embedding")
+                    .mapInPandas(_cell_assign_fn(centroids, n_probe),
+                                 "vec_id long, cell int")
+                    .select("cell").distinct().collect())
 
     codes_scan = (spark.read.parquet(path + "/cells")
                   .where(F.col("cell").isin(probed))

@@ -149,10 +149,15 @@ def _es_clause(f, field_types: dict | None):
             return {"bool": {"must_not": [inner]}}
         # SQL negation of a value comparison is NULL-REJECTING; ES
         # must_not alone would match missing-field docs, so AND an
-        # exists guard on the child's column
+        # exists guard on the child's column. A child without a
+        # single-column .attribute (e.g. Not(Not(x)) that Catalyst
+        # left un-normalized) stays Spark-side rather than erroring.
+        child_attr = getattr(child, "attribute", None)
+        if child_attr is None or len(child_attr) != 1:
+            return None
         return {"bool": {"must_not": [inner],
                          "filter": [{"exists":
-                                     {"field": child.attribute[0]}}]}}
+                                     {"field": child_attr[0]}}]}}
     attr = getattr(f, "attribute", None)
     if attr is None or len(attr) != 1:
         return None  # nested paths → Spark-side

@@ -724,6 +724,42 @@ def test_ivfpq_probe_plan_prunes_partitions_and_columns(spark, embeddings,
     assert a == b
 
 
+def test_ivf_builds_run_no_extra_probe_jobs(spark, embeddings, tmp_path):
+    """Build-path job budget: the k-means init fetch doubles as the
+    emptiness probe, so the builds must not spend a separate Spark job
+    on a ``.first()`` check (the r5 ann_lsh_topk fix, applied to the
+    index builders in r6). Counts pinned from a measured run — a
+    reintroduced probe job bumps them by one and fails here."""
+    sc = spark.sparkContext
+    emb = embeddings.localCheckpoint(eager=True)
+    sc.setJobGroup("build_ivfpq", "jobcount")
+    similarity.build_ivfpq_index(emb, str(tmp_path / "jc_pq"), n_cells=8)
+    n_pq = len(sc.statusTracker().getJobIdsForGroup("build_ivfpq"))
+    sc.setJobGroup("build_ivf", "jobcount")
+    similarity.build_ivf_index(emb, str(tmp_path / "jc_ivf"), n_cells=8)
+    n_ivf = len(sc.statusTracker().getJobIdsForGroup("build_ivf"))
+    sc.setJobGroup("default", "")
+    assert n_pq <= 11, f"ivfpq build ran {n_pq} jobs (budget 11)"
+    assert n_ivf <= 9, f"ivf build ran {n_ivf} jobs (budget 9)"
+
+
+def test_ivfpq_probe_pins_no_rdds(spark, embeddings, tmp_path):
+    """Serving hygiene: a probe is a per-request call — it must leave
+    ZERO persisted/checkpointed RDDs behind (the eager-checkpoint
+    design pinned one per call for the session lifetime, the 2.5→14 s
+    degradation SCALING.md measures for leaked checkpoint blocks)."""
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids)
+    path = str(tmp_path / "ivfpq")
+    similarity.build_ivfpq_index(embeddings, path, n_cells=8)
+    queries = embeddings.where(F.col("vec_id") < 3)
+    before = persistent_rdd_ids(spark)
+    for _ in range(3):
+        similarity.ivfpq_probe_topk(spark, path, queries,
+                                    k=5, n_probe=2).collect()
+    assert persistent_rdd_ids(spark) - before == set()
+
+
 def test_ivfpq_recall_and_empty_inputs(spark, embeddings, tmp_path):
     """IVF-PQ is doubly approximate (cell restriction + PQ shortlist) —
     still must recover most true neighbors at generous probe width, and

@@ -163,3 +163,39 @@ def test_stream_ivfpq_torn_bootstrap_params_read_as_untrained(
     os.makedirs(str(tmp_path / "tornmeta" / "meta"))
     assert similarity._load_ivfpq_residual(
         spark, str(tmp_path / "tornmeta")) is False
+
+
+def test_batch_append_onto_stream_layout_is_refused(spark, sf_oracle,
+                                                    tmp_path):
+    """A stream-built index lays files as cells/epoch=K/cell=N; a batch
+    append would write cells/cell=N next to them — parameter loading
+    succeeds, so without the guard the append is silently accepted and
+    every later probe read of {path}/cells dies on mixed partition
+    depths. The guard must refuse BEFORE any write, leaving the index
+    byte-identical and probes working."""
+    emb = (load_table(spark, sf_oracle, "embeddings")
+           .select("vec_id", "embedding"))
+    queries = emb.where(F.col("vec_id") < 5)
+    src, index, ckpt = _paths(tmp_path, "guard")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(src)
+    ivfpq_ingest_stream(spark, src, index, ckpt, n_cells=8)
+    before = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+              for r in similarity.ivfpq_probe_topk(
+                  spark, index, queries, k=5).collect()}
+    with pytest.raises(ValueError, match="streaming ingest"):
+        similarity.ivfpq_index_append(
+            spark, index, emb.where(F.col("vec_id") % 2 == 1))
+    # the cell store is untouched and still serves
+    after = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+             for r in similarity.ivfpq_probe_topk(
+                 spark, index, queries, k=5).collect()}
+    assert after == before
+    # same guard on the plain-IVF append (shared layout contract)
+    from s3_elasticsearch_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_ingest_stream)
+    src2, index2, ckpt2 = _paths(tmp_path, "guard_ivf")
+    emb.where(F.col("vec_id") % 2 == 0).write.parquet(src2)
+    ivf_ingest_stream(spark, src2, index2, ckpt2, n_cells=8)
+    with pytest.raises(ValueError, match="streaming ingest"):
+        similarity.ivf_index_append(
+            spark, index2, emb.where(F.col("vec_id") % 2 == 1))
