@@ -85,8 +85,23 @@ def count_mismatches(source: DataFrame, sink: DataFrame,
 
     Returns ``(key, source_cnt, sink_cnt)``.
     """
-    a = partition_counts(source, key).withColumnRenamed("cnt", "source_cnt")
     b = partition_counts(sink, key).withColumnRenamed("cnt", "sink_cnt")
+    return count_mismatches_against_counts(source, b, key)
+
+
+def count_mismatches_against_counts(source: DataFrame,
+                                    sink_counts: DataFrame,
+                                    key: str = "month") -> DataFrame:
+    """J4 against a PRE-AGGREGATED sink: ``sink_counts`` is
+    ``(key, sink_cnt)`` — e.g. the buckets of a wire-level terms
+    aggregation (``sources.es_http.es_terms_counts``) or a load-log
+    state table — so the sink side never materializes row-level data.
+    Same contract as :func:`count_mismatches`."""
+    a = partition_counts(source, key).withColumnRenamed("cnt", "source_cnt")
+    key_type = source.schema[key].dataType
+    b = sink_counts.select(
+        F.col(key).cast(key_type).alias(key),
+        F.col("sink_cnt").cast("long").alias("sink_cnt"))
     joined = a.join(b, key, "full_outer")
     src_cnt = F.coalesce(F.col("source_cnt"), F.lit(0))
     snk_cnt = F.coalesce(F.col("sink_cnt"), F.lit(0))

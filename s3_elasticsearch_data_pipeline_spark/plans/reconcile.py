@@ -92,27 +92,56 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
     ``ID-based-transfer.py`` job with both ends on HTTP and all heavy
     work on executors:
 
-        sink state   = parallel sliced-keyset read of the live index
-                       (``sources.es_http``) — not a driver page loop;
+        sink counts  = terms aggregation computed INSIDE Elasticsearch
+                       (``es_terms_counts`` — composite agg with
+                       ``after_key`` paging), ~one bucket per partition
+                       over the wire, exactly the reference's
+                       ``data-s3-elastic-transfer.py:51-68`` shape;
         mismatches   = J4 full-outer count compare per partition;
-        missing ids  = J2 anti-join pruned to mismatched partitions;
+        missing ids  = J2 anti-join pruned to mismatched partitions —
+                       only HERE does the live index get scanned
+                       (parallel sliced-keyset read, not a driver page
+                       loop), so the common scheduled no-mismatch run
+                       issues ONE composite-agg request and ZERO scans;
         repair       = J3 semi-join fetch → executor-parallel ``_bulk``
                        re-index keyed by ``id`` (idempotent re-runs).
 
-    A second run finds no mismatches — same add-only semantics as the
-    parquet-sink reconcile.
+    The agg pushdown is MAPPING-GATED like the filter pushdown: a key
+    field that is analyzed text (or an unreadable mapping) falls back
+    to aggregating the sliced scan in Spark — same counts, full-scan
+    cost. A second run finds no mismatches — same add-only semantics as
+    the parquet-sink reconcile.
     """
     from s3_elasticsearch_data_pipeline_spark.sinks import es_wire
     from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        _AGGREGATABLE_ES_TYPES, _fetch_field_types, es_terms_counts,
         read_es_index)
+    from s3_elasticsearch_data_pipeline_spark.operators.diff import (
+        count_mismatches_against_counts)
+
     # read parallelism follows the cluster unless pinned by the caller
     # (a fixed small default would cap a 1000-executor scan at 4 tasks)
-    sink = read_es_index(spark, es_url, index, nslices=nslices)
+    def sink_scan():
+        return read_es_index(spark, es_url, index, nslices=nslices)
 
-    mismatch_keys = [r[0] for r in
-                     count_mismatches(source, sink, key).select(key).collect()]
+    sink = None
+    key_type = (_fetch_field_types(es_url, index, timeout_s=10.0)
+                or {}).get(key)
+    if key_type in _AGGREGATABLE_ES_TYPES:
+        buckets = es_terms_counts(es_url, index, key)
+        sink_counts = spark.createDataFrame(
+            [(str(k), int(n)) for k, n in buckets],
+            f"{key} string, sink_cnt long")
+        mismatch = count_mismatches_against_counts(source, sink_counts,
+                                                   key)
+    else:
+        sink = sink_scan()
+        mismatch = count_mismatches(source, sink, key)
+    mismatch_keys = [r[0] for r in mismatch.select(key).collect()]
     if not mismatch_keys:
         return ReconcileReport()
+    if sink is None:
+        sink = sink_scan()
     pred = F.col(key).isin(mismatch_keys)
     todo_ids = missing_ids(source, sink, id_col, partition_pred=pred)
     repair = fetch_rows_for_ids(source, todo_ids, id_col,

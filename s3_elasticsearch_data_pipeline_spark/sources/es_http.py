@@ -251,6 +251,53 @@ def delete_pit(url: str, pit_id: str, timeout_s: float = 10.0) -> bool:
         return False
 
 
+#: ES field types a terms aggregation can group on exactly — doc-values
+#: types whose stored value IS the grouping key. ``text`` is absent for
+#: the same reason it can't take pushed terms (analyzed per-token; real
+#: ES additionally rejects the agg outright with fielddata disabled).
+_AGGREGATABLE_ES_TYPES = _NUMERIC_ES_TYPES | frozenset(
+    {"keyword", "boolean", "date", "ip"})
+
+
+def es_terms_counts(url: str, index: str, field: str,
+                    page_size: int = 1000, timeout_s: float = 30.0,
+                    max_retries: int = 4,
+                    backoff_s: float = 0.5) -> list[tuple]:
+    """Per-value doc counts for ``field`` computed INSIDE Elasticsearch
+    — the reference's sink-state terms aggregation
+    (``data-s3-elastic-transfer.py:51-68``, ``ID-based-transfer.py:
+    65-88``) done right: a ``composite`` aggregation with ``after_key``
+    paging instead of a capped ``terms`` agg, so >10k distinct values
+    work and only the buckets ever cross the wire (~bytes per distinct
+    value, vs the full index for a scan-side aggregate).
+
+    Driver-side by design: the result is bucket-sized (one row per
+    distinct value), not corpus-sized — this is the one wire read that
+    is CHEAPER as an HTTP loop than as a distributed scan. Returns
+    ``[(value, count), ...]`` sorted ascending by value. Retries follow
+    the shared 5xx/429 policy; a 400 (e.g. aggregating an analyzed
+    text field) raises immediately — callers gate on the mapping via
+    :func:`_fetch_field_types` / ``_AGGREGATABLE_ES_TYPES`` and fall
+    back to the scan path."""
+    out: list[tuple] = []
+    after = None
+    while True:
+        comp: dict = {"size": page_size,
+                      "sources": [{"k": {"terms": {"field": field}}}]}
+        if after is not None:
+            comp["after"] = after
+        resp = _post_json(
+            f"{url.rstrip('/')}/{index}/_search",
+            {"size": 0, "aggs": {"counts": {"composite": comp}}},
+            timeout_s, max_retries, backoff_s)
+        agg = (resp.get("aggregations") or {}).get("counts") or {}
+        buckets = agg.get("buckets") or []
+        out.extend((b["key"]["k"], b["doc_count"]) for b in buckets)
+        after = agg.get("after_key")
+        if after is None or len(buckets) < page_size:
+            return out
+
+
 class ESHttpReader(DataSourceReader):
     def __init__(self, options, schema_fields, default_nslices: int):
         self.url = options["url"]

@@ -72,6 +72,30 @@ def _matches(query: dict, _id: str, doc: dict) -> bool:
     raise ValueError(f"stub: unsupported query kind {kind!r}")
 
 
+def _stub_field_type(srv, index: str, field: str) -> str | None:
+    """The mapping type a real cluster would report for ``field`` —
+    explicit mapping if the index was created with one, else the same
+    dynamic inference ``GET /_mapping`` models (strings → analyzed
+    text)."""
+    mappings = srv.index_mappings.get(index)
+    if mappings is not None:
+        spec = (mappings.get("properties") or {}).get(field)
+        return spec.get("type") if isinstance(spec, dict) else None
+    for doc in srv.store.get(index, {}).values():
+        v = doc.get(field)
+        if v is None:
+            continue
+        if isinstance(v, bool):
+            return "boolean"
+        if isinstance(v, int):
+            return "long"
+        if isinstance(v, float):
+            return "float"
+        if isinstance(v, str):
+            return "text"
+    return None
+
+
 class _Handler(BaseHTTPRequestHandler):
     def log_message(self, *args):  # silence request logging
         pass
@@ -165,6 +189,9 @@ class _Handler(BaseHTTPRequestHandler):
             return k if sort_field == "_id" else doc.get(sort_field)
 
         query = body.get("query") or {"match_all": {}}
+        if body.get("aggs") or body.get("aggregations"):
+            self._handle_composite_agg(index, body, store, query)
+            return
         rows = sorted(((k, d) for k, d in store.items()
                        if _matches(query, k, d)), key=key)
         if sl is not None:
@@ -184,6 +211,58 @@ class _Handler(BaseHTTPRequestHandler):
         self.send_header("Content-Length", str(len(resp)))
         self.end_headers()
         self.wfile.write(resp)
+
+    def _handle_composite_agg(self, index: str, body: dict, store: dict,
+                              query: dict):
+        """``composite`` aggregation over a single ``terms`` source —
+        the bucket-paging protocol real ES uses past the terms-agg size
+        cap: buckets sorted ascending by key, ``after`` resumes
+        strictly past a key, ``after_key`` echoes the last returned
+        bucket. Like a real cluster, aggregating an analyzed ``text``
+        field is rejected with 400 (fielddata is disabled), and docs
+        missing the field are skipped (missing_bucket defaults off)."""
+        aggs = body.get("aggs") or body.get("aggregations")
+        try:
+            (name, spec), = aggs.items()
+            comp = spec["composite"]
+            (src_spec,) = comp["sources"]
+            (src_name, src_def), = src_spec.items()
+            field = src_def["terms"]["field"]
+        except (KeyError, ValueError, TypeError):
+            self._error(400, "parsing_exception",
+                        "stub: only a single composite terms-source "
+                        "aggregation is supported")
+            return
+        with self.server.lock:
+            ftype = _stub_field_type(self.server, index, field)
+        if ftype == "text":
+            self._error(400, "illegal_argument_exception",
+                        f"Text fields are not optimised for operations "
+                        f"that require per-document field data like "
+                        f"aggregations and sorting, so these operations "
+                        f"are disabled by default. [{field}]")
+            return
+        counts: dict = {}
+        for k, d in store.items():
+            if not _matches(query, k, d):
+                continue
+            v = d.get(field)
+            if v is None:
+                continue
+            counts[v] = counts.get(v, 0) + 1
+        keys = sorted(counts)
+        after = comp.get("after")
+        if after is not None:
+            keys = [k for k in keys if k > after[src_name]]
+        page = keys[:int(comp.get("size", 10))]
+        buckets = [{"key": {src_name: k}, "doc_count": counts[k]}
+                   for k in page]
+        agg_resp = {"buckets": buckets}
+        if buckets:
+            agg_resp["after_key"] = buckets[-1]["key"]
+        self._send_json({"took": 1, "timed_out": False,
+                         "hits": {"hits": []},
+                         "aggregations": {name: agg_resp}})
 
     def _send_json(self, obj, status: int = 200):
         resp = json.dumps(obj).encode()

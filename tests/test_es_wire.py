@@ -538,6 +538,93 @@ def test_es_http_source_feeds_sink_state_diff(spark, docs_df, tmp_path):
     assert todo == months[2:]
 
 
+def _scan_bodies(stub):
+    """The recorded ``_search`` bodies that are document SCANS (sorted
+    keyset pages / sliced reads), as opposed to aggregation-only
+    requests (size 0 + aggs)."""
+    with stub.server.lock:
+        bodies = list(stub.server.search_bodies)
+    return [(i, b) for i, b in bodies
+            if not (b.get("aggs") or b.get("aggregations"))]
+
+
+def test_es_terms_counts_pages_with_after_key(spark, docs_df):
+    """The composite agg must page past its bucket size via after_key
+    and return exact per-value counts — the >10k-bucket case the
+    reference's capped terms agg silently truncates."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        es_terms_counts)
+    expected = {r["month"]: r["cnt"] for r in
+                docs_df.groupBy("month").agg(
+                    F.count(F.lit(1)).alias("cnt")).collect()}
+    assert len(expected) > 3  # paging below must actually page
+    with ESStub() as stub:
+        es_wire.create_index(stub.url, "serving", docs_df.schema)
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id",
+                         **FAST)
+        got = es_terms_counts(stub.url, "serving", "month", page_size=3)
+        n_agg_requests = len(stub.server.search_bodies)
+    assert dict(got) == expected
+    assert [k for k, _ in got] == sorted(expected)  # ascending contract
+    assert n_agg_requests >= 2  # after_key paging engaged
+    # analyzed text field → real ES rejects the agg with 400
+    import urllib.error
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "dynamic", id_col="id",
+                         **FAST)  # dynamic mapping: month becomes text
+        with pytest.raises(urllib.error.HTTPError):
+            es_terms_counts(stub.url, "dynamic", "month")
+
+
+def test_reconcile_wire_no_mismatch_issues_zero_scans(spark, docs_df):
+    """THE reason the agg pushdown exists: the scheduled no-mismatch
+    reconcile against a keyword-mapped index must issue only composite
+    aggregation requests — ZERO document-scan ``_search`` bodies (the
+    reference gets its sink state from an in-ES terms agg; a 10B-doc
+    index must not pay a full HTTP scan for ~20 buckets)."""
+    from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+        reconcile_wire)
+    with ESStub() as stub:
+        es_wire.create_index(stub.url, "serving", docs_df.schema)
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id",
+                         **FAST)
+        rep = reconcile_wire(spark, docs_df, stub.url, "serving", **FAST)
+        assert rep == type(rep)()  # clean
+        assert _scan_bodies(stub) == [], \
+            "no-mismatch reconcile must not scan the live index"
+        with stub.server.lock:
+            assert any(b.get("aggs")
+                       for _, b in stub.server.search_bodies), \
+                "sink counts must come from the pushed-down terms agg"
+
+
+def test_reconcile_wire_agg_mismatch_path_repairs(spark, docs_df):
+    """With the agg pushdown active, the DAMAGE path must behave
+    exactly like the scan-side compare: same mismatched partitions,
+    same repaired rows, clean (and again scan-free) second run."""
+    from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+        reconcile_wire)
+    with ESStub() as stub:
+        es_wire.create_index(stub.url, "serving", docs_df.schema)
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id",
+                         **FAST)
+        victim = docs_df.first()["month"]
+        doomed = [r["id"] for r in
+                  docs_df.where(F.col("month") == victim).limit(7).collect()]
+        with stub.server.lock:
+            for k in doomed:
+                del stub.store["serving"][k]
+        rep = reconcile_wire(spark, docs_df, stub.url, "serving", **FAST)
+        assert rep.mismatched_partitions == [victim]
+        assert rep.rows_repaired == len(doomed)
+        assert len(stub.store["serving"]) == docs_df.count()
+        with stub.server.lock:
+            stub.server.search_bodies.clear()
+        rep2 = reconcile_wire(spark, docs_df, stub.url, "serving", **FAST)
+        assert rep2 == type(rep2)()
+        assert _scan_bodies(stub) == []  # clean rerun is agg-only again
+
+
 def test_reconcile_wire_full_lifecycle(spark, docs_df):
     """Lifecycle B entirely over HTTP: damage the index (drop rows from
     one month), reconcile_wire restores exactly those rows via wire
