@@ -414,17 +414,21 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
            .join(queries.select(F.col("vec_id"),
                                 F.col("embedding").cast("array<double>")
                                 .alias("query_vec")), "vec_id")
-           .select(F.col("vec_id").alias("query_id"), "cell", "query_vec")
-           .localCheckpoint(eager=True))  # reused: probed-cell set + join
-    # the probed-cell union is ≤ n_cells ints — a driver-safe scalar
-    # set that becomes a STATIC partition filter on the index scan
-    probed = sorted(r["cell"] for r in qry.select("cell").distinct().collect())
-    # serving-sized QUERY counts broadcast; larger ones shuffle-join.
-    # Count distinct queries, not the n_probe-expanded rows — the cap
-    # is defined in queries, same unit as the other two ANN paths
-    # (cheap: a cached-block scan of the checkpointed frame).
-    nq = qry.select("query_id").distinct().count()
-    hint = F.broadcast if nq <= MAX_DRIVER_QUERIES else (lambda d: d)
+           .select(F.col("vec_id").alias("query_id"), "cell", "query_vec"))
+    # ONE scalar-aggregate job yields both driver-side decisions — the
+    # probed-cell union (≤ n_cells ints → a STATIC partition filter on
+    # the index scan) and the distinct query count (the broadcast-cap
+    # unit, defined in queries not n_probe-expanded rows). No eager
+    # checkpoint: a probe is a per-request call and must pin nothing
+    # (ivfpq_probe_topk discipline); the assign kernel re-runs lazily
+    # in the final plan, kilobytes of query frame against a corpus-
+    # sized index read.
+    stats = query_cells.agg(
+        F.count_distinct("vec_id").alias("nq"),
+        F.collect_set("cell").alias("cells")).collect()[0]
+    probed = sorted(stats["cells"])
+    hint = (F.broadcast if stats["nq"] <= MAX_DRIVER_QUERIES
+            else (lambda d: d))
     cand = (spark.read.parquet(path + "/cells")
             .where(F.col("cell").isin(probed))
             .select(F.col("vec_id").alias("neighbor_id"), "cell",

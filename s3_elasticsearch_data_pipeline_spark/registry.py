@@ -658,6 +658,75 @@ FROM ranked WHERE rank <= 10
 """
 
 
+def _ivf_oracle_sql(train_pred: str = "TRUE") -> str:
+    """DuckDB twin of the IVF family: UNROLL the deterministic k-means
+    training (init = 16 lowest vec_ids of the TRAINING set, 2 Lloyd
+    rounds, cosine assignment with ties to the lowest cell, centroid
+    update = round(avg, 6) per dim, memberless cells keep their
+    previous centroid — exactly ``similarity._kmeans_centroids``), then
+    replay assignment/probing/rerank in SQL. ``train_pred`` restricts
+    the TRAINING corpus (the incremental/streaming paths train on the
+    even half and append the rest against the persisted centroids —
+    FAISS add-after-train — so assignment still covers all vectors).
+    Same chained-CTE unrolling trick as the BPE trainer oracle; the
+    cosine expression is the hash-matched _BRUTE_TOPK_ORACLE form."""
+    assign = """
+  SELECT vec_id, emb, cell FROM (
+    SELECT v.vec_id, v.emb, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(v.emb, c.cen)
+             / (sqrt(list_inner_product(v.emb, v.emb))
+                * sqrt(list_inner_product(c.cen, c.cen))) DESC,
+             c.cell) AS rn
+    FROM {vecs} v CROSS JOIN {cents} c{qfilter})
+  WHERE rn {take}"""
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+tvecs AS (SELECT * FROM vecs WHERE {train_pred}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cen
+  FROM tvecs ORDER BY vec_id LIMIT 16),
+a1 AS ({assign.format(vecs='tvecs', cents='c0', qfilter='', take='= 1')}),
+u1 AS (
+  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
+  FROM a1, (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY cell, dd.d),
+u1l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u1 GROUP BY cell),
+c1 AS (SELECT c0.cell, coalesce(u1l.cen, c0.cen) AS cen
+       FROM c0 LEFT JOIN u1l USING (cell)),
+a2 AS ({assign.format(vecs='tvecs', cents='c1', qfilter='', take='= 1')}),
+u2 AS (
+  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
+  FROM a2, (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY cell, dd.d),
+u2l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u2 GROUP BY cell),
+c2 AS (SELECT c1.cell, coalesce(u2l.cen, c1.cen) AS cen
+       FROM c1 LEFT JOIN u2l USING (cell)),
+corpus AS ({assign.format(vecs='vecs', cents='c2', qfilter='', take='= 1')}),
+qprobe AS ({assign.format(vecs='vecs', cents='c2',
+                          qfilter=' WHERE v.vec_id < 10', take='<= 4')}),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_inner_product(q.emb, n.emb)
+         / (sqrt(list_inner_product(q.emb, q.emb))
+            * sqrt(list_inner_product(n.emb, n.emb))) AS raw_sim
+  FROM qprobe q JOIN corpus n USING (cell)
+  WHERE n.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+_IVF_TOPK_ORACLE = _ivf_oracle_sql()
+_IVF_EVEN_TRAIN_ORACLE = _ivf_oracle_sql("vec_id % 2 = 0")
+
+
 @register("sim_topk_bruteforce", _BRUTE_TOPK_ORACLE)
 def q_sim_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for query vectors vec_id<10 — broadcast
@@ -2088,7 +2157,7 @@ def q_stream_session_window(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"), gap_minutes=30)
 
 
-@register("sim_topk_ivf", None)  # approximate by design → rows-only
+@register("sim_topk_ivf", _IVF_TOPK_ORACLE)  # unrolled k-means CTE twin
 def q_sim_topk_ivf(spark, sf_dir):
     """IVF cell-probing ANN — the partition-pruning scale path."""
     emb = _t(spark, sf_dir, "embeddings")
@@ -2111,7 +2180,7 @@ def _ivf_scratch(sf_dir: str, flavor: str) -> str:
     return _IVF_SCRATCH[key]
 
 
-@register("sim_ivf_persisted", None)  # approximate + index build → rows-only
+@register("sim_ivf_persisted", _IVF_TOPK_ORACLE)  # build+probe ≡ inline (tested)
 def q_sim_ivf_persisted(spark, sf_dir):
     """Build-once/probe-many IVF: persist the cell-partitioned index +
     centroid table into a scratch dir, then answer top-k purely from
@@ -2173,7 +2242,7 @@ def q_sim_ivfpq_residual(spark, sf_dir):
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register("sim_ivf_incremental", None)  # approximate + index build → rows-only
+@register("sim_ivf_incremental", _IVF_EVEN_TRAIN_ORACLE)  # even-half-trained twin
 def q_sim_ivf_incremental(spark, sf_dir):
     """The IVF ingest loop: train+build on the existing half of the
     corpus, APPEND the new half against the persisted centroids (no
@@ -3186,7 +3255,7 @@ def q_stream_ivfpq_ingest(spark, sf_dir):
         spark, index, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register("stream_ivf_ingest", None)  # approximate + streaming → rows-only
+@register("stream_ivf_ingest", _IVF_EVEN_TRAIN_ORACLE)  # ≡ build(even)+append(odd), tested
 def q_stream_ivf_ingest(spark, sf_dir):
     """Streaming vector-index ingest: two embedding drops flow through
     the checkpointed IVF ingest loop (streaming/ivf_ingest.py) — the

@@ -753,10 +753,14 @@ def test_ivfpq_probe_pins_no_rdds(spark, embeddings, tmp_path):
     path = str(tmp_path / "ivfpq")
     similarity.build_ivfpq_index(embeddings, path, n_cells=8)
     queries = embeddings.where(F.col("vec_id") < 3)
+    ivf_path = str(tmp_path / "ivf")
+    similarity.build_ivf_index(embeddings, ivf_path, n_cells=8)
     before = persistent_rdd_ids(spark)
     for _ in range(3):
         similarity.ivfpq_probe_topk(spark, path, queries,
                                     k=5, n_probe=2).collect()
+        similarity.ivf_probe_topk(spark, ivf_path, queries,
+                                  k=5, n_probe=2).collect()
     assert persistent_rdd_ids(spark) - before == set()
 
 
