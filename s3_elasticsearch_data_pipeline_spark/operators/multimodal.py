@@ -165,21 +165,19 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png(width: int, height: int, pixels: bytes,
-               channels: int = 3) -> bytes:
-    """Minimal-but-real PNG encoder (8-bit gray/RGB, non-interlaced):
-    each scanline gets filter type ``y % 5`` — deliberately cycling
-    through None/Sub/Up/Average/Paeth so round-trip tests exercise
-    every unfilter branch of :func:`_decode_png`, not just the trivial
-    one. IDAT is stdlib zlib."""
-    import struct
-    import zlib
-    if channels not in (1, 3):
-        raise ValueError("channels must be 1 (gray) or 3 (RGB)")
-    if len(pixels) != width * height * channels:
-        raise ValueError("pixel buffer size mismatch")
-    bpp = channels
-    stride = width * channels
+#: channel count → IHDR color type (RFC 2083 §4.1.1): gray,
+#: gray+alpha, truecolor, truecolor+alpha. Palette (type 3) is a
+#: separate encoder entry point (it carries a PLTE chunk).
+_PNG_COLOR_TYPE = {1: 0, 2: 4, 3: 2, 4: 6}
+_PNG_CHANNELS = {0: 1, 4: 2, 2: 3, 6: 4}
+
+
+def _png_filter_raster(width: int, height: int, pixels: bytes,
+                       bpp: int) -> bytes:
+    """Forward-filter a raster for IDAT, scanline filter ``y % 5`` —
+    deliberately cycling None/Sub/Up/Average/Paeth so round-trip tests
+    exercise every unfilter branch of :func:`_decode_png`."""
+    stride = width * bpp
     raw = bytearray()
     prev = bytes(stride)
     for y in range(height):
@@ -202,26 +200,120 @@ def encode_png(width: int, height: int, pixels: bytes,
             else:
                 raw.append((x - _paeth(a, b, c)) & 0xFF)
         prev = row
-    color_type = 0 if channels == 1 else 2
-    ihdr = struct.pack(">IIBBBBB", width, height, 8, color_type, 0, 0, 0)
+    return bytes(raw)
+
+
+def encode_png(width: int, height: int, pixels: bytes,
+               channels: int = 3) -> bytes:
+    """Minimal-but-real PNG encoder (8-bit, non-interlaced; gray,
+    gray+alpha, RGB, or RGBA by ``channels``). IDAT is stdlib zlib."""
+    import struct
+    import zlib
+    if channels not in _PNG_COLOR_TYPE:
+        raise ValueError("channels must be 1/2/3/4 "
+                         "(gray/gray+alpha/RGB/RGBA)")
+    if len(pixels) != width * height * channels:
+        raise ValueError("pixel buffer size mismatch")
+    raw = _png_filter_raster(width, height, pixels, channels)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8,
+                       _PNG_COLOR_TYPE[channels], 0, 0, 0)
     return (PNG_SIGNATURE
             + _png_chunk(b"IHDR", ihdr)
-            + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + _png_chunk(b"IDAT", zlib.compress(raw))
             + _png_chunk(b"IEND", b""))
 
 
+def encode_png_palette(width: int, height: int, indices: bytes,
+                       palette: bytes) -> bytes:
+    """Indexed-color PNG (color type 3): one palette index per pixel,
+    PLTE carries the RGB triples. Filtering operates on the index
+    bytes (bpp = 1), exactly what :func:`_decode_png` unfilters before
+    palette expansion."""
+    import struct
+    import zlib
+    if len(indices) != width * height:
+        raise ValueError("index buffer size mismatch")
+    if not palette or len(palette) % 3 or len(palette) > 256 * 3:
+        raise ValueError("palette must be 1..256 RGB triples")
+    if max(indices) * 3 >= len(palette):
+        raise ValueError("palette index out of range")
+    raw = _png_filter_raster(width, height, indices, 1)
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 3, 0, 0, 0)
+    return (PNG_SIGNATURE
+            + _png_chunk(b"IHDR", ihdr)
+            + _png_chunk(b"PLTE", palette)
+            + _png_chunk(b"IDAT", zlib.compress(raw))
+            + _png_chunk(b"IEND", b""))
+
+
+def _png_unfilter(raw: bytes, height: int, stride: int,
+                  bpp: int) -> bytes:
+    """Reverse the adaptive scanline filters (RFC 2083 §6) with numpy
+    per scanline: None/Up are whole-row uint8 adds (wraparound IS mod
+    256), Sub is a per-lane cumulative sum (rec[i] = Σ line mod 256 —
+    the recurrence is linear, so one cumsum per row replaces the byte
+    loop), and only Average/Paeth — whose (a+b)//2 / predictor
+    branches are non-linear in the running value — keep a sequential
+    per-pixel loop. The r5 decoder interpreted all five filters one
+    byte at a time; on a real (Paeth-favoring) corpus the sequential
+    rows still dominate, but encoder-typical None/Sub/Up rows now cost
+    O(rows) numpy calls instead of O(pixels) interpreter dispatches."""
+    import numpy as np
+    arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
+    ftypes = arr[:, 0]
+    if height and int(ftypes.max()) > 4:
+        bad = int(ftypes[ftypes > 4][0])
+        raise ValueError(f"PNG filter type {bad} invalid")
+    out = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    npix = stride // bpp
+    for y in range(height):
+        f = int(ftypes[y])
+        line = arr[y, 1:]
+        if f == 0:
+            rec = line.copy()
+        elif f == 2:
+            rec = line + prev  # uint8 wraparound == mod 256
+        elif f == 1:
+            rec = (np.cumsum(line.reshape(npix, bpp), axis=0,
+                             dtype=np.uint32)
+                   .astype(np.uint8).reshape(stride))
+        else:  # 3 (Average) / 4 (Paeth): sequential chain along x
+            ln, pv = line.tolist(), prev.tolist()
+            rec_l = [0] * stride
+            if f == 3:
+                for i in range(stride):
+                    a = rec_l[i - bpp] if i >= bpp else 0
+                    rec_l[i] = (ln[i] + (a + pv[i]) // 2) & 0xFF
+            else:
+                for i in range(stride):
+                    a = rec_l[i - bpp] if i >= bpp else 0
+                    c = pv[i - bpp] if i >= bpp else 0
+                    rec_l[i] = (ln[i] + _paeth(a, pv[i], c)) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.uint8)
+        out[y] = rec
+        prev = rec
+    return out.tobytes()
+
+
 def _decode_png(payload: bytes) -> dict:
-    """8-bit gray/RGB non-interlaced PNG decode (RFC 2083): verify
-    chunk CRCs, inflate the IDAT stream, unfilter every scanline
-    (all five filter types). Unsupported color types / bit depths /
-    interlacing raise ``NotImplementedError`` (real unsupported-codec
-    guards, same contract as the BMP/PNM branches); structural damage
-    (bad CRC, truncation, size mismatch) raises ``ValueError``."""
+    """8-bit non-interlaced PNG decode (RFC 2083): verify chunk CRCs,
+    inflate the IDAT stream, unfilter every scanline (numpy —
+    :func:`_png_unfilter`), expand indexed color through PLTE. Color
+    types 0/2/3/4/6 (gray, RGB, palette, gray+alpha, RGBA) are
+    supported; palette images decode to ``channels=3`` RGB, alpha
+    types keep the alpha as a trailing channel. Ancillary chunks
+    (tRNS included) are CRC-checked and skipped. Unsupported bit
+    depths / interlacing raise ``NotImplementedError`` (real
+    unsupported-codec guards, same contract as the BMP/PNM branches);
+    structural damage (bad CRC, truncation, size mismatch, missing or
+    short PLTE) raises ``ValueError``."""
     import struct
     import zlib
     pos = len(PNG_SIGNATURE)
     ihdr = None
     idat = bytearray()
+    plte = None
     seen_end = False
     while pos < len(payload):
         if pos + 8 > len(payload):
@@ -239,6 +331,10 @@ def _decode_png(payload: bytes) -> dict:
                 raise ValueError(   # ValueError/NotImplemented contract
                     f"PNG IHDR length {len(data)} != 13")
             ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"PLTE":
+            if not data or len(data) % 3 or len(data) > 256 * 3:
+                raise ValueError("PNG PLTE must be 1..256 RGB triples")
+            plte = data
         elif ctype == b"IDAT":
             idat += data
         elif ctype == b"IEND":
@@ -248,14 +344,14 @@ def _decode_png(payload: bytes) -> dict:
     if ihdr is None or not seen_end:
         raise ValueError("PNG missing IHDR/IEND")
     width, height, depth, color_type, comp, filt, interlace = ihdr
-    if depth != 8 or color_type not in (0, 2):
+    if depth != 8 or color_type not in (0, 2, 3, 4, 6):
         raise NotImplementedError(
-            "only 8-bit grayscale/truecolor PNG without palette/alpha")
+            "only 8-bit PNG color types 0/2/3/4/6")
     if comp != 0 or filt != 0 or interlace != 0:
         raise NotImplementedError(
             "only deflate/adaptive-filter/non-interlaced PNG")
-    channels = 1 if color_type == 0 else 3
-    stride = width * channels
+    bpp = 1 if color_type == 3 else _PNG_CHANNELS[color_type]
+    stride = width * bpp
     try:
         raw = zlib.decompress(bytes(idat))
     except zlib.error as exc:
@@ -265,34 +361,20 @@ def _decode_png(payload: bytes) -> dict:
         raise ValueError(f"PNG IDAT inflate failed: {exc}") from exc
     if len(raw) != (stride + 1) * height:
         raise ValueError("PNG raster size mismatch")
-    bpp = channels
-    out = bytearray()
-    prev = bytes(stride)
-    for y in range(height):
-        ftype = raw[y * (stride + 1)]
-        line = raw[y * (stride + 1) + 1:(y + 1) * (stride + 1)]
-        rec = bytearray(stride)
-        for i in range(stride):
-            x = line[i]
-            a = rec[i - bpp] if i >= bpp else 0
-            b = prev[i]
-            c = prev[i - bpp] if i >= bpp else 0
-            if ftype == 0:
-                rec[i] = x
-            elif ftype == 1:
-                rec[i] = (x + a) & 0xFF
-            elif ftype == 2:
-                rec[i] = (x + b) & 0xFF
-            elif ftype == 3:
-                rec[i] = (x + (a + b) // 2) & 0xFF
-            elif ftype == 4:
-                rec[i] = (x + _paeth(a, b, c)) & 0xFF
-            else:
-                raise ValueError(f"PNG filter type {ftype} invalid")
-        out += rec
-        prev = bytes(rec)
+    pixels = _png_unfilter(raw, height, stride, bpp)
+    if color_type == 3:
+        import numpy as np
+        if plte is None:
+            raise ValueError("PNG color type 3 requires a PLTE chunk")
+        idx = np.frombuffer(pixels, dtype=np.uint8)
+        if len(idx) and int(idx.max()) * 3 >= len(plte):
+            raise ValueError("PNG palette index out of range")
+        table = np.frombuffer(plte, dtype=np.uint8).reshape(-1, 3)
+        return {"width": width, "height": height, "channels": 3,
+                "pixels": table[idx].tobytes()}
+    channels = _PNG_CHANNELS[color_type]
     return {"width": width, "height": height, "channels": channels,
-            "pixels": bytes(out)}
+            "pixels": pixels}
 
 
 # Deterministic generative image: dims and pixel values are pure

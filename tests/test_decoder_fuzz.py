@@ -19,7 +19,9 @@ raw = st.binary(min_size=0, max_size=400)
 # actually runs instead of failing at the magic check
 imagey = st.one_of(raw, st.binary(max_size=200).map(lambda b: b"P6" + b),
                    st.binary(max_size=200).map(lambda b: b"P5" + b),
-                   st.binary(max_size=200).map(lambda b: b"BM" + b))
+                   st.binary(max_size=200).map(lambda b: b"BM" + b),
+                   st.binary(max_size=200).map(
+                       lambda b: mm.PNG_SIGNATURE + b))
 wavy = st.one_of(raw, st.binary(max_size=200).map(
     lambda b: b"RIFF" + b[:4] + b"WAVE" + b[4:]))
 y4my = st.one_of(raw, st.binary(max_size=200).map(
@@ -32,7 +34,7 @@ def test_decode_image_never_escapes(payload):
     try:
         img = mm.decode_image(payload)
         assert img["width"] > 0 and img["height"] > 0
-        assert img["channels"] in (1, 3)
+        assert img["channels"] in (1, 2, 3, 4)
         assert len(img["pixels"]) == (img["width"] * img["height"]
                                       * img["channels"])
     except CAUGHT:
@@ -69,9 +71,20 @@ def test_decode_video_never_escapes(payload):
 def test_truncated_valid_payloads_never_escape(cut, data):
     """Every truncation point of a VALID payload must degrade cleanly
     (the realistic corruption: an interrupted object-store read)."""
-    kind = data.draw(st.sampled_from(["img", "wav", "y4m"]))
+    kind = data.draw(st.sampled_from(
+        ["img", "wav", "y4m", "png", "png_rgba", "png_pal"]))
     if kind == "img":
         full = mm.encode_ppm(4, 3, bytes(range(36)))
+        fn = mm.decode_image
+    elif kind == "png":
+        full = mm.encode_png(4, 3, bytes(range(36)), 3)
+        fn = mm.decode_image
+    elif kind == "png_rgba":
+        full = mm.encode_png(3, 4, bytes(range(48)), 4)
+        fn = mm.decode_image
+    elif kind == "png_pal":
+        full = mm.encode_png_palette(5, 5, bytes(x % 4 for x in range(25)),
+                                     bytes(range(12)))
         fn = mm.decode_image
     elif kind == "wav":
         full = mm.encode_wav(8000, list(range(-20, 20)))

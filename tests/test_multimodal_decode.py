@@ -358,7 +358,8 @@ def test_png_round_trip_all_filters_and_damage(spark):
 
     from s3_elasticsearch_data_pipeline_spark.operators import (
         multimodal as mm)
-    for w, h, ch in [(16, 12, 3), (5, 7, 1), (1, 1, 3), (3, 9, 3)]:
+    for w, h, ch in [(16, 12, 3), (5, 7, 1), (1, 1, 3), (3, 9, 3),
+                     (6, 11, 2), (9, 8, 4)]:  # + gray+alpha, RGBA
         px = bytes((x * 7 + 13 * (x // w) + 31 * (x % ch) + 5) % 256
                    for x in range(w * h * ch))
         blob = mm.encode_png(w, h, px, ch)
@@ -373,14 +374,59 @@ def test_png_round_trip_all_filters_and_damage(spark):
         mm._decode_png(bytes(bad))
     with _pytest.raises(ValueError, match="truncated"):
         mm._decode_png(blob[:30])
-    # unsupported color type (palette) → honest guard, not garbage
+    # unsupported bit depth → honest guard, not garbage
     import struct
-    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 3, 0, 0, 0)
-    pal = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr)
-           + mm._png_chunk(b"IDAT", zlib.compress(b"\x00\x00\x00"))
-           + mm._png_chunk(b"IEND", b""))
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    deep = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr)
+            + mm._png_chunk(b"IDAT", zlib.compress(bytes(24)))
+            + mm._png_chunk(b"IEND", b""))
     with _pytest.raises(NotImplementedError):
-        mm._decode_png(pal)
+        mm._decode_png(deep)
+
+
+def test_png_palette_round_trip_and_damage():
+    """Indexed-color PNG (type 3, RFC 2083 §4.1.2): unfilter operates
+    on index bytes, PLTE expansion yields RGB — and palette damage
+    (missing PLTE, short PLTE, out-of-range index) is structural
+    ValueError, not garbage pixels."""
+    import struct
+    import zlib
+
+    import pytest as _pytest
+
+    from s3_elasticsearch_data_pipeline_spark.operators import (
+        multimodal as mm)
+    w, h = 7, 9
+    palette = bytes((i * 11 + j * 3) % 256
+                    for i in range(16) for j in range(3))
+    indices = bytes((x * 5 + 3) % 16 for x in range(w * h))
+    blob = mm.encode_png_palette(w, h, indices, palette)
+    d = mm.decode_image(blob)
+    assert (d["width"], d["height"], d["channels"]) == (w, h, 3)
+    expect = b"".join(palette[i * 3:i * 3 + 3] for i in indices)
+    assert d["pixels"] == expect
+    # structurally valid chunks, but the PLTE is missing entirely
+    ihdr = struct.pack(">IIBBBBB", 2, 1, 8, 3, 0, 0, 0)
+    raw = zlib.compress(b"\x00\x00\x01")  # filter 0, indices 0,1
+    no_plte = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr)
+               + mm._png_chunk(b"IDAT", raw)
+               + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="PLTE"):
+        mm._decode_png(no_plte)
+    # index 1 points past a one-entry palette
+    short_plte = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr)
+                  + mm._png_chunk(b"PLTE", b"\x10\x20\x30")
+                  + mm._png_chunk(b"IDAT", raw)
+                  + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="index out of range"):
+        mm._decode_png(short_plte)
+    # PLTE not a multiple of 3 bytes
+    bad_plte = (mm.PNG_SIGNATURE + mm._png_chunk(b"IHDR", ihdr)
+                + mm._png_chunk(b"PLTE", b"\x10\x20")
+                + mm._png_chunk(b"IDAT", raw)
+                + mm._png_chunk(b"IEND", b""))
+    with _pytest.raises(ValueError, match="triples"):
+        mm._decode_png(bad_plte)
 
 
 def test_png_decode_features_match_ppm_features(spark, sf_smoke):
