@@ -362,6 +362,31 @@ def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
     return banded.select("doc_id", "sig", "bb.band", "bb.bucket")
 
 
+def drop_hot_buckets(banded: DataFrame,
+                     max_bucket_docs: int | None,
+                     exempt_band: int | None = None) -> DataFrame:
+    """THE hot-bucket guard, shared by every surface that joins LSH
+    band rows (batch pairs, dedup-at-ingest, streaming ingest): drop
+    rows whose (band, bucket) holds more than ``max_bucket_docs`` docs
+    BEFORE the join, bounding any bucket's join cost at cap² (or
+    cap × other side). One aggregate over compact 8-byte keys; the HOT
+    list is tiny by construction (only over-cap buckets), so the
+    anti-join broadcasts. ``exempt_band`` shields a channel from the
+    cap — the streaming ingest's exact-text fallback (band −1) dedups
+    byte-identical docs and must stay exhaustive (capping it would
+    re-admit exact copies, which no recall contract excuses). None cap
+    = passthrough."""
+    if max_bucket_docs is None:
+        return banded
+    counted = (banded if exempt_band is None
+               else banded.where(F.col("band") != exempt_band))
+    hot = (counted.groupBy("band", "bucket")
+           .agg(F.count(F.lit(1)).alias("__df"))
+           .where(F.col("__df") > max_bucket_docs)
+           .select("band", "bucket"))
+    return banded.join(F.broadcast(hot), ["band", "bucket"], "left_anti")
+
+
 def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5,
@@ -397,12 +422,7 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
     banded = _lsh_banded(documents, n, num_hashes, bands, hash_mode)
     # materialize signatures once — see ngram_jaccard_pairs note
     banded = banded.localCheckpoint(eager=True)
-    if max_bucket_docs is not None:
-        cool = (banded.groupBy("band", "bucket")
-                .agg(F.count(F.lit(1)).alias("__df"))
-                .where(F.col("__df") <= max_bucket_docs)
-                .select("band", "bucket"))
-        banded = banded.join(cool, ["band", "bucket"], "left_semi")
+    banded = drop_hot_buckets(banded, max_bucket_docs)
     a, b = banded.alias("a"), banded.alias("b")
     est = sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
     return (a.join(b, (F.col("a.band") == F.col("b.band"))
@@ -891,8 +911,8 @@ def paragraph_dedup_stats(documents: DataFrame) -> DataFrame:
 
 def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
                           n: int = 3, num_hashes: int = 16,
-                          bands: int = 4,
-                          threshold: float = 0.5) -> DataFrame:
+                          bands: int = 4, threshold: float = 0.5,
+                          max_bucket_docs: int | None = None) -> DataFrame:
     """Near-dup dedup AT INGEST — the cross-batch extension of
     :func:`incremental_batch_dedup` from exact fingerprints to MinHash
     similarity: an incoming batch is checked against the PERSISTED LSH
@@ -913,16 +933,24 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
     prior corpus = the rest) so the operator is self-contained and its
     output reproducible. Returns the surviving batch doc ids (one
     column; dropped docs simply don't appear).
+
+    ``max_bucket_docs`` is the same hot-bucket guard as
+    :func:`minhash_lsh_pairs`, applied per side: a boilerplate batch
+    probing an accumulated-boilerplate index is cap × cap per bucket
+    instead of batch × corpus. Capped docs are ADMITTED (their buckets
+    never match) — the recall note there applies.
     """
     corpus = documents.where(F.col("doc_id") % batch_mod != 0)
     batch = documents.where(F.col("doc_id") % batch_mod == 0)
     # lazy checkpoints: both sides materialize inside the ONE probe job
     # (index and probe branches shingle in parallel) instead of two
     # serialized eager jobs; lineage is still truncated for reuse
-    index = _lsh_banded(corpus, n, num_hashes, bands) \
-        .localCheckpoint(eager=False)
-    probe = _lsh_banded(batch, n, num_hashes, bands) \
-        .localCheckpoint(eager=False)
+    index = drop_hot_buckets(
+        _lsh_banded(corpus, n, num_hashes, bands)
+        .localCheckpoint(eager=False), max_bucket_docs)
+    probe = drop_hot_buckets(
+        _lsh_banded(batch, n, num_hashes, bands)
+        .localCheckpoint(eager=False), max_bucket_docs)
     est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
     matched = (probe.alias("p")
                .join(index.alias("i"),

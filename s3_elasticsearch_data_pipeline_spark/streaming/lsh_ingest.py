@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
-    _lsh_banded, sig_agreement)
+    _lsh_banded, drop_hot_buckets, sig_agreement)
 
 
 def _read_optional_parquet(spark: SparkSession, path: str):
@@ -56,6 +56,7 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
                       checkpoint_path: str, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5, schema=None,
+                      max_bucket_docs: int | None = None,
                       fault_hook=None) -> None:
     """Drain all new document files through the dedup-at-ingest loop
     (``Trigger.AvailableNow`` — run repeatedly; each call processes
@@ -76,6 +77,14 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
     ``schema``: pass the source schema to skip the batch-read
     inference pass (which lists the whole source tree on every call);
     when omitted it is derived from ``source_path`` once per call.
+
+    ``max_bucket_docs``: the hot-bucket guard
+    (``operators.dedup.drop_hot_buckets``) applied to every probe join
+    input — without it one boilerplate micro-batch pays batch² against
+    itself and batch × corpus against the accumulated band index. The
+    exact-text fallback channel (band −1) is EXEMPT: byte-identical
+    short docs keep deduping exhaustively. Capped docs are admitted
+    and still indexed — later cool-bucket arrivals see them.
 
     ``fault_hook(stage, epoch_id)``: crash-consistency seam — called
     after each sink write (stages ``"after_corpus_write"`` and
@@ -110,22 +119,31 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
         sess = batch_df.sparkSession
         probe = _banded_with_fallback(batch_df) \
             .localCheckpoint(eager=True)
+        # join inputs get the hot-bucket cap (band −1 exempt); the
+        # UNCAPPED probe frame still feeds the index append below —
+        # capped docs are admitted but must stay visible to later
+        # cool-bucket arrivals
+        cool_probe = drop_hot_buckets(probe, max_bucket_docs,
+                                      exempt_band=-1)
         # vs the persisted index (everything admitted by prior epochs,
         # EXCLUDING any half-written copy of this very epoch — replay
         # must see the same prior-state the failed attempt saw)
         index = _read_optional_parquet(sess, index_path)
         matched_corpus = None
         if index is not None:
+            prior = drop_hot_buckets(
+                index.where(F.col("epoch") != epoch_id),
+                max_bucket_docs, exempt_band=-1)
             matched_corpus = (
-                probe.alias("p")
-                .join(index.where(F.col("epoch") != epoch_id).alias("i"),
+                cool_probe.alias("p")
+                .join(prior.alias("i"),
                       (F.col("p.band") == F.col("i.band"))
                       & (F.col("p.bucket") == F.col("i.bucket")))
                 .where(est >= threshold)
                 .select(F.col("p.doc_id").alias("doc_id")).distinct())
         # vs lower-id docs of the SAME batch (deterministic greedy:
         # the lower id is admitted unless it matched the corpus)
-        a, b = probe.alias("p"), probe.alias("i")
+        a, b = cool_probe.alias("p"), cool_probe.alias("i")
         matched_batch = (
             a.join(b, (F.col("p.band") == F.col("i.band"))
                    & (F.col("p.bucket") == F.col("i.bucket"))

@@ -105,3 +105,87 @@ def test_short_docs_dedup_exactly_via_fallback_channel(spark, tmp_path):
            read_corpus(spark, str(tmp_path / "c"))
            .select("doc_id").collect()}
     assert ids == {1, 2, 3, 300}
+
+
+def test_hot_bucket_cap_bounds_boilerplate_ingest(spark, sf_smoke,
+                                                  tmp_path):
+    """The ingest twin of the batch operator's hot-bucket guard
+    (tests/test_skew_stress.py): a boilerplate-heavy drop against an
+    accumulated-boilerplate index is df² per micro-batch without the
+    cap. With ``max_bucket_docs``: (1) the boilerplate family's
+    buckets go hot, so its docs are ADMITTED (bounded join, the
+    documented recall trade — exact dedup owns byte-identical text),
+    (2) cool-bucket admissions are byte-identical to the uncapped run,
+    and (3) the exempt band −1 exact-text channel keeps deduping
+    short docs exhaustively."""
+    boiler_text = ("the quick brown fox jumps over the lazy dog "
+                   "again and again " * 3)
+    normal = _docs(spark, sf_smoke).where(F.col("doc_id") < 40) \
+        .select("doc_id", "text")
+    boiler = (spark.range(300)
+              .select((F.col("id") + 500_000).alias("doc_id"),
+                      F.lit(boiler_text).alias("text")))
+    shorts = (spark.range(50)
+              .select((F.col("id") + 900_000).alias("doc_id"),
+                      F.lit("tiny doc").alias("text")))
+
+    def run(cap, name):
+        src = str(tmp_path / name / "src")
+        corpus = str(tmp_path / name / "corpus")
+        index = str(tmp_path / name / "index")
+        ckpt = str(tmp_path / name / "ckpt")
+        normal.unionByName(boiler).unionByName(shorts) \
+            .write.parquet(src)
+        lsh_ingest_stream(spark, src, corpus, index, ckpt,
+                          max_bucket_docs=cap)
+        # second drop: more boilerplate probing the accumulated index
+        (spark.range(100)
+         .select((F.col("id") + 600_000).alias("doc_id"),
+                 F.lit(boiler_text).alias("text"))
+         .write.mode("append").parquet(src))
+        lsh_ingest_stream(spark, src, corpus, index, ckpt,
+                          max_bucket_docs=cap)
+        return {r["doc_id"] for r in
+                read_corpus(spark, corpus).select("doc_id").collect()}
+
+    uncapped = run(None, "uncapped")
+    capped = run(50, "capped")
+    # uncapped: one boilerplate survivor; capped: the family is hot in
+    # every band, so every boilerplate doc is admitted (bounded join)
+    assert len([i for i in uncapped if 500_000 <= i < 700_000]) == 1
+    assert len([i for i in capped if 500_000 <= i < 700_000]) == 400
+    # cool-bucket admissions identical with and without the cap
+    assert ({i for i in capped if i < 500_000}
+            == {i for i in uncapped if i < 500_000})
+    # band −1 exact channel is exempt: 50 identical short docs still
+    # collapse to the lowest id despite exceeding the cap
+    assert ({i for i in capped if i >= 900_000} == {900_000}
+            and {i for i in uncapped if i >= 900_000} == {900_000})
+
+
+def test_incremental_lsh_cap_admits_hot_keeps_cool_identical(
+        spark, sf_smoke):
+    """Batch dedup-at-ingest twin: with the cap, hot-bucket batch docs
+    are admitted, cool-bucket decisions are byte-identical."""
+    from s3_elasticsearch_data_pipeline_spark.operators import dedup
+    boiler_text = ("the quick brown fox jumps over the lazy dog "
+                   "again and again " * 3)
+    normal = _docs(spark, sf_smoke).where(F.col("doc_id") < 60) \
+        .select("doc_id", "text")
+    boiler = (spark.range(200)
+              .select((F.col("id") + 500_001).alias("doc_id"),
+                      F.lit(boiler_text).alias("text")))
+    docs = normal.unionByName(boiler)
+    uncapped = {r["doc_id"] for r in
+                dedup.incremental_lsh_dedup(docs, batch_mod=3).collect()}
+    capped = {r["doc_id"] for r in
+              dedup.incremental_lsh_dedup(
+                  docs, batch_mod=3, max_bucket_docs=50).collect()}
+    boiler_batch = {i for i in range(500_001, 500_201) if i % 3 == 0}
+    # uncapped: every boilerplate batch doc matches the corpus copies
+    assert not (uncapped & boiler_batch)
+    # capped: hot buckets never match — all admitted
+    assert capped & boiler_batch == boiler_batch
+    # cool decisions identical
+    assert ({i for i in capped if i < 500_000}
+            == {i for i in uncapped if i < 500_000})
