@@ -35,20 +35,28 @@ class ReconcileReport:
     table (``ID-based-transfer.py:94-106,228-249``)."""
     mismatched_partitions: list[str] = field(default_factory=list)
     rows_repaired: int = 0
+    rows_pruned: int = 0
 
 
 def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
-              key: str = "month", id_col: str = "id") -> ReconcileReport:
+              key: str = "month", id_col: str = "id",
+              prune_orphans: bool = False) -> ReconcileReport:
     """Find partitions whose counts disagree, restore exactly the rows
     whose ids are missing from the sink. Idempotent for missing-row
     damage: a second run finds no mismatches.
 
     Reference parity note: like the reference (which only re-uploads
-    missing ids, ``ID-based-transfer.py:241,295-323``), this is
+    missing ids, ``ID-based-transfer.py:241,295-323``), the default is
     add-only — rows present in the SINK but absent from the source are
-    reported as a count mismatch every run but never deleted. Removing
-    them is a deliberate non-goal of the lifecycle; the keyed sink's
-    last-write-wins upsert already prevents duplicates."""
+    reported as a count mismatch every run but never deleted (the
+    keyed sink's last-write-wins upsert already prevents duplicates).
+    ``prune_orphans=True`` goes beyond the reference: orphan ids in
+    the mismatched partitions are anti-joined out and DELETED from the
+    sink (keyed partition rewrite), making the repair a true inverse —
+    a second run is clean instead of reporting the same surplus
+    forever. Count-equal partitions that hide one orphan plus one
+    missing row stay invisible either way (J4 compares counts — the
+    documented contract)."""
     if not os.path.exists(sink_path):
         raise FileNotFoundError(
             f"serving table {sink_path} does not exist; run incremental_load first")
@@ -62,6 +70,15 @@ def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
     pred = F.col(key).isin(mismatch_keys)
     todo_ids = missing_ids(source, sink, id_col, partition_pred=pred)
     repair = fetch_rows_for_ids(source, todo_ids, id_col, partition_pred=pred)
+    orphans = None
+    if prune_orphans:
+        from s3_elasticsearch_data_pipeline_spark.session import (
+            persistent_rdd_ids)
+        pinned_before = persistent_rdd_ids(spark)
+        # materialize BEFORE the upsert rewrites the files this plan
+        # reads (same hazard the repair-count collect documents below)
+        orphans = (missing_ids(sink, source, id_col, partition_pred=pred)
+                   .localCheckpoint(eager=True))
     # Materialize the per-partition repair counts BEFORE the upsert:
     # the repair plan reads the current sink files (via the id diff),
     # which the upsert replaces — re-executing it afterwards would hit
@@ -80,13 +97,25 @@ def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
         (spark.createDataFrame(log_rows,
                                "partition_key string, rows_loaded long")
          .write.mode("append").parquet(load_log_path(sink_path)))
+    n_pruned = 0
+    if orphans is not None:
+        from s3_elasticsearch_data_pipeline_spark.session import (
+            persistent_rdd_ids, release_persistent_rdds)
+        from s3_elasticsearch_data_pipeline_spark.sinks.keyed import (
+            delete_by_key)
+        n_pruned = delete_by_key(spark, orphans, sink_path,
+                                 key_col=id_col, partition_col=key)
+        release_persistent_rdds(
+            spark, persistent_rdd_ids(spark) - pinned_before)
     return ReconcileReport(
-        mismatched_partitions=sorted(map(str, mismatch_keys)), rows_repaired=n)
+        mismatched_partitions=sorted(map(str, mismatch_keys)),
+        rows_repaired=n, rows_pruned=n_pruned)
 
 
 def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
                    index: str, key: str = "month",
                    id_col: str = "id", nslices: int | None = None,
+                   prune_orphans: bool = False,
                    **wire_kwargs) -> ReconcileReport:
     """Lifecycle B end-to-end OVER THE WIRE — the reference's whole
     ``ID-based-transfer.py`` job with both ends on HTTP and all heavy
@@ -110,7 +139,10 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
     field that is analyzed text (or an unreadable mapping) falls back
     to aggregating the sliced scan in Spark — same counts, full-scan
     cost. A second run finds no mismatches — same add-only semantics as
-    the parquet-sink reconcile.
+    the parquet-sink reconcile; ``prune_orphans=True`` additionally
+    DELETES sink rows whose ids are absent from the source (bulk
+    delete actions, idempotent — see :func:`reconcile`'s contract
+    note) within the mismatched partitions.
     """
     from s3_elasticsearch_data_pipeline_spark.sinks import es_wire
     from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
@@ -154,6 +186,17 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
             f"wire repair failed: {rep.batches_failed}/{rep.batches} "
             f"batches, {rep.rows_failed} rows unrepaired; samples: "
             f"{rep.error_samples}")
+    n_pruned = 0
+    if prune_orphans:
+        orphans = missing_ids(sink, source, id_col, partition_pred=pred)
+        drep = es_wire.delete_df(orphans, es_url, index, id_col=id_col,
+                                 **wire_kwargs)
+        if drep.batches_failed:
+            raise RuntimeError(
+                f"orphan prune failed: {drep.batches_failed}/"
+                f"{drep.batches} batches, {drep.rows_failed} rows "
+                f"undeleted; samples: {drep.error_samples}")
+        n_pruned = drep.rows_sent
     return ReconcileReport(
         mismatched_partitions=sorted(map(str, mismatch_keys)),
-        rows_repaired=rep.rows_sent)
+        rows_repaired=rep.rows_sent, rows_pruned=n_pruned)

@@ -96,16 +96,22 @@ def _json_safe(v):
     return v
 
 
-def build_ndjson(docs: list[dict], index: str, id_col: str | None) -> bytes:
+def build_ndjson(docs: list[dict], index: str, id_col: str | None,
+                 action: str = "index") -> bytes:
     """NDJSON payload: action line + doc line per document
-    (``ID-based-transfer.py:201-205``)."""
+    (``ID-based-transfer.py:201-205``). ``action="delete"`` emits
+    action lines only (the bulk API's delete shape carries no source
+    document) — ``id_col`` is required there, a delete without an id
+    is meaningless."""
     lines: list[str] = []
     for doc in docs:
-        action: dict = {"index": {"_index": index}}
+        meta: dict = {"_index": index}
         if id_col is not None:
-            action["index"]["_id"] = str(doc[id_col])
-        lines.append(json.dumps(action, separators=(",", ":")))
-        lines.append(json.dumps(doc, separators=(",", ":"), default=str))
+            meta["_id"] = str(doc[id_col])
+        lines.append(json.dumps({action: meta}, separators=(",", ":")))
+        if action != "delete":
+            lines.append(json.dumps(doc, separators=(",", ":"),
+                                    default=str))
     return ("\n".join(lines) + "\n").encode("utf-8")
 
 
@@ -125,14 +131,18 @@ def _post(url: str, payload: bytes, timeout_s: float):
 
 def send_batch(docs: list[dict], url: str, index: str, id_col: str | None,
                max_retries: int, backoff_base_s: float,
-               timeout_s: float) -> tuple[bool, int, int, str, int]:
+               timeout_s: float, action: str = "index"
+               ) -> tuple[bool, int, int, str, int]:
     """Send one batch with the reference's retry policy. Returns
     ``(ok, attempts, failed_items, error_sample, payload_bytes)`` —
     the byte count is the serialized NDJSON size, the reference's
     per-request ingest telemetry (``data-s3-elastic-transfer.py:
     198-199`` logs MB per ``_bulk`` POST); counted once per batch,
-    not per retry attempt."""
-    payload = build_ndjson(docs, index, id_col)
+    not per retry attempt. Delete batches count per-item failures off
+    the ``delete`` item key; a delete of an absent id returns 404 with
+    NO ``error`` field (real bulk semantics) and is therefore a
+    success — exactly what an idempotent prune replay needs."""
+    payload = build_ndjson(docs, index, id_col, action)
     n_bytes = len(payload)
     error_sample = ""
     for attempt in range(max_retries):
@@ -142,7 +152,7 @@ def send_batch(docs: list[dict], url: str, index: str, id_col: str | None,
                 return True, attempt + 1, 0, "", n_bytes
             failed, samples = 0, []
             for item in body.get("items", []):
-                info = item.get("index", {})
+                info = item.get(action, {})
                 if info.get("error"):
                     failed += 1
                     if len(samples) < 2:
@@ -384,14 +394,19 @@ def bulk_index(df: DataFrame, url: str, index: str,
                batch_size: int = DEFAULT_BATCH_SIZE,
                max_retries: int = DEFAULT_MAX_RETRIES,
                backoff_base_s: float = DEFAULT_BACKOFF_BASE_S,
-               timeout_s: float = DEFAULT_TIMEOUT_S) -> DataFrame:
+               timeout_s: float = DEFAULT_TIMEOUT_S,
+               action: str = "index") -> DataFrame:
     """Lazy executor-parallel bulk-index plan.
 
     Returns a *stats DataFrame* (one row per HTTP batch:
     ``batch_rows, attempts, ok, failed_items, error_sample``); nothing is
     sent until the caller runs an action on it — use :func:`write_df`
     for trigger + aggregate accounting in one call.
+    ``action="delete"`` turns the plan into an executor-parallel bulk
+    DELETE keyed on ``id_col`` (see :func:`delete_df`).
     """
+    if action == "delete" and id_col is None:
+        raise ValueError("bulk delete requires id_col")
     cols = df.columns
 
     def _send(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -413,7 +428,7 @@ def bulk_index(df: DataFrame, url: str, index: str,
                 if docs:
                     ok, attempts, failed, sample, n_bytes = send_batch(
                         docs, url, index, id_col,
-                        max_retries, backoff_base_s, timeout_s)
+                        max_retries, backoff_base_s, timeout_s, action)
                 else:
                     ok, attempts, failed, sample, n_bytes = (
                         True, 0, 0, "", 0)
@@ -467,7 +482,23 @@ def write_df(df: DataFrame, url: str, index: str,
             report = write_df(df, url, index, **kwargs)
         report.settings_restored = bool(win.restored)
         return report
-    stats = bulk_index(df, url, index, **kwargs)
+    return _aggregate_bulk_stats(bulk_index(df, url, index, **kwargs))
+
+
+def delete_df(df: DataFrame, url: str, index: str,
+              id_col: str = "id", **kwargs) -> BulkReport:
+    """Executor-parallel bulk DELETE of every ``id_col`` in ``df`` —
+    the write twin reconcile's orphan pruning needs: same batching,
+    retry, and per-item accounting as :func:`write_df`, but the NDJSON
+    carries delete actions (no source docs). Idempotent: deleting an
+    already-absent id is a per-item 404 WITHOUT an error field, which
+    bulk semantics (and this accounting) treat as success."""
+    stats = bulk_index(df.select(id_col), url, index, id_col=id_col,
+                       action="delete", **kwargs)
+    return _aggregate_bulk_stats(stats)
+
+
+def _aggregate_bulk_stats(stats: DataFrame) -> BulkReport:
     agg = (stats.agg(
         F.count(F.lit(1)).alias("batches"),
         F.sum(F.when(~F.col("ok"), 1).otherwise(0)).alias("batches_failed"),

@@ -72,6 +72,63 @@ def upsert_by_key(spark: SparkSession, incoming: DataFrame, path: str,
         spark.conf.set(mode_key, prior)
 
 
+def delete_by_key(spark: SparkSession, doomed_ids: DataFrame, path: str,
+                  key_col: str = "id",
+                  partition_col: str = "month") -> int:
+    """Keyed delete — the inverse of :func:`upsert_by_key`: rewrite
+    only the partitions that contain doomed keys, without those rows.
+    Returns the number of rows removed.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in
+    the written frame, so a partition whose every row is doomed would
+    silently survive — those directories are removed explicitly after
+    the write (locally; a production deployment routes deletes through
+    a table format's MERGE/DELETE for snapshot isolation, same note as
+    the upsert's read-overwrite caveat)."""
+    if not os.path.exists(path):
+        return 0
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    before = persistent_rdd_ids(spark)
+    existing = spark.read.parquet(path)
+    doomed = doomed_ids.select(key_col).distinct() \
+        .localCheckpoint(eager=True)  # ids must outlive the rewrite
+    victims = existing.join(doomed, key_col, "left_semi")
+    # per-touched-partition doomed counts: total removed + which
+    # partitions empty out entirely (one tiny aggregate)
+    touched = {str(r[0]): r[1] for r in
+               victims.groupBy(F.col(partition_col).cast("string"))
+               .agg(F.count(F.lit(1))).collect()}
+    n = sum(touched.values())
+    if not n:
+        release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
+        return 0
+    touched_keys = list(touched)
+    keep = (existing
+            .where(F.col(partition_col).cast("string").isin(touched_keys))
+            .join(doomed, key_col, "left_anti")
+            .localCheckpoint(eager=True))  # reads files the write replaces
+    kept_parts = {str(r[0]) for r in
+                  keep.select(F.col(partition_col).cast("string"))
+                  .distinct().collect()}
+    mode_key = "spark.sql.sources.partitionOverwriteMode"
+    prior = spark.conf.get(mode_key, "static")
+    spark.conf.set(mode_key, "dynamic")
+    try:
+        if kept_parts:
+            (keep.repartition(partition_col).write.mode("overwrite")
+             .partitionBy(partition_col).format("parquet").save(path))
+    finally:
+        spark.conf.set(mode_key, prior)
+    import shutil
+    for part in set(touched_keys) - kept_parts:
+        part_dir = os.path.join(path, f"{partition_col}={part}")
+        if os.path.isdir(part_dir):
+            shutil.rmtree(part_dir)
+    release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
+    return n
+
+
 def read_serving(spark: SparkSession, path: str) -> DataFrame:
     """Sink-state scan (S6/S7 stand-in): read the serving table; callers
     filter/aggregate it like any DataFrame — no pagination concept."""

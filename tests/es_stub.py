@@ -427,10 +427,25 @@ class _Handler(BaseHTTPRequestHandler):
             srv.bulk_bytes += len(body)
         lines = [ln for ln in body.decode("utf-8").split("\n") if ln]
         items, had_error = [], False
-        for i in range(0, len(lines) - 1, 2):
-            action = json.loads(lines[i])["index"]
-            doc = json.loads(lines[i + 1])
+        i = 0
+        while i < len(lines):
+            (verb, action), = json.loads(lines[i]).items()
             index = action["_index"]
+            if verb == "delete":
+                # real bulk delete: no source line; absent id → item
+                # status 404 / result not_found with NO error field
+                # (errors flag untouched — idempotent replays succeed)
+                i += 1
+                with srv.lock:
+                    existed = (srv.store.get(index, {})
+                               .pop(action.get("_id"), None) is not None)
+                items.append({"delete": {
+                    "_index": index, "_id": action.get("_id"),
+                    "status": 200 if existed else 404,
+                    "result": "deleted" if existed else "not_found"}})
+                continue
+            doc = json.loads(lines[i + 1])
+            i += 2
             reason = srv.reject(doc) if srv.reject else None
             if reason is not None:
                 had_error = True

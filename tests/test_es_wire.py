@@ -785,3 +785,64 @@ def test_es_http_source_retries_429_backpressure(spark, docs_df):
         got = read_es_index(spark, stub.url, "serving", nslices=2,
                             backoff=0.0)
         assert got.count() == n
+
+
+def test_reconcile_wire_prune_orphans_deletes_ghosts(spark, docs_df):
+    """Wire orphan pruning: ghost docs planted in the live index are
+    bulk-DELETED when prune_orphans=True, missing rows still repair in
+    the same pass, the second run is clean, and the default stays
+    add-only. Delete-then-restore inverse: re-adding the ghosts and
+    pruning again lands the index back at exactly the source set."""
+    from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+        reconcile_wire)
+    with ESStub() as stub:
+        es_wire.create_index(stub.url, "serving", docs_df.schema)
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id",
+                         **FAST)
+        months = sorted({r["month"] for r in docs_df.collect()})
+        with stub.server.lock:
+            stub.store["serving"]["ghost-1"] = {
+                "id": "ghost-1", "month": months[0], "value": 1.0}
+            stub.store["serving"]["ghost-2"] = {
+                "id": "ghost-2", "month": months[1], "value": 2.0}
+        victim = [r["id"] for r in
+                  docs_df.where(F.col("month") == months[2])
+                  .limit(3).collect()]
+        with stub.server.lock:
+            for k in victim:
+                del stub.store["serving"][k]
+        # default: add-only — repair happens, ghosts survive
+        rep0 = reconcile_wire(spark, docs_df, stub.url, "serving",
+                              **FAST)
+        assert rep0.rows_repaired == len(victim)
+        assert rep0.rows_pruned == 0
+        assert "ghost-1" in stub.store["serving"]
+        # prune pass: ghosts deleted, nothing left to repair
+        rep = reconcile_wire(spark, docs_df, stub.url, "serving",
+                             prune_orphans=True, **FAST)
+        assert rep.rows_pruned == 2 and rep.rows_repaired == 0
+        assert "ghost-1" not in stub.store["serving"]
+        assert "ghost-2" not in stub.store["serving"]
+        assert len(stub.store["serving"]) == docs_df.count()
+        # clean second run
+        rep2 = reconcile_wire(spark, docs_df, stub.url, "serving",
+                              prune_orphans=True, **FAST)
+        assert rep2 == type(rep2)()
+
+
+def test_delete_df_idempotent_and_counts(spark, docs_df):
+    """Bulk delete accounting: deleting N present ids reports N sent;
+    re-deleting the same ids is all 404-not_found — still success
+    (idempotent replays), zero failures."""
+    ids = docs_df.limit(7).select("id")
+    with ESStub() as stub:
+        es_wire.write_df(docs_df, stub.url, "serving", id_col="id",
+                         **FAST)
+        before = len(stub.store["serving"])
+        rep = es_wire.delete_df(ids, stub.url, "serving", **FAST)
+        assert rep.rows_sent == 7 and rep.rows_failed == 0
+        assert len(stub.store["serving"]) == before - 7
+        rep2 = es_wire.delete_df(ids, stub.url, "serving", **FAST)
+        assert rep2.rows_sent == 7 and rep2.rows_failed == 0
+        assert rep2.batches_failed == 0
+        assert len(stub.store["serving"]) == before - 7

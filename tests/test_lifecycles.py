@@ -225,3 +225,94 @@ def test_stateful_new_api_twin_or_clear_gate(spark, sf_smoke):
     tws = {r["user_id"]: (r["n_events"], r["total_value"])
            for r in running_user_totals_tws(spark, path).collect()}
     assert tws == legacy
+
+
+def test_reconcile_prune_orphans_is_the_inverse_of_damage(spark, source,
+                                                          tmp_path):
+    """Opt-in orphan pruning makes reconcile a true inverse: orphans
+    in two partitions plus a missing row in a third all heal in one
+    prune_orphans=True pass, a second run is clean, and the default
+    stays add-only. A partition whose orphan and missing row CANCEL in
+    the count compare stays invisible — the documented J4 contract —
+    asserted explicitly at the end."""
+    sink = str(tmp_path / "serving")
+    incremental_load(spark, source, sink)
+    months = [r[0] for r in
+              source.select("month").distinct().orderBy("month")
+              .limit(3).collect()]
+    # damage A: orphan rows in two partitions
+    foreign = spark.createDataFrame(
+        [("ghost-1", months[0], 1.0), ("ghost-2", months[1], 2.0)],
+        "id string, month string, value double")
+    foreign.write.mode("append").partitionBy("month").parquet(sink)
+    # damage B: drop one real row from a THIRD month
+    serving = spark.read.parquet(sink)
+    doomed = (serving.where(F.col("month") == months[2])
+              .select("id").limit(1))
+    kept = serving.join(doomed, "id", "left_anti")
+    tmp2 = str(tmp_path / "serving2")
+    kept.write.partitionBy("month").parquet(tmp2)
+    shutil.rmtree(sink)
+    os.rename(tmp2, sink)
+
+    # default: add-only — ghosts survive (reference parity), the
+    # missing row is repaired
+    rep0 = reconcile(spark, source, sink)
+    assert rep0.rows_pruned == 0 and rep0.rows_repaired == 1
+    assert spark.read.parquet(sink).where(
+        F.col("id").startswith("ghost")).count() == 2
+
+    rep = reconcile(spark, source, sink, prune_orphans=True)
+    assert rep.rows_pruned == 2 and rep.rows_repaired == 0
+    healed = spark.read.parquet(sink)
+    assert healed.where(F.col("id").startswith("ghost")).count() == 0
+    # exact inverse: sink content == source content
+    assert healed.count() == source.count()
+    assert (healed.join(source.select("id"), "id", "left_anti")
+            .count() == 0)
+    # second pass: clean
+    again = reconcile(spark, source, sink, prune_orphans=True)
+    assert again == type(again)()
+    # the documented blind spot: orphan + missing row in ONE partition
+    # cancel in the count compare and stay invisible even with pruning
+    cancel_month = months[0]
+    spark.createDataFrame(
+        [("ghost-3", cancel_month, 3.0)],
+        "id string, month string, value double") \
+        .write.mode("append").partitionBy("month").parquet(sink)
+    serving = spark.read.parquet(sink)
+    doomed = (serving.where((F.col("month") == cancel_month)
+                            & ~F.col("id").startswith("ghost"))
+              .select("id").limit(1))
+    kept = serving.join(doomed, "id", "left_anti")
+    tmp3 = str(tmp_path / "serving3")
+    kept.write.partitionBy("month").parquet(tmp3)
+    shutil.rmtree(sink)
+    os.rename(tmp3, sink)
+    blind = reconcile(spark, source, sink, prune_orphans=True)
+    assert blind == type(blind)()  # count-equal damage is invisible
+    assert spark.read.parquet(sink).where(
+        F.col("id") == "ghost-3").count() == 1
+
+
+def test_delete_by_key_removes_emptied_partition_dirs(spark, source,
+                                                      tmp_path):
+    """Dynamic partition overwrite only rewrites partitions present in
+    the written frame — a partition whose EVERY row is doomed must
+    still disappear (explicit directory cleanup), and untouched
+    partitions must keep their files."""
+    from s3_elasticsearch_data_pipeline_spark.sinks.keyed import (
+        delete_by_key)
+    sink = str(tmp_path / "serving")
+    incremental_load(spark, source, sink)
+    victim = source.select("month").distinct().orderBy("month").first()[0]
+    doom = source.where(F.col("month") == victim).select("id")
+    n_doomed = doom.count()
+    n = delete_by_key(spark, doom, sink)
+    assert n == n_doomed
+    assert not os.path.isdir(os.path.join(sink, f"month={victim}"))
+    left = spark.read.parquet(sink)
+    assert left.count() == source.count() - n_doomed
+    assert left.where(F.col("month") == victim).count() == 0
+    # idempotent: deleting the same keys again removes nothing
+    assert delete_by_key(spark, doom, sink) == 0
