@@ -722,6 +722,20 @@ def _pq_train(x, m: int, k_codes: int, iters: int):
     return np.stack(books)  # (m, k_codes, sub)
 
 
+def recommended_train_sample(k_codes: int, per_centroid: int = 39) -> int:
+    """Production sizing for the PQ/IVF ``train_sample`` parameter:
+    ≥ ``per_centroid`` training points per centroid (39 is the FAISS
+    practice floor — below it centroids chase sample noise; FAISS warns
+    under 39×k and clamps its own training sets around 256×k). The
+    repo default ``train_sample=256`` suits the small oracle fixtures;
+    a real corpus with ``k_codes=16`` wants ≥ 624, and coarse IVF
+    training wants the same rule on ``n_cells``. The gap is measured:
+    tests/test_approx_ops.py pins mean reconstruction MSE dropping
+    monotonically 256 → 39×k → 2048 on a 5k-vector clustered corpus
+    (SCALING.md "PQ/IVF training-sample sizing")."""
+    return per_centroid * k_codes
+
+
 def _pq_codebooks(embeddings: DataFrame, m: int, k_codes: int,
                   train_sample: int, iters: int):
     """Per-subspace codebooks (m × k_codes × d/m) trained with
@@ -1144,7 +1158,11 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
     residuals — finer quantization from the same 8 bytes, at the cost
     of per-(query, cell) ADC tables in the probe. One full-corpus pass
     either way: assignment and PQ encoding ride a single mapInPandas
-    before the one partitioned write."""
+    before the one partitioned write.
+
+    ``train_sample=256`` fits the small test fixtures; size a real
+    corpus with :func:`recommended_train_sample` (≥39 points per
+    centroid — the measured-MSE rationale lives on that function)."""
     spark = embeddings.sparkSession
     # ONE probe job: the k-means init fetch doubles as the emptiness
     # check (the separate .first() probe cost an extra Spark job per

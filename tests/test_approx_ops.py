@@ -878,3 +878,29 @@ def test_ivfpq_residual_mode_recall_and_determinism(spark, embeddings,
 
     assert recon_mse(path, True) < recon_mse(raw_path, False), \
         "residual codes must reconstruct better than raw codes"
+
+
+@pytest.mark.parametrize("sized", [624, 2048])
+def test_pq_train_sample_sizing_rule(spark, sized):
+    """The FAISS ≥39-points-per-centroid training rule is real on this
+    kernel: on a 10×-fixture-scale clustered corpus, codebooks trained
+    with the sized sample reconstruct strictly better (lower mean MSE)
+    than the fixture default of 256 — the measured basis for
+    similarity.recommended_train_sample (SCALING.md)."""
+    import numpy as np
+    assert similarity.recommended_train_sample(16) == 624
+    rng = np.random.RandomState(7)
+    centers = rng.randn(32, 64) * 3
+    x = np.vstack([c + rng.randn(160, 64) for c in centers])
+    df = spark.createDataFrame(
+        [(int(i), 0, [float(v) for v in x[i]]) for i in range(len(x))],
+        "vec_id long, label int, embedding array<double>") \
+        .localCheckpoint(eager=True)
+
+    def mean_mse(ts):
+        return (similarity.product_quantize(df, m=8, k_codes=16,
+                                            train_sample=ts)
+                .agg(F.avg("recon_mse")).first()[0])
+
+    assert mean_mse(sized) < mean_mse(256) * 0.95, \
+        "sized training sample must reconstruct measurably better"
