@@ -626,10 +626,114 @@ def q_dedup_embedding_cosine(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), threshold=0.3)
 
 
-@register("dedup_embedding_blocked", None)  # learned blocking → rows-only
+_KMEANS_ASSIGN_CTE = """
+  SELECT vec_id, emb, cell FROM (
+    SELECT v.vec_id, v.emb, c.cell,
+           row_number() OVER (PARTITION BY v.vec_id ORDER BY
+             list_inner_product(v.emb, c.cen)
+             / (sqrt(list_inner_product(v.emb, v.emb))
+                * sqrt(list_inner_product(c.cen, c.cen))) DESC,
+             c.cell) AS rn
+    FROM {vecs} v CROSS JOIN {cents} c{qfilter})
+  WHERE rn {take}"""
+
+
+def _kmeans_cte_sql(n_cells: int, train_pred: str = "TRUE") -> str:
+    """The UNROLLED deterministic k-means trainer as a chained-CTE
+    prefix (same trick as the BPE trainer oracle): init = the
+    ``n_cells`` lowest vec_ids of the TRAINING set, 2 Lloyd rounds,
+    cosine assignment with ties to the lowest cell, centroid update =
+    round(avg, 6) per dim, memberless cells keep their previous
+    centroid — exactly ``similarity._kmeans_centroids``. Yields CTEs
+    ``vecs`` (all vectors), ``tvecs`` (training set) and ``c2`` (final
+    centroids) for the caller to compose assignment/probing over."""
+    assign = _KMEANS_ASSIGN_CTE
+    return f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+tvecs AS (SELECT * FROM vecs WHERE {train_pred}),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cen
+  FROM tvecs ORDER BY vec_id LIMIT {n_cells}),
+a1 AS ({assign.format(vecs='tvecs', cents='c0', qfilter='', take='= 1')}),
+u1 AS (
+  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
+  FROM a1, (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY cell, dd.d),
+u1l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u1 GROUP BY cell),
+c1 AS (SELECT c0.cell, coalesce(u1l.cen, c0.cen) AS cen
+       FROM c0 LEFT JOIN u1l USING (cell)),
+a2 AS ({assign.format(vecs='tvecs', cents='c1', qfilter='', take='= 1')}),
+u2 AS (
+  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
+  FROM a2, (SELECT unnest(range(1, 65)) AS d) dd
+  GROUP BY cell, dd.d),
+u2l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u2 GROUP BY cell),
+c2 AS (SELECT c1.cell, coalesce(u2l.cen, c1.cen) AS cen
+       FROM c1 LEFT JOIN u2l USING (cell))"""
+
+
+def _ivf_oracle_sql(train_pred: str = "TRUE") -> str:
+    """DuckDB twin of the IVF family: the unrolled k-means prefix
+    (:func:`_kmeans_cte_sql`), then corpus assignment / query probing /
+    exact rerank in SQL. ``train_pred`` restricts the TRAINING corpus
+    (the incremental/streaming paths train on the even half and append
+    the rest against the persisted centroids — FAISS add-after-train —
+    so assignment still covers all vectors). The cosine expression is
+    the hash-matched _BRUTE_TOPK_ORACLE form."""
+    assign = _KMEANS_ASSIGN_CTE
+    return f"""{_kmeans_cte_sql(16, train_pred)},
+corpus AS ({assign.format(vecs='vecs', cents='c2', qfilter='', take='= 1')}),
+qprobe AS ({assign.format(vecs='vecs', cents='c2',
+                          qfilter=' WHERE v.vec_id < 10', take='<= 4')}),
+scored AS (
+  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+         list_inner_product(q.emb, n.emb)
+         / (sqrt(list_inner_product(q.emb, q.emb))
+            * sqrt(list_inner_product(n.emb, n.emb))) AS raw_sim
+  FROM qprobe q JOIN corpus n USING (cell)
+  WHERE n.vec_id <> q.vec_id),
+ranked AS (
+  SELECT query_id, neighbor_id, raw_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, neighbor_id) AS rank
+  FROM scored)
+SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
+FROM ranked WHERE rank <= 10
+"""
+
+
+#: DuckDB twin of embedding_blocked_near_dup (threshold 0.3, n_cells 8,
+#: n_assign 2, iters 2): the same unrolled k-means prefix at 8 cells,
+#: every vector multi-assigned to its 2 nearest cells, within-cell
+#: pairs scored with round-6 cosine — the learned-blocking dedup stops
+#: being "approximate vs a twin engine" and becomes deterministically
+#: oracle-checked, like the LSH family in r5.
+_EMB_BLOCKED_ORACLE = f"""{_kmeans_cte_sql(8)},
+assigned AS ({_KMEANS_ASSIGN_CTE.format(vecs='vecs', cents='c2',
+                                        qfilter='', take='<= 2')})
+SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+       round(list_inner_product(a.emb, b.emb)
+             / (sqrt(list_inner_product(a.emb, a.emb))
+                * sqrt(list_inner_product(b.emb, b.emb))), 6)
+       AS cosine_sim
+FROM assigned a JOIN assigned b
+  ON a.cell = b.cell AND a.vec_id < b.vec_id
+WHERE round(list_inner_product(a.emb, b.emb)
+            / (sqrt(list_inner_product(a.emb, a.emb))
+               * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.3
+"""
+
+
+_IVF_TOPK_ORACLE = _ivf_oracle_sql()
+_IVF_EVEN_TRAIN_ORACLE = _ivf_oracle_sql("vec_id % 2 = 0")
+
+
+@register("dedup_embedding_blocked", _EMB_BLOCKED_ORACLE)
 def q_dedup_embedding_blocked(spark, sf_dir):
     """Semantic near-dup with k-means-cell blocking — the sub-quadratic
-    100 TB path; recall/precision pytest-checked vs the exact pairs."""
+    100 TB path; r6: the learned blocking itself is oracle-checked via
+    the unrolled k-means CTE (recall vs exact pairs stays pytest)."""
     return dedup.embedding_blocked_near_dup(_t(spark, sf_dir, "embeddings"))
 
 
@@ -656,75 +760,6 @@ WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
 SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
 FROM ranked WHERE rank <= 10
 """
-
-
-def _ivf_oracle_sql(train_pred: str = "TRUE") -> str:
-    """DuckDB twin of the IVF family: UNROLL the deterministic k-means
-    training (init = 16 lowest vec_ids of the TRAINING set, 2 Lloyd
-    rounds, cosine assignment with ties to the lowest cell, centroid
-    update = round(avg, 6) per dim, memberless cells keep their
-    previous centroid — exactly ``similarity._kmeans_centroids``), then
-    replay assignment/probing/rerank in SQL. ``train_pred`` restricts
-    the TRAINING corpus (the incremental/streaming paths train on the
-    even half and append the rest against the persisted centroids —
-    FAISS add-after-train — so assignment still covers all vectors).
-    Same chained-CTE unrolling trick as the BPE trainer oracle; the
-    cosine expression is the hash-matched _BRUTE_TOPK_ORACLE form."""
-    assign = """
-  SELECT vec_id, emb, cell FROM (
-    SELECT v.vec_id, v.emb, c.cell,
-           row_number() OVER (PARTITION BY v.vec_id ORDER BY
-             list_inner_product(v.emb, c.cen)
-             / (sqrt(list_inner_product(v.emb, v.emb))
-                * sqrt(list_inner_product(c.cen, c.cen))) DESC,
-             c.cell) AS rn
-    FROM {vecs} v CROSS JOIN {cents} c{qfilter})
-  WHERE rn {take}"""
-    return f"""
-WITH vecs AS (
-  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-tvecs AS (SELECT * FROM vecs WHERE {train_pred}),
-c0 AS (
-  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cen
-  FROM tvecs ORDER BY vec_id LIMIT 16),
-a1 AS ({assign.format(vecs='tvecs', cents='c0', qfilter='', take='= 1')}),
-u1 AS (
-  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
-  FROM a1, (SELECT unnest(range(1, 65)) AS d) dd
-  GROUP BY cell, dd.d),
-u1l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u1 GROUP BY cell),
-c1 AS (SELECT c0.cell, coalesce(u1l.cen, c0.cen) AS cen
-       FROM c0 LEFT JOIN u1l USING (cell)),
-a2 AS ({assign.format(vecs='tvecs', cents='c1', qfilter='', take='= 1')}),
-u2 AS (
-  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
-  FROM a2, (SELECT unnest(range(1, 65)) AS d) dd
-  GROUP BY cell, dd.d),
-u2l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u2 GROUP BY cell),
-c2 AS (SELECT c1.cell, coalesce(u2l.cen, c1.cen) AS cen
-       FROM c1 LEFT JOIN u2l USING (cell)),
-corpus AS ({assign.format(vecs='vecs', cents='c2', qfilter='', take='= 1')}),
-qprobe AS ({assign.format(vecs='vecs', cents='c2',
-                          qfilter=' WHERE v.vec_id < 10', take='<= 4')}),
-scored AS (
-  SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
-         list_inner_product(q.emb, n.emb)
-         / (sqrt(list_inner_product(q.emb, q.emb))
-            * sqrt(list_inner_product(n.emb, n.emb))) AS raw_sim
-  FROM qprobe q JOIN corpus n USING (cell)
-  WHERE n.vec_id <> q.vec_id),
-ranked AS (
-  SELECT query_id, neighbor_id, raw_sim,
-         row_number() OVER (PARTITION BY query_id
-                            ORDER BY raw_sim DESC, neighbor_id) AS rank
-  FROM scored)
-SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
-FROM ranked WHERE rank <= 10
-"""
-
-
-_IVF_TOPK_ORACLE = _ivf_oracle_sql()
-_IVF_EVEN_TRAIN_ORACLE = _ivf_oracle_sql("vec_id % 2 = 0")
 
 
 @register("sim_topk_bruteforce", _BRUTE_TOPK_ORACLE)
