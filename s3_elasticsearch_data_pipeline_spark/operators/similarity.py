@@ -309,6 +309,26 @@ def _guard_not_stream_layout(path: str, op: str) -> None:
             "streaming ingest for this index instead." % (op, path))
 
 
+def _guard_not_batch_layout(path: str, op: str) -> None:
+    """The reverse guard of :func:`_guard_not_stream_layout`: refuse a
+    STREAMING ingest pointed at a batch-built index. The stream lands
+    files under ``cells/epoch=<id>/cell=<c>/``; a flat batch layout
+    already has top-level ``cell=<c>`` dirs, and mixing the two depths
+    bricks every later probe read the same way the other direction
+    does — the parameter tables load fine, so without this guard the
+    ingest is silently accepted at write time."""
+    import os
+    cells = path + "/cells"
+    if not os.path.isdir(cells):
+        return
+    if any(e.startswith("cell=") for e in os.listdir(cells)):
+        raise ValueError(
+            "%s: index at %r was built by a batch build (flat "
+            "cells/cell=<c> layout); streaming epochs would corrupt "
+            "partition discovery. Append new batches with the batch "
+            "index_append for this index instead." % (op, path))
+
+
 def _assign_and_write(embeddings: DataFrame, centroids, cells_dir: str,
                       mode: str) -> None:
     """Assign every vector its nearest cell and write into the
@@ -404,7 +424,7 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     rerank within the probed candidates, deterministic tie-breaks.
     """
     centroids = _load_centroids(spark, path)
-    if centroids is None or queries.select("embedding").first() is None:
+    if centroids is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
     query_cells = (queries.select("vec_id", "embedding")
@@ -423,9 +443,15 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     # (ivfpq_probe_topk discipline); the assign kernel re-runs lazily
     # in the final plan, kilobytes of query frame against a corpus-
     # sized index read.
+    # ...and the emptiness check rides the same job (the .first() probe
+    # this round removed from the builders): zero distinct queries ⇒
+    # empty result, no further jobs.
     stats = query_cells.agg(
         F.count_distinct("vec_id").alias("nq"),
         F.collect_set("cell").alias("cells")).collect()[0]
+    if not stats["nq"]:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
     probed = sorted(stats["cells"])
     hint = (F.broadcast if stats["nq"] <= MAX_DRIVER_QUERIES
             else (lambda d: d))
@@ -1308,8 +1334,7 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
 
     centroids = _load_centroids(spark, path)
     books = _load_codebooks(spark, path)
-    if (centroids is None or books is None
-            or queries.select("embedding").first() is None):
+    if centroids is None or books is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
     m, k_codes, sub = books.shape
@@ -1349,12 +1374,16 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
            .mapInPandas(cells_and_tables,
                         "query_id long, cell int, tbl array<double>"))
     # probed set via the cheap cells-only kernel (no ADC tables, no
-    # checkpoint) — same _nearest_cells math, so the sets agree
+    # checkpoint) — same _nearest_cells math, so the sets agree; an
+    # empty probed set doubles as the emptiness check (no .first() job)
     probed = sorted(r["cell"]
                     for r in queries.select("vec_id", "embedding")
                     .mapInPandas(_cell_assign_fn(centroids, n_probe),
                                  "vec_id long, cell int")
                     .select("cell").distinct().collect())
+    if not probed:
+        return spark.createDataFrame(
+            [], "query_id long, neighbor_id long, sim double, rank int")
 
     codes_scan = (spark.read.parquet(path + "/cells")
                   .where(F.col("cell").isin(probed))

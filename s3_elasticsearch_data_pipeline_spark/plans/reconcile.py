@@ -103,10 +103,18 @@ def reconcile(spark: SparkSession, source: DataFrame, sink_path: str,
             persistent_rdd_ids, release_persistent_rdds)
         from s3_elasticsearch_data_pipeline_spark.sinks.keyed import (
             delete_by_key)
-        n_pruned = delete_by_key(spark, orphans, sink_path,
-                                 key_col=id_col, partition_col=key)
-        release_persistent_rdds(
-            spark, persistent_rdd_ids(spark) - pinned_before)
+        # NB: a partition holding both repairs and orphans is rewritten
+        # twice (upsert merge, then orphan delete) — bounded by the
+        # damage-sized mismatch set, accepted over complicating the
+        # keyed merge with a delete channel. Release in finally: a
+        # failed delete must not pin the orphan checkpoint for the
+        # session lifetime (SCALING.md block-squeeze measurement).
+        try:
+            n_pruned = delete_by_key(spark, orphans, sink_path,
+                                     key_col=id_col, partition_col=key)
+        finally:
+            release_persistent_rdds(
+                spark, persistent_rdd_ids(spark) - pinned_before)
     return ReconcileReport(
         mismatched_partitions=sorted(map(str, mismatch_keys)),
         rows_repaired=n, rows_pruned=n_pruned)

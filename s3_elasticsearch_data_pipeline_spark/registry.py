@@ -658,7 +658,7 @@ c0 AS (
 a1 AS ({assign.format(vecs='tvecs', cents='c0', qfilter='', take='= 1')}),
 u1 AS (
   SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
-  FROM a1, (SELECT unnest(range(1, 65)) AS d) dd
+  FROM a1, (SELECT unnest(range(1, {EMBEDDING_DIMS + 1})) AS d) dd
   GROUP BY cell, dd.d),
 u1l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u1 GROUP BY cell),
 c1 AS (SELECT c0.cell, coalesce(u1l.cen, c0.cen) AS cen
@@ -666,7 +666,7 @@ c1 AS (SELECT c0.cell, coalesce(u1l.cen, c0.cen) AS cen
 a2 AS ({assign.format(vecs='tvecs', cents='c1', qfilter='', take='= 1')}),
 u2 AS (
   SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
-  FROM a2, (SELECT unnest(range(1, 65)) AS d) dd
+  FROM a2, (SELECT unnest(range(1, {EMBEDDING_DIMS + 1})) AS d) dd
   GROUP BY cell, dd.d),
 u2l AS (SELECT cell, list(c ORDER BY dim) AS cen FROM u2 GROUP BY cell),
 c2 AS (SELECT c1.cell, coalesce(u2l.cen, c1.cen) AS cen

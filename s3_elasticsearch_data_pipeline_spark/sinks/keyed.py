@@ -82,51 +82,64 @@ def delete_by_key(spark: SparkSession, doomed_ids: DataFrame, path: str,
     Dynamic partition overwrite only replaces partitions PRESENT in
     the written frame, so a partition whose every row is doomed would
     silently survive — those directories are removed explicitly after
-    the write (locally; a production deployment routes deletes through
-    a table format's MERGE/DELETE for snapshot isolation, same note as
-    the upsert's read-overwrite caveat)."""
+    the write. Touched partitions are identified by the FILES the
+    victim rows live in (``input_file_name``), not by re-rendering the
+    partition value into a path: null keys land in
+    ``__HIVE_DEFAULT_PARTITION__`` and special characters are
+    Hive-escaped in directory names, and a ``str(value)`` rendering
+    matches neither. (Locally; a production deployment routes deletes
+    through a table format's MERGE/DELETE for snapshot isolation, same
+    note as the upsert's read-overwrite caveat.)"""
     if not os.path.exists(path):
         return 0
+    from urllib.parse import unquote, urlparse
+
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
     before = persistent_rdd_ids(spark)
-    existing = spark.read.parquet(path)
-    doomed = doomed_ids.select(key_col).distinct() \
-        .localCheckpoint(eager=True)  # ids must outlive the rewrite
-    victims = existing.join(doomed, key_col, "left_semi")
-    # per-touched-partition doomed counts: total removed + which
-    # partitions empty out entirely (one tiny aggregate)
-    touched = {str(r[0]): r[1] for r in
-               victims.groupBy(F.col(partition_col).cast("string"))
-               .agg(F.count(F.lit(1))).collect()}
-    n = sum(touched.values())
-    if not n:
-        release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
-        return 0
-    touched_keys = list(touched)
-    keep = (existing
-            .where(F.col(partition_col).cast("string").isin(touched_keys))
-            .join(doomed, key_col, "left_anti")
-            .localCheckpoint(eager=True))  # reads files the write replaces
-    kept_parts = {str(r[0]) for r in
-                  keep.select(F.col(partition_col).cast("string"))
-                  .distinct().collect()}
-    mode_key = "spark.sql.sources.partitionOverwriteMode"
-    prior = spark.conf.get(mode_key, "static")
-    spark.conf.set(mode_key, "dynamic")
     try:
-        if kept_parts:
+        existing = spark.read.parquet(path)
+        doomed = doomed_ids.select(key_col).distinct() \
+            .localCheckpoint(eager=True)  # ids must outlive the rewrite
+        victims = (existing.withColumn("__file", F.input_file_name())
+                   .join(doomed, key_col, "left_semi"))
+        stats = victims.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.collect_set(F.regexp_replace("__file", "/[^/]*$", ""))
+            .alias("dirs")).collect()[0]
+        n = stats["n"]
+        if not n:
+            return 0
+        # URI → local paths (input_file_name yields file:///… URIs)
+        touched_dirs = sorted(
+            unquote(urlparse(d).path) for d in stats["dirs"])
+        dir_expr = F.regexp_replace(F.input_file_name(), "/[^/]*$", "")
+        keep = (existing.withColumn("__dir", dir_expr)
+                .where(F.col("__dir").isin(list(stats["dirs"])))
+                .drop("__dir")
+                .join(doomed, key_col, "left_anti")
+                .localCheckpoint(eager=True))  # reads files the write replaces
+        # snapshot the touched dirs' file sets: after the dynamic
+        # overwrite, a dir whose listing is unchanged was not rewritten
+        # (overwrite always mints new part-file names) — its every row
+        # was doomed, so the directory itself goes
+        listing_before = {d: set(os.listdir(d)) for d in touched_dirs
+                          if os.path.isdir(d)}
+        mode_key = "spark.sql.sources.partitionOverwriteMode"
+        prior = spark.conf.get(mode_key, "static")
+        spark.conf.set(mode_key, "dynamic")
+        try:
             (keep.repartition(partition_col).write.mode("overwrite")
              .partitionBy(partition_col).format("parquet").save(path))
+        finally:
+            spark.conf.set(mode_key, prior)
+        import shutil
+        for d, files in listing_before.items():
+            if os.path.isdir(d) and set(os.listdir(d)) == files:
+                shutil.rmtree(d)
+        return n
     finally:
-        spark.conf.set(mode_key, prior)
-    import shutil
-    for part in set(touched_keys) - kept_parts:
-        part_dir = os.path.join(path, f"{partition_col}={part}")
-        if os.path.isdir(part_dir):
-            shutil.rmtree(part_dir)
-    release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
-    return n
+        release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
 
 
 def read_serving(spark: SparkSession, path: str) -> DataFrame:

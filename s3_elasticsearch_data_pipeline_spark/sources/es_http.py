@@ -255,8 +255,13 @@ def delete_pit(url: str, pit_id: str, timeout_s: float = 10.0) -> bool:
 #: types whose stored value IS the grouping key. ``text`` is absent for
 #: the same reason it can't take pushed terms (analyzed per-token; real
 #: ES additionally rejects the agg outright with fielddata disabled).
+#: ``date`` is absent too: composite terms buckets on a date field
+#: return EPOCH-MILLIS longs, not the stored representation, so the
+#: bucket key no longer round-trips to the source key's type (a
+#: date-keyed reconcile would crash the cast under ANSI or mismatch
+#: every partition without it) — date keys take the scan path.
 _AGGREGATABLE_ES_TYPES = _NUMERIC_ES_TYPES | frozenset(
-    {"keyword", "boolean", "date", "ip"})
+    {"keyword", "boolean", "ip"})
 
 
 def es_terms_counts(url: str, index: str, field: str,

@@ -34,7 +34,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
-    _assign_and_write, _kmeans_centroids, _load_centroids)
+    _assign_and_write, _guard_not_batch_layout, _kmeans_centroids,
+    _load_centroids)
 from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
     _read_optional_parquet)
 
@@ -63,6 +64,7 @@ def ivf_ingest_stream(spark: SparkSession, source_path: str,
     that raises simulates a process kill in the torn window between a
     completed write and the checkpoint commit."""
     fault = fault_hook or (lambda stage, epoch_id: None)
+    _guard_not_batch_layout(index_path, "ivf_ingest_stream")
     if schema is None:
         schema = spark.read.parquet(source_path).schema
     stream = (spark.readStream

@@ -31,8 +31,9 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
-    _ivfpq_append_cells, _load_centroids, _load_codebooks,
-    _load_ivfpq_residual, _train_ivfpq_params, _write_ivfpq_params)
+    _guard_not_batch_layout, _ivfpq_append_cells, _load_centroids,
+    _load_codebooks, _load_ivfpq_residual, _train_ivfpq_params,
+    _write_ivfpq_params)
 from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
     _read_optional_parquet)
 
@@ -77,6 +78,7 @@ def ivfpq_ingest_stream(spark: SparkSession, source_path: str,
     simulates a process kill in the torn window between a completed
     write and the checkpoint commit."""
     fault = fault_hook or (lambda stage, epoch_id: None)
+    _guard_not_batch_layout(index_path, "ivfpq_ingest_stream")
     if schema is None:
         schema = spark.read.parquet(source_path).schema
     stream = (spark.readStream

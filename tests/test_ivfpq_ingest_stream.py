@@ -199,3 +199,33 @@ def test_batch_append_onto_stream_layout_is_refused(spark, sf_oracle,
     with pytest.raises(ValueError, match="streaming ingest"):
         similarity.ivf_index_append(
             spark, index2, emb.where(F.col("vec_id") % 2 == 1))
+
+
+def test_stream_ingest_onto_batch_layout_is_refused(spark, sf_oracle,
+                                                    tmp_path):
+    """The reverse direction of the append guard: a streaming ingest
+    pointed at a BATCH-built index (flat cells/cell=N) would write
+    epoch= dirs beside the flat ones and brick partition discovery.
+    It must refuse up front, before any write."""
+    emb = (load_table(spark, sf_oracle, "embeddings")
+           .select("vec_id", "embedding"))
+    batch_index = str(tmp_path / "batch_ix")
+    similarity.build_ivfpq_index(emb.where(F.col("vec_id") % 2 == 0),
+                                 batch_index, n_cells=8)
+    src, _, ckpt = _paths(tmp_path, "rev_guard")
+    emb.where(F.col("vec_id") % 2 == 1).write.parquet(src)
+    with pytest.raises(ValueError, match="batch build"):
+        ivfpq_ingest_stream(spark, src, batch_index, ckpt, n_cells=8)
+    # the flat index still serves
+    queries = emb.where(F.col("vec_id") < 5)
+    assert similarity.ivfpq_probe_topk(
+        spark, batch_index, queries, k=5).count() > 0
+    # same for the plain-IVF stream
+    from s3_elasticsearch_data_pipeline_spark.streaming.ivf_ingest import (
+        ivf_ingest_stream)
+    batch_ivf = str(tmp_path / "batch_ivf")
+    similarity.build_ivf_index(emb.where(F.col("vec_id") % 2 == 0),
+                               batch_ivf, n_cells=8)
+    with pytest.raises(ValueError, match="batch build"):
+        ivf_ingest_stream(spark, src, batch_ivf, str(tmp_path / "c2"),
+                          n_cells=8)

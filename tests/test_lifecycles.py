@@ -316,3 +316,34 @@ def test_delete_by_key_removes_emptied_partition_dirs(spark, source,
     assert left.where(F.col("month") == victim).count() == 0
     # idempotent: deleting the same keys again removes nothing
     assert delete_by_key(spark, doom, sink) == 0
+
+
+def test_delete_by_key_handles_null_and_escaped_partition_values(
+        spark, tmp_path):
+    """Partition values that don't round-trip through str()-to-dirname
+    — null (lands in __HIVE_DEFAULT_PARTITION__) and Hive-escaped
+    specials (e.g. ':') — must still delete correctly: the touched set
+    comes from the victim rows' actual FILES, not a rendered path."""
+    from s3_elasticsearch_data_pipeline_spark.sinks.keyed import (
+        delete_by_key)
+    sink = str(tmp_path / "serving")
+    df = spark.createDataFrame(
+        [("a", None, 1.0), ("b", None, 2.0),
+         ("c", "2024:01", 3.0), ("d", "2024:01", 4.0),
+         ("e", "2024-02", 5.0)],
+        "id string, month string, value double")
+    df.write.partitionBy("month").parquet(sink)
+    assert os.path.isdir(
+        os.path.join(sink, "month=__HIVE_DEFAULT_PARTITION__"))
+    # delete one row from the null partition and one from the escaped
+    doom = spark.createDataFrame([("a",), ("c",)], "id string")
+    assert delete_by_key(spark, doom, sink) == 2
+    left = {(r.id, r.month) for r in spark.read.parquet(sink).collect()}
+    assert left == {("b", None), ("d", "2024:01"), ("e", "2024-02")}
+    # now empty both partitions out entirely — dirs must disappear
+    doom2 = spark.createDataFrame([("b",), ("d",)], "id string")
+    assert delete_by_key(spark, doom2, sink) == 2
+    assert not os.path.isdir(
+        os.path.join(sink, "month=__HIVE_DEFAULT_PARTITION__"))
+    left = {(r.id, r.month) for r in spark.read.parquet(sink).collect()}
+    assert left == {("e", "2024-02")}
