@@ -725,7 +725,14 @@ def _pq_train(x, m: int, k_codes: int, iters: int):
     """Deterministic per-subspace Lloyd training over a sample MATRIX
     (n × d) → (m × k_codes × d/m) codebooks. Shared by the raw-vector
     path (:func:`_pq_codebooks`) and the IVF-PQ residual path (which
-    trains on x − centroid[cell] residuals of the same sample)."""
+    trains on x − centroid[cell] residuals of the same sample).
+
+    Centroid updates round to 6 decimals — the same cross-engine
+    determinism discipline as :func:`_kmeans_centroids` (where the
+    posexplode aggregate rounds for order-stability): the quantization
+    noise is far below the codebook's own distortion, and it makes the
+    whole trainer replayable as an unrolled SQL CTE so the PQ family's
+    registry queries can carry a DuckDB oracle."""
     import numpy as np
     d = x.shape[1]
     if d % m:
@@ -743,7 +750,7 @@ def _pq_train(x, m: int, k_codes: int, iters: int):
             for code in range(k_codes):
                 mask = assign == code
                 if mask.any():
-                    c[code] = xs[mask].mean(axis=0)
+                    c[code] = np.round(xs[mask].mean(axis=0), 6)
         books.append(c)
     return np.stack(books)  # (m, k_codes, sub)
 

@@ -729,6 +729,224 @@ _IVF_TOPK_ORACLE = _ivf_oracle_sql()
 _IVF_EVEN_TRAIN_ORACLE = _ivf_oracle_sql("vec_id % 2 = 0")
 
 
+def _pq_d2(a: str, b: str, sub: int) -> str:
+    """Explicit per-dim squared-L2 between two DOUBLE[sub] columns —
+    spelled out term by term so no aggregate reordering can touch it."""
+    return " + ".join(f"({a}[{d}]-{b}[{d}])*({a}[{d}]-{b}[{d}])"
+                      for d in range(1, sub + 1))
+
+
+def _pq_cte_parts(src: str, tsrc: str, m: int = 8, k_codes: int = 16,
+                  iters: int = 8, train_sample: int = 256) -> str:
+    """The UNROLLED deterministic PQ trainer + encoder as chained CTEs
+    — the :func:`_kmeans_cte_sql` trick applied to product
+    quantization, which makes the whole PQ family oracle-checkable:
+    training sample = the ``train_sample`` lowest vec_ids of ``tsrc``,
+    per-subspace init = evenly spaced sample rows (numpy's
+    ``linspace(0, n-1, k).astype(int)`` truncation replayed as SQL
+    float arithmetic), ``iters`` Lloyd rounds with squared-L2
+    assignment (ties to the lowest code) and round-6 mean updates,
+    memberless codes keeping their previous centroid — exactly
+    ``similarity._pq_train``. ``src``/``tsrc`` are caller CTEs with
+    (vec_id, base) where base is a DOUBLE[dims] list (raw vectors, or
+    x − centroid[cell] residuals in the IVF-PQ residual mode). Yields
+    ``pqjs`` (subspace ids), ``pqb{iters}`` (j, code, svec) final
+    codebooks, and ``pqcodes`` (vec_id, j, code, d2) encodings of
+    every ``src`` row."""
+    sub = EMBEDDING_DIMS // m
+    d2_tb = _pq_d2("s.svec", "b.svec", sub)
+    d2_vb = _pq_d2("v.svec", "b.svec", sub)
+    its = []
+    for it in range(1, iters + 1):
+        its.append(f"""
+pqa{it} AS MATERIALIZED (
+  SELECT j, rn, svec, code FROM (
+    SELECT s.j, s.rn, s.svec, b.code,
+           row_number() OVER (PARTITION BY s.rn, s.j
+                              ORDER BY {d2_tb}, b.code) AS o
+    FROM pqtsub s JOIN pqb{it - 1} b USING (j)) WHERE o = 1),
+pqu{it} AS (
+  SELECT j, code, dd.d AS dim, round(avg(svec[dd.d]), 6) AS c
+  FROM pqa{it}, (SELECT unnest(range(1, {sub + 1})) AS d) dd
+  GROUP BY j, code, dd.d),
+pqu{it}l AS (SELECT j, code, list(c ORDER BY dim) AS svec
+             FROM pqu{it} GROUP BY j, code),
+pqb{it} AS MATERIALIZED (
+  SELECT b.j, b.code, coalesce(u.svec, b.svec) AS svec
+  FROM pqb{it - 1} b LEFT JOIN pqu{it}l u USING (j, code))""")
+    return f"""
+pqjs AS (SELECT unnest(range(0, {m})) AS j),
+pqallsub AS (
+  SELECT vec_id, j, base[(j*{sub}+1):(j*{sub}+{sub})] AS svec
+  FROM {src}, pqjs),
+pqsamp AS (
+  SELECT vec_id, base, row_number() OVER (ORDER BY vec_id) - 1 AS rn
+  FROM {tsrc} ORDER BY vec_id LIMIT {train_sample}),
+pqtsub AS (
+  SELECT rn, j, base[(j*{sub}+1):(j*{sub}+{sub})] AS svec
+  FROM pqsamp, pqjs),
+pqn AS (SELECT count(*) AS n FROM pqsamp),
+pqidx AS (
+  SELECT code,
+         CASE WHEN {k_codes} = 1 OR code = {k_codes - 1} THEN n - 1
+              ELSE CAST(floor(code * ((n - 1)
+                        / CAST({k_codes - 1} AS DOUBLE))) AS BIGINT)
+         END AS rn
+  FROM (SELECT unnest(range(0, {k_codes})) AS code), pqn),
+pqb0 AS (SELECT s.j, i.code, s.svec
+         FROM pqidx i JOIN pqtsub s USING (rn)),{",".join(its)},
+pqcodes AS MATERIALIZED (
+  SELECT vec_id, j, code, d2 FROM (
+    SELECT v.vec_id, v.j, b.code, {d2_vb} AS d2,
+           row_number() OVER (PARTITION BY v.vec_id, v.j
+                              ORDER BY {d2_vb}, b.code) AS o
+    FROM pqallsub v JOIN pqb{iters} b USING (j)) WHERE o = 1)"""
+
+
+def _sql_cosine(a: str, b: str) -> str:
+    """The hash-matched round-trippable cosine form every similarity
+    oracle uses (same expression as _BRUTE_TOPK_ORACLE)."""
+    return (f"list_inner_product({a}, {b}) "
+            f"/ (sqrt(list_inner_product({a}, {a})) "
+            f"* sqrt(list_inner_product({b}, {b})))")
+
+
+#: DuckDB twin of product_quantize(m=8, k_codes=16, iters=8,
+#: train_sample=256): the unrolled PQ trainer + per-vector encoding,
+#: reconstruction MSE = Σ_j d2_j / dims rounded to 8 (identical to the
+#: kernel's np.round(((x - recon)**2).mean(axis=1), 8)).
+_PQ_CODES_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS base FROM embeddings),
+{_pq_cte_parts("vecs", "vecs")}
+SELECT e.vec_id, e.label, c.codes, c.recon_mse
+FROM (SELECT vec_id, list(code ORDER BY j) AS codes,
+             round(sum(d2) / {EMBEDDING_DIMS}, 8) AS recon_mse
+      FROM pqcodes GROUP BY vec_id) c
+JOIN vecs e USING (vec_id)
+"""
+
+_PQ_SUB = EMBEDDING_DIMS // 8
+
+#: DuckDB twin of pq_topk(k=10, rerank=50): ADC distances = per-query
+#: (j, code) lookup tables summed over the encoded corpus (round-8,
+#: matching _adc_partial_topk), shortlist = top-50 under the total
+#: (adc_dist, neighbor_id) order, then EXACT cosine rerank — self-
+#: matches included, exactly like the kernel.
+_PQ_TOPK_ORACLE = f"""
+WITH vecs AS (
+  SELECT vec_id, embedding::DOUBLE[] AS base FROM embeddings),
+{_pq_cte_parts("vecs", "vecs")},
+qset AS (SELECT vec_id AS query_id, base FROM vecs
+         ORDER BY vec_id LIMIT 10),
+qsub AS (SELECT query_id, j,
+                base[(j*{_PQ_SUB}+1):(j*{_PQ_SUB}+{_PQ_SUB})] AS svec
+         FROM qset, pqjs),
+pqtbl AS (SELECT q.query_id, b.j, b.code,
+                 {_pq_d2('q.svec', 'b.svec', _PQ_SUB)} AS td
+          FROM qsub q JOIN pqb8 b USING (j)),
+padc AS (SELECT t.query_id, c.vec_id AS neighbor_id,
+                round(sum(t.td), 8) AS adc
+         FROM pqcodes c JOIN pqtbl t ON t.j = c.j AND t.code = c.code
+         GROUP BY t.query_id, c.vec_id),
+pshort AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rk
+    FROM padc) WHERE rk <= 50),
+prer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_sql_cosine('q.base', 'n.base')} AS raw_sim
+  FROM pshort s JOIN qset q USING (query_id)
+  JOIN vecs n ON n.vec_id = s.neighbor_id),
+pranked AS (
+  SELECT query_id, neighbor_id, raw_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, neighbor_id) AS rank
+  FROM prer)
+SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
+FROM pranked WHERE rank <= 10
+"""
+
+
+def _ivfpq_oracle_sql(residual: bool = False,
+                      train_pred: str = "TRUE") -> str:
+    """DuckDB twin of build_ivfpq_index + ivfpq_probe_topk (defaults:
+    n_cells=16, iters=2, m=8, k_codes=16, train_sample=256, pq_iters=8,
+    n_probe=4, rerank=50, k=10, queries = vec_id < 10): the coarse
+    unrolled k-means prefix, the unrolled PQ trainer over raw vectors
+    or x − centroid[cell] residuals, cell-restricted ADC (each query's
+    candidates are the vectors in ITS probed cells — the per-cell
+    cogroup + global shortlist of the probe is equivalent to this flat
+    form), round-8 ADC distances, exact cosine rerank with self-matches
+    included. ``train_pred`` restricts the TRAINING corpus for the
+    incremental / streaming add-after-train paths (build on the even
+    half, append the rest — appended vectors land exactly where the
+    bulk build puts them, so assignment covers all vectors)."""
+    dims1 = EMBEDDING_DIMS + 1
+    if residual:
+        src_all = (f"SELECT n.vec_id, list_transform(range(1, {dims1}), "
+                   "d -> n.emb[d] - c.cen[d]) AS base "
+                   "FROM corpus n JOIN c2 c USING (cell)")
+        src_train = ("SELECT s.vec_id, s.base FROM pqsrcall s "
+                     "JOIN tvecs t USING (vec_id)")
+        q_base = (f"SELECT q.vec_id AS query_id, q.cell, "
+                  f"list_transform(range(1, {dims1}), "
+                  "d -> q.emb[d] - c.cen[d]) AS base "
+                  "FROM qprobe q JOIN c2 c USING (cell)")
+    else:
+        src_all = "SELECT vec_id, emb AS base FROM vecs"
+        src_train = "SELECT vec_id, emb AS base FROM tvecs"
+        q_base = ("SELECT q.vec_id AS query_id, q.cell, q.emb AS base "
+                  "FROM qprobe q")
+    assign = _KMEANS_ASSIGN_CTE
+    return f"""{_kmeans_cte_sql(16, train_pred)},
+corpus AS ({assign.format(vecs='vecs', cents='c2', qfilter='', take='= 1')}),
+qprobe AS ({assign.format(vecs='vecs', cents='c2',
+                          qfilter=' WHERE v.vec_id < 10', take='<= 4')}),
+pqsrcall AS ({src_all}),
+pqsrctrain AS ({src_train}),
+{_pq_cte_parts("pqsrcall", "pqsrctrain")},
+qrbase AS ({q_base}),
+qrsub AS (SELECT query_id, cell, j,
+                 base[(j*{_PQ_SUB}+1):(j*{_PQ_SUB}+{_PQ_SUB})] AS svec
+          FROM qrbase, pqjs),
+pqtbl AS (SELECT q.query_id, q.cell, b.j, b.code,
+                 {_pq_d2('q.svec', 'b.svec', _PQ_SUB)} AS td
+          FROM qrsub q JOIN pqb8 b USING (j)),
+padc AS (SELECT t.query_id, n.vec_id AS neighbor_id,
+                round(sum(t.td), 8) AS adc
+         FROM corpus n
+         JOIN pqcodes c ON c.vec_id = n.vec_id
+         JOIN pqtbl t ON t.cell = n.cell AND t.j = c.j
+                     AND t.code = c.code
+         GROUP BY t.query_id, n.vec_id),
+pshort AS (SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc, neighbor_id) AS rk
+    FROM padc) WHERE rk <= 50),
+prer AS (
+  SELECT s.query_id, s.neighbor_id,
+         {_sql_cosine('q.emb', 'n.emb')} AS raw_sim
+  FROM pshort s
+  JOIN vecs q ON q.vec_id = s.query_id
+  JOIN vecs n ON n.vec_id = s.neighbor_id),
+pranked AS (
+  SELECT query_id, neighbor_id, raw_sim,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY raw_sim DESC, neighbor_id) AS rank
+  FROM prer)
+SELECT query_id, neighbor_id, round(raw_sim, 6) AS sim, rank
+FROM pranked WHERE rank <= 10
+"""
+
+
+_IVFPQ_TOPK_ORACLE = _ivfpq_oracle_sql()
+_IVFPQ_EVEN_TRAIN_ORACLE = _ivfpq_oracle_sql(train_pred="vec_id % 2 = 0")
+_IVFPQ_RESIDUAL_ORACLE = _ivfpq_oracle_sql(residual=True)
+
+
 @register("dedup_embedding_blocked", _EMB_BLOCKED_ORACLE)
 def q_dedup_embedding_blocked(spark, sf_dir):
     """Semantic near-dup with k-means-cell blocking — the sub-quadratic
@@ -2231,7 +2449,7 @@ def q_sim_ivf_persisted(spark, sf_dir):
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register("sim_ivfpq_persisted", None)  # approximate + index build → rows-only
+@register("sim_ivfpq_persisted", _IVFPQ_TOPK_ORACLE)  # r6: unrolled-PQ CTE
 def q_sim_ivfpq_persisted(spark, sf_dir):
     """IVF-PQ build-once/probe-many — the composed 100 TB serving
     layout (FAISS IVFPQ): coarse cells prune index DIRECTORIES, the
@@ -2247,7 +2465,7 @@ def q_sim_ivfpq_persisted(spark, sf_dir):
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register("sim_ivfpq_incremental", None)  # approx + index build → rows-only
+@register("sim_ivfpq_incremental", _IVFPQ_EVEN_TRAIN_ORACLE)  # r6: even-train twin
 def q_sim_ivfpq_incremental(spark, sf_dir):
     """IVF-PQ ingest loop: build on the even half, APPEND the odd half
     against the persisted centroids+codebooks (FAISS add-after-train —
@@ -2263,7 +2481,7 @@ def q_sim_ivfpq_incremental(spark, sf_dir):
         spark, path, emb.where(F.col("vec_id") < 10), k=10)
 
 
-@register("sim_ivfpq_residual", None)  # approx + index build → rows-only
+@register("sim_ivfpq_residual", _IVFPQ_RESIDUAL_ORACLE)  # r6: residual-trained twin
 def q_sim_ivfpq_residual(spark, sf_dir):
     """Residual-encoded IVF-PQ (the full FAISS IVFPQ): codes quantize
     x − centroid[cell] with residual-trained codebooks — finer
@@ -3264,7 +3482,7 @@ def q_stream_lsh_ingest(spark, sf_dir):
     return corpus.select("doc_id").orderBy("doc_id")
 
 
-@register("stream_ivfpq_ingest", None)  # approx + streaming → rows-only
+@register("stream_ivfpq_ingest", _IVFPQ_EVEN_TRAIN_ORACLE)  # ≡ build(even)+append(odd), tested
 def q_stream_ivfpq_ingest(spark, sf_dir):
     """Streaming IVF-PQ ingest (streaming/ivfpq_ingest.py): the first
     drop bootstraps centroids AND PQ codebooks, the second is
@@ -6751,7 +6969,7 @@ def q_text_bpe_train(spark, sf_dir):
     return text.bpe_train(_t(spark, sf_dir, "documents"), n_merges=8)
 
 
-@register("embedding_pq_codes", None)  # sample-trained k-means → rows-only
+@register("embedding_pq_codes", _PQ_CODES_ORACLE)  # r6: unrolled-PQ CTE
 def q_embedding_pq_codes(spark, sf_dir):
     """Product-quantization encoding of the embeddings table: 8
     subspaces × 16 codes (64-dim → 8 bytes/vector), reconstruction MSE
@@ -6759,7 +6977,7 @@ def q_embedding_pq_codes(spark, sf_dir):
     return similarity.product_quantize(_t(spark, sf_dir, "embeddings"))
 
 
-@register("sim_topk_pq", None)  # approximate ANN → recall-tested
+@register("sim_topk_pq", _PQ_TOPK_ORACLE)  # r6: unrolled-PQ CTE + ADC + rerank
 def q_sim_topk_pq(spark, sf_dir):
     """Asymmetric-distance PQ top-k: per-query (m × k) lookup tables,
     m table lookups per database vector instead of a d-dim dot product
