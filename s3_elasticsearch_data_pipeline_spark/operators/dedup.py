@@ -912,7 +912,8 @@ def paragraph_dedup_stats(documents: DataFrame) -> DataFrame:
 def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
                           n: int = 3, num_hashes: int = 16,
                           bands: int = 4, threshold: float = 0.5,
-                          max_bucket_docs: int | None = None) -> DataFrame:
+                          max_bucket_docs: int | None = None,
+                          hash_mode: str = "xxhash64") -> DataFrame:
     """Near-dup dedup AT INGEST — the cross-batch extension of
     :func:`incremental_batch_dedup` from exact fingerprints to MinHash
     similarity: an incoming batch is checked against the PERSISTED LSH
@@ -939,6 +940,13 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
     probing an accumulated-boilerplate index is cap × cap per bucket
     instead of batch × corpus. Capped docs are ADMITTED (their buckets
     never match) — the recall note there applies.
+
+    ``hash_mode="portable"`` swaps the hash family for the
+    engine-portable twin (see :func:`_lsh_banded`) so the whole
+    admission decision is replayable in a second engine — the registry
+    runs this mode to carry a DuckDB oracle; xxhash64 stays the scale
+    default (equivalence-of-shape tested, same contract as
+    :func:`minhash_lsh_pairs`).
     """
     corpus = documents.where(F.col("doc_id") % batch_mod != 0)
     batch = documents.where(F.col("doc_id") % batch_mod == 0)
@@ -946,10 +954,10 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
     # (index and probe branches shingle in parallel) instead of two
     # serialized eager jobs; lineage is still truncated for reuse
     index = drop_hot_buckets(
-        _lsh_banded(corpus, n, num_hashes, bands)
+        _lsh_banded(corpus, n, num_hashes, bands, hash_mode)
         .localCheckpoint(eager=False), max_bucket_docs)
     probe = drop_hot_buckets(
-        _lsh_banded(batch, n, num_hashes, bands)
+        _lsh_banded(batch, n, num_hashes, bands, hash_mode)
         .localCheckpoint(eager=False), max_bucket_docs)
     est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
     matched = (probe.alias("p")

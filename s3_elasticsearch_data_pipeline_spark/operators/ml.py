@@ -118,7 +118,13 @@ def train_quality_classifier(documents: DataFrame, iters: int = 15,
         aggs = [F.sum((err * F.col(f)).cast("decimal(38,18)"))
                 .alias(f"g_{f}") for f in FEATURES]
         g = feats.agg(*aggs).collect()[0]
-        w = [w[i] - lr * float(g[f"g_{f}"]) / n_row
+        # round-9 per-iteration weights: the cross-engine determinism
+        # discipline (k-means/PQ round their centroid updates to 6) —
+        # absorbs summation-order and libm 1-ulp noise so the driver
+        # path, this path, and the unrolled DuckDB oracle CTE all walk
+        # the identical weight trajectory; 5e-10 per-step noise is far
+        # inside the 1e-6 tolerance the numpy-reference test pins
+        w = [round(w[i] - lr * float(g[f"g_{f}"]) / n_row, 9)
              for i, f in enumerate(FEATURES)]
     # final loss, same single-pass shape
     z = sum(F.col(f) * F.lit(w[i]) for i, f in enumerate(FEATURES))
@@ -130,7 +136,7 @@ def train_quality_classifier(documents: DataFrame, iters: int = 15,
         .cast("decimal(38,18)")).alias("L")).collect()[0]
     loss = float(loss_row["L"]) / n_row
     rows = [(f, round(w[i], 10)) for i, f in enumerate(FEATURES)]
-    rows.append(("__loss__", round(loss, 10)))
+    rows.append(("__loss__", round(loss, 8)))  # round-8: see driver path
     # weights are driver data now — free the feature checkpoints
     release_persistent_rdds(spark, persistent_rdd_ids(spark) - before)
     return spark.createDataFrame(rows, "feature string, weight double")
@@ -151,13 +157,19 @@ def _train_driver_side(spark, pdf, iters: int, lr: float) -> DataFrame:
     w = np.zeros(len(FEATURES))
     for _ in range(iters):
         p = 1.0 / (1.0 + np.exp(-(X @ w)))
-        w = w - lr * (X.T @ (p - y)) / n_row
+        # round-9 per-iteration (see the distributed loop): makes the
+        # BLAS-summed driver path, the decimal-summed distributed path,
+        # and the DuckDB oracle CTE bit-agree on the weight trajectory
+        w = np.round(w - lr * (X.T @ (p - y)) / n_row, 9)
     p = 1.0 / (1.0 + np.exp(-(X @ w)))
     eps = 1e-12
     loss = float(np.sum(-(y * np.log(p + eps)
                           + (1.0 - y) * np.log(1.0 - p + eps)))) / n_row
     rows = [(f, round(float(w[i]), 10)) for i, f in enumerate(FEATURES)]
-    rows.append(("__loss__", round(loss, 10)))
+    # round-8 loss (not 10): the mean log-loss carries summation-order
+    # noise ~1e-13 across engines; 1e-8 resolution keeps the oracle
+    # hash stable without losing anything a monitor would read
+    rows.append(("__loss__", round(loss, 8)))
     return spark.createDataFrame(rows, "feature string, weight double")
 
 

@@ -947,6 +947,69 @@ _IVFPQ_EVEN_TRAIN_ORACLE = _ivfpq_oracle_sql(train_pred="vec_id % 2 = 0")
 _IVFPQ_RESIDUAL_ORACLE = _ivfpq_oracle_sql(residual=True)
 
 
+def _gd_oracle_sql(iters: int = 15, lr: float = 0.5) -> str:
+    """DuckDB twin of ml.train_quality_classifier: the full-batch
+    logistic-regression GD loop UNROLLED as chained 1-row CTEs (the
+    BPE/k-means/PQ trick applied to an iterative trainer). Each
+    iteration is one aggregate over the materialized feature frame +
+    one scalar weight update; weights round to 9 decimals per step —
+    the same discipline the trainer itself now applies, which is what
+    lets a BLAS-summed numpy path, a decimal-summed distributed path,
+    and this SQL replay walk the identical trajectory. Features mirror
+    ml.quality_features expression by expression (the log1p/ln(1+n)
+    and exp() 1-ulp libm divergences are absorbed by the round-9)."""
+    n_f = 5
+    zf = " + ".join(f"x{i}*w.w{i}" for i in range(n_f))
+    its = []
+    for t in range(1, iters + 1):
+        sig = f"1.0/(1.0 + exp(-({zf})))"
+        gs = ", ".join(f"sum(({sig} - y) * x{i}) AS g{i}"
+                       for i in range(n_f))
+        ws = ", ".join(f"round(w.w{i} - {lr} * g.g{i} / g.n, 9) AS w{i}"
+                       for i in range(n_f))
+        # MATERIALIZED: w{t} references w{t-1} twice (gradient + update)
+        # — inlined CTEs would expand to a 2^iters plan tree, the same
+        # blow-up the PQ trainer CTE hit (measured ~100 GiB at depth 8)
+        its.append(f"""
+g{t} AS MATERIALIZED (SELECT count(*) AS n, {gs} FROM feats, w{t - 1} w),
+w{t} AS MATERIALIZED (SELECT {ws} FROM w{t - 1} w, g{t} g)""")
+    w0 = ", ".join(f"0.0 AS w{i}" for i in range(n_f))
+    names = ["intercept", "log_tokens", "punct_ratio", "digit_ratio",
+             "mean_word_len"]
+    outs = "\nUNION ALL ".join(
+        f"SELECT '{name}' AS feature, w{i} AS weight FROM w{iters}"
+        for i, name in enumerate(names))
+    return f"""
+WITH tok AS (
+  SELECT CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         len(list_filter(string_split_regex(text, '\\s+'),
+             t -> t <> '')) AS n_tok,
+         greatest(length(text), 1) AS n_chars,
+         length(regexp_replace(text, '[^.,;:!?''"()-]', '', 'g'))
+           AS n_punct,
+         length(regexp_replace(text, '[^0-9]', '', 'g')) AS n_digit
+  FROM documents),
+feats AS MATERIALIZED (
+  SELECT y, 1.0 AS x0,
+         ln(1.0 + n_tok) AS x1,
+         CAST(n_punct AS DOUBLE) / n_chars AS x2,
+         CAST(n_digit AS DOUBLE) / n_chars AS x3,
+         CAST(n_chars - n_tok + 1 AS DOUBLE) / greatest(n_tok, 1) AS x4
+  FROM tok),
+w0 AS (SELECT {w0}),{",".join(its)},
+scored AS (SELECT y, 1.0/(1.0 + exp(-({zf}))) AS p
+           FROM feats, w{iters} w),
+loss AS (SELECT round(sum(-(y * ln(p + 1e-12)
+                            + (1.0 - y) * ln(1.0 - p + 1e-12)))
+                      / count(*), 8) AS weight FROM scored)
+{outs}
+UNION ALL SELECT '__loss__' AS feature, weight FROM loss
+"""
+
+
+_GD_CLASSIFIER_ORACLE = _gd_oracle_sql()
+
+
 @register("dedup_embedding_blocked", _EMB_BLOCKED_ORACLE)
 def q_dedup_embedding_blocked(spark, sf_dir):
     """Semantic near-dup with k-means-cell blocking — the sub-quadratic
@@ -3451,7 +3514,62 @@ def q_stream_dedup(spark, sf_dir):
         spark, os.path.join(sf_dir, "events.parquet"))
 
 
-@register("stream_lsh_ingest", None)  # MinHash admission → rows-only
+#: DuckDB twin of the two-drop streaming LSH ingest (portable hash
+#: mode): epoch 1 = even doc_ids deduped in-batch (lower id wins),
+#: epoch 2 = odds plus +1,000,000-shifted copies of the full even half
+#: probing the admitted-epoch-1 band index then themselves. The
+#: exact-text fallback channel (band -1, md5-low-60 bucket, constant
+#: signature) is replayed too — short docs dedup exactly, like the
+#: operator. Shifted copies share text, hence identical band rows.
+_STREAM_LSH_ORACLE = f"""
+WITH {_MINHASH_BANDED_CTES},
+short AS (
+  SELECT d.doc_id,
+         list_transform(range(1, 17),
+           i -> CAST(('0x' || substr(md5(d.text), 18, 15))
+                     AS UBIGINT)::BIGINT) AS sig,
+         -1 AS band,
+         CAST(('0x' || substr(md5(d.text), 18, 15)) AS UBIGINT)::BIGINT
+           AS bucket
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT doc_id FROM banded)),
+allb AS (SELECT doc_id, sig, band, bucket FROM banded
+         UNION ALL SELECT doc_id, sig, band, bucket FROM short),
+b1 AS (SELECT * FROM allb WHERE doc_id % 2 = 0),
+drop1 AS (
+  SELECT DISTINCT p.doc_id FROM b1 p JOIN b1 i
+    ON p.band = i.band AND p.bucket = i.bucket AND p.doc_id > i.doc_id
+  WHERE round(len(list_filter(range(1, 17),
+                    k -> p.sig[k] = i.sig[k])) / 16.0, 6) >= 0.5),
+idx1 AS (SELECT * FROM b1
+         WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+b2 AS (SELECT doc_id, sig, band, bucket FROM allb WHERE doc_id % 2 = 1
+       UNION ALL
+       SELECT doc_id + 1000000 AS doc_id, sig, band, bucket FROM allb
+       WHERE doc_id % 2 = 0),
+drop2 AS (SELECT DISTINCT doc_id FROM (
+  SELECT p.doc_id FROM b2 p JOIN idx1 i
+    ON p.band = i.band AND p.bucket = i.bucket
+  WHERE round(len(list_filter(range(1, 17),
+                    k -> p.sig[k] = i.sig[k])) / 16.0, 6) >= 0.5
+  UNION ALL
+  SELECT p.doc_id FROM b2 p JOIN b2 i
+    ON p.band = i.band AND p.bucket = i.bucket AND p.doc_id > i.doc_id
+  WHERE round(len(list_filter(range(1, 17),
+                    k -> p.sig[k] = i.sig[k])) / 16.0, 6) >= 0.5))
+SELECT doc_id FROM documents WHERE doc_id % 2 = 0
+  AND doc_id NOT IN (SELECT doc_id FROM drop1)
+UNION ALL
+SELECT doc_id FROM (
+  SELECT doc_id FROM documents WHERE doc_id % 2 = 1
+  UNION ALL
+  SELECT doc_id + 1000000 AS doc_id FROM documents WHERE doc_id % 2 = 0)
+WHERE doc_id NOT IN (SELECT doc_id FROM drop2)
+ORDER BY doc_id
+"""
+
+
+@register("stream_lsh_ingest", _STREAM_LSH_ORACLE)  # r6: portable replay
 def q_stream_lsh_ingest(spark, sf_dir):
     """Streaming near-dup dedup-at-ingest: two document drops flow
     through the checkpointed ingest loop (streaming/lsh_ingest.py) —
@@ -3471,11 +3589,11 @@ def q_stream_lsh_ingest(spark, sf_dir):
     first.write.parquet(src)
     args = (spark, src, os.path.join(work, "corpus"),
             os.path.join(work, "index"), os.path.join(work, "ckpt"))
-    lsh_ingest_stream(*args)
+    lsh_ingest_stream(*args, hash_mode="portable")
     second = docs.where(F.col("doc_id") % 2 == 1).unionByName(
         first.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     second.write.mode("append").parquet(src)
-    lsh_ingest_stream(*args)
+    lsh_ingest_stream(*args, hash_mode="portable")
     corpus = read_corpus(spark, os.path.join(work, "corpus"))
     if corpus is None:  # empty source → empty corpus, not a crash
         return spark.createDataFrame([], "doc_id long")
@@ -6988,14 +7106,31 @@ def q_sim_topk_pq(spark, sf_dir):
     return similarity.pq_topk(embs, queries, k=10)
 
 
-@register("dedup_incremental_lsh", None)  # xxhash64 minhash → rows-only
+_INCR_LSH_ORACLE = f"""
+WITH {_MINHASH_BANDED_CTES},
+matched AS (
+  SELECT DISTINCT p.doc_id
+  FROM banded p JOIN banded i
+    ON p.band = i.band AND p.bucket = i.bucket
+   AND p.doc_id % 3 = 0 AND i.doc_id % 3 <> 0
+  WHERE round(len(list_filter(range(1, 17), k -> p.sig[k] = i.sig[k]))
+              / 16.0, 6) >= 0.5)
+SELECT d.doc_id FROM documents d
+WHERE d.doc_id % 3 = 0
+  AND d.doc_id NOT IN (SELECT doc_id FROM matched)
+"""
+
+
+@register("dedup_incremental_lsh", _INCR_LSH_ORACLE)  # r6: portable hashes
 def q_dedup_incremental_lsh(spark, sf_dir):
     """Near-dup dedup at ingest: the incoming batch probes the prior
     corpus's persisted LSH band index; only docs with no est-Jaccard
-    match >= 0.5 survive (operators/dedup.py:incremental_lsh_dedup);
-    drop/survive behavior is seeded-fixture-tested in
-    tests/test_curation.py."""
-    return dedup.incremental_lsh_dedup(_t(spark, sf_dir, "documents"))
+    match >= 0.5 survive (operators/dedup.py:incremental_lsh_dedup).
+    r6: runs hash_mode="portable" so the whole admission decision is
+    replayed by the DuckDB twin (batch = doc_id %% 3 = 0 probing the
+    rest); xxhash64 stays the scale default."""
+    return dedup.incremental_lsh_dedup(_t(spark, sf_dir, "documents"),
+                                       hash_mode="portable")
 
 
 @register("decontamination_containment", """
@@ -7027,7 +7162,7 @@ def q_decontamination_containment(spark, sf_dir):
         _t(spark, sf_dir, "documents"), n=3, threshold=0.5)
 
 
-@register("ml_quality_classifier", None)  # iterative GD → rows-only
+@register("ml_quality_classifier", _GD_CLASSIFIER_ORACLE)  # r6: unrolled GD CTE
 def q_ml_quality_classifier(spark, sf_dir):
     """Distributed full-batch logistic regression for a corpus quality
     filter: one scan + one 1-row decimal aggregate per iteration,

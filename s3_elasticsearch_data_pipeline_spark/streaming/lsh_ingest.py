@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
-    _lsh_banded, drop_hot_buckets, sig_agreement)
+    _lsh_banded, drop_hot_buckets, portable_hash60, sig_agreement)
 
 
 def _read_optional_parquet(spark: SparkSession, path: str):
@@ -57,7 +57,8 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5, schema=None,
                       max_bucket_docs: int | None = None,
-                      fault_hook=None) -> None:
+                      fault_hook=None,
+                      hash_mode: str = "xxhash64") -> None:
     """Drain all new document files through the dedup-at-ingest loop
     (``Trigger.AvailableNow`` — run repeatedly; each call processes
     exactly the files that arrived since the last call).
@@ -91,6 +92,14 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
     ``"after_index_write"``); a hook that raises simulates a process
     kill in the torn window between a completed write and the
     checkpoint commit, so tests can assert the replay heals it.
+
+    ``hash_mode="portable"``: the engine-portable hash family for the
+    whole admission decision — signatures, band buckets, AND the
+    exact-text fallback channel (md5-low-60 instead of xxhash64) — so
+    a second engine can replay every epoch; the registry runs this
+    mode to carry a DuckDB oracle. xxhash64 stays the scale default.
+    An index must be probed with the hash_mode it was built with
+    (mixed modes simply never collide, admitting everything).
     """
     fault = fault_hook or (lambda stage, epoch_id: None)
     if schema is None:
@@ -102,15 +111,18 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
 
     est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
 
+    text_hash = (portable_hash60 if hash_mode == "portable"
+                 else F.xxhash64)
+
     def _banded_with_fallback(df: DataFrame) -> DataFrame:
-        banded = _lsh_banded(df, n, num_hashes, bands)
+        banded = _lsh_banded(df, n, num_hashes, bands, hash_mode)
         short = (df.join(banded.select("doc_id").distinct(),
                          "doc_id", "left_anti")
                  .select("doc_id",
-                         F.array_repeat(F.xxhash64("text"), num_hashes)
+                         F.array_repeat(text_hash("text"), num_hashes)
                          .alias("sig"),
                          F.lit(-1).alias("band"),
-                         F.xxhash64("text").alias("bucket")))
+                         text_hash("text").alias("bucket")))
         return banded.unionByName(short)
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
