@@ -276,6 +276,18 @@ def test_ngram_prefix_filter_exact_under_hot_shingle_skew(spark):
 def test_incremental_lsh_dedup_drops_near_copies(spark):
     """A batch doc that is a near-copy of a corpus doc must be dropped;
     novel batch docs must survive (batch = doc_id % 3 == 0)."""
+    _incremental_lsh_fixture_case(spark, "xxhash64")
+
+
+def test_incremental_lsh_dedup_portable_mode_same_admissions(spark):
+    """hash_mode="portable" (what the registry runs so the DuckDB twin
+    can replay the admission decision) makes the same drop/admit calls
+    as the xxhash64 scale default on far-from-threshold copies — the
+    same equivalence contract minhash_lsh_pairs carries."""
+    _incremental_lsh_fixture_case(spark, "portable")
+
+
+def _incremental_lsh_fixture_case(spark, hash_mode):
     base = ("the quick brown fox jumps over the lazy dog and then "
             "runs far away into the deep green forest tonight")
     rows = [
@@ -290,7 +302,8 @@ def test_incremental_lsh_dedup_drops_near_copies(spark):
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
     out = {r["doc_id"] for r in
-           dedup.incremental_lsh_dedup(docs, batch_mod=3).collect()}
+           dedup.incremental_lsh_dedup(docs, batch_mod=3,
+                                       hash_mode=hash_mode).collect()}
     assert 3 not in out, "near-copy of corpus doc 1 must be dropped"
     assert {6, 9} <= out, "novel batch docs must survive"
     assert out <= {0, 3, 6, 9}  # only batch ids can appear

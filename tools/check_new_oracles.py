@@ -1,4 +1,9 @@
-"""Scratch: verify the four round-4 oracle additions at sf0.01."""
+"""Dev tool: side-by-side Spark-vs-DuckDB check for named registry
+queries at sf0.01 (the driver's t2 mirror) — pass query names as argv;
+the default list is just a smoke sample.
+
+    PYTHONPATH=/root/repo python tools/check_new_oracles.py <name>...
+"""
 import importlib
 import sys
 
