@@ -72,6 +72,7 @@ HEADLINE = (
     "q21_waiting_suppliers",
     "dedup_connected_components",
     "dedup_fuzzy_clusters",
+    "dedup_semantic_apply",
     "corpus_quality_filter",
     "text_search_bm25",
     "scd2_user_history",

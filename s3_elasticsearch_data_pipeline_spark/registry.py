@@ -1010,6 +1010,64 @@ UNION ALL SELECT '__loss__' AS feature, weight FROM loss
 _GD_CLASSIFIER_ORACLE = _gd_oracle_sql()
 
 
+#: SemDeDup-shaped END of the semantic pipeline: the same blocked
+#: pairs, closed into clusters with a recursive CTE and applied with
+#: the cluster-min survivor policy — the embedding twin of
+#: dedup_fuzzy_apply, fully oracle-checked.
+_SEMANTIC_APPLY_ORACLE = f"""
+WITH RECURSIVE {_kmeans_cte_sql(8).replace(chr(10) + "WITH ", "", 1)},
+assigned AS ({_KMEANS_ASSIGN_CTE.format(vecs='vecs', cents='c2',
+                                        qfilter='', take='<= 2')}),
+near_pairs AS (
+  SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
+  FROM assigned a JOIN assigned b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.emb, b.emb)
+              / (sqrt(list_inner_product(a.emb, a.emb))
+                 * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.3),
+edges AS (SELECT vec_id_a AS src, vec_id_b AS dst FROM near_pairs
+          UNION ALL SELECT vec_id_b, vec_id_a FROM near_pairs),
+reach(vec_id, member) AS (
+  SELECT src, src FROM edges
+  UNION
+  SELECT r.vec_id, e.dst FROM reach r JOIN edges e ON e.src = r.member),
+clusters AS (
+  SELECT vec_id, min(member) AS cluster_id FROM reach GROUP BY vec_id)
+SELECT v.vec_id,
+       coalesce(c.cluster_id, v.vec_id) AS cluster_id,
+       (c.cluster_id IS NULL OR c.cluster_id = v.vec_id) AS kept
+FROM embeddings v LEFT JOIN clusters c USING (vec_id)
+"""
+
+
+@register("dedup_semantic_apply", _SEMANTIC_APPLY_ORACLE)
+def q_dedup_semantic_apply(spark, sf_dir):
+    """SemDeDup-style semantic dedup applied END-TO-END (Abbas et al.
+    2023, "SemDeDup: Data-efficient learning at web-scale through
+    semantic deduplication" — cluster embeddings, drop all but one of
+    each semantically-identical group): the k-means-cell-blocked cosine
+    pairs (same sub-quadratic blocking as dedup_embedding_blocked) feed
+    connected components, and every vector gets its cluster plus a
+    ``kept`` verdict under the cluster-min survivor policy — the
+    embedding twin of dedup_fuzzy_apply, and like it fully
+    oracle-checked (blocking replayed via the unrolled k-means CTE,
+    clusters via a recursive CTE)."""
+    embs = _t(spark, sf_dir, "embeddings")
+    pairs = dedup.embedding_blocked_near_dup(embs)
+    clusters = (dedup.connected_components(
+        pairs.select(F.col("vec_id_a").alias("doc_id_a"),
+                     F.col("vec_id_b").alias("doc_id_b")))
+        .withColumnRenamed("doc_id", "vec_id"))
+    return (embs.select("vec_id")
+            .join(clusters, "vec_id", "left")
+            .select("vec_id",
+                    F.coalesce("cluster_id", F.col("vec_id"))
+                    .alias("cluster_id"),
+                    (F.col("cluster_id").isNull()
+                     | (F.col("cluster_id") == F.col("vec_id")))
+                    .alias("kept")))
+
+
 @register("dedup_embedding_blocked", _EMB_BLOCKED_ORACLE)
 def q_dedup_embedding_blocked(spark, sf_dir):
     """Semantic near-dup with k-means-cell blocking — the sub-quadratic
