@@ -544,10 +544,11 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
 #: executors.
 DRIVER_CC_MAX_PAIRS = 1_000_000
 
-#: Rows per matmul slab in the blocked within-cell pair kernel
-#: (embedding_blocked_near_dup): peak task memory is
-#: block × cell_n × 8 B for the sims slab — 256 rows against even a
-#: 65k-vector cell is ~134 MB, independent of how hot the cell is.
+#: Rows per contraction slab in the blocked within-cell pair kernel
+#: (embedding_blocked_near_dup): peak task memory is TWO
+#: block × cell_n float64 slabs live at once (the sims slab plus the
+#: norm-product denominator) — 256 rows against even a 65k-vector cell
+#: is ~270 MB, independent of how hot the cell is.
 _PAIR_BLOCK_ROWS = 256
 
 
@@ -698,13 +699,13 @@ def embedding_blocked_near_dup(embeddings: DataFrame,
     n^2; recall is probabilistic (tested, not oracle-checked).
 
     Within-cell scoring is a per-cell Arrow kernel (one
-    ``applyInPandas`` per cell, BLAS matmul in row blocks), not a
-    self-join with the interpreted ``cosine`` HOF per pair: higher-
-    order functions never enter whole-stage codegen, and at ~2M
-    candidate pairs the per-element interpreter dispatch measured
-    ~60 s at sf0.1 where the blocked matmul is <1 s. The block bound
-    (``_PAIR_BLOCK_ROWS`` rows per matmul slab) keeps task memory at
-    block × cell_n doubles — independent of cell size, the same
+    ``applyInPandas`` per cell, fixed-order einsum contractions in row
+    blocks), not a self-join with the interpreted ``cosine`` HOF per
+    pair: higher-order functions never enter whole-stage codegen, and
+    at ~2M candidate pairs the per-element interpreter dispatch
+    measured ~60 s at sf0.1 where the blocked kernel is <1 s. The
+    block bound (``_PAIR_BLOCK_ROWS`` rows per slab) keeps task memory
+    at two block × cell_n slabs — independent of cell size, the same
     per-task shape as the distributed ADC kernel.
     """
     from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
@@ -723,12 +724,14 @@ def embedding_blocked_near_dup(embeddings: DataFrame,
             emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
             e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
             c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-            order = np.argsort(-(e @ c.T), axis=1,
-                               kind="stable")[:, :n_assign]
+            # clamp like _nearest_cells: a corpus smaller than n_assign
+            # trains fewer centroids and a ragged repeat would crash
+            take = min(n_assign, len(centroids))
+            order = np.argsort(-(e @ c.T), axis=1, kind="stable")[:, :take]
             yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy().repeat(n_assign),
+                "vec_id": pdf["vec_id"].to_numpy().repeat(take),
                 "cell": order.reshape(-1),
-                "vec": list(np.repeat(emb, n_assign, axis=0)),
+                "vec": list(np.repeat(emb, take, axis=0)),
             })
 
     def pairs_in_cell(pdf):
@@ -740,19 +743,25 @@ def embedding_blocked_near_dup(embeddings: DataFrame,
                  "cosine_sim": pd.Series(dtype="float64")})
         ids = pdf["vec_id"].to_numpy()
         X = np.stack(pdf["vec"].to_numpy())
-        # the SQL-replayable cosine form: inner / (sqrt(aa) * sqrt(bb))
-        # — self inner products from the Gram diagonal, round-6 output
-        # (ULP noise vs the oracle's fold order is below the rounding)
+        # the SQL-replayable cosine form: inner / (sqrt(aa) * sqrt(bb)).
+        # einsum (optimize=False) instead of X @ X.T: its fixed-order
+        # contraction makes dot(a,b) bit-identical regardless of slab
+        # shape or which cell scored the pair — BLAS picks different
+        # micro-kernels by matrix shape, and a multi-assigned pair
+        # scored twice could then straddle a round-6 boundary and leak
+        # a duplicate row through the cross-cell .distinct()
         nr = np.sqrt((X * X).sum(axis=1))
         out_a, out_b, out_s = [], [], []
         for lo in range(0, len(ids), _PAIR_BLOCK_ROWS):
             hi = min(lo + _PAIR_BLOCK_ROWS, len(ids))
-            sims = X[lo:hi] @ X.T / (nr[lo:hi, None] * nr[None, :])
-            bi, bj = np.nonzero(np.round(sims, 6) >= threshold)
+            sims = np.einsum("id,jd->ij", X[lo:hi], X)
+            sims /= nr[lo:hi, None] * nr[None, :]
+            np.round(sims, 6, out=sims)
+            bi, bj = np.nonzero(sims >= threshold)
             keep = ids[lo + bi] < ids[bj]  # upper triangle by vec_id
             out_a.append(ids[lo + bi][keep])
             out_b.append(ids[bj][keep])
-            out_s.append(np.round(sims[bi, bj][keep], 6))
+            out_s.append(sims[bi, bj][keep])
         return pd.DataFrame({"vec_id_a": np.concatenate(out_a),
                              "vec_id_b": np.concatenate(out_b),
                              "cosine_sim": np.concatenate(out_s)})

@@ -159,8 +159,12 @@ def _train_driver_side(spark, pdf, iters: int, lr: float) -> DataFrame:
         p = 1.0 / (1.0 + np.exp(-(X @ w)))
         # round-9 per-iteration (see the distributed loop): makes the
         # BLAS-summed driver path, the decimal-summed distributed path,
-        # and the DuckDB oracle CTE bit-agree on the weight trajectory
-        w = np.round(w - lr * (X.T @ (p - y)) / n_row, 9)
+        # and the DuckDB oracle CTE agree on the weight trajectory.
+        # Python round(), not np.round: it is correctly rounded, so
+        # both Spark paths share one rounding function (np.round's
+        # scaled x*1e9 path can differ near decimal midpoints)
+        w = np.array([round(float(x), 9)
+                      for x in w - lr * (X.T @ (p - y)) / n_row])
     p = 1.0 / (1.0 + np.exp(-(X @ w)))
     eps = 1e-12
     loss = float(np.sum(-(y * np.log(p + eps)

@@ -1022,9 +1022,7 @@ near_pairs AS (
   SELECT DISTINCT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b
   FROM assigned a JOIN assigned b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
-  WHERE round(list_inner_product(a.emb, b.emb)
-              / (sqrt(list_inner_product(a.emb, a.emb))
-                 * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.3),
+  WHERE round({_sql_cosine('a.emb', 'b.emb')}, 6) >= 0.3),
 edges AS (SELECT vec_id_a AS src, vec_id_b AS dst FROM near_pairs
           UNION ALL SELECT vec_id_b, vec_id_a FROM near_pairs),
 reach(vec_id, member) AS (

@@ -242,6 +242,20 @@ def test_ivf_persisted_empty_corpus(spark, embeddings, tmp_path):
         "query_id", "neighbor_id", "sim", "rank"]
 
 
+def test_blocked_semantic_dedup_tiny_corpus(spark, embeddings):
+    """A corpus smaller than n_assign trains fewer centroids than the
+    multi-assign width — the kernel must clamp (like _nearest_cells),
+    not crash on a ragged repeat; 1 vector → 0 pairs, 2 near-identical
+    vectors → their pair."""
+    one = embeddings.orderBy("vec_id").limit(1)
+    assert dedup.embedding_blocked_near_dup(one).count() == 0
+    base = embeddings.orderBy("vec_id").limit(1)
+    twin = base.withColumn("vec_id", base["vec_id"] + 1)
+    pair = dedup.embedding_blocked_near_dup(base.unionByName(twin))
+    rows = pair.collect()
+    assert len(rows) == 1 and rows[0]["cosine_sim"] == 1.0
+
+
 def test_blocked_semantic_dedup_recall_and_precision(spark, embeddings):
     """K-means-blocked near-dup must (a) report only true >=threshold
     pairs — precision 1.0 by construction since it reranks exactly —
