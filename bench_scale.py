@@ -38,6 +38,7 @@ SCALE_QUERIES = (
     "stat_correlation_matrix",
     "dedup_incremental_lsh", "sim_topk_pq", "decontamination_containment",
     "ml_quality_classifier", "audio_decode_features",
+    "dedup_semantic_apply",
     "video_decode_features",
     "dedup_connected_components", "multimodal_curation",
     "dedup_duplicate_spans",
@@ -74,6 +75,24 @@ def replicate(spark, out_dir: str, n: int) -> None:
                 df = df.withColumn(
                     "text",
                     F.regexp_replace("text", r"(\S+)", rf"$1r{i}"))
+            if table == "embeddings" and i:
+                # same honesty rule for vectors: byte-identical replica
+                # embeddings would make every vector N−1 exact twins
+                # (cosine 1.0), growing semantic-dedup pair output
+                # ~quadratically in N — a copied-data degeneracy, not
+                # N× organic data. A per-replica ±1 sign pattern keeps
+                # every WITHIN-replica dot product bit-identical
+                # ((s⊙a)·(s⊙b) = a·b) while cross-replica cosines
+                # collapse toward 0, so pair growth stays in its real
+                # within-replica term. Replica 0 stays byte-identical.
+                import hashlib
+                signs = [1.0 if hashlib.md5(f"{i}:{d}".encode())
+                         .digest()[0] % 2 else -1.0 for d in range(64)]
+                df = df.withColumn(
+                    "embedding",
+                    F.zip_with("embedding",
+                               F.array(*[F.lit(s) for s in signs]),
+                               lambda x, s: x * s).cast("array<float>"))
             parts.append(df)
         union = parts[0]
         for p in parts[1:]:
