@@ -1002,8 +1002,14 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
         _lsh_banded(batch, n, num_hashes, bands, hash_mode)
         .localCheckpoint(eager=False), max_bucket_docs)
     est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
+    # merge hint: the band index is CORPUS-sized (bands × prior docs,
+    # signature arrays in every row) and checkpoint-backed stats
+    # undershoot the broadcast threshold — Spark picked it as the
+    # hash-join build side at sf0.1 (driver-serial relation over the
+    # whole index; driver OOM at real scale). Same fix as the
+    # ngram-Jaccard/containment joins in r5.
     matched = (probe.alias("p")
-               .join(index.alias("i"),
+               .join(index.hint("merge").alias("i"),
                      (F.col("p.band") == F.col("i.band"))
                      & (F.col("p.bucket") == F.col("i.bucket")))
                .select(F.col("p.doc_id").alias("doc_id"),
