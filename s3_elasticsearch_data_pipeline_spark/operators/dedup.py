@@ -516,24 +516,65 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
             .distinct())
 
 
+def _blocked_pair_kernel(threshold: float):
+    """Within-group cosine pair scorer for ``applyInPandas`` (shared
+    by the label-blocked exact variant and the k-means-cell-blocked
+    variant): fixed-order einsum contractions in ``_PAIR_BLOCK_ROWS``
+    slabs — see ``embedding_blocked_near_dup`` for why einsum (shape-
+    independent dots) and for the two-slab memory bound. Expects
+    (vec_id, vec) columns; emits (vec_id_a < vec_id_b, round-6 sim ≥
+    threshold)."""
+    import numpy as np
+
+    def pairs_in_group(pdf):
+        import pandas as pd
+        if not len(pdf):
+            return pd.DataFrame(
+                {"vec_id_a": pd.Series(dtype="int64"),
+                 "vec_id_b": pd.Series(dtype="int64"),
+                 "cosine_sim": pd.Series(dtype="float64")})
+        ids = pdf["vec_id"].to_numpy()
+        X = np.stack(pdf["vec"].to_numpy())
+        nr = np.sqrt((X * X).sum(axis=1))
+        out_a, out_b, out_s = [], [], []
+        for lo in range(0, len(ids), _PAIR_BLOCK_ROWS):
+            hi = min(lo + _PAIR_BLOCK_ROWS, len(ids))
+            sims = np.einsum("id,jd->ij", X[lo:hi], X)
+            sims /= nr[lo:hi, None] * nr[None, :]
+            np.round(sims, 6, out=sims)
+            bi, bj = np.nonzero(sims >= threshold)
+            keep = ids[lo + bi] < ids[bj]  # upper triangle by vec_id
+            out_a.append(ids[lo + bi][keep])
+            out_b.append(ids[bj][keep])
+            out_s.append(sims[bi, bj][keep])
+        return pd.DataFrame({"vec_id_a": np.concatenate(out_a),
+                             "vec_id_b": np.concatenate(out_b),
+                             "cosine_sim": np.concatenate(out_s)})
+
+    return pairs_in_group
+
+
+_PAIR_SCHEMA = "vec_id_a long, vec_id_b long, cosine_sim double"
+
+
 def embedding_near_dup_pairs(embeddings: DataFrame,
                              threshold: float = 0.95,
                              block_col: str = "label") -> DataFrame:
     """Embedding-cosine near-duplicates, blocked on ``block_col``.
 
-    The equi-join on the block key bounds the pair count; cosine is a
-    sequential double fold (oracle-exact). The unblocked variant at
-    scale is ``similarity.ann_lsh_topk``."""
-    vecs = embeddings.select("vec_id", F.col(block_col).alias("block"),
-                             "embedding")
-    a, b = vecs.alias("a"), vecs.alias("b")
-    sim = cosine(F.col("a.embedding"), F.col("b.embedding"))
-    return (a.join(b, (F.col("a.block") == F.col("b.block"))
-                   & (F.col("a.vec_id") < F.col("b.vec_id")))
-            .select(F.col("a.vec_id").alias("vec_id_a"),
-                    F.col("b.vec_id").alias("vec_id_b"),
-                    F.round(sim, 6).alias("cosine_sim"))
-            .where(F.col("cosine_sim") >= threshold))
+    The block key bounds the pair count; scoring is the shared
+    per-group einsum kernel (:func:`_blocked_pair_kernel`) — the
+    interpreted-HOF self-join it replaces measured 15.6 s at sf0.1 for
+    ~200k candidate pairs, pure per-element dispatch (HOFs never enter
+    whole-stage codegen). Null blocks are excluded, matching the
+    equi-join semantics it replaces. The unblocked variant at scale is
+    ``similarity.ann_lsh_topk``."""
+    vecs = (embeddings
+            .where(F.col(block_col).isNotNull())
+            .select("vec_id", F.col(block_col).alias("block"),
+                    F.col("embedding").cast("array<double>").alias("vec")))
+    return (vecs.groupby("block")
+            .applyInPandas(_blocked_pair_kernel(threshold), _PAIR_SCHEMA))
 
 
 #: Below this pair count the iterative loop's scheduled jobs (one
@@ -734,45 +775,18 @@ def embedding_blocked_near_dup(embeddings: DataFrame,
                 "vec": list(np.repeat(emb, take, axis=0)),
             })
 
-    def pairs_in_cell(pdf):
-        import pandas as pd
-        if not len(pdf):
-            return pd.DataFrame(
-                {"vec_id_a": pd.Series(dtype="int64"),
-                 "vec_id_b": pd.Series(dtype="int64"),
-                 "cosine_sim": pd.Series(dtype="float64")})
-        ids = pdf["vec_id"].to_numpy()
-        X = np.stack(pdf["vec"].to_numpy())
-        # the SQL-replayable cosine form: inner / (sqrt(aa) * sqrt(bb)).
-        # einsum (optimize=False) instead of X @ X.T: its fixed-order
-        # contraction makes dot(a,b) bit-identical regardless of slab
-        # shape or which cell scored the pair — BLAS picks different
-        # micro-kernels by matrix shape, and a multi-assigned pair
-        # scored twice could then straddle a round-6 boundary and leak
-        # a duplicate row through the cross-cell .distinct()
-        nr = np.sqrt((X * X).sum(axis=1))
-        out_a, out_b, out_s = [], [], []
-        for lo in range(0, len(ids), _PAIR_BLOCK_ROWS):
-            hi = min(lo + _PAIR_BLOCK_ROWS, len(ids))
-            sims = np.einsum("id,jd->ij", X[lo:hi], X)
-            sims /= nr[lo:hi, None] * nr[None, :]
-            np.round(sims, 6, out=sims)
-            bi, bj = np.nonzero(sims >= threshold)
-            keep = ids[lo + bi] < ids[bj]  # upper triangle by vec_id
-            out_a.append(ids[lo + bi][keep])
-            out_b.append(ids[bj][keep])
-            out_s.append(sims[bi, bj][keep])
-        return pd.DataFrame({"vec_id_a": np.concatenate(out_a),
-                             "vec_id_b": np.concatenate(out_b),
-                             "cosine_sim": np.concatenate(out_s)})
-
     cells = (embeddings.select("vec_id", "embedding")
              .mapInPandas(assign,
                           "vec_id long, cell int, vec array<double>"))
+    # the SQL-replayable cosine form: inner / (sqrt(aa) * sqrt(bb)).
+    # einsum in the kernel instead of X @ X.T: its fixed-order
+    # contraction makes dot(a,b) bit-identical regardless of slab
+    # shape or which cell scored the pair — BLAS picks different
+    # micro-kernels by matrix shape, and a multi-assigned pair scored
+    # twice could then straddle a round-6 boundary and leak a
+    # duplicate row through the cross-cell .distinct()
     return (cells.groupby("cell")
-            .applyInPandas(pairs_in_cell,
-                           "vec_id_a long, vec_id_b long, "
-                           "cosine_sim double")
+            .applyInPandas(_blocked_pair_kernel(threshold), _PAIR_SCHEMA)
             .distinct())
 
 
