@@ -300,6 +300,9 @@ _PYTHON_ALLOWED = {
     "multimodal_resize",           # mapInPandas fake-resize plumbing
     "multimodal_frame_sample",     # mapInPandas frame fan-out plumbing
     "multimodal_audio_chunks",     # mapInPandas chunk fan-out plumbing
+    "embedding_pq_codes",          # mapInPandas PQ encode (Arrow kernel;
+                                   # newly checked once it gained the
+                                   # unrolled-CTE oracle in r6)
     "image_decode_features",       # mapInPandas REAL image decode
     "image_decode_png",            # mapInPandas REAL PNG inflate+unfilter
     "image_resize_real",           # mapInPandas REAL pixel resample
