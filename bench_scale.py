@@ -86,8 +86,9 @@ def replicate(spark, out_dir: str, n: int) -> None:
                 # collapse toward 0, so pair growth stays in its real
                 # within-replica term. Replica 0 stays byte-identical.
                 import hashlib
+                dims = len(src.select("embedding").first()[0])
                 signs = [1.0 if hashlib.md5(f"{i}:{d}".encode())
-                         .digest()[0] % 2 else -1.0 for d in range(64)]
+                         .digest()[0] % 2 else -1.0 for d in range(dims)]
                 df = df.withColumn(
                     "embedding",
                     F.zip_with("embedding",

@@ -425,7 +425,14 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
     banded = drop_hot_buckets(banded, max_bucket_docs)
     a, b = banded.alias("a"), banded.alias("b")
     est = sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+    # merge hint: the banded table is corpus-sized and ARRAY-heavy
+    # (bands × docs rows each carrying the num_hashes signature), the
+    # width class Catalyst's checkpoint-backed estimates undershoot —
+    # the plan audit caught it hash-broadcast as the self-join build
+    # side at sf0.1 (driver OOM at real scale); same fix as the
+    # ngram/containment (r5) and incremental-LSH (r6) joins
+    return (a.join(b.hint("merge"),
+                   (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.bucket") == F.col("b.bucket"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_id_a"),
@@ -506,7 +513,11 @@ def simhash_pairs(documents: DataFrame, max_hamming: int = 3,
     banded = banded.localCheckpoint(eager=True)
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
-    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+    # merge hint: corpus-sized banded self-join — never hash-build
+    # either side at scale (same call as the minhash band join; the
+    # plan audit caught the checkpoint-backed build at sf0.1)
+    return (a.join(b.hint("merge"),
+                   (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.block") == F.col("b.block"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
             .select(F.col("a.doc_id").alias("doc_id_a"),
@@ -541,12 +552,22 @@ def _blocked_pair_kernel(threshold: float):
             hi = min(lo + _PAIR_BLOCK_ROWS, len(ids))
             sims = np.einsum("id,jd->ij", X[lo:hi], X)
             sims /= nr[lo:hi, None] * nr[None, :]
-            np.round(sims, 6, out=sims)
-            bi, bj = np.nonzero(sims >= threshold)
+            # two-stage threshold: cheap epsilon-widened numpy mask
+            # over the slab, then correctly-rounded Python round(x, 6)
+            # on the few candidates — np.round's scaled x*1e6 path can
+            # disagree with Spark's/DuckDB's decimal rounding near
+            # midpoints, and the replaced F.round path was
+            # midpoint-exact. NaN (zero-norm vectors) passes, exactly
+            # like SQL's NaN >= threshold in both engines.
+            cand = ~(sims < threshold - 1e-9)  # keeps >=, near, and NaN
+            bi, bj = np.nonzero(cand)
             keep = ids[lo + bi] < ids[bj]  # upper triangle by vec_id
-            out_a.append(ids[lo + bi][keep])
-            out_b.append(ids[bj][keep])
-            out_s.append(sims[bi, bj][keep])
+            bi, bj = bi[keep], bj[keep]
+            s6 = np.array([round(float(s), 6) for s in sims[bi, bj]])
+            ok = np.isnan(s6) | (s6 >= threshold)
+            out_a.append(ids[lo + bi][ok])
+            out_b.append(ids[bj][ok])
+            out_s.append(s6[ok])
         return pd.DataFrame({"vec_id_a": np.concatenate(out_a),
                              "vec_id_b": np.concatenate(out_b),
                              "cosine_sim": np.concatenate(out_s)})
@@ -570,7 +591,13 @@ def embedding_near_dup_pairs(embeddings: DataFrame,
     equi-join semantics it replaces. The unblocked variant at scale is
     ``similarity.ann_lsh_topk``."""
     vecs = (embeddings
-            .where(F.col(block_col).isNotNull())
+            # null block = no join partner (old equi-join semantics);
+            # null embedding / null element = null cosine, dropped by
+            # the old WHERE — filtered here so the numpy kernel never
+            # sees Nones (np.stack would crash the task on them)
+            .where(F.col(block_col).isNotNull()
+                   & F.col("embedding").isNotNull()
+                   & F.forall("embedding", lambda x: x.isNotNull()))
             .select("vec_id", F.col(block_col).alias("block"),
                     F.col("embedding").cast("array<double>").alias("vec")))
     return (vecs.groupby("block")
@@ -750,7 +777,7 @@ def embedding_blocked_near_dup(embeddings: DataFrame,
     per-task shape as the distributed ADC kernel.
     """
     from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
-        _kmeans_centroids)
+        _kmeans_centroids, _nearest_cells)
     if embeddings.select("embedding").first() is None:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id_a long, vec_id_b long, cosine_sim double")
@@ -763,12 +790,10 @@ def embedding_blocked_near_dup(embeddings: DataFrame,
             if not len(pdf):
                 continue
             emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            e = emb / np.linalg.norm(emb, axis=1, keepdims=True)
-            c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
-            # clamp like _nearest_cells: a corpus smaller than n_assign
-            # trains fewer centroids and a ragged repeat would crash
-            take = min(n_assign, len(centroids))
-            order = np.argsort(-(e @ c.T), axis=1, kind="stable")[:, :take]
+            # THE shared cell-assignment kernel (clamps take when the
+            # corpus trained fewer centroids than n_assign)
+            order = _nearest_cells(emb, centroids, n_assign)
+            take = order.shape[1]
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy().repeat(take),
                 "cell": order.reshape(-1),

@@ -8,12 +8,21 @@ incremental-LSH index probe (r6). A broadcast over an RDD scan is not
 automatically wrong (query sets and cluster tables are legitimately
 small) — this tool surfaces each site for a human scale-judgment.
 
+AQE note: executedPlan() is an AdaptiveSparkPlanExec LEAF — walking its
+children sees nothing. The audit therefore parses the plan's printed
+tree (which renders the full pre-AQE physical plan) and scopes each
+BroadcastExchange's subtree by indentation. That inspects Spark's
+STATS-DRIVEN initial decision, which is exactly where the undershoot
+class lives; AQE can only re-plan at runtime from the same wrong stats.
+
 Run: PYTHONPATH=/root/repo python tools/audit_broadcasts.py [names...]
+Exit code: number of queries with findings or errors (0 = clean).
 """
 
 from __future__ import annotations
 
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -28,47 +37,51 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EXTRA = ("dedup_fuzzy_apply", "dedup_semantic_apply",
          "dedup_embedding_blocked", "dedup_fuzzy_clusters")
 
-
-def _walk(node, depth=0):
-    yield node, depth
-    children = node.children()
-    for i in range(children.size()):
-        yield from _walk(children.apply(i), depth + 1)
+_RDD_SCAN = re.compile(r"Scan ExistingRDD|RDDScan")
 
 
-def _subtree_has_rdd_scan(node) -> bool:
-    return any("RDDScan" in n.nodeName() or "ExistingRDD" in n.nodeName()
-               for n, _ in _walk(node))
+def _indent(line: str) -> int:
+    """Tree depth of a plan line = offset of its first alphanumeric
+    char (the tree prefix is drawn with ':', '+', '-' and spaces)."""
+    m = re.search(r"[A-Za-z]", line)
+    return m.start() if m else len(line)
 
 
 def audit(spark, name: str) -> list[str]:
     df = registry.queries()[name](spark, SF)
-    plan = df._jdf.queryExecution().executedPlan()
+    lines = df._jdf.queryExecution().executedPlan().toString().splitlines()
     hits = []
-    for node, _ in _walk(plan):
-        if "BroadcastExchange" in node.nodeName() \
-                and _subtree_has_rdd_scan(node):
-            hits.append(node.simpleStringWithNodeId())
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _indent(line)
+        for sub in lines[i + 1:]:
+            if _indent(sub) <= d:
+                break
+            if _RDD_SCAN.search(sub):
+                hits.append(line.strip())
+                break
     return hits
 
 
 def main(names) -> int:
     spark = get_spark()
-    bad = 0
+    flagged, errors = 0, 0
     for name in names:
         try:
             hits = audit(spark, name)
         except Exception as ex:  # noqa: BLE001 — report, keep auditing
             print(f"{name}: ERROR {type(ex).__name__}: {str(ex)[:100]}")
-            bad += 1
+            errors += 1
             continue
         if hits:
-            bad += 1
+            flagged += 1
             print(f"{name}: {len(hits)} broadcast(s) over RDD scans")
             for h in hits:
                 print(f"    {h[:140]}")
-    print(f"audited {len(names)} queries, {bad} with RDD-scan broadcasts")
-    return 0
+    print(f"audited {len(names)} queries: {flagged} with RDD-scan "
+          f"broadcasts, {errors} errors")
+    return flagged + errors
 
 
 if __name__ == "__main__":
