@@ -703,8 +703,9 @@ FROM ranked WHERE rank <= 10
 """
 
 
-#: DuckDB twin of embedding_blocked_near_dup (threshold 0.3, n_cells 8,
-#: n_assign 2, iters 2): the same unrolled k-means prefix at 8 cells,
+#: DuckDB twin of embedding_blocked_near_dup (threshold 0.3, n_assign
+#: 2, iters 2; the auto-sized cell count resolves to 8 at every oracle
+#: SF — 500 vectors): the same unrolled k-means prefix at 8 cells,
 #: every vector multi-assigned to its 2 nearest cells, within-cell
 #: pairs scored with round-6 cosine — the learned-blocking dedup stops
 #: being "approximate vs a twin engine" and becomes deterministically
