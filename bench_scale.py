@@ -54,6 +54,10 @@ SHIFT = 10_000_000_000
 def replicate(spark, out_dir: str, n: int) -> None:
     for table, keys in KEYED.items():
         src = spark.read.parquet(os.path.join(BASE, f"{table}.parquet"))
+        emb_dims = None
+        if table == "embeddings":  # replica-invariant: probe once
+            row = src.select("embedding").first()
+            emb_dims = len(row[0]) if row and row[0] is not None else 0
         parts = []
         for i in range(n):
             df = src
@@ -75,7 +79,7 @@ def replicate(spark, out_dir: str, n: int) -> None:
                 df = df.withColumn(
                     "text",
                     F.regexp_replace("text", r"(\S+)", rf"$1r{i}"))
-            if table == "embeddings" and i:
+            if table == "embeddings" and i and emb_dims:
                 # same honesty rule for vectors: byte-identical replica
                 # embeddings would make every vector N−1 exact twins
                 # (cosine 1.0), growing semantic-dedup pair output
@@ -86,9 +90,9 @@ def replicate(spark, out_dir: str, n: int) -> None:
                 # collapse toward 0, so pair growth stays in its real
                 # within-replica term. Replica 0 stays byte-identical.
                 import hashlib
-                dims = len(src.select("embedding").first()[0])
                 signs = [1.0 if hashlib.md5(f"{i}:{d}".encode())
-                         .digest()[0] % 2 else -1.0 for d in range(dims)]
+                         .digest()[0] % 2 else -1.0
+                         for d in range(emb_dims)]
                 df = df.withColumn(
                     "embedding",
                     F.zip_with("embedding",

@@ -552,14 +552,18 @@ def _blocked_pair_kernel(threshold: float):
             hi = min(lo + _PAIR_BLOCK_ROWS, len(ids))
             sims = np.einsum("id,jd->ij", X[lo:hi], X)
             sims /= nr[lo:hi, None] * nr[None, :]
-            # two-stage threshold: cheap epsilon-widened numpy mask
+            # two-stage threshold: cheap margin-widened numpy mask
             # over the slab, then correctly-rounded Python round(x, 6)
             # on the few candidates — np.round's scaled x*1e6 path can
             # disagree with Spark's/DuckDB's decimal rounding near
             # midpoints, and the replaced F.round path was
-            # midpoint-exact. NaN (zero-norm vectors) passes, exactly
-            # like SQL's NaN >= threshold in both engines.
-            cand = ~(sims < threshold - 1e-9)  # keeps >=, near, and NaN
+            # midpoint-exact. The pre-mask margin must cover a full
+            # round-6 quantum: any sim in [threshold - 5e-7, threshold)
+            # rounds UP to the threshold and must reach the rounding
+            # stage (over-inclusion is harmless — the exact round
+            # decides). NaN (zero-norm vectors) passes, exactly like
+            # SQL's NaN >= threshold in both engines.
+            cand = ~(sims < threshold - 1e-6)  # keeps >=, near, and NaN
             bi, bj = np.nonzero(cand)
             keep = ids[lo + bi] < ids[bj]  # upper triangle by vec_id
             bi, bj = bi[keep], bj[keep]
@@ -789,6 +793,12 @@ def embedding_blocked_near_dup(embeddings: DataFrame,
     """
     from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
         _kmeans_centroids, _nearest_cells)
+    # null embedding / null element = no cosine partner (the old
+    # null-propagating join semantics); filtered up front so neither
+    # the k-means trainer nor the numpy kernels ever see Nones
+    embeddings = embeddings.where(
+        F.col("embedding").isNotNull()
+        & F.forall("embedding", lambda x: x.isNotNull()))
     if embeddings.select("embedding").first() is None:
         return embeddings.sparkSession.createDataFrame(
             [], "vec_id_a long, vec_id_b long, cosine_sim double")

@@ -242,6 +242,22 @@ def test_ivf_persisted_empty_corpus(spark, embeddings, tmp_path):
         "query_id", "neighbor_id", "sim", "rank"]
 
 
+def test_oracle_fixture_cell_assumption():
+    """The dedup_embedding_blocked / dedup_semantic_apply DuckDB twins
+    unroll k-means at 8 cells; the operator's auto-sizing rule
+    (max(8, ceil(sqrt(n/8)))) must resolve to exactly 8 at every SF
+    the oracle harness runs on, or the twins silently diverge. Guards
+    fixture regeneration: the rule leaves 8 only while n <= 512."""
+    import math
+
+    import duckdb
+    for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
+        (n,) = duckdb.sql(
+            f"SELECT count(*) FROM '{sf}/embeddings.parquet'").fetchone()
+        assert max(8, math.ceil(math.sqrt(n / 8))) == 8, \
+            (sf, n, "regenerated fixture broke the 8-cell oracle pin")
+
+
 def test_blocked_semantic_dedup_tiny_corpus(spark, embeddings):
     """A corpus smaller than n_assign trains fewer centroids than the
     multi-assign width — the kernel must clamp (like _nearest_cells),

@@ -41,10 +41,14 @@ _RDD_SCAN = re.compile(r"Scan ExistingRDD|RDDScan")
 
 
 def _indent(line: str) -> int:
-    """Tree depth of a plan line = offset of its first alphanumeric
-    char (the tree prefix is drawn with ':', '+', '-' and spaces)."""
-    m = re.search(r"[A-Za-z]", line)
-    return m.start() if m else len(line)
+    """Tree depth of a plan line = width of the tree-drawing prefix
+    (spaces, ':', '+', '-'). Anchoring to the prefix rather than the
+    first LETTER keeps codegen-stage markers like '*(3) ' from
+    inflating a sibling's apparent depth (which would leak the subtree
+    scan past a BuildLeft broadcast into the streamed side); section
+    headers like '== Initial Plan ==' read as depth 0 and end the scan
+    conservatively."""
+    return len(line) - len(line.lstrip(" :+-"))
 
 
 def audit(spark, name: str) -> list[str]:
