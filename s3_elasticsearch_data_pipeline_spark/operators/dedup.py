@@ -546,7 +546,12 @@ def _blocked_pair_kernel(threshold: float):
                  "cosine_sim": pd.Series(dtype="float64")})
         ids = pdf["vec_id"].to_numpy()
         X = np.stack(pdf["vec"].to_numpy())
-        nr = np.sqrt((X * X).sum(axis=1))
+        # norms via the SAME fixed-order contraction as the numerator
+        # einsum below: (X*X).sum(axis=1) uses numpy's pairwise/8-way
+        # accumulator, while einsum and the DuckDB twin's
+        # list_inner_product fold sequentially — a 1-ulp denominator
+        # difference can flip a round-6 value at a boundary
+        nr = np.sqrt(np.einsum("id,id->i", X, X))
         out_a, out_b, out_s = [], [], []
         for lo in range(0, len(ids), _PAIR_BLOCK_ROWS):
             hi = min(lo + _PAIR_BLOCK_ROWS, len(ids))

@@ -750,7 +750,16 @@ def _pq_train(x, m: int, k_codes: int, iters: int):
             for code in range(k_codes):
                 mask = assign == code
                 if mask.any():
-                    c[code] = np.round(xs[mask].mean(axis=0), 6)
+                    # Python round per component, not np.round: the
+                    # PQ/IVF-PQ oracles replay all Lloyd rounds as an
+                    # unrolled SQL CTE, so a single np.round scaled-
+                    # x*1e6 midpoint disagreement with SQL round would
+                    # cascade into a different codebook and a full
+                    # oracle hash mismatch (same discipline as ml.py's
+                    # GD weight trajectory and _blocked_pair_kernel).
+                    c[code] = np.array(
+                        [round(float(v), 6)
+                         for v in xs[mask].mean(axis=0)])
         books.append(c)
     return np.stack(books)  # (m, k_codes, sub)
 

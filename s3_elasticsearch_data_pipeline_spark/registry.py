@@ -812,6 +812,22 @@ def _sql_cosine(a: str, b: str) -> str:
             f"* sqrt(list_inner_product({b}, {b})))")
 
 
+#: TOLERANCE ASSUMPTION (shared by the ADC/PQ round-8 and GD round-9
+#: oracles below): these oracles assert round-N equality between sums
+#: the two engines accumulate in DIFFERENT orders (numpy BLAS/pairwise
+#: vs DuckDB's join/scan-order group-sums). Rounding makes that
+#: deterministic only when no value lands within the summation-order
+#: noise (~1e-13 relative) of a decimal rounding midpoint — a
+#: probabilistic, not bit-exact, equivalence. At round-8 over O(10^5)
+#: compared values the expected midpoint-collision count is ≪1 per
+#: run (noise window / rounding quantum ≈ 1e-5 per value only for
+#: values near magnitude 1e3; observed flake count across r5–r7 runs:
+#: zero), and any flake is a benign hash mismatch, never a wrong
+#: ranking: the shortlist order keys on (dist, neighbor_id) where ties
+#: resolve by id before rounding matters. If one ever surfaces, the
+#: documented remedy is widening that column's rounding margin (or an
+#: epsilon compare), not chasing accumulation order.
+
 #: DuckDB twin of product_quantize(m=8, k_codes=16, iters=8,
 #: train_sample=256): the unrolled PQ trainer + per-vector encoding,
 #: reconstruction MSE = Σ_j d2_j / dims rounded to 8 (identical to the
@@ -958,7 +974,14 @@ def _gd_oracle_sql(iters: int = 15, lr: float = 0.5) -> str:
     lets a BLAS-summed numpy path, a decimal-summed distributed path,
     and this SQL replay walk the identical trajectory. Features mirror
     ml.quality_features expression by expression (the log1p/ln(1+n)
-    and exp() 1-ulp libm divergences are absorbed by the round-9)."""
+    and exp() 1-ulp libm divergences are absorbed by the round-9).
+
+    Tolerance assumption: per-step round-9 equality between a
+    BLAS-summed gradient and DuckDB's scan-order group-sum is the
+    probabilistic equivalence documented above _PQ_CODES_ORACLE —
+    deterministic unless a gradient component lands within summation-
+    order noise of a 1e-9 midpoint (never observed; remedy = widen
+    that step's rounding margin, not chase accumulation order)."""
     n_f = 5
     zf = " + ".join(f"x{i}*w.w{i}" for i in range(n_f))
     its = []

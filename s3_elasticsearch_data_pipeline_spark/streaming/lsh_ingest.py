@@ -51,6 +51,43 @@ def _read_optional_parquet(spark: SparkSession, path: str):
         raise
 
 
+_HASH_MODE_MARKER = "_HASH_MODE"
+
+
+def _check_and_pin_hash_mode(index_path: str, hash_mode: str) -> None:
+    """Fail fast if ``index_path`` was built with a different
+    ``hash_mode`` than this call's — mixed-mode probes never collide,
+    which would silently admit every near-duplicate. The mode is
+    pinned in a ``_HASH_MODE`` marker (underscore prefix = invisible
+    to parquet directory listing, like ``_SUCCESS``) written before
+    the first epoch; an index that predates the marker (parquet
+    present, marker absent) is refused for the same reason — the
+    build mode is unknowable, so probing it is a guess."""
+    marker = os.path.join(index_path, _HASH_MODE_MARKER)
+    if os.path.exists(marker):
+        with open(marker, encoding="utf-8") as fh:
+            built_with = fh.read().strip()
+        if built_with != hash_mode:
+            raise ValueError(
+                f"LSH band index at {index_path} was built with "
+                f"hash_mode={built_with!r} but this ingest call uses "
+                f"hash_mode={hash_mode!r}; mixed modes never collide "
+                f"(every duplicate would be admitted). Probe with the "
+                f"recorded mode, or rebuild the index.")
+        return
+    has_index = os.path.isdir(index_path) and any(
+        e.startswith("epoch=") for e in os.listdir(index_path))
+    if has_index:
+        raise ValueError(
+            f"LSH band index at {index_path} has no {_HASH_MODE_MARKER} "
+            f"marker — its build hash_mode is unknown, so probing it "
+            f"would be a guess (a mismatch silently disables dedup). "
+            f"Write the marker with the known build mode, or rebuild.")
+    os.makedirs(index_path, exist_ok=True)
+    with open(marker, "w", encoding="utf-8") as fh:
+        fh.write(hash_mode)
+
+
 def lsh_ingest_stream(spark: SparkSession, source_path: str,
                       corpus_path: str, index_path: str,
                       checkpoint_path: str, n: int = 3,
@@ -98,10 +135,14 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
     exact-text fallback channel (md5-low-60 instead of xxhash64) — so
     a second engine can replay every epoch; the registry runs this
     mode to carry a DuckDB oracle. xxhash64 stays the scale default.
-    An index must be probed with the hash_mode it was built with
-    (mixed modes simply never collide, admitting everything).
+    An index must be probed with the hash_mode it was built with:
+    mixed modes simply never collide, so a silent mismatch would admit
+    every duplicate. The mode is therefore PERSISTED with the index
+    (``_HASH_MODE`` marker, written before the first epoch) and every
+    call fails fast on disagreement instead of bypassing dedup.
     """
     fault = fault_hook or (lambda stage, epoch_id: None)
+    _check_and_pin_hash_mode(index_path, hash_mode)
     if schema is None:
         schema = spark.read.parquet(source_path).schema
     stream = (spark.readStream

@@ -189,3 +189,28 @@ def test_incremental_lsh_cap_admits_hot_keeps_cool_identical(
     # cool decisions identical
     assert ({i for i in capped if i < 500_000}
             == {i for i in uncapped if i < 500_000})
+
+
+def test_hash_mode_pinned_with_index(spark, sf_smoke, tmp_path):
+    """The persisted band index records its build hash_mode and a
+    mismatched re-run fails fast instead of silently never colliding
+    (which would admit every duplicate); a pre-marker legacy index is
+    refused outright because its mode is unknowable."""
+    import pytest
+    src = str(tmp_path / "src")
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    _docs(spark, sf_smoke).where(F.col("doc_id") < 20).write.parquet(src)
+    lsh_ingest_stream(spark, src, corpus, index, str(tmp_path / "k1"))
+    # marker written with the default mode
+    with open(os.path.join(index, "_HASH_MODE")) as fh:
+        assert fh.read().strip() == "xxhash64"
+    # same mode re-runs fine (no new files -> no-op)
+    lsh_ingest_stream(spark, src, corpus, index, str(tmp_path / "k1"))
+    # a different mode against the same index must fail fast
+    with pytest.raises(ValueError, match="hash_mode"):
+        lsh_ingest_stream(spark, src, corpus, index,
+                          str(tmp_path / "k2"), hash_mode="portable")
+    # legacy index (epochs present, marker absent) is refused
+    os.remove(os.path.join(index, "_HASH_MODE"))
+    with pytest.raises(ValueError, match="_HASH_MODE"):
+        lsh_ingest_stream(spark, src, corpus, index, str(tmp_path / "k3"))
