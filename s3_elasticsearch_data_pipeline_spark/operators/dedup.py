@@ -362,6 +362,28 @@ def _lsh_banded(documents: DataFrame, n: int, num_hashes: int,
     return banded.select("doc_id", "sig", "bb.band", "bb.bucket")
 
 
+#: Production default for the LSH hot-bucket cap (the ``"auto"``
+#: resolution). Under 64-bit band hashes, non-identical signatures
+#: essentially never collide, so bucket size is driven by real
+#: duplicate families: a 1024-doc bucket is always a boilerplate/
+#: template family, and its self-join term is bounded at cap² ≈ 0.5M
+#: comparisons instead of df² (a 10M-copy boilerplate family at
+#: 100 TB is 5·10¹³ pairs uncapped — the classic LSH failure mode).
+#: Recall contract: a true near-dup pair is lost only if EVERY band
+#: bucket it shares holds >1024 docs — overwhelmingly exact/templated
+#: near-copies, which exact_dedup/duplicate_spans already catch.
+DEFAULT_MAX_BUCKET_DOCS = 1024
+
+
+def _resolve_bucket_cap(max_bucket_docs) -> int | None:
+    """``"auto"`` → :data:`DEFAULT_MAX_BUCKET_DOCS`; ``None`` stays
+    the explicit exhaustive opt-out (what the registry oracle queries
+    pass, since the DuckDB twins replay exhaustive joins)."""
+    if max_bucket_docs == "auto":
+        return DEFAULT_MAX_BUCKET_DOCS
+    return max_bucket_docs
+
+
 def drop_hot_buckets(banded: DataFrame,
                      max_bucket_docs: int | None,
                      exempt_band: int | None = None) -> DataFrame:
@@ -391,7 +413,8 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5,
                       hash_mode: str = "xxhash64",
-                      max_bucket_docs: int | None = None) -> DataFrame:
+                      max_bucket_docs: int | None | str = "auto"
+                      ) -> DataFrame:
     """MinHash + banded LSH near-dup pairs — the sub-quadratic path.
 
     signature → split into ``bands`` bands of ``num_hashes/bands`` rows
@@ -414,15 +437,18 @@ def minhash_lsh_pairs(documents: DataFrame, n: int = 3,
     measures it). When set, buckets holding more docs are DROPPED
     before the join: one extra aggregate + semi-join on the compact
     (band, bucket) keys, bounding every bucket's join cost at cap².
-    Recall note: a true near-dup pair is only lost if EVERY band bucket
-    it shares is hot — overwhelmingly boilerplate near-copies, which
-    exact dedup (``exact_dedup``/``duplicate_spans``) already handles;
-    default None keeps the exhaustive behavior for oracle parity.
+    Default ``"auto"`` = :data:`DEFAULT_MAX_BUCKET_DOCS` — the
+    100 TB-safe posture is ON unless the caller explicitly opts out
+    with ``None`` (the registry oracle queries do, because their
+    DuckDB twins replay exhaustive joins). Recall note: a true
+    near-dup pair is only lost if EVERY band bucket it shares is hot —
+    overwhelmingly boilerplate near-copies, which exact dedup
+    (``exact_dedup``/``duplicate_spans``) already handles.
     """
     banded = _lsh_banded(documents, n, num_hashes, bands, hash_mode)
     # materialize signatures once — see ngram_jaccard_pairs note
     banded = banded.localCheckpoint(eager=True)
-    banded = drop_hot_buckets(banded, max_bucket_docs)
+    banded = drop_hot_buckets(banded, _resolve_bucket_cap(max_bucket_docs))
     a, b = banded.alias("a"), banded.alias("b")
     est = sig_agreement(F.col("a.sig"), F.col("b.sig"), num_hashes)
     # merge hint: the banded table is corpus-sized and ARRAY-heavy
@@ -1022,7 +1048,7 @@ def paragraph_dedup_stats(documents: DataFrame) -> DataFrame:
 def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
                           n: int = 3, num_hashes: int = 16,
                           bands: int = 4, threshold: float = 0.5,
-                          max_bucket_docs: int | None = None,
+                          max_bucket_docs: int | None | str = "auto",
                           hash_mode: str = "xxhash64") -> DataFrame:
     """Near-dup dedup AT INGEST — the cross-batch extension of
     :func:`incremental_batch_dedup` from exact fingerprints to MinHash
@@ -1049,7 +1075,10 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
     :func:`minhash_lsh_pairs`, applied per side: a boilerplate batch
     probing an accumulated-boilerplate index is cap × cap per bucket
     instead of batch × corpus. Capped docs are ADMITTED (their buckets
-    never match) — the recall note there applies.
+    never match) — the recall note there applies. Default ``"auto"``
+    (= :data:`DEFAULT_MAX_BUCKET_DOCS`) keeps the production entry
+    point df²-safe; ``None`` is the explicit exhaustive opt-out the
+    registry oracle query passes.
 
     ``hash_mode="portable"`` swaps the hash family for the
     engine-portable twin (see :func:`_lsh_banded`) so the whole
@@ -1060,15 +1089,16 @@ def incremental_lsh_dedup(documents: DataFrame, batch_mod: int = 3,
     """
     corpus = documents.where(F.col("doc_id") % batch_mod != 0)
     batch = documents.where(F.col("doc_id") % batch_mod == 0)
+    cap = _resolve_bucket_cap(max_bucket_docs)
     # lazy checkpoints: both sides materialize inside the ONE probe job
     # (index and probe branches shingle in parallel) instead of two
     # serialized eager jobs; lineage is still truncated for reuse
     index = drop_hot_buckets(
         _lsh_banded(corpus, n, num_hashes, bands, hash_mode)
-        .localCheckpoint(eager=False), max_bucket_docs)
+        .localCheckpoint(eager=False), cap)
     probe = drop_hot_buckets(
         _lsh_banded(batch, n, num_hashes, bands, hash_mode)
-        .localCheckpoint(eager=False), max_bucket_docs)
+        .localCheckpoint(eager=False), cap)
     est = sig_agreement(F.col("p.sig"), F.col("i.sig"), num_hashes)
     # merge hint: the band index is CORPUS-sized (bands × prior docs,
     # signature arrays in every row) and checkpoint-backed stats

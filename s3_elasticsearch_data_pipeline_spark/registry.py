@@ -493,7 +493,8 @@ WITH {_MINHASH_BANDED_CTES}
 """)
 def q_dedup_minhash_lsh(spark, sf_dir):
     return dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                   hash_mode="portable")
+                                   hash_mode="portable",
+                                   max_bucket_docs=None)
 
 
 @register("dedup_fuzzy_clusters", f"""
@@ -519,7 +520,8 @@ def q_dedup_fuzzy_clusters(spark, sf_dir):
     re-derives the same signatures/buckets/pairs in SQL and closes the
     clusters with a recursive CTE."""
     pairs = dedup.minhash_lsh_pairs(_t(spark, sf_dir, "documents"),
-                                    hash_mode="portable")
+                                    hash_mode="portable",
+                                    max_bucket_docs=None)
     return dedup.connected_components(
         pairs.select("doc_id_a", "doc_id_b"))
 
@@ -551,7 +553,8 @@ def q_dedup_fuzzy_apply(spark, sf_dir):
     pipeline would anti-join the corpus on ``kept = false`` ids. Fully
     oracle-checked end-to-end like ``dedup_fuzzy_clusters``."""
     docs = _t(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_pairs(docs, hash_mode="portable")
+    pairs = dedup.minhash_lsh_pairs(docs, hash_mode="portable",
+                                    max_bucket_docs=None)
     clusters = dedup.connected_components(
         pairs.select("doc_id_a", "doc_id_b"))
     return (docs.select("doc_id")
@@ -3669,11 +3672,11 @@ def q_stream_lsh_ingest(spark, sf_dir):
     first.write.parquet(src)
     args = (spark, src, os.path.join(work, "corpus"),
             os.path.join(work, "index"), os.path.join(work, "ckpt"))
-    lsh_ingest_stream(*args, hash_mode="portable")
+    lsh_ingest_stream(*args, hash_mode="portable", max_bucket_docs=None)
     second = docs.where(F.col("doc_id") % 2 == 1).unionByName(
         first.withColumn("doc_id", F.col("doc_id") + 1_000_000))
     second.write.mode("append").parquet(src)
-    lsh_ingest_stream(*args, hash_mode="portable")
+    lsh_ingest_stream(*args, hash_mode="portable", max_bucket_docs=None)
     corpus = read_corpus(spark, os.path.join(work, "corpus"))
     if corpus is None:  # empty source → empty corpus, not a crash
         return spark.createDataFrame([], "doc_id long")
@@ -7210,7 +7213,8 @@ def q_dedup_incremental_lsh(spark, sf_dir):
     replayed by the DuckDB twin (batch = doc_id %% 3 = 0 probing the
     rest); xxhash64 stays the scale default."""
     return dedup.incremental_lsh_dedup(_t(spark, sf_dir, "documents"),
-                                       hash_mode="portable")
+                                       hash_mode="portable",
+                                       max_bucket_docs=None)
 
 
 @register("decontamination_containment", """

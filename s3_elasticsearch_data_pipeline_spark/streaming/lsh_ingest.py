@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 from pyspark.errors import AnalysisException
 
 from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
-    _lsh_banded, drop_hot_buckets, portable_hash60, sig_agreement)
+    _lsh_banded, _resolve_bucket_cap, drop_hot_buckets, portable_hash60,
+    sig_agreement)
 
 
 def _read_optional_parquet(spark: SparkSession, path: str):
@@ -93,7 +94,7 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
                       checkpoint_path: str, n: int = 3,
                       num_hashes: int = 16, bands: int = 4,
                       threshold: float = 0.5, schema=None,
-                      max_bucket_docs: int | None = None,
+                      max_bucket_docs: int | None | str = "auto",
                       fault_hook=None,
                       hash_mode: str = "xxhash64") -> None:
     """Drain all new document files through the dedup-at-ingest loop
@@ -122,7 +123,10 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
     itself and batch × corpus against the accumulated band index. The
     exact-text fallback channel (band −1) is EXEMPT: byte-identical
     short docs keep deduping exhaustively. Capped docs are admitted
-    and still indexed — later cool-bucket arrivals see them.
+    and still indexed — later cool-bucket arrivals see them. Default
+    ``"auto"`` (= ``dedup.DEFAULT_MAX_BUCKET_DOCS``) keeps the
+    production loop df²-safe; ``None`` is the explicit exhaustive
+    opt-out the registry oracle query passes.
 
     ``fault_hook(stage, epoch_id)``: crash-consistency seam — called
     after each sink write (stages ``"after_corpus_write"`` and
@@ -143,6 +147,7 @@ def lsh_ingest_stream(spark: SparkSession, source_path: str,
     """
     fault = fault_hook or (lambda stage, epoch_id: None)
     _check_and_pin_hash_mode(index_path, hash_mode)
+    max_bucket_docs = _resolve_bucket_cap(max_bucket_docs)
     if schema is None:
         schema = spark.read.parquet(source_path).schema
     stream = (spark.readStream

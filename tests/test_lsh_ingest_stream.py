@@ -177,7 +177,8 @@ def test_incremental_lsh_cap_admits_hot_keeps_cool_identical(
                       F.lit(boiler_text).alias("text")))
     docs = normal.unionByName(boiler)
     uncapped = {r["doc_id"] for r in
-                dedup.incremental_lsh_dedup(docs, batch_mod=3).collect()}
+                dedup.incremental_lsh_dedup(
+                    docs, batch_mod=3, max_bucket_docs=None).collect()}
     capped = {r["doc_id"] for r in
               dedup.incremental_lsh_dedup(
                   docs, batch_mod=3, max_bucket_docs=50).collect()}

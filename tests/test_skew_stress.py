@@ -129,7 +129,8 @@ def test_lsh_hot_bucket_cap_bounds_boilerplate_blowup(spark, documents):
                             "dog again and again " * 3).alias("text")))
     corpus = normal.unionByName(boiler)
 
-    uncapped = dedup.minhash_lsh_pairs(corpus, threshold=0.4)
+    uncapped = dedup.minhash_lsh_pairs(corpus, threshold=0.4,
+                                       max_bucket_docs=None)
     boiler_pairs = (uncapped
                     .where((F.col("doc_id_a") >= 500_000)
                            & (F.col("doc_id_b") >= 500_000)).count())
@@ -155,3 +156,52 @@ def test_lsh_hot_bucket_cap_bounds_boilerplate_blowup(spark, documents):
     ex = dedup.exact_dedup(corpus)
     fam = [r for r in ex.collect() if r.n_dups == 100]
     assert fam and fam[0].keep_doc_id == 500_000
+
+
+def test_lsh_auto_cap_is_the_default(spark, documents):
+    """The production default (``max_bucket_docs="auto"`` =
+    DEFAULT_MAX_BUCKET_DOCS) drops an over-cap boilerplate family
+    WITHOUT the caller opting in — the df² failure mode is no longer
+    reachable from the bare entry points — while under-cap buckets
+    behave exactly like the explicit-exhaustive oracle setting."""
+    n_boiler = dedup.DEFAULT_MAX_BUCKET_DOCS + 176
+    normal = documents.limit(100).select("doc_id", "text")
+    boiler = (spark.range(n_boiler)
+              .select((F.col("id") + 500_000).alias("doc_id"),
+                      F.lit("the quick brown fox jumps over the lazy "
+                            "dog again and again " * 3).alias("text")))
+    corpus = normal.unionByName(boiler)
+
+    default_rows = dedup.minhash_lsh_pairs(corpus, threshold=0.4).collect()
+    assert not [r for r in default_rows if r.doc_id_a >= 500_000
+                and r.doc_id_b >= 500_000], \
+        "default path must drop the over-cap boilerplate mega-bucket"
+    # cool buckets: default ≡ explicit exhaustive
+    exhaustive = {(r.doc_id_a, r.doc_id_b, r.est_jaccard)
+                  for r in dedup.minhash_lsh_pairs(
+                      corpus, threshold=0.4,
+                      max_bucket_docs=None).collect()
+                  if r.doc_id_a < 500_000 and r.doc_id_b < 500_000}
+    got = {(r.doc_id_a, r.doc_id_b, r.est_jaccard)
+           for r in default_rows
+           if r.doc_id_a < 500_000 and r.doc_id_b < 500_000}
+    assert got == exhaustive
+
+    # the ingest entry point inherits the same default — the cap is
+    # per side (index = 2/3 of the family, probe = 1/3), so the family
+    # must be large enough for the INDEX side alone to exceed the cap:
+    # its buckets drop, nothing matches, the boilerplate batch is
+    # ADMITTED instead of paying batch x corpus
+    n_big = 3 * dedup.DEFAULT_MAX_BUCKET_DOCS // 2 + 300
+    big_boiler = (spark.range(n_big)
+                  .select((F.col("id") + 500_000).alias("doc_id"),
+                          F.lit("the quick brown fox jumps over the "
+                                "lazy dog again and again " * 3)
+                          .alias("text")))
+    big_corpus = normal.unionByName(big_boiler)
+    admitted = {r["doc_id"] for r in
+                dedup.incremental_lsh_dedup(big_corpus, batch_mod=3)
+                .collect()}
+    boiler_batch = {i for i in range(500_000, 500_000 + n_big)
+                    if i % 3 == 0}
+    assert boiler_batch <= admitted
