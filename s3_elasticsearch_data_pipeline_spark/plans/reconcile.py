@@ -154,8 +154,8 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
     """
     from s3_elasticsearch_data_pipeline_spark.sinks import es_wire
     from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
-        _AGGREGATABLE_ES_TYPES, _fetch_field_types, es_terms_counts,
-        read_es_index)
+        _AGGREGATABLE_ES_TYPES, _fetch_field_props, date_agg_format,
+        es_terms_counts, read_es_index)
     from s3_elasticsearch_data_pipeline_spark.operators.diff import (
         count_mismatches_against_counts)
 
@@ -165,10 +165,18 @@ def reconcile_wire(spark: SparkSession, source: DataFrame, es_url: str,
         return read_es_index(spark, es_url, index, nslices=nslices)
 
     sink = None
-    key_type = (_fetch_field_types(es_url, index, timeout_s=10.0)
-                or {}).get(key)
-    if key_type in _AGGREGATABLE_ES_TYPES:
-        buckets = es_terms_counts(es_url, index, key)
+    key_spec = (_fetch_field_props(es_url, index, timeout_s=10.0)
+                or {}).get(key) or {}
+    key_type = key_spec.get("type")
+    # date keys join the fast path when the mapping declares an
+    # explicit single format: the composite source then renders bucket
+    # keys in the stored representation (date_agg_format docstring),
+    # so the reference's date-partitioned deployment shape
+    # (README.md:33 `date=2025-10-01`) gets the zero-scan reconcile too
+    date_fmt = date_agg_format(key_spec)
+    if key_type in _AGGREGATABLE_ES_TYPES or date_fmt is not None:
+        buckets = es_terms_counts(es_url, index, key,
+                                  value_format=date_fmt)
         sink_counts = spark.createDataFrame(
             [(str(k), int(n)) for k, n in buckets],
             f"{key} string, sink_cnt long")

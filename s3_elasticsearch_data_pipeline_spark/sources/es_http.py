@@ -98,6 +98,19 @@ def _fetch_field_types(url: str, index: str,
     """Top-level field→type map from ``GET /{index}/_mapping``, or None
     when the mapping can't be read (unreachable cluster, missing
     index) — callers then push only type-agnostic clauses."""
+    props = _fetch_field_props(url, index, timeout_s)
+    if props is None:
+        return None
+    return {name: spec.get("type", "object")
+            for name, spec in props.items()}
+
+
+def _fetch_field_props(url: str, index: str,
+                       timeout_s: float) -> dict | None:
+    """Top-level field→mapping-spec map (the full per-field dict, so
+    callers can read ``format`` alongside ``type`` — the date-keyed
+    terms-agg fast path needs both) from ``GET /{index}/_mapping``,
+    or None when the mapping can't be read."""
     req = urllib.request.Request(
         f"{url.rstrip('/')}/{index}/_mapping", method="GET")
     try:
@@ -109,7 +122,7 @@ def _fetch_field_types(url: str, index: str,
     if not isinstance(entry, dict):
         return None
     props = (entry.get("mappings") or {}).get("properties") or {}
-    return {name: spec.get("type", "object")
+    return {name: spec
             for name, spec in props.items() if isinstance(spec, dict)}
 
 
@@ -255,19 +268,42 @@ def delete_pit(url: str, pit_id: str, timeout_s: float = 10.0) -> bool:
 #: types whose stored value IS the grouping key. ``text`` is absent for
 #: the same reason it can't take pushed terms (analyzed per-token; real
 #: ES additionally rejects the agg outright with fielddata disabled).
-#: ``date`` is absent too: composite terms buckets on a date field
-#: return EPOCH-MILLIS longs, not the stored representation, so the
-#: bucket key no longer round-trips to the source key's type (a
-#: date-keyed reconcile would crash the cast under ANSI or mismatch
-#: every partition without it) — date keys take the scan path.
+#: ``date`` is absent because it needs an extra condition: composite
+#: terms buckets on a date field return EPOCH-MILLIS longs by default,
+#: not the stored representation — but when the mapping declares an
+#: EXPLICIT single format (no ``||`` alternatives), passing that format
+#: in the composite terms source makes ES render bucket keys (and
+#: accept ``after`` keys) in the stored representation, restoring the
+#: round-trip (see :func:`date_agg_format`). Mapping-default date
+#: fields (``strict_date_optional_time||epoch_millis``) admit
+#: heterogeneous stored spellings that a single rendering can't
+#: reproduce, so they keep the scan path.
 _AGGREGATABLE_ES_TYPES = _NUMERIC_ES_TYPES | frozenset(
     {"keyword", "boolean", "ip"})
 
 
+def date_agg_format(field_spec: dict | None) -> str | None:
+    """The composite-agg ``format`` that makes a date field's bucket
+    keys round-trip to the stored representation, or None when no such
+    format exists (mapping unreadable, not a date field, or a
+    multi-format ``a||b`` mapping whose stored spellings a single
+    rendering can't reproduce). A mapping with one explicit format
+    guarantees every indexed value PARSED with that format, so
+    re-rendering with it reproduces the source key exactly."""
+    if not isinstance(field_spec, dict):
+        return None
+    if field_spec.get("type") != "date":
+        return None
+    fmt = field_spec.get("format")
+    if not fmt or "||" in fmt:
+        return None
+    return fmt
+
+
 def es_terms_counts(url: str, index: str, field: str,
                     page_size: int = 1000, timeout_s: float = 30.0,
-                    max_retries: int = 4,
-                    backoff_s: float = 0.5) -> list[tuple]:
+                    max_retries: int = 4, backoff_s: float = 0.5,
+                    value_format: str | None = None) -> list[tuple]:
     """Per-value doc counts for ``field`` computed INSIDE Elasticsearch
     — the reference's sink-state terms aggregation
     (``data-s3-elastic-transfer.py:51-68``, ``ID-based-transfer.py:
@@ -282,13 +318,22 @@ def es_terms_counts(url: str, index: str, field: str,
     ``[(value, count), ...]`` sorted ascending by value. Retries follow
     the shared 5xx/429 policy; a 400 (e.g. aggregating an analyzed
     text field) raises immediately — callers gate on the mapping via
-    :func:`_fetch_field_types` / ``_AGGREGATABLE_ES_TYPES`` and fall
-    back to the scan path."""
+    :func:`_fetch_field_props` / ``_AGGREGATABLE_ES_TYPES`` /
+    :func:`date_agg_format` and fall back to the scan path.
+
+    ``value_format``: for date fields — the composite terms source's
+    ``format`` parameter (real-API: composite value sources render
+    date keys, and parse ``after`` keys, through it), so buckets come
+    back in the stored representation instead of epoch millis; the
+    ``after_key`` echoes back verbatim, already formatted."""
     out: list[tuple] = []
     after = None
+    terms: dict = {"field": field}
+    if value_format is not None:
+        terms["format"] = value_format
     while True:
         comp: dict = {"size": page_size,
-                      "sources": [{"k": {"terms": {"field": field}}}]}
+                      "sources": [{"k": {"terms": dict(terms)}}]}
         if after is not None:
             comp["after"] = after
         resp = _post_json(

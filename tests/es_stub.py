@@ -72,6 +72,58 @@ def _matches(query: dict, _id: str, doc: dict) -> bool:
     raise ValueError(f"stub: unsupported query kind {kind!r}")
 
 
+def _java_date_to_strptime(fmt: str) -> str:
+    """The Java date-pattern subset the stub's date support understands
+    (yyyy/MM/dd/HH/mm/ss plus literal separators and quoted 'T'),
+    translated to a strptime/strftime pattern. Case distinguishes
+    month from minute, so sequential replacement is unambiguous."""
+    out = fmt.replace("'T'", "T")
+    for java, py in (("yyyy", "%Y"), ("MM", "%m"), ("dd", "%d"),
+                     ("HH", "%H"), ("mm", "%M"), ("ss", "%S")):
+        out = out.replace(java, py)
+    return out
+
+
+def _date_to_millis(value, fmt: str | None):
+    """A stored date value → epoch millis, the doc-values form a real
+    cluster buckets on. Numbers are epoch millis already; strings
+    parse via the mapping's explicit format when present, else the
+    common ISO spellings the default mapping accepts."""
+    import datetime as _dt
+    if isinstance(value, bool):
+        raise ValueError("boolean is not a date")
+    if isinstance(value, (int, float)):
+        return int(value)
+    patterns = ([_java_date_to_strptime(fmt)] if fmt else
+                ["%Y-%m-%dT%H:%M:%SZ", "%Y-%m-%dT%H:%M:%S",
+                 "%Y-%m-%d", "%Y-%m", "%Y"])
+    for pat in patterns:
+        try:
+            parsed = _dt.datetime.strptime(str(value), pat)
+            return int(parsed.replace(
+                tzinfo=_dt.timezone.utc).timestamp() * 1000)
+        except ValueError:
+            continue
+    raise ValueError(f"unparseable date {value!r}")
+
+
+def _millis_to_formatted(millis: int, fmt: str) -> str:
+    import datetime as _dt
+    return _dt.datetime.fromtimestamp(
+        millis / 1000.0, tz=_dt.timezone.utc).strftime(
+        _java_date_to_strptime(fmt))
+
+
+def _stub_field_spec(srv, index: str, field: str) -> dict | None:
+    """The full mapping spec (type + format + …) for ``field`` when the
+    index was created with an explicit mapping, else None."""
+    mappings = srv.index_mappings.get(index)
+    if mappings is None:
+        return None
+    spec = (mappings.get("properties") or {}).get(field)
+    return spec if isinstance(spec, dict) else None
+
+
 def _stub_field_type(srv, index: str, field: str) -> str | None:
     """The mapping type a real cluster would report for ``field`` —
     explicit mapping if the index was created with one, else the same
@@ -235,6 +287,7 @@ class _Handler(BaseHTTPRequestHandler):
             return
         with self.server.lock:
             ftype = _stub_field_type(self.server, index, field)
+            fspec = _stub_field_spec(self.server, index, field)
         if ftype == "text":
             self._error(400, "illegal_argument_exception",
                         f"Text fields are not optimised for operations "
@@ -242,6 +295,19 @@ class _Handler(BaseHTTPRequestHandler):
                         f"aggregations and sorting, so these operations "
                         f"are disabled by default. [{field}]")
             return
+        # real-API date semantics: a date field buckets on its
+        # DOC-VALUES form (epoch millis, parsed from the stored value
+        # via the mapping's format); a ``format`` on the terms source
+        # renders bucket keys — and parses ``after`` keys — through
+        # that pattern instead (elastic composite value sources docs)
+        out_format = src_def["terms"].get("format")
+        is_date = ftype == "date"
+        if out_format is not None and not is_date:
+            self._error(400, "illegal_argument_exception",
+                        f"Invalid format: [{out_format}] is only "
+                        f"supported on date fields. [{field}]")
+            return
+        map_fmt = (fspec or {}).get("format")
         counts: dict = {}
         for k, d in store.items():
             if not _matches(query, k, d):
@@ -249,13 +315,23 @@ class _Handler(BaseHTTPRequestHandler):
             v = d.get(field)
             if v is None:
                 continue
+            if is_date:
+                v = _date_to_millis(v, map_fmt)
             counts[v] = counts.get(v, 0) + 1
         keys = sorted(counts)
         after = comp.get("after")
         if after is not None:
-            keys = [k for k in keys if k > after[src_name]]
+            a = after[src_name]
+            if is_date and out_format is not None:
+                a = _date_to_millis(a, out_format)
+            keys = [k for k in keys if k > a]
         page = keys[:int(comp.get("size", 10))]
-        buckets = [{"key": {src_name: k}, "doc_count": counts[k]}
+
+        def render(k):
+            return (_millis_to_formatted(k, out_format)
+                    if is_date and out_format is not None else k)
+
+        buckets = [{"key": {src_name: render(k)}, "doc_count": counts[k]}
                    for k in page]
         agg_resp = {"buckets": buckets}
         if buckets:

@@ -10,6 +10,7 @@ keyed-parquet stand-in (``sinks.keyed``).
 
 from __future__ import annotations
 
+import json
 import os
 
 import pytest
@@ -846,3 +847,97 @@ def test_delete_df_idempotent_and_counts(spark, docs_df):
         assert rep2.rows_sent == 7 and rep2.rows_failed == 0
         assert rep2.batches_failed == 0
         assert len(stub.store["serving"]) == before - 7
+
+
+def _put_index(url: str, index: str, mappings: dict) -> None:
+    import urllib.request
+    req = urllib.request.Request(
+        f"{url}/{index}", data=json.dumps(
+            {"mappings": mappings}).encode("utf-8"),
+        headers={"Content-Type": "application/json"}, method="PUT")
+    urllib.request.urlopen(req, timeout=10).read()
+
+
+_DATE_MAPPING = {"properties": {"id": {"type": "keyword"},
+                                "month": {"type": "date",
+                                          "format": "yyyy-MM"},
+                                "value": {"type": "double"}}}
+
+
+def test_es_terms_counts_date_field_formats_and_pages(spark, docs_df):
+    """A date-mapped field buckets on epoch millis by default; with the
+    composite source's ``format`` the keys come back in the stored
+    representation and the after-key paging round-trips through it."""
+    from s3_elasticsearch_data_pipeline_spark.sources.es_http import (
+        es_terms_counts)
+    expected = {r["month"]: r["cnt"] for r in
+                docs_df.groupBy("month").agg(
+                    F.count(F.lit(1)).alias("cnt")).collect()}
+    with ESStub() as stub:
+        _put_index(stub.url, "dated", _DATE_MAPPING)
+        es_wire.write_df(docs_df, stub.url, "dated", id_col="id", **FAST)
+        got = es_terms_counts(stub.url, "dated", "month", page_size=3,
+                              value_format="yyyy-MM")
+        raw = es_terms_counts(stub.url, "dated", "month", page_size=3)
+    assert dict(got) == expected
+    assert [k for k, _ in got] == sorted(expected)
+    # without the format: epoch-millis longs — the round-trip hazard
+    # that used to force date keys onto the scan path
+    assert all(isinstance(k, int) for k, _ in raw)
+    assert [n for _, n in raw] == [expected[k] for k in sorted(expected)]
+
+
+def test_reconcile_wire_date_keyed_index_takes_agg_fast_path(
+        spark, docs_df):
+    """r7: a date-keyed index with an explicit mapping format gets the
+    zero-scan no-mismatch reconcile (the reference's date-partitioned
+    deployment shape), and the damage path repairs exactly like the
+    scan path does."""
+    from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+        reconcile_wire)
+    with ESStub() as stub:
+        _put_index(stub.url, "dated", _DATE_MAPPING)
+        es_wire.write_df(docs_df, stub.url, "dated", id_col="id", **FAST)
+        rep = reconcile_wire(spark, docs_df, stub.url, "dated", **FAST)
+        assert rep == type(rep)()
+        assert _scan_bodies(stub) == [], \
+            "no-mismatch date-keyed reconcile must not scan the index"
+        with stub.server.lock:
+            assert any(b.get("aggs")
+                       for _, b in stub.server.search_bodies)
+        # damage one month; the agg-path repair must equal the scan
+        # path's answer (same partitions, same rows restored)
+        victim = docs_df.first()["month"]
+        doomed = [r["id"] for r in
+                  docs_df.where(F.col("month") == victim)
+                  .limit(7).collect()]
+        with stub.server.lock:
+            for k in doomed:
+                del stub.store["dated"][k]
+        rep2 = reconcile_wire(spark, docs_df, stub.url, "dated", **FAST)
+        assert rep2.mismatched_partitions == [victim]
+        assert rep2.rows_repaired == len(doomed)
+        assert len(stub.store["dated"]) == docs_df.count()
+        rep3 = reconcile_wire(spark, docs_df, stub.url, "dated", **FAST)
+        assert rep3 == type(rep3)()
+
+
+def test_reconcile_wire_default_format_date_stays_on_scan_path(
+        spark, docs_df):
+    """A date key WITHOUT an explicit single mapping format keeps the
+    gated scan path (multi-format mappings admit stored spellings one
+    rendering can't reproduce) — and still reconciles correctly."""
+    from s3_elasticsearch_data_pipeline_spark.plans.reconcile import (
+        reconcile_wire)
+    mapping = {"properties": {"id": {"type": "keyword"},
+                              "month": {"type": "date"},
+                              "value": {"type": "double"}}}
+    with ESStub() as stub:
+        _put_index(stub.url, "plain_dated", mapping)
+        es_wire.write_df(docs_df, stub.url, "plain_dated", id_col="id",
+                         **FAST)
+        rep = reconcile_wire(spark, docs_df, stub.url, "plain_dated",
+                             **FAST)
+        assert rep == type(rep)()
+        assert _scan_bodies(stub), \
+            "format-less date key must fall back to the sliced scan"
