@@ -568,6 +568,78 @@ def hll_rollup(orders) -> "DataFrame":
     return per_month.crossJoin(F.broadcast(total))
 
 
+def hll_portable_rollup(orders, b: int = 9) -> "DataFrame":
+    """:func:`hll_rollup` with an ENGINE-PORTABLE HyperLogLog — the
+    md5-derived-hash trick that made MinHash/SimHash oracle-checkable
+    (r5) applied to the last remaining sketch family: every register
+    value derives from ``portable_hash60`` (md5 low-60), so a second
+    engine re-derives identical registers in SQL and the estimate stops
+    being "approximate vs a twin" and becomes deterministically
+    oracle-checked (the registry runs THIS variant; Datasketches
+    ``hll_rollup`` stays the scale default — equivalence-of-accuracy
+    pytest in tests/test_approx_ops.py).
+
+    Classic Flajolet HLL, integer-exact where it matters:
+
+    - 60-bit hash → low ``b`` bits index one of m=2^b registers, the
+      remaining 51 bits give ρ = leading-zeros+1 via ``length(bin(w))``
+      (exact integer math in both engines — no float log2 near powers
+      of two);
+    - the harmonic-mean denominator Σ 2^(−ρ_j) is scaled by 2^52 into
+      a BIGINT sum (≤ m·2^52 < 2^63): bit-identical cross-engine, no
+      summation-order noise;
+    - the only floats are one division (numerator literal precomputed
+      in Python and embedded in both engines), the small-range
+      ``m·ln(m/V)`` correction, and a final round-2 — the documented
+      tolerance class (registry.py, _PQ_CODES_ORACLE note).
+
+    Merging is the register-wise max across months, replayed by simply
+    re-aggregating the same per-value registers without the month key
+    — the mergeability the rollup exists to demonstrate."""
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        portable_hash60)
+    m = 1 << b
+    wbits = 60 - b
+    alpha_num = (0.7213 / (1.0 + 1.079 / m)) * m * m * float(1 << 52)
+    h = portable_hash60(F.col("o_custkey").cast("string"))
+    w = F.shiftright(h, b)
+    hashed = (orders
+              .select(F.date_format("o_orderdate", "yyyy-MM")
+                      .alias("month"),
+                      h.bitwiseAND(F.lit(m - 1)).alias("reg"),
+                      F.when(w == 0, wbits + 1)
+                      .otherwise(wbits + 1 - F.length(F.bin(w)))
+                      .alias("rho"))
+              .localCheckpoint(eager=False))  # reused by both rollups
+
+    def estimate(regs):  # regs: (..., reg, r) one row per used register
+        gcols = [c for c in regs.columns if c not in ("reg", "r")]
+        pow_term = F.expr("shiftleft(CAST(1 AS BIGINT), 52 - r)")
+        st = regs.groupBy(*gcols).agg(
+            F.sum(pow_term).alias("sp"),
+            F.count(F.lit(1)).alias("used"))
+        v = F.lit(m) - F.col("used")
+        s_total = F.col("sp") + v * F.lit(1 << 52)
+        e_raw = F.lit(alpha_num) / s_total.cast("double")
+        e = F.when((e_raw <= 2.5 * m) & (v > 0),
+                   m * F.log(F.lit(float(m)) / v.cast("double"))
+                   ).otherwise(e_raw)
+        return st.select(*gcols, F.round(e, 2).alias("est"))
+
+    monthly = estimate(hashed.groupBy("month", "reg")
+                       .agg(F.max("rho").alias("r"))) \
+        .withColumnRenamed("est", "approx_customers")
+    total = estimate(hashed.groupBy("reg").agg(F.max("rho").alias("r"))) \
+        .withColumnRenamed("est", "merged_total_customers")
+    n_orders = (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                               .alias("month"))
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+    return (n_orders.join(monthly, "month")
+            .crossJoin(F.broadcast(total))
+            .select("month", "n_orders", "approx_customers",
+                    "merged_total_customers"))
+
+
 def interarrival_grouped_map(events: DataFrame) -> DataFrame:
     """Per-user inter-arrival-time stats via ``applyInPandas`` — the
     grouped-MAP pandas extension point (one pandas frame per group in,

@@ -4525,12 +4525,57 @@ def q_cdc_apply_changes(spark, sf_dir):
                          ("o_totalprice", "o_orderstatus"))
 
 
-@register("agg_hll_mergeable_rollup", None)  # sketch estimates → rows-only
+#: Portable-HLL twin (b=9 → m=512): identical md5-low-60 hashes,
+#: register index = low 9 bits, ρ from length(bin(high 51 bits)) —
+#: exact integer math; the harmonic denominator is the BIGINT sum
+#: Σ 2^(52−ρ) (bit-identical cross-engine); the numerator literal and
+#: the 2.5m small-range threshold are the same Python floats embedded
+#: in both engines. See analytics.hll_portable_rollup.
+_HLL_EST_SQL = """round(CASE
+      WHEN 8.497699123215257e+20
+           / CAST(sp + (512 - used) * 4503599627370496 AS DOUBLE)
+           <= 1280.0 AND (512 - used) > 0
+      THEN 512 * ln(512.0 / CAST(512 - used AS DOUBLE))
+      ELSE 8.497699123215257e+20
+           / CAST(sp + (512 - used) * 4503599627370496 AS DOUBLE)
+    END, 2)"""
+
+_HLL_ROLLUP_ORACLE = f"""
+WITH hashed AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         CAST(('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 18, 15))
+              AS UBIGINT)::BIGINT AS h
+  FROM orders),
+rr AS (SELECT month, h & 511 AS reg,
+              CASE WHEN (h >> 9) = 0 THEN 52
+                   ELSE 52 - length(bin(h >> 9)) END AS rho
+       FROM hashed),
+mst AS (SELECT month, sum(1::BIGINT << (52 - r)) AS sp,
+               count(*) AS used
+        FROM (SELECT month, reg, max(rho) AS r FROM rr
+              GROUP BY month, reg) GROUP BY month),
+mest AS (SELECT month, {_HLL_EST_SQL} AS approx_customers FROM mst),
+gst AS (SELECT sum(1::BIGINT << (52 - r)) AS sp, count(*) AS used
+        FROM (SELECT reg, max(rho) AS r FROM rr GROUP BY reg)),
+gest AS (SELECT {_HLL_EST_SQL} AS merged_total_customers FROM gst),
+no AS (SELECT strftime(o_orderdate, '%Y-%m') AS month,
+              count(*) AS n_orders FROM orders GROUP BY 1)
+SELECT no.month, no.n_orders, mest.approx_customers,
+       gest.merged_total_customers
+FROM no JOIN mest USING (month) CROSS JOIN gest
+"""
+
+
+@register("agg_hll_mergeable_rollup", _HLL_ROLLUP_ORACLE)
 def q_agg_hll_mergeable_rollup(spark, sf_dir):
     """Per-month HLL distinct-customer sketches merged into the grand
-    total without rescanning history (cf. analytics.hll_rollup;
-    tolerance-tested in tests/test_approx_ops.py)."""
-    return analytics.hll_rollup(_t(spark, sf_dir, "orders"))
+    total without rescanning history. r7: runs the PORTABLE-hash HLL
+    (analytics.hll_portable_rollup — md5-derived registers, the
+    MinHash/SimHash oracle trick applied to the last sketch family) so
+    the estimate is replayed exactly by the DuckDB twin; Datasketches
+    hll_rollup stays the scale default (accuracy-equivalence pytest in
+    tests/test_approx_ops.py)."""
+    return analytics.hll_portable_rollup(_t(spark, sf_dir, "orders"))
 
 
 @register("udf_grouped_map_interarrival", """

@@ -326,6 +326,42 @@ def test_hll_rollup_estimates_and_merge(spark, sf_oracle):
     assert abs(merged - global_exact) <= 0.05 * global_exact
 
 
+def test_hll_portable_rollup_accuracy_matches_datasketches(
+        spark, sf_oracle):
+    """The portable-hash HLL (what the registry oracle-checks) carries
+    the same accuracy contract as the Datasketches scale default:
+    per-month estimates within 3 sigma of exact (m=512 -> ~4.6%
+    theoretical RSE, so 14% bounds the max over ~80 months), mean
+    relative error within 5%, merged total within 5%, and the merged
+    estimate is identical
+    no matter how the months partition the corpus (mergeability is
+    register-wise max, order-free)."""
+    import pyspark.sql.functions as F
+    from s3_elasticsearch_data_pipeline_spark.operators.analytics import (
+        hll_portable_rollup)
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    orders = load_table(spark, sf_oracle, "orders")
+    got = {r["month"]: r for r in hll_portable_rollup(orders).collect()}
+    exact = {r["month"]: r["n"] for r in
+             (orders.groupBy(F.date_format("o_orderdate", "yyyy-MM")
+                             .alias("month"))
+              .agg(F.count_distinct("o_custkey").alias("n"))).collect()}
+    assert set(got) == set(exact)
+    rel = [abs(got[m]["approx_customers"] - n) / n
+           for m, n in exact.items()]
+    assert max(rel) <= 0.14, max(rel)
+    assert sum(rel) / len(rel) <= 0.05, sum(rel) / len(rel)
+    global_exact = orders.select("o_custkey").distinct().count()
+    merged = next(iter(got.values()))["merged_total_customers"]
+    assert abs(merged - global_exact) <= 0.05 * global_exact
+    # mergeability: a different partitioning (quarter instead of
+    # month) must produce the IDENTICAL merged total
+    q = orders.withColumn(
+        "o_orderdate", F.trunc("o_orderdate", "quarter"))
+    merged_q = hll_portable_rollup(q).first()["merged_total_customers"]
+    assert merged_q == merged
+
+
 def test_pca_projection_properties(spark, sf_oracle):
     """PCA invariants: pc1 captures >= pc2 variance, projections are
     uncorrelated, output deterministic across runs (sign convention)."""
