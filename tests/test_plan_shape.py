@@ -543,3 +543,64 @@ def test_pagerank_partitioned_path_never_broadcasts_ranks(spark, sf_oracle):
         assert small.exceptAll(big).count() == 0
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
+        spark, sf_oracle):
+    """r7 (verdict item 1): the r6 broadcast-audit triage accepted the
+    corpus-pipeline verdict-list broadcasts on a width-estimate
+    ARGUMENT; this pins it with evidence. Scale only enters Spark's
+    broadcast decision through the stats/threshold ratio, so shrinking
+    ``autoBroadcastJoinThreshold`` to 1KB is the 10x/100x-replica plan
+    probe without building replicas: every stats-driven corpus-derived
+    build side (doc-id verdict lists, per-doc score frames) must FLIP
+    to shuffle, proving its checkpoint-backed estimate genuinely grows
+    with the data (the r5 OOM class was constant-understated stats
+    that would NOT flip). The only survivors allowed are the explicit
+    ``F.broadcast(bench)`` eval-gram joins — eval benchmarks are
+    fixed-size by definition, correct at any corpus scale."""
+    import re
+    from tools.audit_broadcasts import _RDD_SCAN, _indent
+
+    names_expected = {  # query -> explicit eval-gram broadcasts
+        "corpus_training_set": 4,
+        "corpus_curation_pipeline": 2,
+        "contamination_ngram_overlap": 1,
+        "multimodal_curation": 0,
+    }
+    keys = ("spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.autoBroadcastJoinThreshold")
+    prior = {k: spark.conf.get(k, None) for k in keys}
+    try:
+        for k in keys:
+            spark.conf.set(k, "1KB")
+        for name, expected in names_expected.items():
+            df = registry.queries()[name](spark, sf_oracle)
+            lines = (df._jdf.queryExecution().executedPlan()
+                     .toString().splitlines())
+            hits = []
+            for i, line in enumerate(lines):
+                if "BroadcastExchange" not in line:
+                    continue
+                d = _indent(line)
+                sub = []
+                for s2 in lines[i + 1:]:
+                    if _indent(s2) <= d:
+                        break
+                    sub.append(s2)
+                if any(_RDD_SCAN.search(s2) for s2 in sub):
+                    hits.append(sub)
+            assert len(hits) == expected, \
+                (name, len(hits), "a corpus-derived build side kept "
+                 "its broadcast under a 1KB threshold — its stats do "
+                 "not grow with the data (r5 OOM class)")
+            for sub in hits:  # survivors must all be eval-gram joins
+                assert any(re.search(r"HashAggregate\(keys=\[gram#",
+                                     s2) for s2 in sub), \
+                    (name, "non-eval-gram broadcast survived 1KB")
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
