@@ -244,17 +244,22 @@ def test_ivf_persisted_empty_corpus(spark, embeddings, tmp_path):
 
 def test_oracle_fixture_cell_assumption():
     """The dedup_embedding_blocked / dedup_semantic_apply DuckDB twins
-    unroll k-means at 8 cells; the operator's auto-sizing rule
-    (max(8, ceil(sqrt(n/8)))) must resolve to exactly 8 at every SF
-    the oracle harness runs on, or the twins silently diverge. Guards
+    unroll k-means at 8 FLAT cells; the operator's auto-sizing rule
+    (r7: max(8, ceil(n/64)) constant occupancy) must resolve to
+    exactly 8 — and stay under the two-level switch — at every SF the
+    oracle harness runs on, or the twins silently diverge. Guards
     fixture regeneration: the rule leaves 8 only while n <= 512."""
     import math
 
     import duckdb
+
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        _TARGET_CELL_OCCUPANCY, _TWO_LEVEL_MIN_CELLS)
     for sf in ("/root/testdata/sf0.001", "/root/testdata/sf0.01"):
         (n,) = duckdb.sql(
             f"SELECT count(*) FROM '{sf}/embeddings.parquet'").fetchone()
-        assert max(8, math.ceil(math.sqrt(n / 8))) == 8, \
+        cells = max(8, math.ceil(n / _TARGET_CELL_OCCUPANCY))
+        assert cells == 8 and cells < _TWO_LEVEL_MIN_CELLS, \
             (sf, n, "regenerated fixture broke the 8-cell oracle pin")
 
 
@@ -970,3 +975,41 @@ def test_pq_train_sample_sizing_rule(spark, sized):
 
     assert mean_mse(sized) < mean_mse(256) * 0.95, \
         "sized training sample must reconstruct measurably better"
+
+
+def test_two_level_blocking_recall_on_planted_pairs(spark):
+    """The r7 two-level quantizer path (n_cells >= _TWO_LEVEL_MIN_CELLS
+    — corpus-proportional cells, super→sub chained assignment) must
+    behave like the flat path where it matters: planted near-dup twins
+    (base vector + tiny perturbation) are recovered with high recall,
+    reported sims are exact (rerank is exact in both paths), and no
+    false pair appears. 6k vectors × occupancy 64 → ~94 cells, well
+    past the switch."""
+    import numpy as np
+
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        _TWO_LEVEL_MIN_CELLS)
+    rng = np.random.default_rng(11)
+    dims, n_base, n_twins = 16, 6000, 120
+    base = rng.normal(size=(n_base, dims))
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n_base)]
+    # twins: tiny perturbation -> cosine ~0.999, planted as ids 100k+
+    twin_ids = rng.choice(n_base, size=n_twins, replace=False)
+    for j, src in enumerate(twin_ids):
+        v = base[src] + rng.normal(scale=1e-3, size=dims)
+        rows.append((100_000 + int(src), [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    pairs = dedup.embedding_blocked_near_dup(emb, threshold=0.99)
+    got = {(r.vec_id_a, r.vec_id_b) for r in pairs.collect()}
+    # auto rule must have chosen the two-level path at this size
+    assert (n_base + n_twins) / 64 >= _TWO_LEVEL_MIN_CELLS
+    planted = {(int(s), 100_000 + int(s)) for s in twin_ids}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.95, f"two-level recall {recall}"
+    # precision: anything reported must truly clear the threshold
+    # (exact rerank) — verify against numpy on a sample
+    allv = {i: np.array(v) for i, v in rows}
+    for a, b in list(got)[:200]:
+        va, vb = allv[a], allv[b]
+        sim = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert round(sim, 6) >= 0.99 or np.isnan(sim), (a, b, sim)
