@@ -103,6 +103,7 @@ HEADLINE = (
     "stat_correlation_matrix",
     "image_decode_features",
     "dedup_incremental_lsh",
+    "dedup_incremental_semantic",
     "dedup_duplicate_spans",
     "sim_topk_pq",
     "text_bpe_train",

@@ -7249,6 +7249,44 @@ WHERE d.doc_id % 3 = 0
 """
 
 
+#: DuckDB twin of incremental_semantic_dedup (batch = vec_id % 3 = 0,
+#: threshold 0.4, n_assign 2): the unrolled k-means prefix trained on
+#: the PRIOR CORPUS only (add-after-train, train_pred), both sides
+#: multi-assigned to their 2 nearest cells, batch ids dropped where a
+#: same-cell corpus vector reaches round-6 cosine 0.4. Output = the
+#: surviving batch vec_ids.
+_SEM_INGEST_ORACLE = f"""{_kmeans_cte_sql(8, "vec_id % 3 != 0")},
+bvecs AS (SELECT * FROM vecs WHERE vec_id % 3 = 0),
+ac AS ({_KMEANS_ASSIGN_CTE.format(vecs='tvecs', cents='c2',
+                                  qfilter='', take='<= 2')}),
+ab AS ({_KMEANS_ASSIGN_CTE.format(vecs='bvecs', cents='c2',
+                                  qfilter='', take='<= 2')}),
+matched AS (
+  SELECT DISTINCT b.vec_id
+  FROM ab b JOIN ac c ON b.cell = c.cell
+  WHERE round(list_inner_product(b.emb, c.emb)
+              / (sqrt(list_inner_product(b.emb, b.emb))
+                 * sqrt(list_inner_product(c.emb, c.emb))), 6) >= 0.4)
+SELECT vec_id FROM bvecs
+WHERE vec_id NOT IN (SELECT vec_id FROM matched)
+"""
+
+
+@register("dedup_incremental_semantic", _SEM_INGEST_ORACLE)
+def q_dedup_incremental_semantic(spark, sf_dir):
+    """Semantic dedup at ingest (r7 — completes the dedup-at-ingest
+    family next to the exact and MinHash paths): the incoming batch
+    (vec_id % 3 = 0) is multi-assigned to coarse cells trained on the
+    prior corpus only and dropped where any same-cell corpus vector
+    reaches cosine 0.4 (operators/dedup.py:incremental_semantic_dedup;
+    threshold sized to the near-isotropic fixture — production runs
+    ~0.95). Fully oracle-checked: the DuckDB twin replays the
+    corpus-trained k-means, both assignments, and the thresholded
+    cell join."""
+    return dedup.incremental_semantic_dedup(
+        _t(spark, sf_dir, "embeddings"))
+
+
 @register("dedup_incremental_lsh", _INCR_LSH_ORACLE)  # r6: portable hashes
 def q_dedup_incremental_lsh(spark, sf_dir):
     """Near-dup dedup at ingest: the incoming batch probes the prior

@@ -399,3 +399,38 @@ def test_duplicate_spans_seeded_fixture(spark):
         [(9, " ".join(["r"] * 25), "en")], "doc_id long, text string, lang string")
     r = dedup.duplicate_spans(solo, k=10).collect()[0]
     assert r["n_dup_spans"] == 0
+
+
+def test_incremental_semantic_dedup_contract(spark, sf_oracle):
+    """Semantic dedup-at-ingest (r7): survivors are a deterministic
+    subset of the batch; a planted exact copy of a corpus vector is
+    dropped (cosine 1.0 in whatever cell it lands — multi-assign
+    guarantees it shares the corpus twin's nearest cell since both
+    assign identically); an empty prior corpus admits everything."""
+    from s3_elasticsearch_data_pipeline_spark.tables import load_table
+    emb = load_table(spark, sf_oracle, "embeddings")
+    batch_ids = {r["vec_id"] for r in
+                 emb.where("vec_id % 3 = 0").select("vec_id").collect()}
+    a = {r["vec_id"] for r in
+         dedup.incremental_semantic_dedup(emb).collect()}
+    b = {r["vec_id"] for r in
+         dedup.incremental_semantic_dedup(emb).collect()}
+    assert a == b, "must be deterministic across runs"
+    assert a <= batch_ids and a
+
+    # plant: copy corpus vector 1 (1 % 3 != 0 -> corpus side) into the
+    # batch under id 999_999 (999999 % 3 == 0 -> batch side)
+    src = emb.where("vec_id = 1").select("embedding").first()
+    planted = spark.createDataFrame(
+        [(999_999, list(src["embedding"]))],
+        "vec_id long, embedding array<double>")
+    emb2 = emb.select("vec_id", "embedding").unionByName(planted)
+    out = {r["vec_id"] for r in
+           dedup.incremental_semantic_dedup(emb2).collect()}
+    assert 999_999 not in out, "exact copy of a corpus vector must drop"
+
+    # empty corpus: everything is novel
+    only_batch = emb.where("vec_id % 3 = 0")
+    out2 = {r["vec_id"] for r in
+            dedup.incremental_semantic_dedup(only_batch).collect()}
+    assert out2 == batch_ids
