@@ -88,6 +88,8 @@ CASES = (
      lambda e: dedup.containment_decontamination(e["documents"])),
     ("incremental_lsh",
      lambda e: dedup.incremental_lsh_dedup(e["documents"])),
+    ("incremental_semantic",
+     lambda e: dedup.incremental_semantic_dedup(e["embeddings"])),
     ("bpe_train", lambda e: text.bpe_train(e["documents"])),
     ("bpe_encode", lambda e: text.bpe_encode(e["documents"], merges=[])),
     ("product_quantize",
