@@ -3652,6 +3652,76 @@ ORDER BY doc_id
 """
 
 
+#: DuckDB twin of semantic_ingest_stream over two drops: k-means
+#: bootstrapped on the FIRST drop (evens), both drops multi-assigned
+#: (take <= 2) against those centroids, epoch-0 in-batch greedy drop,
+#: epoch-1 probe vs the surviving epoch-0 cell rows plus its own
+#: in-batch greedy — the whole admission decision replayed in SQL
+#: (epochs identified as evens < 1M vs odds + shifted evens).
+_STREAM_SEMANTIC_ORACLE = f"""{_kmeans_cte_sql(8, "vec_id % 2 = 0")},
+a0 AS ({_KMEANS_ASSIGN_CTE.format(vecs='tvecs', cents='c2',
+                                   qfilter='', take='<= 2')}),
+drop1 AS (
+  SELECT DISTINCT b.vec_id FROM a0 a JOIN a0 b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.emb, b.emb) / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.4),
+idx1 AS (SELECT * FROM a0
+         WHERE vec_id NOT IN (SELECT vec_id FROM drop1)),
+b2vecs AS (SELECT vec_id, emb FROM vecs WHERE vec_id % 2 = 1
+           UNION ALL
+           SELECT vec_id + 1000000 AS vec_id, emb FROM vecs
+           WHERE vec_id % 2 = 0),
+a2 AS ({_KMEANS_ASSIGN_CTE.format(vecs='b2vecs', cents='c2',
+                                   qfilter='', take='<= 2')}),
+drop2 AS (SELECT DISTINCT vec_id FROM (
+  SELECT b.vec_id FROM a2 b JOIN idx1 c ON b.cell = c.cell
+  WHERE round(list_inner_product(b.emb, c.emb) / (sqrt(list_inner_product(b.emb, b.emb)) * sqrt(list_inner_product(c.emb, c.emb))), 6) >= 0.4
+  UNION ALL
+  SELECT b.vec_id FROM a2 a JOIN a2 b
+    ON a.cell = b.cell AND a.vec_id < b.vec_id
+  WHERE round(list_inner_product(a.emb, b.emb) / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.4))
+SELECT vec_id FROM tvecs
+  WHERE vec_id NOT IN (SELECT vec_id FROM drop1)
+UNION ALL
+SELECT vec_id FROM b2vecs
+  WHERE vec_id NOT IN (SELECT vec_id FROM drop2)
+ORDER BY vec_id
+"""
+
+
+@register("stream_semantic_ingest", _STREAM_SEMANTIC_ORACLE)
+def q_stream_semantic_ingest(spark, sf_dir):
+    """Streaming semantic dedup-at-ingest (r7 — the embedding twin of
+    stream_lsh_ingest, completing batch/streaming symmetry with
+    dedup_incremental_semantic): two embedding drops flow through the
+    checkpointed loop (streaming/semantic_ingest.py); the second drop
+    repeats every first-drop vector under shifted ids and all of
+    those must be rejected by the persisted cell-store probe
+    (cosine 1.0). Fully oracle-checked — the DuckDB twin replays the
+    bootstrap k-means and both epochs' admission decisions."""
+    import os
+    import tempfile
+
+    from s3_elasticsearch_data_pipeline_spark.streaming.semantic_ingest import (
+        read_corpus, semantic_ingest_stream)
+    embs = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    work = tempfile.mkdtemp(prefix="sem_ingest_")
+    src = os.path.join(work, "src")
+    first = embs.where(F.col("vec_id") % 2 == 0)
+    first.write.parquet(src)
+    args = (spark, src, os.path.join(work, "corpus"),
+            os.path.join(work, "index"), os.path.join(work, "ckpt"))
+    semantic_ingest_stream(*args)
+    second = embs.where(F.col("vec_id") % 2 == 1).unionByName(
+        first.withColumn("vec_id", F.col("vec_id") + 1_000_000))
+    second.write.mode("append").parquet(src)
+    semantic_ingest_stream(*args)
+    corpus = read_corpus(spark, os.path.join(work, "corpus"))
+    if corpus is None:
+        return spark.createDataFrame([], "vec_id long")
+    return corpus.select("vec_id").orderBy("vec_id")
+
+
 @register("stream_lsh_ingest", _STREAM_LSH_ORACLE)  # r6: portable replay
 def q_stream_lsh_ingest(spark, sf_dir):
     """Streaming near-dup dedup-at-ingest: two document drops flow

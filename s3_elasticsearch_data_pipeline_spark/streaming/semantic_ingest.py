@@ -1,0 +1,178 @@
+"""Streaming semantic dedup-at-ingest — the EMBEDDING twin of
+``streaming/lsh_ingest.py``, completing the streamed dedup family
+(exact/MinHash text dedup there; cosine near-dup here) and the
+batch/streaming symmetry with ``operators.dedup
+.incremental_semantic_dedup``.
+
+Loop shape (Structured Streaming, ``Trigger.AvailableNow``):
+
+- the checkpoint's file log decides WHAT is new;
+- the FIRST non-empty micro-batch trains the coarse blocking cells
+  (deterministic k-means — a replayed bootstrap epoch rewrites
+  byte-identical centroids); every later batch assigns against the
+  PERSISTED centroids — add-after-train, like the IVF ingest;
+- each batch is multi-assigned to its ``n_assign`` nearest cells and
+  probed per cell against (a) the persisted cell store of all PRIOR
+  epochs and (b) lower-``vec_id`` vectors of the same batch
+  (deterministic greedy admission, exactly the lsh_ingest rule);
+  round-6 cosine ≥ ``threshold`` drops the vector;
+- survivors append to the corpus sink and their (vec_id, cell, vec)
+  rows append to the cell store — both under ``epoch=<id>`` subdirs
+  with per-epoch OVERWRITE, so a replayed epoch (failure before
+  checkpoint commit) rewrites the same files: effectively-once
+  corpus state without a transactional table format.
+
+Scale shape: the probe cogroups on the compact cell key — candidates
+only where cells collide, never batch × corpus; the cell store is
+n_assign×docs rows (what a 100 TB semantic-dedup pipeline persists
+anyway); per-epoch appends are small files
+``maintenance.compact_partitions`` can heal offline. Cell-count
+resizing is a REBUILD decision (offline, through the batch operator),
+the same contract as the IVF ingest's centroid drift.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+    _PAIR_SCHEMA, _blocked_cross_kernel, _blocked_pair_kernel)
+from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+    _kmeans_centroids, _nearest_cells)
+from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
+    _read_optional_parquet)
+
+_CELL_SCHEMA = "vec_id long, cell int, vec array<double>"
+
+
+def _fixed_centroid_assign_fn(centroids, n_assign: int):
+    """(vec_id, cell, vec) multi-assignment against FIXED centroids —
+    the streaming counterpart of ``dedup._blocking_assign_fn`` (which
+    trains); routed through the shared ``_nearest_cells`` kernel so
+    ingest assignment stays in lockstep with the batch operators."""
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            order = _nearest_cells(emb, centroids, n_assign)
+            take = order.shape[1]
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy().repeat(take),
+                "cell": order.reshape(-1),
+                "vec": list(np.repeat(emb, take, axis=0)),
+            })
+
+    return run
+
+
+def semantic_ingest_stream(spark: SparkSession, source_path: str,
+                           corpus_path: str, index_path: str,
+                           checkpoint_path: str,
+                           threshold: float = 0.4,
+                           n_cells: int = 8, n_assign: int = 2,
+                           iters: int = 2, schema=None,
+                           fault_hook=None) -> None:
+    """Drain all new embedding files through the semantic dedup-at-
+    ingest loop (run repeatedly; each call processes exactly the files
+    that arrived since the last call).
+
+    Admission rule (deterministic): a vector is DROPPED when its
+    round-6 cosine against any already-admitted vector sharing a
+    blocking cell, or any lower-``vec_id`` vector of the same
+    micro-batch sharing a cell, reaches ``threshold``; otherwise it is
+    admitted and immediately becomes part of the cell store later
+    arrivals probe. Null embeddings are admitted unprobed (no cosine
+    is defined for them; a production pipeline filters them upstream).
+
+    ``fault_hook(stage, epoch_id)``: crash-consistency seam — stages
+    ``"after_centroids_write"`` (bootstrap epoch only),
+    ``"after_corpus_write"`` and ``"after_index_write"``; a hook that
+    raises simulates a kill in the torn window between a completed
+    write and the checkpoint commit, so tests can assert replay heals
+    it."""
+    fault = fault_hook or (lambda stage, epoch_id: None)
+    if schema is None:
+        schema = spark.read.parquet(source_path).schema
+    stream = (spark.readStream
+              .schema(schema)
+              .option("basePath", source_path)
+              .parquet(source_path))
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sess = batch_df.sparkSession
+        probe_src = batch_df.where(
+            F.col("embedding").isNotNull()
+            & F.forall("embedding", lambda x: x.isNotNull()))
+        if _read_optional_parquet(sess, index_path + "/centroids") is None:
+            # bootstrap: train on this batch (deterministic k-means ⇒
+            # a replayed epoch rewrites identical centroids)
+            cents = _kmeans_centroids(probe_src, n_cells, iters)
+            rows = [(i, [float(x) for x in cents[i]])
+                    for i in range(len(cents))]
+            (sess.createDataFrame(rows,
+                                  "cell int, centroid array<double>")
+             .write.mode("overwrite").parquet(index_path + "/centroids"))
+            fault("after_centroids_write", epoch_id)
+        else:
+            import numpy as np
+            cents = np.array(
+                [list(r["centroid"]) for r in
+                 sess.read.parquet(index_path + "/centroids")
+                 .orderBy("cell").collect()], dtype=np.float64)
+        probe = (probe_src.select("vec_id", "embedding")
+                 .mapInPandas(_fixed_centroid_assign_fn(cents, n_assign),
+                              _CELL_SCHEMA)
+                 .localCheckpoint(eager=True))
+        # vs prior epochs' cell store (EXCLUDING any half-written copy
+        # of this very epoch — replay must see what the failed attempt
+        # saw)
+        prior = _read_optional_parquet(sess, index_path + "/cells")
+        matched = None
+        if prior is not None:
+            matched = (probe.groupby("cell")
+                       .cogroup(prior.where(F.col("epoch") != epoch_id)
+                                .select("vec_id", "cell", "vec")
+                                .groupby("cell"))
+                       .applyInPandas(_blocked_cross_kernel(threshold),
+                                      "vec_id long")
+                       .distinct())
+        # vs lower-id vectors of the SAME batch (deterministic greedy)
+        in_batch = (probe.groupby("cell")
+                    .applyInPandas(_blocked_pair_kernel(threshold),
+                                   _PAIR_SCHEMA)
+                    .select(F.col("vec_id_b").alias("vec_id"))
+                    .distinct())
+        dropped = (in_batch if matched is None
+                   else matched.unionByName(in_batch).distinct())
+        survivors = batch_df.join(dropped, "vec_id", "left_anti")
+        (survivors.write.mode("overwrite")
+         .parquet(os.path.join(corpus_path, f"epoch={epoch_id}")))
+        fault("after_corpus_write", epoch_id)
+        (probe.join(dropped, "vec_id", "left_anti")
+         .write.mode("overwrite")
+         .parquet(os.path.join(index_path, "cells",
+                               f"epoch={epoch_id}")))
+        fault("after_index_write", epoch_id)
+
+    q = (stream.writeStream
+         .foreachBatch(handle)
+         .option("checkpointLocation", checkpoint_path)
+         .trigger(availableNow=True)
+         .start())
+    q.awaitTermination()
+
+
+def read_corpus(spark: SparkSession, corpus_path: str):
+    """The admitted corpus across all epochs (hive ``epoch=`` layout),
+    or None before the first admitted batch."""
+    df = _read_optional_parquet(spark, corpus_path)
+    return df.drop("epoch") if df is not None else None

@@ -1,0 +1,116 @@
+"""Streaming semantic dedup-at-ingest (streaming/semantic_ingest.py):
+cross-batch cosine rejection against the persisted cell store,
+deterministic in-batch admission, idempotent re-runs, and
+crash-window replay healing."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from s3_elasticsearch_data_pipeline_spark.streaming.semantic_ingest import (
+    read_corpus, semantic_ingest_stream)
+
+
+def _embs(spark, sf_smoke):
+    return (spark.read.parquet(os.path.join(sf_smoke,
+                                            "embeddings.parquet"))
+            .select("vec_id", "embedding"))
+
+
+def test_cross_batch_copies_rejected_and_rerun_noop(spark, sf_smoke,
+                                                    tmp_path):
+    src = str(tmp_path / "src")
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    ckpt = str(tmp_path / "k")
+    base = _embs(spark, sf_smoke).where(F.col("vec_id") < 120)
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    base.write.parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    first = {r["vec_id"] for r in
+             read_corpus(spark, corpus).select("vec_id").collect()}
+    # in-batch natural near-dups may drop a few; admission is a
+    # non-empty subset
+    assert first and first <= base_ids
+
+    # second drop: EXACT copies of every base vector under shifted ids
+    # (cosine 1.0 — each must collide with its admitted original or
+    # whatever its original collided with) plus genuinely new vectors
+    dups = base.withColumn("vec_id", F.col("vec_id") + 500_000)
+    fresh = _embs(spark, sf_smoke).where(
+        (F.col("vec_id") >= 120) & (F.col("vec_id") < 160))
+    fresh_ids = {r["vec_id"] for r in fresh.select("vec_id").collect()}
+    dups.unionByName(fresh).write.mode("append").parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    ids = {r["vec_id"] for r in
+           read_corpus(spark, corpus).select("vec_id").collect()}
+    assert not any(i >= 500_000 for i in ids), \
+        "exact copies of admitted vectors must be rejected"
+    assert ids >= first, "prior admissions must be retained"
+    assert ids - first <= fresh_ids
+    assert ids & fresh_ids, "novel vectors must be admitted"
+
+    # a third run with no new files changes nothing
+    before = sorted(ids)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    after = sorted(r["vec_id"] for r in
+                   read_corpus(spark, corpus).select("vec_id").collect())
+    assert after == before
+
+
+def test_in_batch_lower_id_wins(spark, sf_smoke, tmp_path):
+    src = str(tmp_path / "src")
+    base = _embs(spark, sf_smoke).where(F.col("vec_id") < 30)
+    base_ids = {r["vec_id"] for r in base.select("vec_id").collect()}
+    both = base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + 700_000))
+    both.write.parquet(src)
+    semantic_ingest_stream(spark, src, str(tmp_path / "c"),
+                           str(tmp_path / "i"), str(tmp_path / "k"))
+    ids = {r["vec_id"] for r in
+           read_corpus(spark, str(tmp_path / "c"))
+           .select("vec_id").collect()}
+    assert ids and ids <= base_ids, \
+        "shifted exact twins must always lose to their lower id"
+
+
+def test_crash_between_write_and_commit_heals_on_replay(
+        spark, sf_smoke, tmp_path):
+    """Kill the loop in each torn window (after corpus write, after
+    index write, before checkpoint commit): the rerun must rewrite the
+    same epoch in place — no duplicate corpus rows, no duplicate index
+    rows, same final admissions as an uninterrupted run."""
+    import pytest
+
+    base = _embs(spark, sf_smoke).where(F.col("vec_id") < 80)
+    for stage in ("after_corpus_write", "after_index_write"):
+        src = str(tmp_path / f"src_{stage}")
+        corpus = str(tmp_path / f"c_{stage}")
+        index = str(tmp_path / f"i_{stage}")
+        ckpt = str(tmp_path / f"k_{stage}")
+        base.write.parquet(src)
+
+        def bomb(st, epoch_id, _stage=stage):
+            if st == _stage:
+                raise RuntimeError(f"injected crash at {_stage}")
+
+        from pyspark.errors import StreamingQueryException
+        with pytest.raises((RuntimeError, StreamingQueryException)):
+            semantic_ingest_stream(spark, src, corpus, index, ckpt,
+                                   fault_hook=bomb)
+        # replay without the bomb: heals, no duplicates
+        semantic_ingest_stream(spark, src, corpus, index, ckpt)
+        got = read_corpus(spark, corpus)
+        ids = [r["vec_id"] for r in got.select("vec_id").collect()]
+        assert len(ids) == len(set(ids)), "replay must not duplicate"
+
+        # control run (never crashed) must agree exactly
+        src2, c2 = str(tmp_path / f"s2_{stage}"), str(tmp_path / f"c2_{stage}")
+        base.write.parquet(src2)
+        semantic_ingest_stream(spark, src2, c2,
+                               str(tmp_path / f"i2_{stage}"),
+                               str(tmp_path / f"k2_{stage}"))
+        want = sorted(r["vec_id"] for r in
+                      read_corpus(spark, c2).select("vec_id").collect())
+        assert sorted(ids) == want
