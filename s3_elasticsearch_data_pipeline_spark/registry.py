@@ -3659,32 +3659,32 @@ ORDER BY doc_id
 #: in-batch greedy — the whole admission decision replayed in SQL
 #: (epochs identified as evens < 1M vs odds + shifted evens).
 _STREAM_SEMANTIC_ORACLE = f"""{_kmeans_cte_sql(8, "vec_id % 2 = 0")},
-a0 AS ({_KMEANS_ASSIGN_CTE.format(vecs='tvecs', cents='c2',
+sa0 AS ({_KMEANS_ASSIGN_CTE.format(vecs='tvecs', cents='c2',
                                    qfilter='', take='<= 2')}),
-drop1 AS (
-  SELECT DISTINCT b.vec_id FROM a0 a JOIN a0 b
+sdrop1 AS (
+  SELECT DISTINCT b.vec_id FROM sa0 a JOIN sa0 b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE round(list_inner_product(a.emb, b.emb) / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.4),
-idx1 AS (SELECT * FROM a0
-         WHERE vec_id NOT IN (SELECT vec_id FROM drop1)),
+sidx1 AS (SELECT * FROM sa0
+         WHERE vec_id NOT IN (SELECT vec_id FROM sdrop1)),
 b2vecs AS (SELECT vec_id, emb FROM vecs WHERE vec_id % 2 = 1
            UNION ALL
            SELECT vec_id + 1000000 AS vec_id, emb FROM vecs
            WHERE vec_id % 2 = 0),
-a2 AS ({_KMEANS_ASSIGN_CTE.format(vecs='b2vecs', cents='c2',
+sa2 AS ({_KMEANS_ASSIGN_CTE.format(vecs='b2vecs', cents='c2',
                                    qfilter='', take='<= 2')}),
-drop2 AS (SELECT DISTINCT vec_id FROM (
-  SELECT b.vec_id FROM a2 b JOIN idx1 c ON b.cell = c.cell
+sdrop2 AS (SELECT DISTINCT vec_id FROM (
+  SELECT b.vec_id FROM sa2 b JOIN sidx1 c ON b.cell = c.cell
   WHERE round(list_inner_product(b.emb, c.emb) / (sqrt(list_inner_product(b.emb, b.emb)) * sqrt(list_inner_product(c.emb, c.emb))), 6) >= 0.4
   UNION ALL
-  SELECT b.vec_id FROM a2 a JOIN a2 b
+  SELECT b.vec_id FROM sa2 a JOIN sa2 b
     ON a.cell = b.cell AND a.vec_id < b.vec_id
   WHERE round(list_inner_product(a.emb, b.emb) / (sqrt(list_inner_product(a.emb, a.emb)) * sqrt(list_inner_product(b.emb, b.emb))), 6) >= 0.4))
 SELECT vec_id FROM tvecs
-  WHERE vec_id NOT IN (SELECT vec_id FROM drop1)
+  WHERE vec_id NOT IN (SELECT vec_id FROM sdrop1)
 UNION ALL
 SELECT vec_id FROM b2vecs
-  WHERE vec_id NOT IN (SELECT vec_id FROM drop2)
+  WHERE vec_id NOT IN (SELECT vec_id FROM sdrop2)
 ORDER BY vec_id
 """
 
