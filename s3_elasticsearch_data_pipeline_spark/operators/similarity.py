@@ -529,6 +529,72 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("sim", 6).alias("sim"), "rank"))
 
 
+def margin_bitext_pairs(embeddings: DataFrame, k: int = 4,
+                        threshold: float = 1.0,
+                        side_col: str = "label") -> DataFrame:
+    """Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-
+    based Parallel Corpus Mining with Multilingual Sentence
+    Embeddings", ACL 2019 — the CCMatrix/LASER recipe): a cross-side
+    pair (x, y) is mined when its cosine stands out RELATIVE to each
+    side's local neighborhood density,
+
+        margin(x, y) = cos(x, y) / ((avg_kNN(x) + avg_kNN(y)) / 2),
+
+    which suppresses hub vectors that are near everything. Sides are
+    carved from ``side_col`` parity (even = source, odd = target) so
+    the operator is self-contained on the fixture; a real pipeline
+    passes language ids.
+
+    Determinism discipline: candidate sims round to 6 BEFORE the
+    neighborhood averages, and the averages sum in DECIMAL(16,6) —
+    exact, order-free — so the margin is bit-identical across engines
+    and partitionings (the double division is a single fixed
+    expression). Output: forward candidates (x's top-k in the target
+    side) with margin ≥ ``threshold``, ranked per source by margin.
+
+    Scale shape: this oracle-scale form scores the A×B cross join —
+    right for evaluation corpora; a 100 TB mining run feeds the SAME
+    margin scorer from ANN candidates instead (``ivf_topk`` /
+    ``ann_lsh_topk`` per side), which is the published pipeline's
+    shape (LASER mines from FAISS shortlists)."""
+    from s3_elasticsearch_data_pipeline_spark.functions.vector import (
+        cosine)
+    a = embeddings.where(F.col(side_col) % 2 == 0).select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("__sv"))
+    b = embeddings.where(F.col(side_col) % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"),
+        F.col("embedding").alias("__tv"))
+    scored = (a.crossJoin(b)
+              .select("src_id", "tgt_id",
+                      F.round(cosine(F.col("__sv"), F.col("__tv")), 6)
+                      .alias("sim")))
+    wa = Window.partitionBy("src_id").orderBy(F.col("sim").desc(),
+                                              "tgt_id")
+    wb = Window.partitionBy("tgt_id").orderBy(F.col("sim").desc(),
+                                              "src_id")
+    ranked = (scored.withColumn("__ra", F.row_number().over(wa))
+              .withColumn("__rb", F.row_number().over(wb)))
+    dec = F.col("sim").cast("decimal(16,6)")
+    den_a = (ranked.where(F.col("__ra") <= k).groupBy("src_id")
+             .agg(F.sum(dec).alias("__sa"),
+                  F.count(F.lit(1)).alias("__ca")))
+    den_b = (ranked.where(F.col("__rb") <= k).groupBy("tgt_id")
+             .agg(F.sum(dec).alias("__sb"),
+                  F.count(F.lit(1)).alias("__cb")))
+    denom = ((F.col("__sa").cast("double") / F.col("__ca")
+              + F.col("__sb").cast("double") / F.col("__cb")) / 2)
+    mined = (ranked.where(F.col("__ra") <= k)
+             .join(den_a, "src_id").join(den_b, "tgt_id")
+             .select("src_id", "tgt_id", "sim",
+                     F.round(F.col("sim") / denom, 6).alias("margin"))
+             .where(F.col("margin") >= threshold))
+    wm = Window.partitionBy("src_id").orderBy(F.col("margin").desc(),
+                                              "tgt_id")
+    return (mined.withColumn("rank", F.row_number().over(wm))
+            .select("src_id", "tgt_id", "sim", "margin", "rank"))
+
+
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
     """Symmetric int8 scalar quantization of the embedding column —
     the memory-compression step an ANN index applies before serving

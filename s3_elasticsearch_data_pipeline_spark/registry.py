@@ -1126,6 +1126,59 @@ FROM ranked WHERE rank <= 10
 """
 
 
+#: DuckDB twin of margin_bitext_pairs(k=4, threshold=1.0): A x B
+#: cross cosine (round-6 BEFORE the neighborhood averages), exact
+#: DECIMAL(16,6) top-k sums per side (order-free), one double
+#: division, margin filter BEFORE the per-source rank window.
+_MARGIN_BITEXT_ORACLE = """
+WITH av AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv
+            FROM embeddings WHERE label % 2 = 0),
+bv AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv
+       FROM embeddings WHERE label % 2 = 1),
+scored AS (
+  SELECT src_id, tgt_id,
+         round(list_inner_product(sv, tv)
+               / (sqrt(list_inner_product(sv, sv))
+                  * sqrt(list_inner_product(tv, tv))), 6) AS sim
+  FROM av, bv),
+ranked AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY sim DESC, tgt_id) AS ra,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY sim DESC, src_id) AS rb
+  FROM scored),
+da AS (SELECT src_id, sum(CAST(sim AS DECIMAL(16,6))) AS sa,
+              count(*) AS ca
+       FROM ranked WHERE ra <= 4 GROUP BY src_id),
+db AS (SELECT tgt_id, sum(CAST(sim AS DECIMAL(16,6))) AS sb,
+              count(*) AS cb
+       FROM ranked WHERE rb <= 4 GROUP BY tgt_id),
+mined AS (
+  SELECT r.src_id, r.tgt_id, r.sim,
+         round(r.sim / ((CAST(sa AS DOUBLE) / ca
+                         + CAST(sb AS DOUBLE) / cb) / 2), 6) AS margin
+  FROM ranked r JOIN da USING (src_id) JOIN db USING (tgt_id)
+  WHERE r.ra <= 4)
+SELECT src_id, tgt_id, sim, margin,
+       row_number() OVER (PARTITION BY src_id
+                          ORDER BY margin DESC, tgt_id) AS rank
+FROM mined WHERE margin >= 1.0
+"""
+
+
+@register("sim_margin_bitext", _MARGIN_BITEXT_ORACLE)
+def q_sim_margin_bitext(spark, sf_dir):
+    """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
+    CCMatrix/LASER recipe): cross-side pairs whose cosine stands out
+    against both sides' local kNN density — margin = cos / mean of the
+    two neighborhoods' top-k averages (operators/similarity.py:
+    margin_bitext_pairs; exact decimal neighborhood sums make the
+    score bit-identical across engines). Sides = label parity."""
+    return similarity.margin_bitext_pairs(
+        _t(spark, sf_dir, "embeddings"))
+
+
 @register("sim_topk_bruteforce", _BRUTE_TOPK_ORACLE)
 def q_sim_topk_bruteforce(spark, sf_dir):
     """Exact cosine top-10 for query vectors vec_id<10 — broadcast

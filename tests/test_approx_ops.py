@@ -1013,3 +1013,45 @@ def test_two_level_blocking_recall_on_planted_pairs(spark):
         va, vb = allv[a], allv[b]
         sim = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
         assert round(sim, 6) >= 0.99 or np.isnan(sim), (a, b, sim)
+
+
+def test_margin_bitext_planted_pair_and_hub_suppression(spark):
+    """Margin mining must (a) mine a planted near-parallel pair at
+    rank 1 with the batch's top margin, and (b) score a HUB vector
+    (near everything on the target side) lower than the planted pair
+    despite a comparable raw cosine — the whole point of the margin
+    criterion vs absolute-threshold mining."""
+    import numpy as np
+
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        margin_bitext_pairs)
+    rng = np.random.default_rng(5)
+    dims = 16
+    rows = []
+    # background: 40 random vectors per side (label 0 = src, 1 = tgt)
+    for i in range(40):
+        rows.append((i * 2, [float(x) for x in rng.normal(size=dims)], 0))
+        rows.append((i * 2 + 1,
+                     [float(x) for x in rng.normal(size=dims)], 1))
+    # planted parallel pair: tgt = src + tiny noise
+    src = rng.normal(size=dims)
+    rows.append((1000, [float(x) for x in src], 0))
+    rows.append((1001, [float(x) for x in
+                        src + rng.normal(scale=1e-2, size=dims)], 1))
+    # hub: a target vector equal to the MEAN direction — relatively
+    # close to many sources at once, so its neighborhood average is
+    # high and its margins deflate
+    hub = np.stack([r[1] for r in rows if r[2] == 0]).mean(axis=0)
+    rows.append((2001, [float(x) for x in hub * 3], 1))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    mined = margin_bitext_pairs(emb, k=4, threshold=1.0).collect()
+    assert mined, "mining must return pairs"
+    by_margin = sorted(mined, key=lambda r: -r["margin"])
+    top = by_margin[0]
+    assert (top["src_id"], top["tgt_id"]) == (1000, 1001), \
+        "planted parallel pair must carry the batch's top margin"
+    assert top["rank"] == 1
+    # every mined pair involving the hub must margin below the planted
+    hub_margins = [r["margin"] for r in mined if r["tgt_id"] == 2001]
+    assert all(m < top["margin"] for m in hub_margins)
