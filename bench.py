@@ -104,6 +104,7 @@ HEADLINE = (
     "image_decode_features",
     "dedup_incremental_lsh",
     "dedup_incremental_semantic",
+    "sim_margin_bitext",
     "dedup_duplicate_spans",
     "sim_topk_pq",
     "text_bpe_train",
