@@ -197,3 +197,44 @@ def apply_quality_classifier(documents: DataFrame,
 
 def _sigmoid(z: float) -> float:
     return 1.0 / (1.0 + math.exp(-z))
+
+
+def domain_mixture(documents: DataFrame, embeddings: DataFrame,
+                   n_cells: int = 8, iters: int = 2) -> DataFrame:
+    """Corpus composition by LEARNED domain: k-means cells over the
+    embedding space as domain proxies (the DoReMi/D4-style view of a
+    pretraining corpus — no label column needed), each domain reported
+    with its mixture weight and text-shape stats. This is the report a
+    mixture-reweighting run starts from: domains with outsized share
+    and low diversity are the down-weighting candidates.
+
+    Determinism/scale: the shared coarse-quantizer trainer
+    (``similarity._kmeans_centroids`` — deterministic init, round-6
+    centroid updates) and one single-assignment pass; per-domain stats
+    aggregate exactly (share and avg length derive from integer/exact
+    DECIMAL sums with a single double division each — no
+    summation-order noise for the oracle to chase). One shuffle, on
+    the cell key."""
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        _cell_assign_fn, _kmeans_centroids)
+    cents = _kmeans_centroids(embeddings, n_cells, iters)
+    assigned = (embeddings.select("vec_id", "embedding")
+                .mapInPandas(_cell_assign_fn(cents, 1),
+                             "vec_id long, cell int"))
+    total = embeddings.count()
+    joined = assigned.join(
+        documents.select(F.col("doc_id").alias("vec_id"), "lang",
+                         F.length("text").alias("__len")),
+        "vec_id")
+    return (joined.groupBy("cell")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(F.col("__len").cast("decimal(20,0)"))
+                 .alias("__sl"),
+                 F.count_distinct("lang").alias("n_langs"))
+            .select("cell", "n_docs",
+                    F.round(F.col("n_docs") / F.lit(float(total)), 6)
+                    .alias("mixture_weight"),
+                    F.round(F.col("__sl").cast("double")
+                            / F.col("n_docs"), 2).alias("avg_chars"),
+                    "n_langs")
+            .orderBy("cell"))

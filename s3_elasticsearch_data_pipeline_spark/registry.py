@@ -1167,6 +1167,36 @@ FROM mined WHERE margin >= 1.0
 """
 
 
+#: DuckDB twin of ml.domain_mixture(n_cells=8): the unrolled k-means
+#: prefix, single assignment, and per-cell exact aggregates (integer
+#: length sums, one double division each — no summation-order noise).
+_DOMAIN_MIXTURE_ORACLE = f"""{_kmeans_cte_sql(8)},
+assigned AS ({_KMEANS_ASSIGN_CTE.format(vecs='vecs', cents='c2',
+                                        qfilter='', take='= 1')}),
+tot AS (SELECT count(*) AS n FROM vecs)
+SELECT a.cell, count(*) AS n_docs,
+       round(count(*) / CAST(tot.n AS DOUBLE), 6) AS mixture_weight,
+       round(CAST(sum(CAST(length(d.text) AS DECIMAL(20,0))) AS DOUBLE)
+             / count(*), 2) AS avg_chars,
+       count(DISTINCT d.lang) AS n_langs
+FROM assigned a JOIN documents d ON d.doc_id = a.vec_id, tot
+GROUP BY a.cell, tot.n
+ORDER BY a.cell
+"""
+
+
+@register("corpus_domain_mixture", _DOMAIN_MIXTURE_ORACLE)
+def q_corpus_domain_mixture(spark, sf_dir):
+    """Corpus composition by LEARNED domain (r7): k-means cells over
+    the embedding space as domain proxies, each reported with its
+    mixture weight and text-shape stats — the starting report of a
+    DoReMi-style mixture reweighting (operators/ml.py:domain_mixture).
+    Fully oracle-checked through the unrolled k-means CTE."""
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    return ml.domain_mixture(_t(spark, sf_dir, "documents"),
+                             _t(spark, sf_dir, "embeddings"))
+
+
 @register("sim_margin_bitext", _MARGIN_BITEXT_ORACLE)
 def q_sim_margin_bitext(spark, sf_dir):
     """Margin-based parallel-pair mining (Artetxe & Schwenk 2019, the
