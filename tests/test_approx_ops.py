@@ -1055,3 +1055,24 @@ def test_margin_bitext_planted_pair_and_hub_suppression(spark):
     # every mined pair involving the hub must margin below the planted
     hub_margins = [r["margin"] for r in mined if r["tgt_id"] == 2001]
     assert all(m < top["margin"] for m in hub_margins)
+
+
+def test_two_level_blocking_partition_invariant(spark):
+    """The two-level path must be partition-invariant end to end: the
+    training sample is hash-selected (not partition-dependent), the
+    driver Lloyd is deterministic, and assignment is per-row pure —
+    so wildly different input partitionings must yield the identical
+    pair set."""
+    import numpy as np
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=12)])
+            for i in range(5000)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    a = {(r.vec_id_a, r.vec_id_b, r.cosine_sim) for r in
+         dedup.embedding_blocked_near_dup(
+             emb.repartition(3), threshold=0.7).collect()}
+    b = {(r.vec_id_a, r.vec_id_b, r.cosine_sim) for r in
+         dedup.embedding_blocked_near_dup(
+             emb.repartition(17), threshold=0.7).collect()}
+    assert a == b

@@ -35,7 +35,9 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 #: Non-headline surfaces worth auditing (index builds / apply steps).
 EXTRA = ("dedup_fuzzy_apply", "dedup_semantic_apply",
-         "dedup_embedding_blocked", "dedup_fuzzy_clusters")
+         "dedup_embedding_blocked", "dedup_fuzzy_clusters",
+         "dedup_incremental_semantic", "sim_margin_bitext",
+         "corpus_domain_mixture")
 
 _RDD_SCAN = re.compile(r"Scan ExistingRDD|RDDScan")
 
