@@ -42,6 +42,11 @@ SCALE_QUERIES = (
     "video_decode_features",
     "dedup_connected_components", "multimodal_curation",
     "dedup_duplicate_spans",
+    # r7 additions with a linear production scale axis. sim_margin_bitext
+    # is deliberately absent: its full-product form is eval-scale by
+    # contract (a production run feeds ANN candidates), so scaling the
+    # eval side 10x measures the documented quadratic, not the engine.
+    "dedup_incremental_semantic", "corpus_domain_mixture",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),

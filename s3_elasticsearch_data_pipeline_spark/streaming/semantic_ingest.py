@@ -112,6 +112,16 @@ def semantic_ingest_stream(spark: SparkSession, source_path: str,
         probe_src = batch_df.where(
             F.col("embedding").isNotNull()
             & F.forall("embedding", lambda x: x.isNotNull()))
+        if probe_src.select("vec_id").first() is None:
+            # nothing trainable/probable in this batch (all-null
+            # embeddings): admit it whole and leave the index
+            # untrained/unchanged — a later informative batch still
+            # bootstraps (writing EMPTY centroids here would poison
+            # every later epoch's probe)
+            (batch_df.write.mode("overwrite")
+             .parquet(os.path.join(corpus_path, f"epoch={epoch_id}")))
+            fault("after_corpus_write", epoch_id)
+            return
         if _read_optional_parquet(sess, index_path + "/centroids") is None:
             # bootstrap: train on this batch (deterministic k-means ⇒
             # a replayed epoch rewrites identical centroids)

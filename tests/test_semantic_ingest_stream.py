@@ -114,3 +114,35 @@ def test_crash_between_write_and_commit_heals_on_replay(
         want = sorted(r["vec_id"] for r in
                       read_corpus(spark, c2).select("vec_id").collect())
         assert sorted(ids) == want
+
+
+def test_all_null_first_batch_does_not_poison_bootstrap(spark, sf_smoke,
+                                                        tmp_path):
+    """A first drop of all-null embeddings must be admitted whole
+    WITHOUT writing (empty) centroids; the next informative drop
+    bootstraps normally and dedups against itself."""
+    src = str(tmp_path / "src")
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    ckpt = str(tmp_path / "k")
+    nulls = spark.createDataFrame(
+        [(900_001, None), (900_002, None)],
+        "vec_id long, embedding array<double>")
+    nulls.write.parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    assert not os.path.exists(os.path.join(index, "centroids")), \
+        "untrainable batch must not write centroids"
+    got = {r["vec_id"] for r in
+           read_corpus(spark, corpus).select("vec_id").collect()}
+    assert got == {900_001, 900_002}
+
+    base = _embs(spark, sf_smoke).where(F.col("vec_id") < 40)
+    both = base.unionByName(
+        base.withColumn("vec_id", F.col("vec_id") + 800_000))
+    both.write.mode("append").parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    assert os.path.exists(os.path.join(index, "centroids"))
+    ids = {r["vec_id"] for r in
+           read_corpus(spark, corpus).select("vec_id").collect()}
+    assert {900_001, 900_002} <= ids
+    assert not any(800_000 <= i < 900_000 for i in ids), \
+        "in-batch exact twins must still dedup after late bootstrap"
