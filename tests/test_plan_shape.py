@@ -310,6 +310,10 @@ _PYTHON_ALLOWED = {
     "audio_chunk_rms",             # mapInPandas REAL PCM chunking
     "video_decode_features",       # mapInPandas REAL y4m decode
     "multimodal_curation",         # composes the real decoders above
+    "corpus_domain_mixture",       # mapInPandas k-means cell assignment
+                                   # (the shared Arrow blocking kernel,
+                                   # r7) — everything downstream is
+                                   # relational aggregation
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
