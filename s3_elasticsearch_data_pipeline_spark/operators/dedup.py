@@ -807,11 +807,17 @@ _TWO_LEVEL_MIN_CELLS = 64
 
 
 def _lloyd_cosine_np(x, k: int, iters: int):
-    """Driver-side Lloyd with the SAME semantics as the distributed
-    ``similarity._kmeans_centroids`` (cosine argmax assignment, mean
-    centroid rounded to 6 via correctly-rounded Python round, init =
-    first ``k`` rows — callers pass rows already sorted by vec_id):
-    used to train the per-supercluster sub-quantizers of the two-level
+    """Driver-side Lloyd with the same ASSIGNMENT/UPDATE RULE as the
+    distributed ``similarity._kmeans_centroids`` (cosine argmax
+    assignment, mean centroid rounded to 6, init = first ``k`` rows —
+    callers pass rows already sorted by vec_id). NOT bit-identical to
+    the distributed trainer on the same rows: this path rounds with
+    correctly-rounded Python ``round`` over a numpy pairwise-summed
+    mean, while the distributed trainer uses ``F.round(F.avg(...), 6)``
+    (HALF_UP over the engine's accumulation order) — the two can
+    differ at rounding boundaries, so no SQL twin may ever be pinned
+    to a two-level-trained path without first unifying the rounding.
+    Used to train the per-supercluster sub-quantizers of the two-level
     blocking on bounded samples, the FAISS practice for coarse
     quantizers (training never needs the full corpus; only assignment
     touches it)."""
@@ -876,7 +882,9 @@ def _train_two_level_centroids(embeddings: DataFrame, n_cells: int,
     want = min(_TWO_LEVEL_TRAIN_BUDGET_ROWS,
                max(2048, 39 * n_super * n_sub))
     n = embeddings.count() if n_rows is None else n_rows
-    p = max(1, n // want)
+    # ceiling division: a floored divisor lets n just under 2·want
+    # collect nearly twice the documented driver budget
+    p = max(1, -(-n // want))
     rows = (embeddings.select("vec_id", "embedding")
             .where(F.pmod(F.xxhash64(F.col("vec_id")), p) == 0)
             .collect())

@@ -217,6 +217,15 @@ def domain_mixture(documents: DataFrame, embeddings: DataFrame,
     the cell key."""
     from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
         _cell_assign_fn, _kmeans_centroids)
+    # null embeddings (or null elements) can't be domain-assigned and
+    # would crash np.stack in the Arrow kernels — same pre-filter as
+    # embedding_blocked_near_dup / incremental_semantic_dedup. The
+    # mixture denominator counts the FILTERED frame so weights sum to
+    # 1 over assignable rows. (Fixtures carry no nulls, so the DuckDB
+    # twin needs no mirror filter today.)
+    embeddings = embeddings.where(
+        F.col("embedding").isNotNull()
+        & F.forall("embedding", lambda x: x.isNotNull()))
     cents = _kmeans_centroids(embeddings, n_cells, iters)
     assigned = (embeddings.select("vec_id", "embedding")
                 .mapInPandas(_cell_assign_fn(cents, 1),

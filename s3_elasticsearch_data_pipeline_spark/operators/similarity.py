@@ -565,6 +565,13 @@ def margin_bitext_pairs(embeddings: DataFrame, k: int = 4,
     JVM-side — because the interpreted per-element HOF cosine measured
     ~37 s for the 1M-pair sf0.1 product vs ~2 s for the kernel."""
     import numpy as np
+    # null embeddings (or null elements) have no cosine and would crash
+    # np.stack in the kernel / the driver collect — same pre-filter as
+    # embedding_blocked_near_dup (fixtures carry no nulls, so the
+    # DuckDB twin needs no mirror filter today)
+    embeddings = embeddings.where(
+        F.col("embedding").isNotNull()
+        & F.forall("embedding", lambda x: x.isNotNull()))
     a = embeddings.where(F.col(side_col) % 2 == 0).select(
         F.col("vec_id").alias("src_id"),
         F.col("embedding").alias("__sv"))

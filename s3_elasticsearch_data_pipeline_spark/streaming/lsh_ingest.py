@@ -65,28 +65,38 @@ def _check_and_pin_hash_mode(index_path: str, hash_mode: str) -> None:
     present, marker absent) is refused for the same reason — the
     build mode is unknowable, so probing it is a guess."""
     marker = os.path.join(index_path, _HASH_MODE_MARKER)
+    has_index = os.path.isdir(index_path) and any(
+        e.startswith("epoch=") for e in os.listdir(index_path))
     if os.path.exists(marker):
         with open(marker, encoding="utf-8") as fh:
             built_with = fh.read().strip()
-        if built_with != hash_mode:
+        if built_with == hash_mode:
+            return
+        if has_index:
             raise ValueError(
                 f"LSH band index at {index_path} was built with "
                 f"hash_mode={built_with!r} but this ingest call uses "
                 f"hash_mode={hash_mode!r}; mixed modes never collide "
                 f"(every duplicate would be admitted). Probe with the "
                 f"recorded mode, or rebuild the index.")
-        return
-    has_index = os.path.isdir(index_path) and any(
-        e.startswith("epoch=") for e in os.listdir(index_path))
-    if has_index:
+        # marker present but ZERO epochs: a first run that failed (or
+        # processed only empty batches) before producing any index
+        # state. The index is empty, so re-pinning to the new mode is
+        # safe — refusing here would permanently wedge a retry that
+        # chose a different hash_mode. Fall through to the re-write.
+    elif has_index:
         raise ValueError(
             f"LSH band index at {index_path} has no {_HASH_MODE_MARKER} "
             f"marker — its build hash_mode is unknown, so probing it "
             f"would be a guess (a mismatch silently disables dedup). "
             f"Write the marker with the known build mode, or rebuild.")
     os.makedirs(index_path, exist_ok=True)
-    with open(marker, "w", encoding="utf-8") as fh:
+    # temp-file + atomic rename: two concurrent first runs racing the
+    # marker each land a complete value (never an interleaved torn one)
+    tmp = marker + ".tmp"
+    with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(hash_mode)
+    os.replace(tmp, marker)
 
 
 def lsh_ingest_stream(spark: SparkSession, source_path: str,

@@ -215,3 +215,31 @@ def test_hash_mode_pinned_with_index(spark, sf_smoke, tmp_path):
     os.remove(os.path.join(index, "_HASH_MODE"))
     with pytest.raises(ValueError, match="_HASH_MODE"):
         lsh_ingest_stream(spark, src, corpus, index, str(tmp_path / "k3"))
+
+
+def test_hash_mode_repin_allowed_while_index_empty(tmp_path):
+    """A first run that dies before producing any epoch must not wedge
+    the index on its hash_mode: with zero epoch= directories a retry
+    under a DIFFERENT mode re-pins the marker (the index is empty, so
+    a rebuild-equivalent restart is safe); once an epoch exists the
+    mismatch fails fast as before. Marker writes are atomic
+    (temp + os.replace) so concurrent first runs never tear it."""
+    import pytest
+
+    from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
+        _check_and_pin_hash_mode)
+    index = str(tmp_path / "i")
+    _check_and_pin_hash_mode(index, "xxhash64")  # first attempt pins
+    with open(os.path.join(index, "_HASH_MODE")) as fh:
+        assert fh.read() == "xxhash64"
+    # no epochs yet -> a different mode RE-pins instead of raising
+    _check_and_pin_hash_mode(index, "portable")
+    with open(os.path.join(index, "_HASH_MODE")) as fh:
+        assert fh.read() == "portable"
+    # an epoch directory freezes the mode
+    os.makedirs(os.path.join(index, "epoch=0"))
+    with pytest.raises(ValueError, match="hash_mode"):
+        _check_and_pin_hash_mode(index, "xxhash64")
+    _check_and_pin_hash_mode(index, "portable")  # recorded mode still ok
+    # no stray temp file left behind
+    assert not os.path.exists(os.path.join(index, "_HASH_MODE.tmp"))
