@@ -105,6 +105,7 @@ HEADLINE = (
     "dedup_incremental_lsh",
     "dedup_incremental_semantic",
     "sim_margin_bitext",
+    "sim_margin_bitext_ann",
     "dedup_duplicate_spans",
     "sim_topk_pq",
     "text_bpe_train",

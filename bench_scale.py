@@ -44,9 +44,11 @@ SCALE_QUERIES = (
     "dedup_duplicate_spans",
     # r7 additions with a linear production scale axis. sim_margin_bitext
     # is deliberately absent: its full-product form is eval-scale by
-    # contract (a production run feeds ANN candidates), so scaling the
-    # eval side 10x measures the documented quadratic, not the engine.
+    # contract, so scaling the eval side 10x measures the documented
+    # quadratic, not the engine. sim_margin_bitext_ann (r8) IS the
+    # production shape — per-side IVF shortlists — and must scale.
     "dedup_incremental_semantic", "corpus_domain_mixture",
+    "sim_margin_bitext_ann",
 )
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),

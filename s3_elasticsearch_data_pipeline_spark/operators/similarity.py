@@ -529,9 +529,34 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                     F.round("sim", 6).alias("sim"), "rank"))
 
 
+#: Candidate-selection strategies of Artetxe & Schwenk §3.2: which
+#: cross-side pairs are SCORED with the margin (the margin expression
+#: itself is identical). ``forward`` = x's top-k in the target side;
+#: ``backward`` = y's top-k in the source side; ``intersection`` /
+#: ``max`` (union) combine the two — the paper's best results use the
+#: bidirectional strategies.
+MARGIN_DIRECTIONS = ("forward", "backward", "intersection", "max")
+
+
+def _margin_candidate_pred(direction: str, k: int):
+    """Shared forward/backward rank predicate for the exact miner."""
+    preds = {
+        "forward": F.col("__ra") <= k,
+        "backward": F.col("__rb") <= k,
+        "intersection": (F.col("__ra") <= k) & (F.col("__rb") <= k),
+        "max": (F.col("__ra") <= k) | (F.col("__rb") <= k),
+    }
+    if direction not in preds:
+        raise ValueError(
+            f"direction must be one of {MARGIN_DIRECTIONS}, "
+            f"got {direction!r}")
+    return preds[direction]
+
+
 def margin_bitext_pairs(embeddings: DataFrame, k: int = 4,
                         threshold: float = 1.0,
-                        side_col: str = "label") -> DataFrame:
+                        side_col: str = "label",
+                        direction: str = "forward") -> DataFrame:
     """Margin-based parallel-pair mining (Artetxe & Schwenk, "Margin-
     based Parallel Corpus Mining with Multilingual Sentence
     Embeddings", ACL 2019 — the CCMatrix/LASER recipe): a cross-side
@@ -549,22 +574,31 @@ def margin_bitext_pairs(embeddings: DataFrame, k: int = 4,
     neighborhood averages, and the averages sum in DECIMAL(16,6) —
     exact, order-free — so the margin is bit-identical across engines
     and partitionings (the double division is a single fixed
-    expression). Output: forward candidates (x's top-k in the target
-    side) with margin ≥ ``threshold``, ranked per source by margin.
+    expression). Output: candidate pairs under ``direction``
+    (see :data:`MARGIN_DIRECTIONS` — forward = x's top-k in the target
+    side, backward = y's top-k in the source side, intersection / max
+    per Artetxe & Schwenk §3.2) with margin ≥ ``threshold``, ranked
+    per source by margin. The per-side neighborhood averages are
+    always computed from BOTH directions' top-k (they define the
+    margin); ``direction`` only selects which pairs get scored.
 
     Scale shape: this oracle-scale form scores the full A×B product —
     right for evaluation corpora (the TARGET side collects to the
     driver under ``MAX_DRIVER_QUERIES`` and ships in the kernel
     closure, the brute_force_topk_arrow pattern; past the cap it falls
-    back to the JVM cross join, correct at any size). A 100 TB mining
-    run feeds the SAME margin scorer from ANN candidates instead
-    (``ivf_topk`` / ``ann_lsh_topk`` per side), which is the published
-    pipeline's shape (LASER mines from FAISS shortlists). Scoring is
+    back to the JVM cross join, correct at any size). The 100 TB
+    mining path is :func:`margin_bitext_pairs_ann` — the SAME margin
+    expression fed from per-side IVF shortlists instead of the full
+    product, which is the published pipeline's shape (LASER/CCMatrix
+    mine from FAISS shortlists). Scoring here is
     an Arrow einsum kernel — raw dots in the same fixed-order
     contraction as DuckDB's ``list_inner_product`` fold, rounded
     JVM-side — because the interpreted per-element HOF cosine measured
     ~37 s for the 1M-pair sf0.1 product vs ~2 s for the kernel."""
     import numpy as np
+    if direction not in MARGIN_DIRECTIONS:  # validate before any job
+        raise ValueError(f"direction must be one of {MARGIN_DIRECTIONS},"
+                         f" got {direction!r}")
     # null embeddings (or null elements) have no cosine and would crash
     # np.stack in the kernel / the driver collect — same pre-filter as
     # embedding_blocked_near_dup (fixtures carry no nulls, so the
@@ -628,8 +662,92 @@ def margin_bitext_pairs(embeddings: DataFrame, k: int = 4,
                   F.count(F.lit(1)).alias("__cb")))
     denom = ((F.col("__sa").cast("double") / F.col("__ca")
               + F.col("__sb").cast("double") / F.col("__cb")) / 2)
-    mined = (ranked.where(F.col("__ra") <= k)
+    mined = (ranked.where(_margin_candidate_pred(direction, k))
              .join(den_a, "src_id").join(den_b, "tgt_id")
+             .select("src_id", "tgt_id", "sim",
+                     F.round(F.col("sim") / denom, 6).alias("margin"))
+             .where(F.col("margin") >= threshold))
+    wm = Window.partitionBy("src_id").orderBy(F.col("margin").desc(),
+                                              "tgt_id")
+    return (mined.withColumn("rank", F.row_number().over(wm))
+            .select("src_id", "tgt_id", "sim", "margin", "rank"))
+
+
+def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
+                            threshold: float = 1.0,
+                            side_col: str = "label",
+                            n_cells: int = 16, n_probe: int = 4,
+                            iters: int = 2,
+                            direction: str = "forward") -> DataFrame:
+    """Margin-based bitext mining over ANN SHORTLISTS — the 100 TB
+    shape of :func:`margin_bitext_pairs`, and the published pipeline's
+    (Artetxe & Schwenk ACL 2019 §4; LASER/CCMatrix score margins over
+    FAISS shortlists, never the full A×B product):
+
+    1. each side indexes the OTHER side with the IVF machinery
+       (:func:`ivf_topk` — coarse k-means cells, cell-probed exact
+       rerank): forward = A queries against the B corpus, backward =
+       B queries against the A corpus. Cost per query is
+       ~|corpus|/n_cells × n_probe instead of |corpus| — the full
+       product never materializes, and the plan contains no cross
+       join (plan-asserted in tests).
+    2. the kNN neighborhood averages that define the margin are
+       computed over the SHORTLISTS (per-side exact DECIMAL(16,6)
+       sums of the round-6 shortlist sims — the same order-free
+       discipline as the exact miner), exactly as the paper evaluates
+       its own FAISS-backed variant;
+    3. the same margin expression, threshold, and per-source rank.
+
+    Approximation is confined to candidate RECALL (a true pair missed
+    by both sides' probes is not scored); every scored margin uses
+    exact cosines. Recall vs the exact miner is pinned ≥0.95 on
+    planted parallel pairs in tests. A pair is only emitted when both
+    endpoints have a non-empty shortlist (the margin needs both
+    neighborhoods); a query whose probed cells are all empty mines
+    nothing — at real corpus sizes every probed cell is populated.
+
+    Deterministic end-to-end: the IVF trainer, cell probing, rerank
+    tie-breaks, and the DECIMAL margin are all deterministic, so the
+    result is partition-invariant and SQL-replayable (the registry's
+    DuckDB twin unrolls BOTH sides' k-means trainings).
+
+    At index-serving scale, swap the inline ``ivf_topk`` calls for
+    ``ivf_probe_topk`` against persisted per-side indexes — build
+    once, mine many; the composition below is otherwise unchanged.
+    """
+    if direction not in MARGIN_DIRECTIONS:  # validate before any job
+        raise ValueError(f"direction must be one of {MARGIN_DIRECTIONS},"
+                         f" got {direction!r}")
+    emb = embeddings.where(
+        F.col("embedding").isNotNull()
+        & F.forall("embedding", lambda x: x.isNotNull()))
+    a = emb.where(F.col(side_col) % 2 == 0).select("vec_id", "embedding")
+    b = emb.where(F.col(side_col) % 2 == 1).select("vec_id", "embedding")
+    fwd = (ivf_topk(b, a, k=k, n_cells=n_cells, n_probe=n_probe,
+                    iters=iters)
+           .select(F.col("query_id").alias("src_id"),
+                   F.col("neighbor_id").alias("tgt_id"), "sim"))
+    bwd = (ivf_topk(a, b, k=k, n_cells=n_cells, n_probe=n_probe,
+                    iters=iters)
+           .select(F.col("neighbor_id").alias("src_id"),
+                   F.col("query_id").alias("tgt_id"), "sim"))
+    dec = F.col("sim").cast("decimal(16,6)")
+    den_a = fwd.groupBy("src_id").agg(F.sum(dec).alias("__sa"),
+                                      F.count(F.lit(1)).alias("__ca"))
+    den_b = bwd.groupBy("tgt_id").agg(F.sum(dec).alias("__sb"),
+                                      F.count(F.lit(1)).alias("__cb"))
+    if direction == "forward":
+        cand = fwd
+    elif direction == "backward":
+        cand = bwd
+    elif direction == "intersection":
+        cand = fwd.join(bwd.select("src_id", "tgt_id"),
+                        ["src_id", "tgt_id"], "semi")
+    else:  # max = union (sims identical on shared pairs: cosine is
+        cand = fwd.unionByName(bwd).distinct()  # exactly symmetric)
+    denom = ((F.col("__sa").cast("double") / F.col("__ca")
+              + F.col("__sb").cast("double") / F.col("__cb")) / 2)
+    mined = (cand.join(den_a, "src_id").join(den_b, "tgt_id")
              .select("src_id", "tgt_id", "sim",
                      F.round(F.col("sim") / denom, 6).alias("margin"))
              .where(F.col("margin") >= threshold))

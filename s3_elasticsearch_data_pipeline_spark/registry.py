@@ -1126,11 +1126,15 @@ FROM ranked WHERE rank <= 10
 """
 
 
-#: DuckDB twin of margin_bitext_pairs(k=4, threshold=1.0): A x B
-#: cross cosine (round-6 BEFORE the neighborhood averages), exact
-#: DECIMAL(16,6) top-k sums per side (order-free), one double
-#: division, margin filter BEFORE the per-source rank window.
-_MARGIN_BITEXT_ORACLE = """
+def _margin_bitext_oracle(cand_pred: str) -> str:
+    """DuckDB twin of margin_bitext_pairs(k=4, threshold=1.0): A x B
+    cross cosine (round-6 BEFORE the neighborhood averages), exact
+    DECIMAL(16,6) top-k sums per side (order-free), one double
+    division, margin filter BEFORE the per-source rank window.
+    ``cand_pred`` selects the scored candidate set (the ``direction``
+    parameter: forward ``r.ra <= 4``, intersection
+    ``r.ra <= 4 AND r.rb <= 4``, ...)."""
+    return f"""
 WITH av AS (SELECT vec_id AS src_id, embedding::DOUBLE[] AS sv
             FROM embeddings WHERE label % 2 = 0),
 bv AS (SELECT vec_id AS tgt_id, embedding::DOUBLE[] AS tv
@@ -1159,7 +1163,113 @@ mined AS (
          round(r.sim / ((CAST(sa AS DOUBLE) / ca
                          + CAST(sb AS DOUBLE) / cb) / 2), 6) AS margin
   FROM ranked r JOIN da USING (src_id) JOIN db USING (tgt_id)
-  WHERE r.ra <= 4)
+  WHERE {cand_pred})
+SELECT src_id, tgt_id, sim, margin,
+       row_number() OVER (PARTITION BY src_id
+                          ORDER BY margin DESC, tgt_id) AS rank
+FROM mined WHERE margin >= 1.0
+"""
+
+
+_MARGIN_BITEXT_ORACLE = _margin_bitext_oracle("r.ra <= 4")
+
+
+def _side_kmeans_ctes(p: str, parity: int, n_cells: int = 16) -> str:
+    """The unrolled deterministic k-means trainer over ONE parity side
+    of the embeddings table, every CTE name prefixed with ``p`` so two
+    trainings compose in one query (the ANN margin oracle trains each
+    side's coarse cells independently, exactly like the two inline
+    ``ivf_topk`` calls it replays). Same trainer semantics as
+    :func:`_kmeans_cte_sql`: init = the ``n_cells`` lowest vec_ids of
+    the side, 2 Lloyd rounds, cosine argmax with ties to the lowest
+    cell, round-6 centroid means, memberless cells keep their previous
+    centroid. Yields ``{p}vecs`` and final centroids ``{p}c2``."""
+    assign = _KMEANS_ASSIGN_CTE
+    return f"""
+{p}vecs AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+            WHERE label % 2 = {parity}),
+{p}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, emb AS cen
+  FROM {p}vecs ORDER BY vec_id LIMIT {n_cells}),
+{p}a1 AS ({assign.format(vecs=p + 'vecs', cents=p + 'c0',
+                         qfilter='', take='= 1')}),
+{p}u1 AS (
+  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
+  FROM {p}a1, (SELECT unnest(range(1, {EMBEDDING_DIMS + 1})) AS d) dd
+  GROUP BY cell, dd.d),
+{p}u1l AS (SELECT cell, list(c ORDER BY dim) AS cen
+           FROM {p}u1 GROUP BY cell),
+{p}c1 AS (SELECT c.cell, coalesce(u.cen, c.cen) AS cen
+          FROM {p}c0 c LEFT JOIN {p}u1l u USING (cell)),
+{p}a2 AS ({assign.format(vecs=p + 'vecs', cents=p + 'c1',
+                         qfilter='', take='= 1')}),
+{p}u2 AS (
+  SELECT cell, dd.d AS dim, round(avg(emb[dd.d]), 6) AS c
+  FROM {p}a2, (SELECT unnest(range(1, {EMBEDDING_DIMS + 1})) AS d) dd
+  GROUP BY cell, dd.d),
+{p}u2l AS (SELECT cell, list(c ORDER BY dim) AS cen
+           FROM {p}u2 GROUP BY cell),
+{p}c2 AS (SELECT c.cell, coalesce(u.cen, c.cen) AS cen
+          FROM {p}c1 c LEFT JOIN {p}u2l u USING (cell))"""
+
+
+#: DuckDB twin of margin_bitext_pairs_ann(k=4, threshold=1.0,
+#: n_cells=16, n_probe=4): BOTH sides' k-means trainings unrolled
+#: (forward trains on the odd/target side, backward on the even/source
+#: side), shortlists via cell probing + rank-on-raw-sim exactly like
+#: the _IVF_TOPK_ORACLE, then the same DECIMAL margin over round-6
+#: shortlist sims. Fully deterministic — the ANN approximation is in
+#: the candidate set, not in any float.
+_MARGIN_BITEXT_ANN_ORACLE = f"""
+WITH {_side_kmeans_ctes('f', 1)},
+{_side_kmeans_ctes('g', 0)},
+fcorpus AS ({_KMEANS_ASSIGN_CTE.format(vecs='fvecs', cents='fc2',
+                                       qfilter='', take='= 1')}),
+fprobe AS ({_KMEANS_ASSIGN_CTE.format(vecs='gvecs', cents='fc2',
+                                      qfilter='', take='<= 4')}),
+fsc AS (
+  SELECT q.vec_id AS src_id, n.vec_id AS tgt_id,
+         list_inner_product(q.emb, n.emb)
+         / (sqrt(list_inner_product(q.emb, q.emb))
+            * sqrt(list_inner_product(n.emb, n.emb))) AS raw_sim
+  FROM fprobe q JOIN fcorpus n USING (cell)
+  WHERE n.vec_id <> q.vec_id),
+frk AS (
+  SELECT src_id, tgt_id, raw_sim,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY raw_sim DESC, tgt_id) AS rk
+  FROM fsc),
+fwd AS (SELECT src_id, tgt_id, round(raw_sim, 6) AS sim
+        FROM frk WHERE rk <= 4),
+gcorpus AS ({_KMEANS_ASSIGN_CTE.format(vecs='gvecs', cents='gc2',
+                                       qfilter='', take='= 1')}),
+gprobe AS ({_KMEANS_ASSIGN_CTE.format(vecs='fvecs', cents='gc2',
+                                      qfilter='', take='<= 4')}),
+gsc AS (
+  SELECT q.vec_id AS tgt_id, n.vec_id AS src_id,
+         list_inner_product(q.emb, n.emb)
+         / (sqrt(list_inner_product(q.emb, q.emb))
+            * sqrt(list_inner_product(n.emb, n.emb))) AS raw_sim
+  FROM gprobe q JOIN gcorpus n USING (cell)
+  WHERE n.vec_id <> q.vec_id),
+grk AS (
+  SELECT src_id, tgt_id, raw_sim,
+         row_number() OVER (PARTITION BY tgt_id
+                            ORDER BY raw_sim DESC, src_id) AS rk
+  FROM gsc),
+bwd AS (SELECT src_id, tgt_id, round(raw_sim, 6) AS sim
+        FROM grk WHERE rk <= 4),
+da AS (SELECT src_id, sum(CAST(sim AS DECIMAL(16,6))) AS sa,
+              count(*) AS ca
+       FROM fwd GROUP BY src_id),
+db AS (SELECT tgt_id, sum(CAST(sim AS DECIMAL(16,6))) AS sb,
+              count(*) AS cb
+       FROM bwd GROUP BY tgt_id),
+mined AS (
+  SELECT f.src_id, f.tgt_id, f.sim,
+         round(f.sim / ((CAST(sa AS DOUBLE) / ca
+                         + CAST(sb AS DOUBLE) / cb) / 2), 6) AS margin
+  FROM fwd f JOIN da USING (src_id) JOIN db USING (tgt_id))
 SELECT src_id, tgt_id, sim, margin,
        row_number() OVER (PARTITION BY src_id
                           ORDER BY margin DESC, tgt_id) AS rank
@@ -1206,6 +1316,34 @@ def q_sim_margin_bitext(spark, sf_dir):
     margin_bitext_pairs; exact decimal neighborhood sums make the
     score bit-identical across engines). Sides = label parity."""
     return similarity.margin_bitext_pairs(
+        _t(spark, sf_dir, "embeddings"))
+
+
+@register("sim_margin_bitext_intersection",
+          _margin_bitext_oracle("r.ra <= 4 AND r.rb <= 4"))
+def q_sim_margin_bitext_intersection(spark, sf_dir):
+    """Bidirectional margin mining (r8): the INTERSECTION candidate
+    strategy of Artetxe & Schwenk §3.2 — a pair is scored only when x
+    is in y's top-k AND y is in x's top-k, the paper's
+    highest-precision setting. Same margin expression and DECIMAL
+    discipline as sim_margin_bitext; only the candidate set differs
+    (operators/similarity.py:margin_bitext_pairs, direction=)."""
+    return similarity.margin_bitext_pairs(
+        _t(spark, sf_dir, "embeddings"), direction="intersection")
+
+
+@register("sim_margin_bitext_ann", _MARGIN_BITEXT_ANN_ORACLE)
+def q_sim_margin_bitext_ann(spark, sf_dir):
+    """Margin mining over ANN shortlists (r8) — the 100 TB shape of
+    sim_margin_bitext as CODE: per-side IVF shortlists (coarse k-means
+    cells, cell-probed exact rerank — the LASER/CCMatrix FAISS
+    pipeline), kNN neighborhood averages over the shortlists, the same
+    DECIMAL margin. No cross join anywhere in the plan (asserted in
+    tests); the full A×B product never materializes
+    (operators/similarity.py:margin_bitext_pairs_ann). The oracle
+    unrolls BOTH sides' k-means trainings — deterministic end-to-end,
+    so even the ANN form is hash-checked, not rows-only."""
+    return similarity.margin_bitext_pairs_ann(
         _t(spark, sf_dir, "embeddings"))
 
 

@@ -1076,3 +1076,83 @@ def test_two_level_blocking_partition_invariant(spark):
          dedup.embedding_blocked_near_dup(
              emb.repartition(17), threshold=0.7).collect()}
     assert a == b
+
+
+def test_margin_bitext_direction_strategies(spark, embeddings):
+    """Artetxe & Schwenk §3.2 candidate algebra on the exact miner:
+    intersection ⊆ forward and ⊆ backward; max = forward ∪ backward;
+    forward matches the default; an unknown direction fails fast."""
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        margin_bitext_pairs)
+
+    def pairs(direction):
+        return {(r["src_id"], r["tgt_id"]) for r in
+                margin_bitext_pairs(embeddings,
+                                    direction=direction).collect()}
+
+    fwd, bwd = pairs("forward"), pairs("backward")
+    inter, mx = pairs("intersection"), pairs("max")
+    assert inter <= fwd and inter <= bwd
+    assert mx == fwd | bwd
+    assert pairs("forward") == {
+        (r["src_id"], r["tgt_id"])
+        for r in margin_bitext_pairs(embeddings).collect()}
+    with pytest.raises(ValueError, match="direction"):
+        margin_bitext_pairs(embeddings, direction="sideways")
+    with pytest.raises(ValueError, match="direction"):
+        similarity.margin_bitext_pairs_ann(embeddings,
+                                           direction="sideways")
+
+
+def test_margin_bitext_ann_planted_recall(spark):
+    """The ANN-fed miner (per-side IVF shortlists — the 100 TB shape)
+    must recover ≥0.95 of planted parallel pairs: a near-identical
+    cross-side twin lands in the same trained cell as its query with
+    n_probe slack, so shortlist recall concentrates exactly where
+    mining precision matters. Margins only need the pair to clear the
+    threshold — shortlist neighborhood averages are ≤ the exact ones
+    (a shortlist misses only high sims), so an exact-mined planted
+    pair can't margin BELOW threshold under ANN."""
+    import numpy as np
+
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        margin_bitext_pairs, margin_bitext_pairs_ann)
+    rng = np.random.default_rng(11)
+    dims = 16
+    rows = []
+    # background: 400 random vectors per side (label 0 = src, 1 = tgt)
+    for i in range(400):
+        rows.append((i * 2, [float(x) for x in rng.normal(size=dims)], 0))
+        rows.append((i * 2 + 1,
+                     [float(x) for x in rng.normal(size=dims)], 1))
+    # 60 planted parallel pairs: tgt = src + tiny noise
+    planted = set()
+    for j in range(60):
+        src = rng.normal(size=dims)
+        sid, tid = 10_000 + j * 2, 10_001 + j * 2
+        rows.append((sid, [float(x) for x in src], 0))
+        rows.append((tid, [float(x) for x in
+                           src + rng.normal(scale=1e-2, size=dims)], 1))
+        planted.add((sid, tid))
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>, label int")
+    exact = {(r["src_id"], r["tgt_id"])
+             for r in margin_bitext_pairs(emb).collect()}
+    assert planted <= exact, "exact mining must find every planted pair"
+    ann = {(r["src_id"], r["tgt_id"])
+           for r in margin_bitext_pairs_ann(emb).collect()}
+    recall = len(ann & planted) / len(planted)
+    assert recall >= 0.95, f"ANN planted-pair recall {recall}"
+
+
+def test_margin_bitext_ann_no_cross_join(spark, embeddings):
+    """The whole point of the ANN form: the A×B product must never
+    appear — no CartesianProduct, no BroadcastNestedLoopJoin anywhere
+    in the plan (the exact form's over-cap fallback IS a cross join;
+    the ANN form replaces it)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        margin_bitext_pairs_ann)
+    plan = (margin_bitext_pairs_ann(embeddings)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
