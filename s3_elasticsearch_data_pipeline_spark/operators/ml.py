@@ -247,3 +247,75 @@ def domain_mixture(documents: DataFrame, embeddings: DataFrame,
                             / F.col("n_docs"), 2).alias("avg_chars"),
                     "n_langs")
             .orderBy("cell"))
+
+
+def domain_reweight(documents: DataFrame, embeddings: DataFrame,
+                    target_weights: dict[int, float],
+                    n_cells: int = 8, iters: int = 2) -> DataFrame:
+    """The APPLY side of :func:`domain_mixture` — resample the corpus
+    so its LEARNED-domain composition matches ``target_weights`` (the
+    DoReMi-style loop closed: the report says which domains are over-
+    represented; this operator emits the reweighted training set).
+
+    Mechanism: the same deterministic k-means cells as the report
+    (shared trainer + assignment kernel), then per-domain
+    deterministic hash-admission — the :func:`operators.text.
+    dataset_mixture` mechanism keyed on the learned cell instead of
+    the source column. Per-cell admission rates are derived from the
+    kilobyte per-cell counts so the OUTPUT mixture hits the target:
+    ``rate_c = (t_c / n_c) / max_d(t_d / n_d)`` — downsample-only
+    (the most up-weighted domain keeps every row; no duplication),
+    which makes the achieved shares exactly proportional to the
+    targets. ``target_weights`` are relative (need not sum to 1);
+    cells absent from it get weight 0 and are dropped.
+
+    Determinism/scale: admission is a pure per-row projection +
+    filter (identical membership on any engine/partitioning — unlike
+    ``df.sample``); the only aggregates are the per-cell counts
+    (n_cells rows to the driver, like the centroid table). Rates are
+    plain double divisions in a fixed order, so the DuckDB twin
+    recomputes them bit-identically. One shuffle (the count), one
+    assignment pass; documents without a (non-null) embedding can't
+    be domain-assigned and are excluded, like the report."""
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        _cell_assign_fn, _kmeans_centroids)
+    spark = documents.sparkSession
+    embeddings = embeddings.where(
+        F.col("embedding").isNotNull()
+        & F.forall("embedding", lambda x: x.isNotNull()))
+    out_schema = "doc_id long, cell int, sample_rate double"
+    # one job probes emptiness AND fetches the k-means init (the
+    # build_ivf_index discipline — no separate .first() probe)
+    init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+                 .select("embedding").collect())
+    if not init_rows:
+        return spark.createDataFrame([], out_schema)
+    cents = _kmeans_centroids(embeddings, n_cells, iters,
+                              init_rows=init_rows)
+    assigned = (embeddings.select("vec_id", "embedding")
+                .mapInPandas(_cell_assign_fn(cents, 1),
+                             "vec_id long, cell int"))
+    counts = {r["cell"]: r["n"] for r in
+              assigned.groupBy("cell")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # fixed-order double arithmetic (one division each, then a max,
+    # then one division) — replayed identically by the SQL twin
+    ratios = {c: float(target_weights.get(c, 0.0)) / n
+              for c, n in counts.items()}
+    mx = max(ratios.values(), default=0.0)
+    if mx <= 0:
+        return spark.createDataFrame([], out_schema)
+    rate = F.lit(0.0)
+    for c in sorted(ratios):
+        rate = F.when(F.col("cell") == c,
+                      F.lit(ratios[c] / mx)).otherwise(rate)
+    p = 2_147_483_647  # the dataset_mixture admission hash, on doc_id
+    u = ((((F.col("doc_id") % F.lit(p)) * F.lit(48_271) + F.lit(7))
+          % F.lit(p)) % F.lit(1000)) / F.lit(1000.0)
+    return (assigned
+            .join(documents.select("doc_id"),
+                  assigned.vec_id == F.col("doc_id"))
+            .select("doc_id", "cell", rate.alias("__rate"))
+            .where(u < F.col("__rate"))
+            .select("doc_id", "cell",
+                    F.round("__rate", 6).alias("sample_rate")))

@@ -1295,6 +1295,43 @@ ORDER BY a.cell
 """
 
 
+#: DuckDB twin of ml.domain_reweight(uniform target over 8 cells):
+#: the unrolled k-means prefix, per-cell counts, the fixed-order rate
+#: derivation (t/n per cell, max, one normalizing division), and the
+#: dataset_mixture LCG hash admission keyed on doc_id.
+_DOMAIN_REWEIGHT_ORACLE = f"""{_kmeans_cte_sql(8)},
+assigned AS ({_KMEANS_ASSIGN_CTE.format(vecs='vecs', cents='c2',
+                                        qfilter='', take='= 1')}),
+tw(cell, t) AS (VALUES {', '.join(f'({c}, 0.125)' for c in range(8))}),
+cnt AS (SELECT cell, count(*) AS nc FROM assigned GROUP BY cell),
+ratio AS (SELECT cnt.cell, t / nc AS r
+          FROM cnt JOIN tw USING (cell)),
+mx AS (SELECT max(r) AS m FROM ratio),
+rates AS (SELECT cell, r / m AS rate FROM ratio, mx)
+SELECT d.doc_id, a.cell, round(rate, 6) AS sample_rate
+FROM assigned a
+JOIN documents d ON d.doc_id = a.vec_id
+JOIN rates USING (cell)
+WHERE ((((d.doc_id % 2147483647) * 48271 + 7) % 2147483647) % 1000)
+      / 1000.0 < rate
+"""
+
+
+@register("corpus_domain_reweight", _DOMAIN_REWEIGHT_ORACLE)
+def q_corpus_domain_reweight(spark, sf_dir):
+    """The APPLY side of corpus_domain_mixture (r8): resample the
+    corpus to a UNIFORM learned-domain mixture — per-cell admission
+    rates derived from the cell counts (downsample-only, the most
+    up-weighted domain keeps every row), deterministic LCG hash
+    admission per doc (the dataset_mixture mechanism keyed on the
+    learned cell). Closes the DoReMi-style loop the report opens
+    (operators/ml.py:domain_reweight)."""
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    return ml.domain_reweight(_t(spark, sf_dir, "documents"),
+                              _t(spark, sf_dir, "embeddings"),
+                              {c: 0.125 for c in range(8)})
+
+
 @register("corpus_domain_mixture", _DOMAIN_MIXTURE_ORACLE)
 def q_corpus_domain_mixture(spark, sf_dir):
     """Corpus composition by LEARNED domain (r7): k-means cells over

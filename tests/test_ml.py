@@ -73,3 +73,68 @@ def test_apply_with_empty_weights_degrades(spark, sf_smoke):
     weights = ml.train_quality_classifier(docs_empty)
     docs = load_table(spark, sf_smoke, "documents").limit(5)
     assert ml.apply_quality_classifier(docs, weights).count() == 0
+
+
+def _clustered_corpus(spark, sizes, dims=12, seed=7):
+    """Well-separated clusters (one per orthant direction) with the
+    documents table 1:1 on doc_id = vec_id."""
+    rng = np.random.default_rng(seed)
+    centers = rng.normal(size=(len(sizes), dims)) * 10
+    rows, i = [], 0
+    for c, n in enumerate(sizes):
+        for _ in range(n):
+            v = centers[c] + rng.normal(scale=0.5, size=dims)
+            rows.append((i, [float(x) for x in v]))
+            i += 1
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame(
+        [(r[0], f"text {r[0]}", "en") for r in rows],
+        "doc_id long, text string, lang string")
+    return docs, emb
+
+
+def test_domain_reweight_hits_target_mixture(spark):
+    """The apply side must close the loop: resampling a skewed corpus
+    (750/500/250 per learned domain) to a uniform target yields
+    near-equal achieved shares; the most up-weighted domain is
+    downsample-exempt (rate 1.0, every row kept); membership is
+    deterministic under repartitioning."""
+    docs, emb = _clustered_corpus(spark, (750, 500, 250))
+    target = {c: 1 / 3 for c in range(3)}
+    out = ml.domain_reweight(docs, emb, target, n_cells=3).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    assert set(by_cell) == {0, 1, 2}
+    total = len(out)
+    for c, rows in by_cell.items():
+        share = len(rows) / total
+        assert abs(share - 1 / 3) < 0.03, (c, share)
+    # downsample-only: some cell carries rate 1.0 and keeps all its
+    # rows (the smallest domain — 250 rows up-weighted the most)
+    full = [c for c, rows in by_cell.items()
+            if rows[0]["sample_rate"] == 1.0]
+    assert len(full) == 1 and len(by_cell[full[0]]) == 250
+    # deterministic membership under a different partitioning
+    out2 = ml.domain_reweight(docs.repartition(13), emb.repartition(7),
+                              target, n_cells=3).collect()
+    assert ({(r["doc_id"], r["cell"]) for r in out}
+            == {(r["doc_id"], r["cell"]) for r in out2})
+
+
+def test_domain_reweight_zero_and_missing_weights(spark):
+    """Cells absent from target_weights are dropped entirely; an
+    all-zero (or empty) target yields an empty frame with the stable
+    schema; an empty embeddings side short-circuits to empty."""
+    docs, emb = _clustered_corpus(spark, (100, 100))
+    only0 = ml.domain_reweight(docs, emb, {0: 1.0}, n_cells=2)
+    rows = only0.collect()
+    assert rows and {r["cell"] for r in rows} == {0}
+    assert all(r["sample_rate"] == 1.0 for r in rows)
+    assert ml.domain_reweight(docs, emb, {}, n_cells=2).count() == 0
+    empty = spark.createDataFrame([],
+                                  "vec_id long, embedding array<double>")
+    out = ml.domain_reweight(docs, empty, {0: 1.0}, n_cells=2)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "cell", "sample_rate"]
