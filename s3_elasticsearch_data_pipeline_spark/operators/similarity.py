@@ -270,6 +270,220 @@ def _cell_assign_fn(centroids, n_take: int):
     return run
 
 
+#: Cell count at which index TRAINING and ASSIGNMENT switch from the
+#: flat construction (distributed Lloyd over the full corpus +
+#: one-matmul nearest-cell assignment) to the two-level construction
+#: r7 built for dedup blocking (``dedup._train_two_level_centroids``).
+#: Flat training is O(n·n_cells) per Lloyd round — the n^1.5 class at
+#: FAISS-style n_cells ∝ √n — and the oracle SFs must stay flat (the
+#: unrolled k-means CTEs replay the flat trainer); past this gate,
+#: training moves to a bounded driver sample and assignment to two
+#: chained matmuls, O(n·√n_cells). Same gate value as
+#: ``dedup._TWO_LEVEL_MIN_CELLS``.
+IVF_TWO_LEVEL_MIN_CELLS = 64
+
+
+class _Quantizer:
+    """The coarse quantizer of an IVF-family index: always carries the
+    FLAT (n_cells × dims) centroid matrix (global cell id = row — the
+    residual-encode and persistence contract), plus the two-level
+    structure (super centroids, per-super sub-centroid blocks, global
+    id offsets) when trained past :data:`IVF_TWO_LEVEL_MIN_CELLS`.
+    Global sub-cell ids are CONTIGUOUS per super, so
+    ``centroids[offsets[s]:offsets[s]+len(subs[s])] == subs[s]``."""
+
+    __slots__ = ("centroids", "super_cents", "subs", "offsets")
+
+    def __init__(self, centroids, super_cents=None, subs=None,
+                 offsets=None):
+        self.centroids = centroids
+        self.super_cents = super_cents
+        self.subs = subs
+        self.offsets = offsets
+
+    @property
+    def two_level(self) -> bool:
+        return self.super_cents is not None
+
+
+def _as_quantizer(q):
+    """Accept either a raw centroid matrix (the pre-r8 calling
+    convention — tests and flat-only callers still pass ndarrays) or a
+    :class:`_Quantizer`."""
+    return q if isinstance(q, _Quantizer) else _Quantizer(q)
+
+
+def _train_quantizer(embeddings: DataFrame, n_cells: int, iters: int,
+                     init_rows=None) -> _Quantizer:
+    """Train the coarse quantizer for an IVF/IVF-PQ index. Below
+    :data:`IVF_TWO_LEVEL_MIN_CELLS`: the distributed flat trainer,
+    byte-identical to the pre-r8 behavior (and to the unrolled k-means
+    oracle CTEs). At or above: the two-level FAISS-style construction
+    — quantizers train on a bounded deterministic driver sample
+    (``dedup._train_two_level_centroids``), only assignment touches
+    the corpus — with the sub-centroids flattened into the global
+    (n_cells × dims) matrix the persistence layer and residual encode
+    already speak."""
+    if n_cells < IVF_TWO_LEVEL_MIN_CELLS:
+        return _Quantizer(_kmeans_centroids(embeddings, n_cells, iters,
+                                            init_rows=init_rows))
+    import numpy as np
+
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        _train_two_level_centroids)
+    sup, subs, offsets = _train_two_level_centroids(
+        embeddings.select("vec_id", "embedding"), n_cells, iters)
+    return _Quantizer(np.vstack(subs), sup, subs, offsets)
+
+
+def _two_level_nearest_cells(emb, super_cents, subs, offsets,
+                             n_take: int):
+    """The two-level twin of :func:`_nearest_cells`: probe the
+    ``n_take`` nearest superclusters, rank each one's sub-cells, keep
+    the overall ``n_take`` best GLOBAL cell ids by cosine (stable
+    tie-break: supercluster rank, then sub order — deterministic under
+    any partitioning). Returns an (N, ≤n_take·n_take) → sliced
+    (N, n_take) id matrix that may contain ``-1`` padding when fewer
+    candidates exist than requested (tiny quantizers); callers mask
+    negatives. Cost per row: O(n_super + n_probe·max_sub) =
+    O(√n_cells), vs the flat kernel's O(n_cells)."""
+    import numpy as np
+    e = emb / np.maximum(np.linalg.norm(emb, axis=1, keepdims=True),
+                         1e-30)
+    sup = super_cents / np.maximum(
+        np.linalg.norm(super_cents, axis=1, keepdims=True), 1e-30)
+    sub_norm = [s / np.maximum(np.linalg.norm(s, axis=1, keepdims=True),
+                               1e-30) for s in subs]
+    n = len(emb)
+    n_probe = min(n_take, len(sup))
+    sup_order = np.argsort(-(e @ sup.T), axis=1,
+                           kind="stable")[:, :n_probe]
+    width = n_probe * n_take
+    cand_sims = np.full((n, width), -np.inf)
+    cand_cells = np.full((n, width), -1, dtype=np.int64)
+    for j in range(n_probe):
+        col = sup_order[:, j]
+        for s in np.unique(col):
+            rows = np.nonzero(col == s)[0]
+            sims = e[rows] @ sub_norm[s].T
+            take = min(n_take, sims.shape[1])
+            ord_ = np.argsort(-sims, axis=1, kind="stable")[:, :take]
+            lo = j * n_take
+            cand_sims[rows[:, None], lo + np.arange(take)] = \
+                np.take_along_axis(sims, ord_, axis=1)
+            cand_cells[rows[:, None], lo + np.arange(take)] = \
+                offsets[int(s)] + ord_
+    pick = np.argsort(-cand_sims, axis=1, kind="stable")[:, :n_take]
+    return np.take_along_axis(cand_cells, pick, axis=1)
+
+
+def _q_nearest_cells(q: _Quantizer, emb, n_take: int):
+    """Quantizer-dispatching nearest-cells: the flat kernel
+    (:func:`_nearest_cells` — never padded) below the two-level gate,
+    the chained two-matmul kernel (may pad with -1) above it."""
+    if not q.two_level:
+        return _nearest_cells(emb, q.centroids, n_take)
+    return _two_level_nearest_cells(emb, q.super_cents, q.subs,
+                                    q.offsets, n_take)
+
+
+def _quantizer_cells_fn(q: _Quantizer, n_take: int):
+    """Arrow-batched (vec_id, cell) assignment against a quantizer —
+    the dispatching twin of :func:`_cell_assign_fn` (bit-identical to
+    it on flat quantizers); -1 padding rows from a tiny two-level
+    quantizer are dropped."""
+    import numpy as np
+
+    def run(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+            order = _q_nearest_cells(q, emb, n_take)
+            take = order.shape[1]
+            ids = pdf["vec_id"].to_numpy().repeat(take)
+            cells = order.reshape(-1)
+            ok = cells >= 0
+            yield pd.DataFrame({"vec_id": ids[ok], "cell": cells[ok]})
+    return run
+
+
+def _write_centroid_tables(spark, path: str, q: _Quantizer,
+                           two_level_first: bool = True) -> None:
+    """Persist the quantizer's kilobyte parameter tables. Flat:
+    ``{path}/centroids`` (cell, centroid) — byte-identical to the
+    pre-r8 layout, so old indexes and old readers interoperate.
+    Two-level: ``{path}/supers`` (super, centroid) is written FIRST,
+    then ``{path}/centroids`` gains a ``super`` column — the loader
+    requires supers whenever centroids carry that column, so a crash
+    between the two writes reads as UNTRAINED (centroids missing),
+    never as a torn quantizer. A flat overwrite of a previously
+    two-level path needs no cleanup: staleness is decided by the
+    ``super`` column, not by the supers directory."""
+    if not q.two_level:
+        (spark.createDataFrame(
+            [(i, [float(x) for x in q.centroids[i]])
+             for i in range(len(q.centroids))],
+            "cell int, centroid array<double>")
+         .write.mode("overwrite").parquet(path + "/centroids"))
+        return
+    (spark.createDataFrame(
+        [(s, [float(x) for x in q.super_cents[s]])
+         for s in range(len(q.super_cents))],
+        "super int, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/supers"))
+    rows = []
+    for s in sorted(q.offsets):
+        for i in range(len(q.subs[s])):
+            cell = q.offsets[s] + i
+            rows.append((cell, [float(x) for x in q.subs[s][i]], s))
+    (spark.createDataFrame(
+        rows, "cell int, centroid array<double>, super int")
+     .write.mode("overwrite").parquet(path + "/centroids"))
+
+
+def _load_quantizer(spark, path: str):
+    """The persisted coarse quantizer at ``path``, or None when
+    untrained — including the torn two-level write (centroids rows
+    carry a ``super`` column but the supers table is absent/empty):
+    per the :func:`_write_centroid_tables` order that state is
+    impossible from a completed write, so it reads as untrained and
+    the caller retrains deterministically. Centroid storage is
+    n_cells × dims — the matrix any IVF structure holds in RAM."""
+    import os
+
+    import numpy as np
+    if not os.path.exists(path + "/centroids"):
+        return None
+    rows = (spark.read.parquet(path + "/centroids")
+            .orderBy("cell").collect())
+    if not rows:
+        return None
+    flat = np.array([list(r["centroid"]) for r in rows],
+                    dtype=np.float64)
+    if "super" not in rows[0].__fields__:
+        return _Quantizer(flat)
+    if not os.path.exists(path + "/supers"):
+        return None
+    srows = (spark.read.parquet(path + "/supers")
+             .orderBy("super").collect())
+    if not srows:
+        return None
+    sup = np.array([list(r["centroid"]) for r in srows],
+                   dtype=np.float64)
+    subs, offsets = [], {}
+    by_super: dict[int, list] = {}
+    for r in rows:  # already in ascending-cell order
+        by_super.setdefault(r["super"], []).append(r)
+    for s in range(len(srows)):
+        block = by_super[s]
+        offsets[s] = block[0]["cell"]
+        subs.append(np.array([list(r["centroid"]) for r in block],
+                             dtype=np.float64))
+    return _Quantizer(flat, sup, subs, offsets)
+
+
 def _load_centroids(spark, path: str):
     """The kilobyte centroid table of a persisted IVF index as an
     (n_cells × dims) ndarray, or None when the index is untrained —
@@ -333,7 +547,8 @@ def _assign_and_write(embeddings: DataFrame, centroids, cells_dir: str,
                       mode: str) -> None:
     """Assign every vector its nearest cell and write into the
     cell-partitioned store at ``cells_dir`` (callers pass
-    ``{index}/cells`` or a per-epoch subdir of it). Repartitions on the
+    ``{index}/cells`` or a per-epoch subdir of it). ``centroids`` is a
+    :class:`_Quantizer` or a raw flat matrix. Repartitions on the
     partition column BEFORE the partitioned write: otherwise every
     upstream task opens a writer per cell it sees — up to tasks ×
     n_cells tiny files (the classic partitioned-write small-files bug;
@@ -342,7 +557,8 @@ def _assign_and_write(embeddings: DataFrame, centroids, cells_dir: str,
     file size with spark.sql.files.maxRecordsPerFile instead of more
     partitions."""
     assigned = (embeddings.select("vec_id", "embedding")
-                .mapInPandas(_cell_assign_fn(centroids, 1),
+                .mapInPandas(_quantizer_cells_fn(_as_quantizer(centroids),
+                                                 1),
                              "vec_id long, cell int")
                 .join(embeddings.select(
                     "vec_id",
@@ -368,11 +584,24 @@ def build_ivf_index(embeddings: DataFrame, path: str,
     never re-trains or re-assigns the corpus. Deterministic: fixed
     init + stable argmax, so rebuilds are bit-identical and the
     inline ``ivf_topk`` agrees with build+probe exactly (tested).
+
+    ``n_cells`` at or above :data:`IVF_TWO_LEVEL_MIN_CELLS` switches
+    training to the sample-based two-level quantizer and assignment
+    to the chained two-matmul kernel — O(n·√n_cells) instead of the
+    flat trainer's O(n·n_cells) per Lloyd round (the n^1.5 class at
+    FAISS-style n_cells ∝ √n); the persisted layout gains a
+    ``supers`` table and a ``super`` column so probes assign queries
+    through the identical quantizer.
     """
     spark = embeddings.sparkSession
-    # one probe job: the k-means init fetch doubles as the emptiness
-    # check (see build_ivfpq_index)
-    init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+    # one probe job: for the flat path the k-means init fetch doubles
+    # as the emptiness check (see build_ivfpq_index); the two-level
+    # path trains from a hash sample, so its probe is limit(1) — a
+    # limit(n_cells) collect at FAISS-style cell counts would drag
+    # n_cells rows to the driver for nothing
+    flat = n_cells < IVF_TWO_LEVEL_MIN_CELLS
+    init_rows = (embeddings.orderBy("vec_id")
+                 .limit(n_cells if flat else 1)
                  .select("embedding").collect())
     if not init_rows:
         spark.createDataFrame([], "vec_id long, cell int, "
@@ -382,13 +611,10 @@ def build_ivf_index(embeddings: DataFrame, path: str,
         spark.createDataFrame([], "cell int, centroid array<double>") \
              .write.mode("overwrite").parquet(path + "/centroids")
         return
-    centroids = _kmeans_centroids(embeddings, n_cells, iters,
-                                  init_rows=init_rows)
-    _assign_and_write(embeddings, centroids, path + "/cells", "overwrite")
-    cent_rows = [(i, [float(x) for x in centroids[i]])
-                 for i in range(len(centroids))]
-    (spark.createDataFrame(cent_rows, "cell int, centroid array<double>")
-     .write.mode("overwrite").parquet(path + "/centroids"))
+    q = _train_quantizer(embeddings, n_cells, iters,
+                         init_rows=init_rows if flat else None)
+    _assign_and_write(embeddings, q, path + "/cells", "overwrite")
+    _write_centroid_tables(spark, path, q)
 
 
 def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
@@ -400,8 +626,8 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
     corpus-size-independent (cost ~ batch size). Centroids drift is a
     rebuild decision, not an ingest step — same contract as FAISS's
     IVF ``add`` after ``train``."""
-    centroids = _load_centroids(spark, path)
-    if centroids is None:
+    q = _load_quantizer(spark, path)
+    if q is None:
         raise ValueError(
             "ivf_index_append: index at %r has no centroids — build it "
             "with build_ivf_index first (appending to an untrained "
@@ -410,7 +636,7 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
     _guard_not_stream_layout(path, "ivf_index_append")
     if new_embeddings.select("embedding").first() is None:
         return
-    _assign_and_write(new_embeddings, centroids, path + "/cells", "append")
+    _assign_and_write(new_embeddings, q, path + "/cells", "append")
 
 
 def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
@@ -422,13 +648,16 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     at the directory level, so a 100 TB index reads
     ~n_probe/n_cells of its bytes per batch of queries. Exact cosine
     rerank within the probed candidates, deterministic tie-breaks.
+    Queries assign through the SAME quantizer the build used (flat or
+    two-level — ``_load_quantizer`` reconstructs it from the persisted
+    tables), so build/probe cell agreement holds at any n_cells.
     """
-    centroids = _load_centroids(spark, path)
-    if centroids is None:
+    q = _load_quantizer(spark, path)
+    if q is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
     query_cells = (queries.select("vec_id", "embedding")
-                   .mapInPandas(_cell_assign_fn(centroids, n_probe),
+                   .mapInPandas(_quantizer_cells_fn(q, n_probe),
                                 "vec_id long, cell int"))
     qry = (query_cells
            .join(queries.select(F.col("vec_id"),
@@ -488,16 +717,20 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     (cells are the IVF index); queries touch only probed partitions —
     partition pruning IS the index lookup. Deterministic end-to-end
     (fixed init, argmax ties break to the lowest cell index).
+    ``n_cells`` past :data:`IVF_TWO_LEVEL_MIN_CELLS` trains/assigns
+    through the two-level quantizer, like the persisted builder.
     """
-    init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+    flat = n_cells < IVF_TWO_LEVEL_MIN_CELLS
+    init_rows = (embeddings.orderBy("vec_id")
+                 .limit(n_cells if flat else 1)
                  .select("embedding").collect())  # probe + init, one job
     if not init_rows:
         return embeddings.sparkSession.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
-    centroids = _kmeans_centroids(embeddings, n_cells, iters,
-                                  init_rows=init_rows)
+    q = _train_quantizer(embeddings, n_cells, iters,
+                         init_rows=init_rows if flat else None)
     corpus_cells = (embeddings.select("vec_id", "embedding")
-                    .mapInPandas(_cell_assign_fn(centroids, 1),
+                    .mapInPandas(_quantizer_cells_fn(q, 1),
                                  "vec_id long, cell int"))
     cand = (corpus_cells
             .join(embeddings.select(F.col("vec_id"),
@@ -505,7 +738,7 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                     .alias("cand_vec")), "vec_id")
             .select(F.col("vec_id").alias("neighbor_id"), "cell", "cand_vec"))
     query_cells = (queries.select("vec_id", "embedding")
-                   .mapInPandas(_cell_assign_fn(centroids, n_probe),
+                   .mapInPandas(_quantizer_cells_fn(q, n_probe),
                                 "vec_id long, cell int"))
     qry = (query_cells
            .join(queries.select(F.col("vec_id"),
@@ -1359,12 +1592,14 @@ def _ivfpq_assign_encode_fn(centroids, books, residual: bool):
     """Arrow-batched assign+encode kernel shared by the IVF-PQ BUILDER
     and incremental APPEND (one definition — the probe-equivalence
     contracts require ingest paths to assign and encode identically):
-    nearest cell via :func:`_nearest_cells`, then PQ codes over the raw
-    vector (``residual=False``) or over x − centroid[cell]
+    nearest cell via the quantizer (``centroids`` is a
+    :class:`_Quantizer` or a raw flat matrix), then PQ codes over the
+    raw vector (``residual=False``) or over x − centroid[cell]
     (``residual=True``, the FAISS IVFPQ encoding — residuals have
     smaller magnitude than raw vectors, so the same 8-byte code budget
     quantizes finer)."""
     import numpy as np
+    q = _as_quantizer(centroids)
     m, _, sub = books.shape
 
     def run(batches):
@@ -1373,8 +1608,8 @@ def _ivfpq_assign_encode_fn(centroids, books, residual: bool):
             if not len(pdf):
                 continue
             x = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            cell = _nearest_cells(x, centroids, 1)[:, 0]
-            base = x - centroids[cell] if residual else x
+            cell = _q_nearest_cells(q, x, 1)[:, 0]  # n_take=1: never -1
+            base = x - q.centroids[cell] if residual else x
             codes = np.empty((len(x), m), dtype=np.int64)
             for j in range(m):
                 xs = base[:, j * sub:(j + 1) * sub]
@@ -1432,12 +1667,18 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
 
     ``train_sample=256`` fits the small test fixtures; size a real
     corpus with :func:`recommended_train_sample` (≥39 points per
-    centroid — the measured-MSE rationale lives on that function)."""
+    centroid — the measured-MSE rationale lives on that function).
+    ``n_cells`` past :data:`IVF_TWO_LEVEL_MIN_CELLS` trains/assigns
+    the coarse stage through the two-level quantizer (persisted
+    alongside, so append/probe stay in lockstep)."""
     spark = embeddings.sparkSession
-    # ONE probe job: the k-means init fetch doubles as the emptiness
-    # check (the separate .first() probe cost an extra Spark job per
-    # build — same fix ann_lsh_topk got in r5).
-    init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
+    # ONE probe job: for the flat path the k-means init fetch doubles
+    # as the emptiness check (the separate .first() probe cost an
+    # extra Spark job per build — same fix ann_lsh_topk got in r5);
+    # the two-level path probes limit(1) and trains from a hash sample
+    flat = n_cells < IVF_TWO_LEVEL_MIN_CELLS
+    init_rows = (embeddings.orderBy("vec_id")
+                 .limit(n_cells if flat else 1)
                  .select("embedding").collect())
     if not init_rows:
         spark.createDataFrame(
@@ -1453,58 +1694,56 @@ def build_ivfpq_index(embeddings: DataFrame, path: str,
         spark.createDataFrame([(bool(residual),)], "residual boolean") \
             .write.mode("overwrite").parquet(path + "/meta")
         return
-    centroids, books = _train_ivfpq_params(
+    q, books = _train_ivfpq_params(
         embeddings, n_cells, iters, m, k_codes, train_sample, pq_iters,
-        residual, init_rows=init_rows)
-    _ivfpq_append_cells(embeddings, centroids, books, residual,
+        residual, init_rows=init_rows if flat else None)
+    _ivfpq_append_cells(embeddings, q, books, residual,
                         path + "/cells", "overwrite")
-    _write_ivfpq_params(spark, path, centroids, books, residual)
+    _write_ivfpq_params(spark, path, q, books, residual)
 
 
 def _train_ivfpq_params(embeddings: DataFrame, n_cells: int, iters: int,
                         m: int, k_codes: int, train_sample: int,
                         pq_iters: int, residual: bool, init_rows=None):
-    """Deterministic (centroids, codebooks) for an IVF-PQ index —
+    """Deterministic (quantizer, codebooks) for an IVF-PQ index —
     shared by the batch builder and the streaming bootstrap so a
     streamed index trained on the same bootstrap set is bit-identical
     to the batch-built one. Residual mode trains the codebooks on the
     SAMPLE's x − centroid[cell] residuals (same deterministic
     lowest-vec_id sample as _pq_codebooks)."""
     import numpy as np
-    centroids = _kmeans_centroids(embeddings, n_cells, iters,
-                                  init_rows=init_rows)
+    q = _train_quantizer(embeddings, n_cells, iters,
+                         init_rows=init_rows)
     if residual:
         rows = (embeddings.orderBy("vec_id").limit(train_sample)
                 .select("embedding").collect())
         x = np.array([list(r[0]) for r in rows], dtype=np.float64)
-        cells = _nearest_cells(x, centroids, 1)[:, 0]
-        books = _pq_train(x - centroids[cells], m, k_codes, pq_iters)
+        cells = _q_nearest_cells(q, x, 1)[:, 0]
+        books = _pq_train(x - q.centroids[cells], m, k_codes, pq_iters)
     else:
         books = _pq_codebooks(embeddings, m, k_codes, train_sample,
                               pq_iters)
-    return centroids, books
+    return q, books
 
 
 def _write_ivfpq_params(spark, path: str, centroids, books,
                         residual: bool) -> None:
     """Persist the kilobyte parameter tables — overwrite-idempotent, so
     a replayed bootstrap epoch rewrites byte-identical state. WRITE
-    ORDER IS THE CRASH CONTRACT: meta (residual flag) first, centroids
-    second, CODEBOOKS LAST — readers treat the codebooks table as the
-    commit marker (``_params_if_trained`` requires all three), so a
-    process killed in any torn prefix leaves an index that reads as
-    UNTRAINED and is deterministically retrained on replay. The reverse
-    order had a silent-corruption window: codebooks committed but meta
-    missing made a residual=True bootstrap recover as residual=False
-    with residual-trained codebooks."""
+    ORDER IS THE CRASH CONTRACT: meta (residual flag) first, the
+    quantizer tables second (supers before centroids — see
+    ``_write_centroid_tables``), CODEBOOKS LAST — readers treat the
+    codebooks table as the commit marker (``_params_if_trained``
+    requires all three), so a process killed in any torn prefix leaves
+    an index that reads as UNTRAINED and is deterministically
+    retrained on replay. The reverse order had a silent-corruption
+    window: codebooks committed but meta missing made a residual=True
+    bootstrap recover as residual=False with residual-trained
+    codebooks."""
     m = books.shape[0]
     (spark.createDataFrame([(bool(residual),)], "residual boolean")
      .write.mode("overwrite").parquet(path + "/meta"))
-    (spark.createDataFrame(
-        [(i, [float(v) for v in centroids[i]])
-         for i in range(len(centroids))],
-        "cell int, centroid array<double>")
-     .write.mode("overwrite").parquet(path + "/centroids"))
+    _write_centroid_tables(spark, path, _as_quantizer(centroids))
     (spark.createDataFrame(
         [(j, c, [float(v) for v in books[j, c]])
          for j in range(m) for c in range(books.shape[1])],
@@ -1521,9 +1760,9 @@ def ivfpq_index_append(spark, path: str,
     inside cell directories, cost ~ batch size). The shared
     :func:`_ivfpq_assign_encode_fn` kernel guarantees appended vectors
     land exactly where the bulk build would put them (tested)."""
-    centroids = _load_centroids(spark, path)
+    q = _load_quantizer(spark, path)
     books = _load_codebooks(spark, path)
-    if centroids is None or books is None:
+    if q is None or books is None:
         raise ValueError(
             "ivfpq_index_append: index at %r is untrained — build it "
             "with build_ivfpq_index first (appending would create "
@@ -1532,7 +1771,7 @@ def ivfpq_index_append(spark, path: str,
     if new_embeddings.select("embedding").first() is None:
         return
     residual = _load_ivfpq_residual(spark, path)
-    _ivfpq_append_cells(new_embeddings, centroids, books, residual,
+    _ivfpq_append_cells(new_embeddings, q, books, residual,
                         path + "/cells", "append")
 
 
@@ -1576,9 +1815,9 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     which is kilobytes against a corpus-sized index."""
     import numpy as np
 
-    centroids = _load_centroids(spark, path)
+    q = _load_quantizer(spark, path)
     books = _load_codebooks(spark, path)
-    if centroids is None or books is None:
+    if q is None or books is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
     m, k_codes, sub = books.shape
@@ -1591,7 +1830,7 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
             for j in range(m)], axis=1).reshape(len(qm), -1)
 
     # ONE fused kernel emits (query_id, cell, tbl) directly — probed
-    # cells (shared _nearest_cells math) and the ADC lookup table come
+    # cells (the shared quantizer math) and the ADC lookup table come
     # from the same batch pass, so the query frame is scanned once and
     # there is no cells⋈tables re-join on the serving hot path.
     def cells_and_tables(batches):
@@ -1600,17 +1839,19 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
             if not len(pdf):
                 continue
             qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            order = _nearest_cells(qm, centroids, n_probe)  # (N, take)
+            order = _q_nearest_cells(q, qm, n_probe)  # (N, take)
             take = order.shape[1]
+            cells = order.reshape(-1)
+            ok = cells >= 0  # two-level may pad tiny quantizers
             if residual:
                 # per-(query, cell) tables over q − centroid[cell]
-                q_rep = np.repeat(qm, take, axis=0)
-                t = _adc_tables(q_rep - centroids[order.reshape(-1)])
+                q_rep = np.repeat(qm, take, axis=0)[ok]
+                t = _adc_tables(q_rep - q.centroids[cells[ok]])
             else:
-                t = np.repeat(_adc_tables(qm), take, axis=0)
+                t = np.repeat(_adc_tables(qm), take, axis=0)[ok]
             yield pd.DataFrame({
-                "query_id": pdf["vec_id"].to_numpy().repeat(take),
-                "cell": order.reshape(-1),
+                "query_id": pdf["vec_id"].to_numpy().repeat(take)[ok],
+                "cell": cells[ok],
                 "tbl": list(t),
             })
 
@@ -1618,11 +1859,11 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
            .mapInPandas(cells_and_tables,
                         "query_id long, cell int, tbl array<double>"))
     # probed set via the cheap cells-only kernel (no ADC tables, no
-    # checkpoint) — same _nearest_cells math, so the sets agree; an
-    # empty probed set doubles as the emptiness check (no .first() job)
+    # checkpoint) — same quantizer math, so the sets agree; an empty
+    # probed set doubles as the emptiness check (no .first() job)
     probed = sorted(r["cell"]
                     for r in queries.select("vec_id", "embedding")
-                    .mapInPandas(_cell_assign_fn(centroids, n_probe),
+                    .mapInPandas(_quantizer_cells_fn(q, n_probe),
                                  "vec_id long, cell int")
                     .select("cell").distinct().collect())
     if not probed:

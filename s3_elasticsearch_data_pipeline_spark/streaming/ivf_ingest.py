@@ -34,20 +34,20 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
-    _assign_and_write, _guard_not_batch_layout, _kmeans_centroids,
-    _load_centroids)
+    _assign_and_write, _guard_not_batch_layout, _load_quantizer,
+    _train_quantizer, _write_centroid_tables)
 from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
     _read_optional_parquet)
 
 
 def _centroids_if_trained(spark: SparkSession, index_path: str):
-    """Persisted centroids, or None before the bootstrap epoch (only
-    the not-yet-trained case maps to None — an unreadable centroid
-    table must propagate, not silently retrain and orphan the cells
-    already assigned under the old centroids)."""
+    """The persisted quantizer, or None before the bootstrap epoch
+    (only the not-yet-trained case maps to None — an unreadable
+    centroid table must propagate, not silently retrain and orphan the
+    cells already assigned under the old centroids)."""
     if _read_optional_parquet(spark, index_path + "/centroids") is None:
         return None
-    return _load_centroids(spark, index_path)
+    return _load_quantizer(spark, index_path)
 
 
 def ivf_ingest_stream(spark: SparkSession, source_path: str,
@@ -78,14 +78,13 @@ def ivf_ingest_stream(spark: SparkSession, source_path: str,
         sess = batch_df.sparkSession
         centroids = _centroids_if_trained(sess, index_path)
         if centroids is None:
-            # bootstrap: train on this batch. Deterministic k-means ⇒
-            # a replay of this epoch rewrites identical centroids, so
-            # the overwrite is idempotent.
-            centroids = _kmeans_centroids(batch_df, n_cells, iters)
-            rows = [(i, [float(x) for x in centroids[i]])
-                    for i in range(len(centroids))]
-            (sess.createDataFrame(rows, "cell int, centroid array<double>")
-             .write.mode("overwrite").parquet(index_path + "/centroids"))
+            # bootstrap: train on this batch. Deterministic training
+            # (flat k-means, or the two-level quantizer past the
+            # n_cells gate — hash-sampled, partition-invariant) ⇒ a
+            # replay of this epoch rewrites identical tables, so the
+            # overwrite is idempotent.
+            centroids = _train_quantizer(batch_df, n_cells, iters)
+            _write_centroid_tables(sess, index_path, centroids)
             fault("after_centroids_write", epoch_id)
         # per-epoch subdir of the cell store + overwrite = idempotent
         # replay; hive discovery reads cells/epoch=<id>/cell=<c> as

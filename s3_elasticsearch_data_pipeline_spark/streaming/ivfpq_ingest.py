@@ -31,8 +31,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 
 from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
-    _guard_not_batch_layout, _ivfpq_append_cells, _load_centroids,
-    _load_codebooks, _load_ivfpq_residual, _train_ivfpq_params,
+    _guard_not_batch_layout, _ivfpq_append_cells, _load_codebooks,
+    _load_ivfpq_residual, _load_quantizer, _train_ivfpq_params,
     _write_ivfpq_params)
 from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
     _read_optional_parquet)
@@ -53,7 +53,7 @@ def _params_if_trained(spark: SparkSession, index_path: str):
             or _read_optional_parquet(spark,
                                       index_path + "/codebooks") is None):
         return None
-    centroids = _load_centroids(spark, index_path)
+    centroids = _load_quantizer(spark, index_path)
     books = _load_codebooks(spark, index_path)
     if centroids is None or books is None:
         return None

@@ -1156,3 +1156,134 @@ def test_margin_bitext_ann_no_cross_join(spark, embeddings):
             ._jdf.queryExecution().executedPlan().toString())
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Two-level coarse quantizer for the IVF/IVF-PQ index family (r8):
+# n_cells >= IVF_TWO_LEVEL_MIN_CELLS trains on a bounded driver sample
+# and assigns via two chained matmuls — O(n·sqrt(n_cells)) instead of
+# the flat trainer's O(n·n_cells) per Lloyd round. The flat path (all
+# oracle SFs, default n_cells=16) is byte-untouched.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def big_emb(spark):
+    """4000 vectors in 40 well-separated clusters — large enough that
+    the 64-cell gate engages and IVF recall is meaningful."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(40, 16)) * 8
+    rows = []
+    for i in range(4000):
+        c = i % 40
+        v = centers[c] + rng.normal(scale=0.6, size=16)
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").localCheckpoint()
+
+
+def test_ivf_two_level_inline_equals_build_probe(spark, big_emb,
+                                                 tmp_path):
+    """The build/probe lockstep contract must hold THROUGH the
+    two-level gate: inline ivf_topk(n_cells=64) and
+    build_ivf_index(n_cells=64) + ivf_probe_topk return bit-identical
+    results (same quantizer training, same assignment kernel on both
+    the corpus and query sides, exact parquet float64 roundtrip of the
+    supers/centroids tables)."""
+    queries = big_emb.where("vec_id < 8")
+    inline = {tuple(r) for r in similarity.ivf_topk(
+        big_emb, queries, k=5, n_cells=64).collect()}
+    path = str(tmp_path / "ivf64")
+    similarity.build_ivf_index(big_emb, path, n_cells=64)
+    # the persisted layout carries the two-level structure
+    q = similarity._load_quantizer(spark, path)
+    assert q.two_level and len(q.centroids) >= 64
+    probed = {tuple(r) for r in similarity.ivf_probe_topk(
+        spark, path, queries, k=5).collect()}
+    # ivf_topk excludes self-matches; ivf_probe_topk (pq contract)
+    # does not — align by dropping self rows before comparing
+    probed = {t for t in probed if t[0] != t[1]}
+    inline_top = {t[:2] for t in inline}
+    probed_top = {t[:2] for t in probed}
+    # rank columns can shift by the self-row removal; compare the
+    # (query, neighbor, sim) triples
+    assert ({t[:3] for t in inline} - {t[:3] for t in probed}
+            == set()), "inline result must be a subset after self-drop"
+    assert inline_top <= probed_top
+
+
+def test_ivf_two_level_planted_recall(spark, big_emb):
+    """Approximate recall through the two-level quantizer: a query's
+    planted near-twin (same cluster, tiny offset) must be retrieved at
+    rank 1 for >=95% of queries — the twin lands in the same cell via
+    the same deterministic assignment."""
+    import numpy as np
+    rng = np.random.default_rng(9)
+    base = {r["vec_id"]: r["embedding"]
+            for r in big_emb.where("vec_id < 40").collect()}
+    rows = [(100_000 + i, [float(x + rng.normal(scale=1e-3))
+                           for x in v]) for i, v in base.items()]
+    twins = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    corpus = big_emb.unionByName(twins)
+    got = similarity.ivf_topk(corpus, twins, k=1, n_cells=64).collect()
+    hits = sum(1 for r in got
+               if r["rank"] == 1
+               and r["neighbor_id"] == r["query_id"] - 100_000)
+    assert hits / len(rows) >= 0.95, hits
+
+
+def test_ivfpq_two_level_append_probe_lockstep(spark, big_emb,
+                                               tmp_path):
+    """FAISS add-after-train through the gate: an IVF-PQ index built
+    on half the corpus then appended with the other half probes
+    IDENTICALLY to one built on the full corpus with the same
+    parameters trained on the same half (train-set determinism:
+    quantizer + codebooks come from the half both flows share)."""
+    half = big_emb.where("vec_id % 2 = 0")
+    rest = big_emb.where("vec_id % 2 = 1")
+    queries = big_emb.where("vec_id < 6")
+    p1 = str(tmp_path / "full")
+    # build on half, append rest — the production loop
+    similarity.build_ivfpq_index(half, p1, n_cells=64, residual=True)
+    assert similarity._load_quantizer(spark, p1).two_level
+    similarity.ivfpq_index_append(spark, p1, rest)
+    got1 = {tuple(r) for r in similarity.ivfpq_probe_topk(
+        spark, p1, queries, k=5).collect()}
+    # rebuild from scratch with the SAME params (trained on the half —
+    # _train_ivfpq_params is deterministic given the training frame)
+    p2 = str(tmp_path / "re")
+    q, books = similarity._train_ivfpq_params(
+        half, 64, 2, 8, 16, 256, 8, True)
+    similarity._ivfpq_append_cells(big_emb, q, books, True,
+                                   p2 + "/cells", "overwrite")
+    similarity._write_ivfpq_params(spark, p2, q, books, True)
+    got2 = {tuple(r) for r in similarity.ivfpq_probe_topk(
+        spark, p2, queries, k=5).collect()}
+    assert got1 == got2
+
+
+def test_two_level_quantizer_roundtrip(spark, big_emb, tmp_path):
+    """_write_centroid_tables/_load_quantizer must roundtrip the
+    two-level structure exactly: flat matrix, supers, per-super
+    blocks, offsets — and a FLAT overwrite of the same path must read
+    back as flat (staleness decided by the super column, not the
+    leftover supers directory)."""
+    import numpy as np
+    q = similarity._train_quantizer(big_emb, 64, 2)
+    path = str(tmp_path / "idx")
+    similarity._write_centroid_tables(spark, path, q)
+    r = similarity._load_quantizer(spark, path)
+    assert r.two_level
+    np.testing.assert_array_equal(q.centroids, r.centroids)
+    np.testing.assert_array_equal(q.super_cents, r.super_cents)
+    assert q.offsets == r.offsets
+    for a, b in zip(q.subs, r.subs):
+        np.testing.assert_array_equal(a, b)
+    # flat overwrite wins over the stale supers dir
+    flat_q = similarity._train_quantizer(big_emb, 8, 1)
+    similarity._write_centroid_tables(spark, path, flat_q)
+    r2 = similarity._load_quantizer(spark, path)
+    assert not r2.two_level
+    np.testing.assert_array_equal(flat_q.centroids, r2.centroids)

@@ -97,3 +97,64 @@ def test_index_surface_job_counts_pinned(spark, emb, tmp_path):
     }
     assert got == pinned, {k: (got[k], pinned[k]) for k in got
                            if got[k] != pinned[k]}
+
+
+def test_two_level_index_job_counts_pinned(spark, tmp_path):
+    """The r8 two-level flows (n_cells >= IVF_TWO_LEVEL_MIN_CELLS) get
+    their own pins: training moves to ONE hash-sample collect (plus a
+    count to size it) instead of per-Lloyd-round distributed
+    aggregates, and every load pays one extra kilobyte read for the
+    supers table. Same rule as the flat pins: a dropping count is an
+    improvement, a rising one is a stray action to find."""
+    import numpy as np
+    rng = np.random.default_rng(42)
+    centers = rng.normal(size=(40, 16)) * 8
+    rows = [(i, [float(x) for x in
+                 centers[i % 40] + rng.normal(scale=0.6, size=16)])
+            for i in range(1000)]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>").localCheckpoint()
+    queries = emb.where("vec_id < 5")
+    new_batch = (emb.where("vec_id % 10 = 0")
+                 .withColumn("vec_id", F.col("vec_id") + 100_000))
+    d = str(tmp_path)
+
+    got = {
+        "ivf2l_build": _count_jobs(
+            spark, "jc2l-ivf-build",
+            lambda: sim.build_ivf_index(emb, d + "/ivf", n_cells=64)),
+        "ivf2l_append": _count_jobs(
+            spark, "jc2l-ivf-append",
+            lambda: sim.ivf_index_append(spark, d + "/ivf", new_batch)),
+        "ivf2l_probe": _count_jobs(
+            spark, "jc2l-ivf-probe",
+            lambda: sim.ivf_probe_topk(spark, d + "/ivf",
+                                       queries).collect()),
+        "ivfpq2l_build": _count_jobs(
+            spark, "jc2l-ivfpq-build",
+            lambda: sim.build_ivfpq_index(emb, d + "/ivfpq",
+                                          n_cells=64, residual=True)),
+        "ivfpq2l_append": _count_jobs(
+            spark, "jc2l-ivfpq-append",
+            lambda: sim.ivfpq_index_append(spark, d + "/ivfpq",
+                                           new_batch)),
+        "ivfpq2l_probe": _count_jobs(
+            spark, "jc2l-ivfpq-probe",
+            lambda: sim.ivfpq_probe_topk(spark, d + "/ivfpq",
+                                         queries).collect()),
+    }
+    pinned = {
+        # emptiness probe + corpus count + hash-sample collect +
+        # assign/write + supers write + centroids write
+        "ivf2l_build": 11,
+        # quantizer load (centroids + supers) + assign/append
+        "ivf2l_append": 14,
+        "ivf2l_probe": 19,
+        # probe + count + sample + residual sample + encode/write +
+        # meta/supers/centroids/codebooks writes
+        "ivfpq2l_build": 11,
+        "ivfpq2l_append": 17,
+        "ivfpq2l_probe": 28,
+    }
+    assert got == pinned, {k: (got[k], pinned[k]) for k in got
+                           if got[k] != pinned[k]}
