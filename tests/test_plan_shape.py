@@ -564,9 +564,15 @@ def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
     ``F.broadcast(bench)`` eval-gram joins — eval benchmarks are
     fixed-size by definition, correct at any corpus scale."""
     import re
-    from tools.audit_broadcasts import _RDD_SCAN, _indent
+    from tools.audit_broadcasts import (FLIP_SURVIVORS, _RDD_SCAN,
+                                        _indent)
 
-    names_expected = {  # query -> explicit eval-gram broadcasts
+    # single source of truth: the sweep tool's allowlist
+    # (tools/audit_broadcasts.py --flip regenerates the artifact per
+    # round; this test pins the allowlist's content AND verifies every
+    # allowed survivor really is an eval-gram explicit broadcast)
+    names_expected = FLIP_SURVIVORS
+    assert names_expected == {
         "corpus_training_set": 4,
         "corpus_curation_pipeline": 2,
         "contamination_ngram_overlap": 1,

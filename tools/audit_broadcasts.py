@@ -17,6 +17,19 @@ class lives; AQE can only re-plan at runtime from the same wrong stats.
 
 Run: PYTHONPATH=/root/repo python tools/audit_broadcasts.py [names...]
 Exit code: number of queries with findings or errors (0 = clean).
+
+--flip (r8, VERDICT item 8): generalizes the r7 four-query 1KB
+broadcast-flip probe into a standing sweep over the whole audit
+surface. Scale enters Spark's broadcast decision only through the
+stats/threshold ratio, so re-planning every FLAGGED query under a 1KB
+``autoBroadcastJoinThreshold`` is the 10x/100x-replica probe without
+replicas: a stats-driven build side flips to shuffle (its estimate
+grows with the data — healthy), while a build side that KEEPS its
+broadcast under 1KB is either an explicit ``F.broadcast`` (fine iff
+fixed-size by design) or constant-understated stats (the r5 OOM
+class). Survivors must match :data:`FLIP_SURVIVORS` exactly; the
+allowlist is asserted by tests/test_plan_shape.py. Exit code counts
+queries whose survivors diverge from the allowlist (0 = clean).
 """
 
 from __future__ import annotations
@@ -37,7 +50,8 @@ SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 EXTRA = ("dedup_fuzzy_apply", "dedup_semantic_apply",
          "dedup_embedding_blocked", "dedup_fuzzy_clusters",
          "dedup_incremental_semantic", "sim_margin_bitext",
-         "corpus_domain_mixture")
+         "corpus_domain_mixture", "sim_margin_bitext_intersection",
+         "corpus_domain_reweight")
 
 _RDD_SCAN = re.compile(r"Scan ExistingRDD|RDDScan")
 
@@ -70,9 +84,47 @@ def audit(spark, name: str) -> list[str]:
     return hits
 
 
-def main(names) -> int:
+#: Explicit-broadcast survivors allowed to keep their build side under
+#: a 1KB threshold, per flagged query: the ``F.broadcast(bench)``
+#: eval-gram joins — eval benchmarks are fixed-size BY DESIGN, correct
+#: at any corpus scale. Every other flagged broadcast must flip to
+#: shuffle at 1KB (stats-driven ⇒ the estimate grows with the data).
+#: A query flagged but absent here allows ZERO survivors. Asserted
+#: against the plan-shape test's expectations in
+#: tests/test_plan_shape.py.
+FLIP_SURVIVORS = {
+    "corpus_training_set": 4,
+    "corpus_curation_pipeline": 2,
+    "contamination_ngram_overlap": 1,
+    "multimodal_curation": 0,
+}
+
+_FLIP_KEYS = ("spark.sql.autoBroadcastJoinThreshold",
+              "spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def flip_audit(spark, name: str, flagged: int) -> tuple[int, int, bool]:
+    """Re-plan ``name`` under a 1KB broadcast threshold and return
+    (flipped, survivors, allowlisted?). Only called for queries the
+    normal audit flagged."""
+    prior = {k: spark.conf.get(k, None) for k in _FLIP_KEYS}
+    try:
+        for k in _FLIP_KEYS:
+            spark.conf.set(k, "1KB")
+        survivors = len(audit(spark, name))
+    finally:
+        for k, v in prior.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    allowed = FLIP_SURVIVORS.get(name, 0)
+    return flagged - survivors, survivors, survivors == allowed
+
+
+def main(names, flip: bool = False) -> int:
     spark = get_spark()
-    flagged, errors = 0, 0
+    flagged_n, errors, bad_flips = 0, 0, 0
     for name in names:
         try:
             hits = audit(spark, name)
@@ -81,15 +133,27 @@ def main(names) -> int:
             errors += 1
             continue
         if hits:
-            flagged += 1
+            flagged_n += 1
             print(f"{name}: {len(hits)} broadcast(s) over RDD scans")
             for h in hits:
                 print(f"    {h[:140]}")
-    print(f"audited {len(names)} queries: {flagged} with RDD-scan "
-          f"broadcasts, {errors} errors")
-    return flagged + errors
+            if flip:
+                flipped, kept, ok = flip_audit(spark, name, len(hits))
+                if not ok:
+                    bad_flips += 1
+                print(f"    flip@1KB: {flipped} flipped to shuffle, "
+                      f"{kept} survivor(s) vs allowlist "
+                      f"{FLIP_SURVIVORS.get(name, 0)} — "
+                      f"{'OK' if ok else 'VIOLATION'}")
+    tail = (f"; flip: {bad_flips} allowlist violation(s)"
+            if flip else "")
+    print(f"audited {len(names)} queries: {flagged_n} with RDD-scan "
+          f"broadcasts, {errors} errors{tail}")
+    return (bad_flips + errors) if flip else (flagged_n + errors)
 
 
 if __name__ == "__main__":
-    names = sys.argv[1:] or list(HEADLINE) + list(EXTRA)
-    raise SystemExit(main(names))
+    argv = [a for a in sys.argv[1:] if a != "--flip"]
+    do_flip = "--flip" in sys.argv[1:]
+    names = argv or list(HEADLINE) + list(EXTRA)
+    raise SystemExit(main(names, flip=do_flip))
