@@ -50,6 +50,21 @@ SCALE_QUERIES = (
     "dedup_incremental_semantic", "corpus_domain_mixture",
     "sim_margin_bitext_ann",
 )
+#: Per-family revisit thresholds derived from the MEASURED 3-point
+#: scaling curve (tools/bench_graph_curve.py, r8, clean window): both
+#: graph families' work units grow exactly linearly under replication
+#: (unit_exp 1.0 — suppliers/parts unshifted ⇒ degrees densify, units
+#: don't explode) and wall-per-unit exponents are NEGATIVE (−0.62 /
+#: −0.71), but their clean-window 10× wall ratios (2.38 / 1.94) sit
+#: close enough to the blanket 2.5 revisit line that ordinary host
+#: noise pushes them over every round. Lines = measured clean ratio ×
+#: ~1.4 noise allowance; a genuine superlinear regression still trips
+#: them (and the N×slack failure gate is untouched).
+FAMILY_REVISIT = {
+    "graph_pagerank_trade": 3.4,
+    "market_basket_lift": 2.8,
+}
+
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
     "lineitem": ("l_orderkey",), "orders": ("o_orderkey", "o_custkey"),
     "customer": ("c_custkey",), "events": ("event_id", "user_id"),
@@ -177,12 +192,15 @@ def main() -> None:
     # recorded, not only when it would fail the run.
     revisit_at = float(os.environ.get("SCALE_REVISIT_RATIO", "2.5"))
 
+    def revisit_line(name: str) -> float:
+        return min(FAMILY_REVISIT.get(name, revisit_at), n * slack)
+
     def ratios(base, scaled):
         return {k: round(scaled[k] / max(base[k], 1e-3), 1) for k in base}
 
     def offenders(base, scaled):
         return [k for k, r in ratios(base, scaled).items()
-                if scaled[k] > 1.0 and r > min(revisit_at, n * slack)]
+                if scaled[k] > 1.0 and r > revisit_line(k)]
 
     scratch = tempfile.mkdtemp(prefix="sfx_scale_")
     try:
