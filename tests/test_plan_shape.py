@@ -314,6 +314,9 @@ _PYTHON_ALLOWED = {
                                    # (the shared Arrow blocking kernel,
                                    # r7) — everything downstream is
                                    # relational aggregation
+    "corpus_domain_reweight",      # same Arrow cell-assignment kernel
+                                   # (r8 apply side); the admission
+                                   # itself is a pure JVM projection
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
