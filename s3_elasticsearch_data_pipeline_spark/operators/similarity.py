@@ -639,6 +639,45 @@ def ivf_index_append(spark, path: str, new_embeddings: DataFrame) -> None:
     _assign_and_write(new_embeddings, q, path + "/cells", "append")
 
 
+def _score_pairs_arrow(matched: DataFrame) -> DataFrame:
+    """Score a (query_id, neighbor_id, query_vec, cand_vec) pair frame
+    with one Arrow-batched fixed-order einsum per batch — bit-identical
+    to the HOF ``cosine`` fold it replaces (einsum with the default
+    optimize=False accumulates sequentially, the same order as
+    ``F.aggregate``'s fold and DuckDB's ``list_inner_product`` — the
+    established ``_blocked_pair_kernel`` discipline), including the
+    zero-norm → NULL guard (the kernel's 0/0 NaN is mapped back to
+    NULL so degenerate vectors still rank LAST under the descending
+    window, as the HOF expression's NULL did). Replaces the
+    interpreted per-element HOF on the candidate-pair hot path: at
+    sf0.1 the margin miner's ~250k matched pairs took ~4 s/direction
+    under the HOF and ~0.3 s under the kernel."""
+    import numpy as np
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["query_vec"].to_numpy()).astype(np.float64)
+            C = np.stack(pdf["cand_vec"].to_numpy()).astype(np.float64)
+            dots = np.einsum("id,id->i", Q, C)
+            qn = np.sqrt(np.einsum("id,id->i", Q, Q))
+            cn = np.sqrt(np.einsum("id,id->i", C, C))
+            with np.errstate(divide="ignore", invalid="ignore"):
+                sims = dots / (qn * cn)
+            sims[(qn == 0) | (cn == 0)] = np.nan
+            yield pd.DataFrame({"query_id": pdf["query_id"],
+                                "neighbor_id": pdf["neighbor_id"],
+                                "sim": sims})
+
+    raw = matched.mapInPandas(
+        score, "query_id long, neighbor_id long, sim double")
+    return raw.withColumn(
+        "sim", F.when(F.isnan("sim"), F.lit(None))
+        .otherwise(F.col("sim")))
+
+
 def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4) -> DataFrame:
     """Approximate top-k against a PERSISTED IVF index (the serving
@@ -688,13 +727,18 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
             .where(F.col("cell").isin(probed))
             .select(F.col("vec_id").alias("neighbor_id"), "cell",
                     F.col("embedding").alias("cand_vec")))
+    # NO distinct: each corpus vector lives in exactly ONE cell
+    # (take=1 assignment) and a query probes DISTINCT cells, so
+    # (query, neighbor) pairs are unique by construction — the oracle
+    # joins without DISTINCT and hash-matches. The r8 profile measured
+    # the old defensive distinct at ~3 s/direction at sf0.1: it
+    # shuffled rows carrying BOTH 64-dim vectors and row-compared
+    # array columns, for zero semantic effect.
     matched = (cand.join(hint(qry), "cell")
                .where(F.col("neighbor_id") != F.col("query_id"))
-               .select("query_id", "neighbor_id", "query_vec", "cand_vec")
-               .distinct())
-    scored = matched.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("query_vec"), F.col("cand_vec")).alias("sim"))
+               .select("query_id", "neighbor_id", "query_vec",
+                       "cand_vec"))
+    scored = _score_pairs_arrow(matched)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
     return (scored
@@ -746,13 +790,12 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                 .alias("query_vec")), "vec_id")
            .select(F.col("vec_id").alias("query_id"), "cell", "query_vec"))
 
+    # no distinct — unique by construction, see ivf_probe_topk
     matched = (cand.join(_query_join_hint(queries)(qry), "cell")
                .where(F.col("neighbor_id") != F.col("query_id"))
-               .select("query_id", "neighbor_id", "query_vec", "cand_vec")
-               .distinct())
-    scored = matched.select(
-        "query_id", "neighbor_id",
-        cosine(F.col("query_vec"), F.col("cand_vec")).alias("sim"))
+               .select("query_id", "neighbor_id", "query_vec",
+                       "cand_vec"))
+    scored = _score_pairs_arrow(matched)
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id"))
     return (scored
@@ -956,6 +999,12 @@ def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
         & F.forall("embedding", lambda x: x.isNotNull()))
     a = emb.where(F.col(side_col) % 2 == 0).select("vec_id", "embedding")
     b = emb.where(F.col(side_col) % 2 == 1).select("vec_id", "embedding")
+    # NO checkpoint on the shortlists even though each feeds both its
+    # side's denominator and the candidate set: the window shuffle is
+    # an Exchange, so Spark's ReusedExchange already deduplicates the
+    # branches (verified: a lazy localCheckpoint here measured SLOWER,
+    # 5.1 → 7.3 s at sf0.1 — cache-persist overhead for zero saved
+    # work).
     fwd = (ivf_topk(b, a, k=k, n_cells=n_cells, n_probe=n_probe,
                     iters=iters)
            .select(F.col("query_id").alias("src_id"),

@@ -84,8 +84,9 @@ def test_index_surface_job_counts_pinned(spark, emb, tmp_path):
         "ivf_build": 9,
         # centroid load + batch assign/append write
         "ivf_append": 8,
-        # params load + cell-pruned scan + rerank collect
-        "ivf_probe": 11,
+        # params load + cell-pruned scan + rerank collect (r8: the
+        # no-op distinct left the probe plan — one fewer shuffle job)
+        "ivf_probe": 10,
         # training fetch (init + emptiness folded, r6) + Lloyd/PQ
         # train + encode/write + params write
         "ivfpq_build": 11,
@@ -149,7 +150,7 @@ def test_two_level_index_job_counts_pinned(spark, tmp_path):
         "ivf2l_build": 11,
         # quantizer load (centroids + supers) + assign/append
         "ivf2l_append": 14,
-        "ivf2l_probe": 19,
+        "ivf2l_probe": 18,
         # probe + count + sample + residual sample + encode/write +
         # meta/supers/centroids/codebooks writes
         "ivfpq2l_build": 11,
