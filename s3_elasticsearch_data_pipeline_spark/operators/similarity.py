@@ -952,7 +952,8 @@ def margin_bitext_pairs(embeddings: DataFrame, k: int = 4,
 def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
                             threshold: float = 1.0,
                             side_col: str = "label",
-                            n_cells: int = 16, n_probe: int = 4,
+                            n_cells: int | None = None,
+                            n_probe: int = 4,
                             iters: int = 2,
                             direction: str = "forward") -> DataFrame:
     """Margin-based bitext mining over ANN SHORTLISTS — the 100 TB
@@ -987,10 +988,22 @@ def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
     result is partition-invariant and SQL-replayable (the registry's
     DuckDB twin unrolls BOTH sides' k-means trainings).
 
+    ``n_cells=None`` (default) auto-sizes EACH side's index at
+    constant target occupancy — ``max(16, ceil(n_side / 64))``, the
+    ``embedding_blocked_near_dup`` rule — so candidate volume stays
+    ~n_probe·64 per query at any corpus size (a FIXED cell count
+    leaves the probe quadratic/n_cells: measured 7.3× wall on 10×
+    data at n_cells=16). At every oracle SF and at sf0.1 the rule
+    resolves to 16 flat cells, which is what the DuckDB twin encodes;
+    past :data:`IVF_TWO_LEVEL_MIN_CELLS` the quantizer goes
+    two-level. The two ``count()`` jobs are metadata-fast on parquet
+    sources.
+
     At index-serving scale, swap the inline ``ivf_topk`` calls for
     ``ivf_probe_topk`` against persisted per-side indexes — build
     once, mine many; the composition below is otherwise unchanged.
     """
+    import math
     if direction not in MARGIN_DIRECTIONS:  # validate before any job
         raise ValueError(f"direction must be one of {MARGIN_DIRECTIONS},"
                          f" got {direction!r}")
@@ -999,17 +1012,24 @@ def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
         & F.forall("embedding", lambda x: x.isNotNull()))
     a = emb.where(F.col(side_col) % 2 == 0).select("vec_id", "embedding")
     b = emb.where(F.col(side_col) % 2 == 1).select("vec_id", "embedding")
+    if n_cells is None:
+        from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+            _TARGET_CELL_OCCUPANCY)
+        cells_a = max(16, math.ceil(a.count() / _TARGET_CELL_OCCUPANCY))
+        cells_b = max(16, math.ceil(b.count() / _TARGET_CELL_OCCUPANCY))
+    else:
+        cells_a = cells_b = n_cells
     # NO checkpoint on the shortlists even though each feeds both its
     # side's denominator and the candidate set: the window shuffle is
     # an Exchange, so Spark's ReusedExchange already deduplicates the
     # branches (verified: a lazy localCheckpoint here measured SLOWER,
     # 5.1 → 7.3 s at sf0.1 — cache-persist overhead for zero saved
     # work).
-    fwd = (ivf_topk(b, a, k=k, n_cells=n_cells, n_probe=n_probe,
+    fwd = (ivf_topk(b, a, k=k, n_cells=cells_b, n_probe=n_probe,
                     iters=iters)
            .select(F.col("query_id").alias("src_id"),
                    F.col("neighbor_id").alias("tgt_id"), "sim"))
-    bwd = (ivf_topk(a, b, k=k, n_cells=n_cells, n_probe=n_probe,
+    bwd = (ivf_topk(a, b, k=k, n_cells=cells_a, n_probe=n_probe,
                     iters=iters)
            .select(F.col("neighbor_id").alias("src_id"),
                    F.col("query_id").alias("tgt_id"), "sim"))
