@@ -1033,6 +1033,20 @@ def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
                     iters=iters)
            .select(F.col("neighbor_id").alias("src_id"),
                    F.col("query_id").alias("tgt_id"), "sim"))
+    return _margin_from_shortlists(fwd, bwd, threshold, direction)
+
+
+def _margin_from_shortlists(fwd: DataFrame, bwd: DataFrame,
+                            threshold: float,
+                            direction: str) -> DataFrame:
+    """THE margin stage over per-side kNN shortlists, shared by the
+    inline-trained miner (:func:`margin_bitext_pairs_ann`) and the
+    persisted-index miner (:func:`margin_bitext_pairs_indexed`):
+    exact DECIMAL(16,6) neighborhood averages of the round-6 shortlist
+    sims (order-free), one fixed double expression for the margin,
+    candidate selection by ``direction``, per-source rank. ``fwd``
+    carries (src_id, tgt_id, sim) = each source's top-k targets;
+    ``bwd`` the same columns from the target side's search."""
     dec = F.col("sim").cast("decimal(16,6)")
     den_a = fwd.groupBy("src_id").agg(F.sum(dec).alias("__sa"),
                                       F.count(F.lit(1)).alias("__ca"))
@@ -1057,6 +1071,43 @@ def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
                                               "tgt_id")
     return (mined.withColumn("rank", F.row_number().over(wm))
             .select("src_id", "tgt_id", "sim", "margin", "rank"))
+
+
+def margin_bitext_pairs_indexed(spark, path_src: str, path_tgt: str,
+                                k: int = 4, threshold: float = 1.0,
+                                n_probe: int = 4,
+                                direction: str = "forward") -> DataFrame:
+    """Margin mining against PERSISTED per-side IVF indexes — the
+    build-once / mine-many production loop the inline
+    :func:`margin_bitext_pairs_ann` trains per call: each side's
+    corpus lives in an index built by :func:`build_ivf_index`
+    (+ :func:`ivf_index_append` for new batches / the streaming
+    ingest), and a mining run is two :func:`ivf_probe_topk` passes —
+    forward probes the target index with the source side's vectors
+    (read from the source index's own cell store, so no second copy
+    of the corpus is needed) — plus the shared margin stage.
+
+    Equivalence: the quantizer persistence roundtrip is exact and the
+    probe uses the same assignment/scoring kernels as the inline
+    search, so with indexes built at the same parameters this returns
+    the inline miner's result bit-for-bit (tested); the registry twin
+    therefore reuses the inline oracle. Side vec_ids must be
+    disjoint, as in every margin variant (sides are different
+    languages/corpora by construction)."""
+    if direction not in MARGIN_DIRECTIONS:  # validate before any job
+        raise ValueError(f"direction must be one of {MARGIN_DIRECTIONS},"
+                         f" got {direction!r}")
+    a_vecs = (spark.read.parquet(path_src + "/cells")
+              .select("vec_id", "embedding"))
+    b_vecs = (spark.read.parquet(path_tgt + "/cells")
+              .select("vec_id", "embedding"))
+    fwd = (ivf_probe_topk(spark, path_tgt, a_vecs, k=k, n_probe=n_probe)
+           .select(F.col("query_id").alias("src_id"),
+                   F.col("neighbor_id").alias("tgt_id"), "sim"))
+    bwd = (ivf_probe_topk(spark, path_src, b_vecs, k=k, n_probe=n_probe)
+           .select(F.col("neighbor_id").alias("src_id"),
+                   F.col("query_id").alias("tgt_id"), "sim"))
+    return _margin_from_shortlists(fwd, bwd, threshold, direction)
 
 
 def quantize_embeddings(embeddings: DataFrame) -> DataFrame:

@@ -1369,6 +1369,32 @@ def q_sim_margin_bitext_intersection(spark, sf_dir):
         _t(spark, sf_dir, "embeddings"), direction="intersection")
 
 
+@register("sim_margin_bitext_indexed", _MARGIN_BITEXT_ANN_ORACLE)
+def q_sim_margin_bitext_indexed(spark, sf_dir):
+    """Margin mining against PERSISTED per-side IVF indexes (r8) —
+    the build-once / mine-many production loop: each side's corpus is
+    an index on disk (build_ivf_index; batches append via
+    ivf_index_append / the streaming ingest) and a mining run is two
+    ivf_probe_topk passes + the shared margin stage. The persistence
+    roundtrip and probe kernels are exact, so the result is
+    bit-identical to the inline ANN miner (tested) and this query
+    carries the SAME unrolled-k-means oracle
+    (operators/similarity.py:margin_bitext_pairs_indexed)."""
+    import tempfile
+
+    from pyspark.sql import functions as _F
+    emb = _t(spark, sf_dir, "embeddings")
+    d = tempfile.mkdtemp(prefix="margin-idx-")
+    similarity.build_ivf_index(
+        emb.where(_F.col("label") % 2 == 0).select("vec_id", "embedding"),
+        d + "/src", n_cells=16)
+    similarity.build_ivf_index(
+        emb.where(_F.col("label") % 2 == 1).select("vec_id", "embedding"),
+        d + "/tgt", n_cells=16)
+    return similarity.margin_bitext_pairs_indexed(spark, d + "/src",
+                                                  d + "/tgt")
+
+
 @register("sim_margin_bitext_ann", _MARGIN_BITEXT_ANN_ORACLE)
 def q_sim_margin_bitext_ann(spark, sf_dir):
     """Margin mining over ANN shortlists (r8) — the 100 TB shape of

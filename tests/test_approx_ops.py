@@ -1287,3 +1287,33 @@ def test_two_level_quantizer_roundtrip(spark, big_emb, tmp_path):
     r2 = similarity._load_quantizer(spark, path)
     assert not r2.two_level
     np.testing.assert_array_equal(flat_q.centroids, r2.centroids)
+
+
+def test_margin_bitext_indexed_equals_inline(spark, embeddings,
+                                             tmp_path):
+    """Persisted-index margin mining (build-once / mine-many) must be
+    bit-identical to the inline ANN miner at the same parameters: the
+    quantizer roundtrips exactly and the probe shares the inline
+    search's assignment/scoring kernels. Also: no cross join in the
+    plan, and the direction strategies compose the same way."""
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        build_ivf_index, margin_bitext_pairs_ann,
+        margin_bitext_pairs_indexed)
+    a = embeddings.where(F.col("label") % 2 == 0).select(
+        "vec_id", "embedding")
+    b = embeddings.where(F.col("label") % 2 == 1).select(
+        "vec_id", "embedding")
+    build_ivf_index(a, str(tmp_path / "src"), n_cells=16)
+    build_ivf_index(b, str(tmp_path / "tgt"), n_cells=16)
+    for direction in ("forward", "intersection"):
+        inline = {tuple(r) for r in margin_bitext_pairs_ann(
+            embeddings, n_cells=16, direction=direction).collect()}
+        indexed = {tuple(r) for r in margin_bitext_pairs_indexed(
+            spark, str(tmp_path / "src"), str(tmp_path / "tgt"),
+            direction=direction).collect()}
+        assert inline == indexed, direction
+    plan = (margin_bitext_pairs_indexed(
+        spark, str(tmp_path / "src"), str(tmp_path / "tgt"))
+        ._jdf.queryExecution().executedPlan().toString())
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -51,7 +51,7 @@ EXTRA = ("dedup_fuzzy_apply", "dedup_semantic_apply",
          "dedup_embedding_blocked", "dedup_fuzzy_clusters",
          "dedup_incremental_semantic", "sim_margin_bitext",
          "corpus_domain_mixture", "sim_margin_bitext_intersection",
-         "corpus_domain_reweight")
+         "corpus_domain_reweight", "sim_margin_bitext_indexed")
 
 _RDD_SCAN = re.compile(r"Scan ExistingRDD|RDDScan")
 
