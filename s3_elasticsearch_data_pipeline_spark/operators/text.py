@@ -1109,3 +1109,64 @@ def bpe_encode(documents: DataFrame, n_merges: int = 8,
                     F.coalesce("n_chars", F.lit(0)).alias("n_chars"),
                     F.coalesce("n_symbols", F.lit(0)).alias("n_symbols"),
                     F.coalesce("head", F.lit("")).alias("head")))
+
+
+def stratified_sample(documents: DataFrame, strata_col: str = "lang",
+                      n_per_stratum: int = 50) -> DataFrame:
+    """Exact-count per-stratum sampling — the eval-set construction
+    primitive (`exactly N docs per language/source/domain`) that
+    :func:`dataset_mixture`'s rate-based admission cannot give
+    (rates hit proportions in the limit, never exact counts).
+
+    Deterministic pseudo-random order INSIDE each stratum: the same
+    LCG hash as the mixture/shuffle family, full tie-break by doc_id,
+    then ``row_number() <= n``. Membership is identical on any
+    engine or partitioning, and re-running on a grown corpus keeps a
+    stable prefix property per stratum (a doc only leaves the sample
+    when lower-hash arrivals displace it — no global reshuffle).
+
+    Scale shape: one shuffle on the stratum key; Spark's
+    WindowGroupLimit (3.5+) pushes the ``rank <= n`` cut below the
+    sort, so each task retains only its top-n rows per stratum
+    instead of sorting whole strata — plan-asserted in tests. Output:
+    (doc_id, stratum, sample_rank)."""
+    p = 2_147_483_647
+    u = ((F.col("doc_id") % F.lit(p)) * F.lit(48_271) + F.lit(7)) \
+        % F.lit(p)
+    w = Window.partitionBy(F.col(strata_col)).orderBy(u.asc(),
+                                                      F.col("doc_id"))
+    return (documents
+            .select("doc_id", F.col(strata_col).alias("stratum"),
+                    F.row_number().over(w).alias("sample_rank"))
+            .where(F.col("sample_rank") <= n_per_stratum))
+
+
+def curriculum_buckets(documents: DataFrame,
+                       n_buckets: int = 4) -> DataFrame:
+    """Curriculum assignment: stage the corpus into difficulty buckets
+    by the unigram-LM quality score (:func:`unigram_logprob_scores` —
+    low avg negative log-prob = common-token, 'easy' text; high =
+    rare-token-heavy). Bucket boundaries are the exact score
+    percentiles (one aggregate → k−1 doubles to the driver), and
+    assignment is a pure projection ``1 + Σ [score > cut_i]`` — NO
+    global sort, unlike ``ntile`` (a single-partition total order is
+    the 100 TB anti-pattern; percentile cut-points give the same
+    staging with one narrow aggregate). Boundary determinism: cuts
+    round to 6 like the scores themselves, and Spark's exact
+    ``percentile`` interpolates identically to ANSI/DuckDB
+    ``quantile_cont`` (the percentile_pack contract), so the DuckDB
+    twin recomputes identical buckets."""
+    scored = unigram_logprob_scores(documents)
+    probs = [i / n_buckets for i in range(1, n_buckets)]
+    cuts_row = scored.agg(F.percentile(
+        F.col("avg_neg_logprob"),
+        F.array(*[F.lit(q) for q in probs])).alias("c")).collect()[0]
+    cuts = [round(float(c), 6) for c in (cuts_row["c"] or [])]
+    bucket = F.lit(1)
+    for c in cuts:
+        bucket = bucket + (F.col("avg_neg_logprob") > F.lit(c)) \
+            .cast("int")
+    return (scored
+            .select("doc_id", "avg_neg_logprob",
+                    bucket.alias("bucket"))
+            .orderBy("doc_id"))

@@ -4351,6 +4351,68 @@ def q_text_token_counts_bpe(spark, sf_dir):
     return text.bpe_token_counts(_t(spark, sf_dir, "documents"))
 
 
+@register("dataset_stratified_sample", """
+WITH h AS (
+  SELECT doc_id, lang,
+         ((doc_id % 2147483647) * 48271 + 7) % 2147483647 AS u
+  FROM documents),
+rk AS (
+  SELECT doc_id, lang AS stratum,
+         row_number() OVER (PARTITION BY lang ORDER BY u, doc_id)
+         AS sample_rank
+  FROM h)
+SELECT doc_id, stratum, sample_rank FROM rk WHERE sample_rank <= 50
+""")
+def q_dataset_stratified_sample(spark, sf_dir):
+    """Exact-count per-stratum sampling (r8): exactly N docs per
+    language — deterministic LCG-hash order within each stratum,
+    row_number <= N (operators/text.py:stratified_sample). The
+    eval-set construction primitive rate-based admission can't give;
+    WindowGroupLimit keeps the per-task state at top-N per stratum
+    (plan-asserted)."""
+    return text.stratified_sample(_t(spark, sf_dir, "documents"))
+
+
+@register("corpus_curriculum_buckets", """
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(string_split_regex(text, '\\s+'),
+                            t -> t <> '')) AS term
+  FROM documents),
+freq AS (SELECT term, count(*) AS term_count FROM tok GROUP BY term),
+tot AS (SELECT sum(term_count) AS total FROM freq),
+lp AS (SELECT term,
+              CAST(round(ln(term_count / total), 9) AS DECIMAL(18,9)) AS logp
+       FROM freq, tot),
+scored AS (
+  SELECT doc_id,
+         round(CAST(-sum(logp) AS DOUBLE) / count(*), 6)
+         AS avg_neg_logprob
+  FROM tok JOIN lp USING (term)
+  GROUP BY doc_id),
+cuts AS (
+  SELECT round(quantile_cont(avg_neg_logprob, 0.25), 6) AS c1,
+         round(quantile_cont(avg_neg_logprob, 0.50), 6) AS c2,
+         round(quantile_cont(avg_neg_logprob, 0.75), 6) AS c3
+  FROM scored)
+SELECT doc_id, avg_neg_logprob,
+       1 + CAST(avg_neg_logprob > c1 AS INT)
+         + CAST(avg_neg_logprob > c2 AS INT)
+         + CAST(avg_neg_logprob > c3 AS INT) AS bucket
+FROM scored, cuts
+ORDER BY doc_id
+""")
+def q_corpus_curriculum_buckets(spark, sf_dir):
+    """Curriculum staging (r8): difficulty buckets over the
+    unigram-LM quality score via exact percentile cut-points + a pure
+    projection — NO global sort (ntile's single-partition total order
+    is the 100 TB anti-pattern; one narrow percentile aggregate gives
+    the same staging). Spark percentile == DuckDB quantile_cont, so
+    the twin recomputes identical buckets
+    (operators/text.py:curriculum_buckets)."""
+    return text.curriculum_buckets(_t(spark, sf_dir, "documents"))
+
+
 @register("dataset_split", """
 SELECT doc_id,
        substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) AS bucket_hex,

@@ -5,6 +5,8 @@ pathological string that exists WILL arrive."""
 
 from __future__ import annotations
 
+import os
+
 import pyspark.sql.functions as F
 import pytest
 
@@ -56,3 +58,63 @@ def test_token_counts_on_oversized_docs(tricky_docs):
     assert rows[9] == 50000
     assert rows[10] == 40000
     assert rows[6] == 0 and rows[7] == 0
+
+
+def test_stratified_sample_exact_counts_and_plan(spark, sf_smoke):
+    """Exactly min(N, stratum size) rows per stratum, deterministic
+    under repartitioning, and the rank<=N cut must reach
+    WindowGroupLimit (per-task top-N state, not whole-stratum sorts)."""
+    from s3_elasticsearch_data_pipeline_spark.operators.text import (
+        stratified_sample)
+    docs = spark.read.parquet(os.path.join(sf_smoke,
+                                           "documents.parquet"))
+    out = stratified_sample(docs, n_per_stratum=7)
+    rows = out.collect()
+    sizes = {r["lang"]: c for r, c in
+             [(r, r["n"]) for r in docs.groupBy("lang")
+              .agg(F.count(F.lit(1)).alias("n")).collect()]}
+    got = {}
+    for r in rows:
+        got[r["stratum"]] = got.get(r["stratum"], 0) + 1
+    assert got == {s: min(7, n) for s, n in sizes.items()}
+    # ranks are 1..count within each stratum
+    by_stratum = {}
+    for r in rows:
+        by_stratum.setdefault(r["stratum"], []).append(r["sample_rank"])
+    assert all(sorted(v) == list(range(1, len(v) + 1))
+               for v in by_stratum.values())
+    # deterministic membership under a different partitioning
+    again = {(r["doc_id"], r["stratum"], r["sample_rank"])
+             for r in stratified_sample(docs.repartition(13),
+                                        n_per_stratum=7).collect()}
+    assert again == {(r["doc_id"], r["stratum"], r["sample_rank"])
+                     for r in rows}
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "WindowGroupLimit" in plan
+
+
+def test_curriculum_buckets_monotone_and_balanced(spark, sf_smoke):
+    """Buckets are monotone in the quality score (no doc in a lower
+    bucket may score above any doc in a higher one), cover 1..n, and
+    percentile cut-points keep them within 2x of each other on the
+    fixture; empty corpus yields the stable schema."""
+    from s3_elasticsearch_data_pipeline_spark.operators.text import (
+        curriculum_buckets)
+    docs = spark.read.parquet(os.path.join(sf_smoke,
+                                           "documents.parquet"))
+    rows = curriculum_buckets(docs, n_buckets=4).collect()
+    assert {r["bucket"] for r in rows} == {1, 2, 3, 4}
+    max_per, min_per = {}, {}
+    counts = {}
+    for r in rows:
+        b, s = r["bucket"], r["avg_neg_logprob"]
+        counts[b] = counts.get(b, 0) + 1
+        max_per[b] = max(max_per.get(b, s), s)
+        min_per[b] = min(min_per.get(b, s), s)
+    for b in (1, 2, 3):
+        assert max_per[b] <= min_per[b + 1] + 1e-12
+    assert max(counts.values()) <= 2 * min(counts.values())
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = curriculum_buckets(empty)
+    assert out.columns == ["doc_id", "avg_neg_logprob", "bucket"]
+    assert out.count() == 0
