@@ -409,18 +409,21 @@ def _quantizer_cells_fn(q: _Quantizer, n_take: int):
     return run
 
 
-def _write_centroid_tables(spark, path: str, q: _Quantizer,
-                           two_level_first: bool = True) -> None:
+def _write_centroid_tables(spark, path: str, q: _Quantizer) -> None:
     """Persist the quantizer's kilobyte parameter tables. Flat:
     ``{path}/centroids`` (cell, centroid) — byte-identical to the
     pre-r8 layout, so old indexes and old readers interoperate.
-    Two-level: ``{path}/supers`` (super, centroid) is written FIRST,
-    then ``{path}/centroids`` gains a ``super`` column — the loader
-    requires supers whenever centroids carry that column, so a crash
-    between the two writes reads as UNTRAINED (centroids missing),
-    never as a torn quantizer. A flat overwrite of a previously
-    two-level path needs no cleanup: staleness is decided by the
-    ``super`` column, not by the supers directory."""
+    Two-level: the COMMIT MARKER is ``{path}/centroids``. Any stale
+    centroid table is DELETED first, then ``{path}/supers`` (super,
+    centroid) is written, then ``{path}/centroids`` (gaining a
+    ``super`` column) is written last — so a crash anywhere before
+    the final write leaves no centroid table and reads as UNTRAINED,
+    never as a mixed-generation quantizer (old centroids routing into
+    new supers). :func:`_load_quantizer` additionally validates
+    super/offset consistency so even an externally-produced torn pair
+    fails loudly instead of mis-routing probes. A flat overwrite of a
+    previously two-level path needs no cleanup: staleness is decided
+    by the ``super`` column, not by the supers directory."""
     if not q.two_level:
         (spark.createDataFrame(
             [(i, [float(x) for x in q.centroids[i]])
@@ -428,6 +431,8 @@ def _write_centroid_tables(spark, path: str, q: _Quantizer,
             "cell int, centroid array<double>")
          .write.mode("overwrite").parquet(path + "/centroids"))
         return
+    import shutil
+    shutil.rmtree(path + "/centroids", ignore_errors=True)
     (spark.createDataFrame(
         [(s, [float(x) for x in q.super_cents[s]])
          for s in range(len(q.super_cents))],
@@ -476,9 +481,32 @@ def _load_quantizer(spark, path: str):
     by_super: dict[int, list] = {}
     for r in rows:  # already in ascending-cell order
         by_super.setdefault(r["super"], []).append(r)
+    # Torn-pair validation: the centroid table is the commit marker
+    # (written last by _write_centroid_tables), so a completed write
+    # always references exactly the supers it was trained with.  A
+    # mismatch here means the two tables are from different
+    # generations (e.g. an external copy, or a pre-commit-marker
+    # writer crashed mid-rebuild) — fail loudly rather than build a
+    # quantizer that routes probes into the wrong sub-centroid blocks.
+    if set(by_super) != set(range(len(srows))):
+        raise ValueError(
+            "torn IVF index at %r: centroids reference supers %r but "
+            "the supers table has %d rows — the two parameter tables "
+            "are from different generations; rebuild the index"
+            % (path, sorted(by_super), len(srows)))
+    expect = 0
     for s in range(len(srows)):
         block = by_super[s]
-        offsets[s] = block[0]["cell"]
+        if [r["cell"] for r in block] != list(
+                range(expect, expect + len(block))):
+            raise ValueError(
+                "torn IVF index at %r: super %d's cells %r are not "
+                "the contiguous block starting at %d — the parameter "
+                "tables are from different generations; rebuild the "
+                "index" % (path, s, [r["cell"] for r in block],
+                           expect))
+        offsets[s] = expect
+        expect += len(block)
         subs.append(np.array([list(r["centroid"]) for r in block],
                              dtype=np.float64))
     return _Quantizer(flat, sup, subs, offsets)

@@ -1166,7 +1166,5 @@ def curriculum_buckets(documents: DataFrame,
     for c in cuts:
         bucket = bucket + (F.col("avg_neg_logprob") > F.lit(c)) \
             .cast("int")
-    return (scored
-            .select("doc_id", "avg_neg_logprob",
-                    bucket.alias("bucket"))
-            .orderBy("doc_id"))
+    return scored.select("doc_id", "avg_neg_logprob",
+                         bucket.alias("bucket"))

@@ -1380,11 +1380,17 @@ def q_sim_margin_bitext_indexed(spark, sf_dir):
     bit-identical to the inline ANN miner (tested) and this query
     carries the SAME unrolled-k-means oracle
     (operators/similarity.py:margin_bitext_pairs_indexed)."""
+    import atexit
+    import shutil
     import tempfile
 
     from pyspark.sql import functions as _F
     emb = _t(spark, sf_dir, "embeddings")
+    # The returned DataFrame reads the index parquet lazily, so the
+    # scratch dir must outlive this call — reap it at process exit
+    # instead of leaking two built indexes per bench/verdict run.
     d = tempfile.mkdtemp(prefix="margin-idx-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     similarity.build_ivf_index(
         emb.where(_F.col("label") % 2 == 0).select("vec_id", "embedding"),
         d + "/src", n_cells=16)

@@ -1289,6 +1289,68 @@ def test_two_level_quantizer_roundtrip(spark, big_emb, tmp_path):
     np.testing.assert_array_equal(flat_q.centroids, r2.centroids)
 
 
+def test_two_level_rebuild_crash_reads_untrained(spark, big_emb,
+                                                 tmp_path):
+    """Rebuild-in-place crash contract: the centroid table is the
+    commit marker (deleted first, written last), so a crash at ANY
+    point before the final centroids write — including after the new
+    supers landed — leaves no centroid table and reads as UNTRAINED,
+    never as a mixed-generation quantizer."""
+    import shutil
+    q_old = similarity._train_quantizer(big_emb, 64, 2)
+    path = str(tmp_path / "idx")
+    similarity._write_centroid_tables(spark, path, q_old)
+    assert similarity._load_quantizer(spark, path).two_level
+    # simulate the rebuild crashing right after the new supers write:
+    # commit-marker order = rmtree(centroids) -> write supers -> CRASH
+    q_new = similarity._train_quantizer(
+        big_emb.where("vec_id % 3 = 0"), 64, 2)
+    shutil.rmtree(path + "/centroids")
+    (spark.createDataFrame(
+        [(s, [float(x) for x in q_new.super_cents[s]])
+         for s in range(len(q_new.super_cents))],
+        "super int, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/supers"))
+    assert similarity._load_quantizer(spark, path) is None
+    # recovery: a completed rebuild over the crashed state loads clean
+    similarity._write_centroid_tables(spark, path, q_new)
+    r = similarity._load_quantizer(spark, path)
+    assert r.two_level and r.offsets == q_new.offsets
+
+
+def test_load_quantizer_rejects_torn_pair(spark, big_emb, tmp_path):
+    """Externally-torn parameter tables (centroids and supers from
+    different generations — impossible from our own writer, possible
+    from a partial copy) must fail loudly with a torn-index error,
+    not silently route probes into the wrong sub-centroid blocks."""
+    import pytest
+    q = similarity._train_quantizer(big_emb, 64, 2)
+    path = str(tmp_path / "idx")
+    similarity._write_centroid_tables(spark, path, q)
+    # generation mismatch: replace supers with a table of a different
+    # super count than the centroids reference
+    (spark.createDataFrame(
+        [(s, [float(x) for x in q.super_cents[s]])
+         for s in range(max(1, len(q.super_cents) // 2))],
+        "super int, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/supers"))
+    with pytest.raises(ValueError, match="torn IVF index"):
+        similarity._load_quantizer(spark, path)
+    # offset corruption: right super count, non-contiguous cell ids
+    (spark.createDataFrame(
+        [(s, [float(x) for x in q.super_cents[s]])
+         for s in range(len(q.super_cents))],
+        "super int, centroid array<double>")
+     .write.mode("overwrite").parquet(path + "/supers"))
+    rows = [(1000 + i, [0.0, 0.0], s)
+            for s in range(len(q.super_cents)) for i in (0, 1)]
+    (spark.createDataFrame(
+        rows, "cell int, centroid array<double>, super int")
+     .write.mode("overwrite").parquet(path + "/centroids"))
+    with pytest.raises(ValueError, match="torn IVF index"):
+        similarity._load_quantizer(spark, path)
+
+
 def test_margin_bitext_indexed_equals_inline(spark, embeddings,
                                              tmp_path):
     """Persisted-index margin mining (build-once / mine-many) must be
