@@ -102,7 +102,11 @@ HEADLINE = (
     "w_rolling_median",
     "stat_correlation_matrix",
     "image_decode_features",
-    "dedup_incremental_lsh",
+    # r9: the headline benches the PRODUCTION variant (xxhash64 +
+    # auto bucket guard); the portable-hash twin keeps the DuckDB
+    # oracle but pays a measured +0.36 s hash surcharge that is an
+    # oracle artifact, not a cost users see (SCALING.md r9).
+    "dedup_incremental_lsh_prod",
     "dedup_incremental_semantic",
     "sim_margin_bitext",
     "sim_margin_bitext_ann",

@@ -80,13 +80,27 @@ def fetch_rows_for_ids(source: DataFrame, ids: DataFrame, id_col: str = "id",
 
 def count_mismatches(source: DataFrame, sink: DataFrame,
                      key: str = "month") -> DataFrame:
-    """J4 — full-outer per-key count compare, keeping keys whose counts
-    differ (``ID-based-transfer.py:90-109``). Missing side counts as 0.
+    """J4 — per-key count compare, keeping keys whose counts differ
+    (``ID-based-transfer.py:90-109``). Missing side counts as 0.
+
+    Shape (r9): tag each side's rows with a (source, sink) one-hot,
+    UNION, then ONE hash aggregate — a single shuffle of one row per
+    (key, side) per task after map-side combine, versus the previous
+    two-aggregate + full-outer-join plan (2 Exchanges + 2 sort-merge
+    joins for the same kilobyte output). A missing side simply sums
+    to 0, so no coalesce/outer-join null handling is needed; NULL
+    keys group together (one compared row), which is the comparison
+    semantics a reconciler wants.
 
     Returns ``(key, source_cnt, sink_cnt)``.
     """
-    b = partition_counts(sink, key).withColumnRenamed("cnt", "sink_cnt")
-    return count_mismatches_against_counts(source, b, key)
+    a = source.select(F.col(key),
+                      F.lit(1).cast("long").alias("source_cnt"),
+                      F.lit(0).cast("long").alias("sink_cnt"))
+    b = sink.select(F.col(key).cast(source.schema[key].dataType),
+                    F.lit(0).cast("long").alias("source_cnt"),
+                    F.lit(1).cast("long").alias("sink_cnt"))
+    return _sum_and_keep_mismatches(a.unionByName(b), key)
 
 
 def count_mismatches_against_counts(source: DataFrame,
@@ -96,19 +110,23 @@ def count_mismatches_against_counts(source: DataFrame,
     ``(key, sink_cnt)`` — e.g. the buckets of a wire-level terms
     aggregation (``sources.es_http.es_terms_counts``) or a load-log
     state table — so the sink side never materializes row-level data.
-    Same contract as :func:`count_mismatches`."""
-    a = partition_counts(source, key).withColumnRenamed("cnt", "source_cnt")
-    key_type = source.schema[key].dataType
+    Same contract and union-aggregate shape as
+    :func:`count_mismatches`: source rows tagged 1, the count table's
+    rows carry their count, one hash aggregate, no join."""
+    a = source.select(F.col(key),
+                      F.lit(1).cast("long").alias("source_cnt"),
+                      F.lit(0).cast("long").alias("sink_cnt"))
     b = sink_counts.select(
-        F.col(key).cast(key_type).alias(key),
+        F.col(key).cast(source.schema[key].dataType).alias(key),
+        F.lit(0).cast("long").alias("source_cnt"),
         F.col("sink_cnt").cast("long").alias("sink_cnt"))
-    joined = a.join(b, key, "full_outer")
-    src_cnt = F.coalesce(F.col("source_cnt"), F.lit(0))
-    snk_cnt = F.coalesce(F.col("sink_cnt"), F.lit(0))
-    return (joined
-            .select(F.col(key),
-                    src_cnt.alias("source_cnt"),
-                    snk_cnt.alias("sink_cnt"))
+    return _sum_and_keep_mismatches(a.unionByName(b), key)
+
+
+def _sum_and_keep_mismatches(tagged: DataFrame, key: str) -> DataFrame:
+    return (tagged.groupBy(key)
+            .agg(F.sum("source_cnt").alias("source_cnt"),
+                 F.sum("sink_cnt").alias("sink_cnt"))
             .where(F.col("source_cnt") != F.col("sink_cnt")))
 
 

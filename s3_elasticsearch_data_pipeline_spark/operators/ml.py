@@ -251,7 +251,8 @@ def domain_mixture(documents: DataFrame, embeddings: DataFrame,
 
 def domain_reweight(documents: DataFrame, embeddings: DataFrame,
                     target_weights: dict[int, float],
-                    n_cells: int = 8, iters: int = 2) -> DataFrame:
+                    n_cells: int = 8, iters: int = 2,
+                    mode: str = "downsample") -> DataFrame:
     """The APPLY side of :func:`domain_mixture` — resample the corpus
     so its LEARNED-domain composition matches ``target_weights`` (the
     DoReMi-style loop closed: the report says which domains are over-
@@ -269,6 +270,25 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     targets. ``target_weights`` are relative (need not sum to 1);
     cells absent from it get weight 0 and are dropped.
 
+    ``mode="resample"`` (r9) additionally UP-weights: per-cell repeat
+    factor ``f_c = (t_c / Σt) * N / n_c`` (N = assignable corpus
+    size; Σt over PRESENT cells) so achieved shares hit the targets
+    while total output size stays ≈ N — the common DoReMi/Pile case
+    where a rare domain's target share exceeds its current share.
+    Replication is deterministic: ``floor(f_c)`` full copies per doc
+    (exploded via a per-row integer sequence — no sampling), plus one
+    extra copy admitted by the same LCG hash keyed on (doc_id,
+    replica) with threshold ``frac(f_c)``. Output gains a ``replica``
+    column (rows stay distinct; downstream shuffles stay
+    deterministic) and ``sample_rate`` reports ``f_c``. The explode
+    multiplies data volume by the repeat factor — that is the
+    contract (physical replication for a training set); callers that
+    want weights-not-rows read ``sample_rate`` off the mixture report
+    instead. All rate arithmetic is fixed-order double division
+    (``t/Σt`` then ``×N`` then ``/n_c``), so the DuckDB twin
+    recomputes ``f_c``, ``floor``, and the fractional admission
+    bit-identically.
+
     Determinism/scale: admission is a pure per-row projection +
     filter (identical membership on any engine/partitioning — unlike
     ``df.sample``); the only aggregates are the per-cell counts
@@ -283,7 +303,9 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     embeddings = embeddings.where(
         F.col("embedding").isNotNull()
         & F.forall("embedding", lambda x: x.isNotNull()))
-    out_schema = "doc_id long, cell int, sample_rate double"
+    out_schema = ("doc_id long, cell int, replica int, "
+                  "sample_rate double" if mode == "resample"
+                  else "doc_id long, cell int, sample_rate double")
     # one job probes emptiness AND fetches the k-means init (the
     # build_ivf_index discipline — no separate .first() probe)
     init_rows = (embeddings.orderBy("vec_id").limit(n_cells)
@@ -298,6 +320,12 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     counts = {r["cell"]: r["n"] for r in
               assigned.groupBy("cell")
               .agg(F.count(F.lit(1)).alias("n")).collect()}
+    if mode == "resample":
+        return _resample_by_cell(assigned, documents, counts,
+                                 target_weights, out_schema)
+    if mode != "downsample":
+        raise ValueError("domain_reweight: unknown mode %r "
+                         "(downsample|resample)" % (mode,))
     # fixed-order double arithmetic (one division each, then a max,
     # then one division) — replayed identically by the SQL twin
     ratios = {c: float(target_weights.get(c, 0.0)) / n
@@ -319,3 +347,53 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
             .where(u < F.col("__rate"))
             .select("doc_id", "cell",
                     F.round("__rate", 6).alias("sample_rate")))
+
+
+def _resample_by_cell(assigned: DataFrame, documents: DataFrame,
+                      counts: dict[int, int],
+                      target_weights: dict[int, float],
+                      out_schema: str) -> DataFrame:
+    """The ``mode="resample"`` tail of :func:`domain_reweight`:
+    deterministic integer replication + fractional LCG admission per
+    (doc_id, replica). ``f_c = (t_c / Σt) * N / n_c`` in fixed IEEE
+    order so the SQL twin recomputes it bit-identically; ``floor`` and
+    the fraction follow. Each doc explodes into ``floor(f_c) + 1``
+    candidate replicas; replica < floor always survives, the last one
+    passes the hash gate at threshold ``frac(f_c)`` — so a cell at
+    f=2.3 emits 2 copies of every doc plus a deterministic 30%-ish
+    extra wave, and a cell at f=0.4 degenerates to plain downsampling.
+    One narrow explode per row, no shuffle beyond the assignment
+    join."""
+    import math
+    spark = documents.sparkSession
+    n_total = sum(counts.values())
+    tsum = sum(float(target_weights.get(c, 0.0)) for c in counts)
+    if tsum <= 0:
+        return spark.createDataFrame([], out_schema)
+    f = {c: float(target_weights.get(c, 0.0)) / tsum * n_total / n
+         for c, n in counts.items()}
+    floors = {c: int(math.floor(v)) for c, v in f.items()}
+    k_col, frac_col, f_col = F.lit(0), F.lit(0.0), F.lit(0.0)
+    for c in sorted(f):
+        k_col = F.when(F.col("cell") == c,
+                       F.lit(floors[c])).otherwise(k_col)
+        frac_col = F.when(F.col("cell") == c,
+                          F.lit(f[c] - floors[c])).otherwise(frac_col)
+        f_col = F.when(F.col("cell") == c,
+                       F.lit(f[c])).otherwise(f_col)
+    p = 2_147_483_647  # the dataset_mixture LCG, keyed (doc_id, replica)
+    u = (((F.col("doc_id") % F.lit(p)) * F.lit(48_271) + F.lit(7)
+          + F.col("replica") * F.lit(131_071))
+         % F.lit(p) % F.lit(1000)) / F.lit(1000.0)
+    return (assigned
+            .join(documents.select("doc_id"),
+                  assigned.vec_id == F.col("doc_id"))
+            .select("doc_id", "cell", k_col.alias("__k"),
+                    frac_col.alias("__frac"), f_col.alias("__f"))
+            .select("doc_id", "cell", "__k", "__frac", "__f",
+                    F.explode(F.sequence(F.lit(0), F.col("__k")))
+                    .alias("replica"))
+            .where((F.col("replica") < F.col("__k"))
+                   | (u < F.col("__frac")))
+            .select("doc_id", "cell", "replica",
+                    F.round("__f", 6).alias("sample_rate")))

@@ -1332,6 +1332,50 @@ def q_corpus_domain_reweight(spark, sf_dir):
                               {c: 0.125 for c in range(8)})
 
 
+#: DuckDB twin of ml.domain_reweight(mode="resample"): the unrolled
+#: k-means prefix, per-cell repeat factors f = (t/Σt)·N/n in the same
+#: fixed IEEE order, floor/frac split, replica fan-out via a bounded
+#: range join, and the (doc_id, replica)-keyed LCG fractional gate.
+_DOMAIN_REWEIGHT_UP_ORACLE = f"""{_kmeans_cte_sql(8)},
+assigned AS ({_KMEANS_ASSIGN_CTE.format(vecs='vecs', cents='c2',
+                                        qfilter='', take='= 1')}),
+tw(cell, t) AS (VALUES (0, 0.3),
+                {', '.join(f'({c}, 0.1)' for c in range(1, 8))}),
+cnt AS (SELECT cell, count(*) AS nc FROM assigned GROUP BY cell),
+tot AS (SELECT sum(nc) AS n, sum(t) AS tsum
+        FROM cnt JOIN tw USING (cell)),
+fac AS (SELECT cell, t / tsum * n / nc AS f
+        FROM cnt JOIN tw USING (cell), tot),
+rep AS (SELECT cell, f, CAST(floor(f) AS INT) AS k,
+               f - floor(f) AS frac FROM fac)
+SELECT d.doc_id, a.cell, CAST(r.replica AS INT) AS replica,
+       round(f, 6) AS sample_rate
+FROM assigned a
+JOIN documents d ON d.doc_id = a.vec_id
+JOIN rep USING (cell)
+JOIN (SELECT unnest(range(0, 64)) AS replica) r ON r.replica <= k
+WHERE r.replica < k
+   OR ((((d.doc_id % 2147483647) * 48271 + 7 + r.replica * 131071)
+        % 2147483647) % 1000) / 1000.0 < frac
+"""
+
+
+@register("corpus_domain_reweight_up", _DOMAIN_REWEIGHT_UP_ORACLE)
+def q_corpus_domain_reweight_up(spark, sf_dir):
+    """UP-weighting domain resample (r9): the rarest learned domain
+    at the oracle scale (cell 0 — pinned by a pytest fixture check)
+    is targeted at 3× the others' share, so its repeat factor
+    exceeds 1 and docs are physically replicated — floor(f) full
+    copies + a deterministic (doc_id, replica)-hashed fractional
+    wave — while over-represented cells downsample, total size ≈ N
+    (operators/ml.py:domain_reweight mode="resample")."""
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    targets = {c: (0.3 if c == 0 else 0.1) for c in range(8)}
+    return ml.domain_reweight(_t(spark, sf_dir, "documents"),
+                              _t(spark, sf_dir, "embeddings"),
+                              targets, mode="resample")
+
+
 @register("corpus_domain_mixture", _DOMAIN_MIXTURE_ORACLE)
 def q_corpus_domain_mixture(spark, sf_dir):
     """Corpus composition by LEARNED domain (r7): k-means cells over
@@ -7720,6 +7764,22 @@ def q_dedup_incremental_lsh(spark, sf_dir):
     return dedup.incremental_lsh_dedup(_t(spark, sf_dir, "documents"),
                                        hash_mode="portable",
                                        max_bucket_docs=None)
+
+
+@register("dedup_incremental_lsh_prod", None)  # r9: bench headline variant
+def q_dedup_incremental_lsh_prod(spark, sf_dir):
+    """The PRODUCTION entry point of dedup-at-ingest — what users get
+    with defaults: xxhash64 MinHash family + the "auto" hot-bucket
+    guard. Rows-only by construction (xxhash64 is Spark-internal, so
+    no engine can replay the admission decision), but the decision
+    PROCEDURE is pytest-proven equivalent to the portable-hash twin
+    that carries the DuckDB oracle (tests/test_curation.py fixture
+    cases run both modes; tests/test_approx_ops.py proves band-
+    collision equivalence). Split from dedup_incremental_lsh in r9 so
+    the bench headline measures the scale default rather than paying
+    the portable mode's measured +0.36 s oracle surcharge
+    (SCALING.md r9 note)."""
+    return dedup.incremental_lsh_dedup(_t(spark, sf_dir, "documents"))
 
 
 @register("decontamination_containment", """

@@ -138,3 +138,118 @@ def test_domain_reweight_zero_and_missing_weights(spark):
     out = ml.domain_reweight(docs, empty, {0: 1.0}, n_cells=2)
     assert out.count() == 0
     assert out.columns == ["doc_id", "cell", "sample_rate"]
+
+
+def test_domain_reweight_resample_upweights(spark):
+    """mode="resample" must physically replicate the rare domain:
+    on a 750/500/250 corpus with a uniform target, the 250-doc cell's
+    repeat factor is 1500/3/250 = 2.0 — every doc appears exactly
+    twice (replicas 0 and 1) — while the 750-doc cell downsamples
+    (f = 2/3 < 1, replica 0 only, hash-gated). Achieved shares land
+    within one hash-quantum (1/1000 per doc) of the target, and
+    membership is identical under a different input partitioning."""
+    docs, emb = _clustered_corpus(spark, (750, 500, 250))
+    target = {c: 1 / 3 for c in range(3)}
+    out = ml.domain_reweight(docs, emb, target, n_cells=3,
+                             mode="resample").collect()
+    assert set(r["cell"] for r in out) == {0, 1, 2}
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    # the rare cell: f = 2.0 exactly -> every doc twice, no fraction
+    rare = [c for c, rows in by_cell.items()
+            if rows[0]["sample_rate"] == 2.0]
+    assert len(rare) == 1
+    rare_rows = by_cell[rare[0]]
+    assert len(rare_rows) == 500
+    per_doc = {}
+    for r in rare_rows:
+        per_doc.setdefault(r["doc_id"], set()).add(r["replica"])
+    assert all(reps == {0, 1} for reps in per_doc.values())
+    # achieved shares: expected per-cell output = N/3 = 500; the only
+    # randomness is the per-doc millesimal hash gate, so the binomial
+    # tail at q=1/1000 granularity stays within a few percent
+    total = len(out)
+    for c, rows in by_cell.items():
+        assert abs(len(rows) / total - 1 / 3) < 0.03, (c, len(rows))
+    out2 = ml.domain_reweight(docs.repartition(13), emb.repartition(7),
+                              target, n_cells=3,
+                              mode="resample").collect()
+    assert ({(r["doc_id"], r["cell"], r["replica"]) for r in out}
+            == {(r["doc_id"], r["cell"], r["replica"]) for r in out2})
+
+
+def test_domain_reweight_resample_exact_admission(spark):
+    """The fractional wave is bit-predictable: recompute the
+    (doc_id, replica)-keyed LCG gate in pure Python and demand the
+    exact same membership Spark emitted — no sampling, no RNG."""
+    docs, emb = _clustered_corpus(spark, (600, 200))
+    target = {0: 0.5, 1: 0.5}
+    out = ml.domain_reweight(docs, emb, target, n_cells=2,
+                             mode="resample").collect()
+    # recover each cell's true size from its reported factor:
+    # f = 0.5*800/n  =>  n = 400/f
+    import math
+    by_cell = {}
+    f_of = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], set()).add(
+            (r["doc_id"], r["replica"]))
+        f_of[r["cell"]] = r["sample_rate"]
+    n_by_cell = {c: round(400 / f) for c, f in f_of.items()}
+    assert sorted(n_by_cell.values()) == [200, 600]
+    p = 2_147_483_647
+    for c, members in by_cell.items():
+        n = n_by_cell[c]
+        f = 0.5 * 800 / n
+        k, frac = int(math.floor(f)), (0.5 * 800 / n) - int(math.floor(f))
+        docs_in_cell = {d for d, _ in members}
+        for d in docs_in_cell:
+            for rep in range(k + 1):
+                u = ((((d % p) * 48_271 + 7 + rep * 131_071) % p) % 1000) / 1000.0
+                expect = rep < k or u < frac
+                assert ((d, rep) in members) == expect, (c, d, rep)
+
+
+def test_domain_reweight_resample_empty_and_schema(spark):
+    """Zero/empty targets and empty embeddings degrade to an empty
+    frame with the resample schema (replica column present)."""
+    docs, emb = _clustered_corpus(spark, (50, 50))
+    out = ml.domain_reweight(docs, emb, {}, n_cells=2, mode="resample")
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "cell", "replica", "sample_rate"]
+    empty = spark.createDataFrame([],
+                                  "vec_id long, embedding array<double>")
+    out2 = ml.domain_reweight(docs, empty, {0: 1.0}, n_cells=2,
+                              mode="resample")
+    assert out2.count() == 0
+    assert out2.columns == ["doc_id", "cell", "replica", "sample_rate"]
+    import pytest
+    with pytest.raises(ValueError, match="unknown mode"):
+        ml.domain_reweight(docs, emb, {0: 1.0}, n_cells=2, mode="bogus")
+
+
+def test_domain_reweight_up_targets_rarest_cell(spark, sf_oracle):
+    """The registry's corpus_domain_reweight_up pins cell 0 as the
+    up-weighted domain; this asserts cell 0 IS the rarest learned
+    cell at the oracle scale (the fixture property the query's
+    docstring claims) and that its docs actually replicate
+    (replica 1 rows exist for cell 0 only where f >= 1)."""
+    from s3_elasticsearch_data_pipeline_spark import registry as reg
+    out = reg.queries()["corpus_domain_reweight_up"](
+        spark, sf_oracle).collect()
+    by_cell = {}
+    for r in out:
+        by_cell.setdefault(r["cell"], []).append(r)
+    rates = {c: rows[0]["sample_rate"] for c, rows in by_cell.items()}
+    # cell 0 got 3x target share of a near-uniform corpus -> its
+    # factor is the strict maximum and > 1 (true replication)
+    assert rates[0] == max(rates.values()) and rates[0] > 1.0
+    assert any(r["replica"] >= 1 for r in by_cell[0])
+    # rarest-cell pin: recover each cell's corpus size from its
+    # factor (n_c = t_c * N / f_c, N = 500 assignable embeddings at
+    # sf0.01, tsum = 1.0) and demand cell 0 is the strict minimum
+    n_of = {c: round((0.3 if c == 0 else 0.1) * 500 / rates[c])
+            for c in rates}
+    assert n_of[0] == min(n_of.values()), n_of
+    assert sum(n_of.values()) == 500, n_of

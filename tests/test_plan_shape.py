@@ -617,3 +617,17 @@ def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_j4_single_exchange_no_join(spark, sf_oracle):
+    """J4 count-compare (r9 union-aggregate form): tag-and-sum must
+    plan as ONE hash exchange and ZERO joins — the previous
+    two-aggregate + full-outer form paid 2 Exchanges + 2 sort-merge
+    joins to join two kilobyte count tables."""
+    df = registry.queries()["j4_count_mismatches"](spark, sf_oracle)
+    plan = plan_of(df)
+    assert plan.count(") Exchange") <= 1, plan[:1500]
+    assert ") Join" not in plan and "SortMergeJoin" not in plan, \
+        plan[:1500]
+    # the sink-side status filter still reaches the scan
+    assert "EqualTo(o_orderstatus,F)" in plan
