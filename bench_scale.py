@@ -60,9 +60,15 @@ SCALE_QUERIES = (
 #: noise pushes them over every round. Lines = measured clean ratio ×
 #: ~1.4 noise allowance; a genuine superlinear regression still trips
 #: them (and the N×slack failure gate is untouched).
+#: text_repetition_scores (tools/bench_text_curve.py, r9, clean
+#: window): per-row fold work Σ(distinct×total bigrams) exactly
+#: linear (unit_exp 1.0), wall-per-unit −0.6 — the 0.4 s base is
+#: fixed overhead, so the clean 10× wall ratio 2.5 is the noise-floor
+#: shape, not a plan defect. Line = 2.5 × ~1.4 allowance.
 FAMILY_REVISIT = {
     "graph_pagerank_trade": 3.4,
     "market_basket_lift": 2.8,
+    "text_repetition_scores": 3.5,
 }
 
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
