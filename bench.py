@@ -102,6 +102,7 @@ HEADLINE = (
     "w_rolling_median",
     "stat_correlation_matrix",
     "image_decode_features",
+    "image_decode_jpeg",
     # r9: the headline benches the PRODUCTION variant (xxhash64 +
     # auto bucket guard); the portable-hash twin keeps the DuckDB
     # oracle but pays a measured +0.36 s hash surcharge that is an

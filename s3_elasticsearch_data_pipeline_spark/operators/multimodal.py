@@ -58,14 +58,17 @@ def decode_image(payload: bytes) -> dict:
     * PNG, 8-bit grayscale/truecolor non-interlaced (RFC 2083): chunk
       walk with CRC verification, stdlib-zlib IDAT inflate, and full
       None/Sub/Up/Average/Paeth scanline unfiltering — a genuinely
-      COMPRESSED format decoded end-to-end with no codec library.
+      COMPRESSED format decoded end-to-end with no codec library, and
+    * baseline sequential JPEG (ITU T.81 SOF0, r9): huffman entropy
+      decode, dequant, exact IDCT, chroma upsample, YCbCr→RGB — the
+      dominant scraped-corpus image format (:func:`_decode_jpeg`).
 
     Returns ``{"width", "height", "channels", "pixels"}`` with pixels
     as a row-major RGB/gray byte string. Any other byte stream raises
     ``NotImplementedError`` — formats that genuinely need codec
-    libraries this container doesn't ship (JPEG/WebP/…) stay
-    undecodable, and callers are expected to catch and mark the row
-    rather than fail the task.
+    libraries this container doesn't ship (WebP/AVIF/progressive
+    JPEG/…) stay undecodable, and callers are expected to catch and
+    mark the row rather than fail the task.
     """
     if len(payload) >= 2 and payload[:2] in (b"P6", b"P5"):
         return _decode_pnm(payload)
@@ -73,10 +76,12 @@ def decode_image(payload: bytes) -> dict:
         return _decode_bmp(payload)
     if payload[:8] == PNG_SIGNATURE:
         return _decode_png(payload)
+    if payload[:2] == b"\xff\xd8":
+        return _decode_jpeg(payload)
     raise NotImplementedError(
-        "only binary PPM/PGM, uncompressed BMP, and 8-bit gray/RGB PNG "
-        "are decodable without external image libraries; mark other "
-        "payloads undecodable")
+        "only binary PPM/PGM, uncompressed BMP, 8-bit gray/RGB PNG, "
+        "and baseline sequential JPEG are decodable without external "
+        "image libraries; mark other payloads undecodable")
 
 
 def _decode_pnm(payload: bytes) -> dict:
@@ -433,6 +438,600 @@ def _decode_png(payload: bytes) -> dict:
             "pixels": pixels}
 
 
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU T.81 / ISO 10918-1, public spec): SOF0 huffman
+# entropy decode + dequant + IDCT + YCbCr->RGB, all numpy/stdlib — the
+# dominant scraped-corpus image format, decoded end-to-end with no
+# codec library. Encoder twin below synthesizes deterministic fixtures
+# (same discipline as encode_png: the symbolic oracle predicts the
+# decoded raster exactly — see attach_jpeg_payload).
+
+#: zigzag scan order (T.81 Figure 5): _JPEG_ZIGZAG[k] = raster index
+#: of the k-th zigzagged coefficient.
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+#: T.81 Annex K.1 luminance quantization table (zigzag order here is
+#: NOT used — this is raster order; Q[0]=16 makes the DC roundtrip
+#: land on even integers, which the symbolic fixture oracle exploits).
+_JPEG_STD_QT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99)
+
+#: T.81 Annex K.3 typical huffman tables (luminance DC / AC): BITS
+#: (count of codes per length 1..16) then HUFFVAL.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA)
+
+
+_JPEG_ZERO_AC = [0] * 63
+
+
+def _jpeg_canonical_codes(bits, vals) -> dict:
+    """symbol -> (code, length) from a DHT (BITS, HUFFVAL) pair —
+    canonical assignment per T.81 Annex C."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+#: flat huffman lookup cache keyed by the (BITS, HUFFVAL) content —
+#: one 65536-entry table per distinct DHT (a corpus shares a handful
+#: of tables; the Annex-K pair covers most encoders), so the per-image
+#: decode cost is one peek + one list index per symbol.
+_JPEG_TREE_CACHE: dict = {}
+
+
+def _jpeg_decode_tree(bits, vals) -> list:
+    """Flat 16-bit-prefix lookup: table[peek16] = (symbol, length),
+    None where no code matches (invalid stream)."""
+    key = (tuple(bits), tuple(vals))
+    hit = _JPEG_TREE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    table: list = [None] * 65536
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            start = code << (16 - length)
+            n = 1 << (16 - length)
+            table[start:start + n] = [(vals[k], length)] * n
+            code += 1
+            k += 1
+        code <<= 1
+    _JPEG_TREE_CACHE[key] = table
+    return table
+
+
+def _dct_basis():
+    """Orthonormal 8x8 DCT-II matrix M (M[u,x]): F = M f M^T,
+    f = M^T F M."""
+    import numpy as np
+    m = np.zeros((8, 8), dtype=np.float64)
+    for u in range(8):
+        cu = (1.0 / (2.0 * np.sqrt(2.0))) if u == 0 else 0.5
+        for x in range(8):
+            m[u, x] = cu * np.cos((2 * x + 1) * u * np.pi / 16.0)
+    return m
+
+
+def _rgb_to_ycbcr_planes(px, width: int, height: int):
+    """JFIF forward color transform, float64, one fixed expression
+    order per component — the symbolic oracle replays these exact
+    IEEE ops (term order matters; do not refactor)."""
+    import numpy as np
+    a = np.frombuffer(px, dtype=np.uint8).reshape(height, width, 3) \
+        .astype(np.float64)
+    r, g, b = a[:, :, 0], a[:, :, 1], a[:, :, 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+    cr = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+    return [y, cb, cr]
+
+
+class _JpegBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:          # byte stuffing (T.81 B.1.1.5)
+                self.buf.append(0x00)
+            self.n -= 8
+            self.acc &= (1 << self.n) - 1
+
+    def _pad_align(self) -> None:
+        if self.n:
+            pad = 8 - self.n
+            self.acc = (self.acc << pad) | ((1 << pad) - 1)  # 1-pad
+            byte = self.acc & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.n = 0
+
+    def restart(self, i: int) -> None:
+        """Byte-align and emit RSTn (raw marker — never stuffed)."""
+        self._pad_align()
+        self.buf += bytes((0xFF, 0xD0 + (i % 8)))
+
+    def flush(self) -> bytes:
+        self._pad_align()
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int) -> tuple[int, int]:
+    """(category, value-bits) for a DC diff / AC coefficient
+    (T.81 F.1.2.1.1): negatives encode as v - 1 in category bits."""
+    if v == 0:
+        return 0, 0
+    a, s = abs(v), 0
+    while a:
+        a >>= 1
+        s += 1
+    return s, (v if v >= 0 else v + (1 << s) - 1)
+
+
+def encode_jpeg(width: int, height: int, pixels: bytes,
+                channels: int = 3, subsampling: str = "444",
+                restart_interval: int = 0) -> bytes:
+    """Baseline JFIF encoder — the fixture/test twin of
+    :func:`_decode_jpeg` (same role as :func:`encode_png` for PNG).
+    Grayscale (1 channel) or YCbCr (3 channels, ``"444"`` or
+    ``"420"`` chroma subsampling); one quantization table
+    (:data:`_JPEG_STD_QT`) and the Annex-K luminance huffman pair for
+    every component. Quantized DC comes from the block MEAN
+    (mathematically the DCT's F(0,0)/8 — floor(8*(mean-128)/Q00+0.5)
+    in one fixed order) so constant blocks quantize with NO float
+    noise; ACs quantize from the exact orthonormal DCT."""
+    import numpy as np
+    if channels == 3:
+        planes = _rgb_to_ycbcr_planes(pixels, width, height)
+        samp = [(2, 2), (1, 1), (1, 1)] if subsampling == "420" \
+            else [(1, 1), (1, 1), (1, 1)]
+    elif channels == 1:
+        planes = [np.frombuffer(pixels, dtype=np.uint8)
+                  .reshape(height, width).astype(np.float64)]
+        samp = [(1, 1)]
+    else:
+        raise ValueError("encode_jpeg: 1 or 3 channels")
+    if subsampling not in ("444", "420"):
+        raise ValueError("encode_jpeg: subsampling 444 or 420")
+    hmax = max(h for h, _ in samp)
+    vmax = max(v for _, v in samp)
+    # chroma downsample (box mean over the 2x2 cell — exact for the
+    # constant-block fixtures) after padding the full-res plane to an
+    # even multiple of the MCU span via edge replication
+    mcux = -(-width // (8 * hmax))
+    mcuy = -(-height // (8 * vmax))
+    comp_blocks = []
+    for ci, (sh, sv) in enumerate(samp):
+        pw, ph = mcux * 8 * sh, mcuy * 8 * sv
+        plane = planes[ci]
+        # downsample first (on true data), then pad to (ph, pw)
+        if (sh, sv) != (hmax, vmax):
+            fx, fy = hmax // sh, vmax // sv
+            th, tw = plane.shape[0] // fy * fy, plane.shape[1] // fx * fx
+            core = plane[:th, :tw].reshape(th // fy, fy, tw // fx, fx) \
+                .mean(axis=(1, 3))
+            # ragged edges: replicate the last full-cell row/col
+            need_h, need_w = -(-height // fy), -(-width // fx)
+            plane = np.pad(core, ((0, need_h - core.shape[0]),
+                                  (0, need_w - core.shape[1])),
+                           mode="edge")
+        plane = np.pad(plane,
+                       ((0, ph - plane.shape[0]), (0, pw - plane.shape[1])),
+                       mode="edge")
+        comp_blocks.append(plane)
+    m = _dct_basis()
+    qt = np.array(_JPEG_STD_QT, dtype=np.float64).reshape(8, 8)
+    zz_np = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+    w = _JpegBitWriter()
+    dc_codes = _jpeg_canonical_codes(_JPEG_DC_BITS, _JPEG_DC_VALS)
+    ac_codes = _jpeg_canonical_codes(_JPEG_AC_BITS, _JPEG_AC_VALS)
+    pred = [0] * len(samp)
+    n_mcu, n_rst = 0, 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart_interval and n_mcu and n_mcu % restart_interval == 0:
+                w.restart(n_rst)
+                n_rst += 1
+                pred = [0] * len(samp)
+            n_mcu += 1
+            for ci, (sh, sv) in enumerate(samp):
+                for by in range(sv):
+                    for bx in range(sh):
+                        y0 = (my * sv + by) * 8
+                        x0 = (mx * sh + bx) * 8
+                        block = comp_blocks[ci][y0:y0 + 8, x0:x0 + 8]
+                        mean = float(block.sum()) / 64.0
+                        dcq = int(np.floor(8.0 * (mean - 128.0) / 16.0
+                                           + 0.5))
+                        if block.min() == block.max():
+                            # constant block: every AC is exactly 0 —
+                            # skip the DCT (correct for ANY encoder,
+                            # and the fixture generator's hot path)
+                            zz = _JPEG_ZERO_AC
+                        else:
+                            coef = m @ (block - 128.0) @ m.T
+                            acq = np.floor(coef / qt + 0.5) \
+                                .astype(np.int64)
+                            zz = acq.flat[zz_np][1:].tolist()
+                        diff = dcq - pred[ci]
+                        pred[ci] = dcq
+                        s, bitsv = _jpeg_magnitude(diff)
+                        code, ln = dc_codes[s]
+                        w.put(code, ln)
+                        if s:
+                            w.put(bitsv, s)
+                        run = 0
+                        last_nz = max((k for k, v in enumerate(zz) if v),
+                                      default=-1)
+                        for k in range(last_nz + 1):
+                            if zz[k] == 0:
+                                run += 1
+                                if run == 16:
+                                    code, ln = ac_codes[0xF0]  # ZRL
+                                    w.put(code, ln)
+                                    run = 0
+                                continue
+                            s, bitsv = _jpeg_magnitude(zz[k])
+                            code, ln = ac_codes[(run << 4) | s]
+                            w.put(code, ln)
+                            w.put(bitsv, s)
+                            run = 0
+                        if last_nz < 62:
+                            code, ln = ac_codes[0x00]      # EOB
+                            w.put(code, ln)
+    scan = w.flush()
+    import struct
+
+    def seg(marker: int, body: bytes) -> bytes:
+        return struct.pack(">HH", marker, len(body) + 2) + body
+    qt_body = b"\x00" + bytes(
+        _JPEG_STD_QT[_JPEG_ZIGZAG[k]] for k in range(64))
+    sof_body = struct.pack(">BHHB", 8, height, width, len(samp))
+    for ci, (sh, sv) in enumerate(samp):
+        sof_body += struct.pack(">BBB", ci + 1, (sh << 4) | sv, 0)
+    dht_body = (b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS)
+                + b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+    sos_body = bytes([len(samp)])
+    for ci in range(len(samp)):
+        sos_body += bytes([ci + 1, 0x00])
+    sos_body += b"\x00\x3f\x00"
+    dri = seg(0xFFDD, struct.pack(">H", restart_interval)) \
+        if restart_interval else b""
+    return (b"\xff\xd8" + seg(0xFFDB, qt_body) + dri
+            + seg(0xFFC0, sof_body)
+            + seg(0xFFC4, dht_body) + seg(0xFFDA, sos_body)
+            + scan + b"\xff\xd9")
+
+
+def _jpeg_scan_segments(data: bytes, pos: int) -> list[bytes]:
+    """Split the entropy-coded scan into restart segments: unstuff
+    0xFF00, cut at RSTn markers, stop at any other marker (EOI/next
+    segment). Returns ≥1 byte strings; stray non-RST markers simply
+    terminate the scan (whether that truncates a block is decided by
+    the bit reader when a code overruns its segment)."""
+    segs, cur = [], bytearray()
+    n = len(data)
+    while pos < n:
+        b = data[pos]
+        if b != 0xFF:
+            cur.append(b)
+            pos += 1
+            continue
+        nxt = data[pos + 1] if pos + 1 < n else None
+        if nxt == 0x00:
+            cur.append(0xFF)
+            pos += 2
+        elif nxt is not None and 0xD0 <= nxt <= 0xD7:
+            segs.append(bytes(cur))
+            cur = bytearray()
+            pos += 2
+        else:
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over one unstuffed restart segment with a
+    fast 16-bit peek (int.from_bytes over a 1-padded tail). Consuming
+    more than 7 bits past the real data — beyond the legal flush
+    padding — raises the truncation error."""
+
+    def __init__(self, segments: list[bytes]):
+        self.segments = segments
+        self.seg_i = 0
+        self._load(segments[0])
+
+    def _load(self, seg: bytes) -> None:
+        self.buf = seg + b"\xff\xff\xff"   # virtual 1-padding for peek
+        self.total = len(seg) * 8
+        self.pos = 0
+
+    def peek16(self) -> int:
+        i, sh = self.pos >> 3, self.pos & 7
+        w = int.from_bytes(self.buf[i:i + 4], "big")
+        return (w >> (16 - sh)) & 0xFFFF
+
+    def consume(self, k: int) -> None:
+        self.pos += k
+        if self.pos > self.total + 7:
+            raise ValueError("JPEG entropy stream truncated")
+
+    def bits(self, k: int) -> int:
+        v = self.peek16() >> (16 - k) if k else 0
+        self.consume(k)
+        return v
+
+    def align_restart(self) -> None:
+        """Advance to the next restart segment (the marker was already
+        consumed by the scan splitter); DC predictors reset caller-side."""
+        self.seg_i += 1
+        if self.seg_i >= len(self.segments):
+            raise ValueError("JPEG expected restart marker")
+        self._load(self.segments[self.seg_i])
+
+
+def _jpeg_extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map s received bits to the signed value."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _decode_jpeg(payload: bytes) -> dict:
+    """Baseline sequential JPEG decode (SOF0, T.81): marker walk,
+    8-bit quantization tables, canonical huffman tables from DHT,
+    interleaved MCU entropy decode with restart-interval support,
+    dequantize + exact orthonormal IDCT per block, chroma upsample
+    (sampling factors 1-2), and the JFIF YCbCr->RGB transform with
+    floor(x+0.5) rounding. Grayscale (1 component) returns
+    channels=1; 3 components return RGB. Progressive (SOF2),
+    arithmetic coding, 12-bit precision, hierarchical, and >2
+    sampling factors raise ``NotImplementedError`` (unsupported-codec
+    gates); structural damage (truncation, bad lengths, undefined
+    tables, stray markers in entropy data) raises ``ValueError`` —
+    callers mark the row ``decode_ok=false``."""
+    import struct
+
+    import numpy as np
+    if payload[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG (missing SOI)")
+    pos = 2
+    qtabs: dict[int, list[int]] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    sof = None
+    restart = 0
+    scan_comps = None
+    while pos < len(payload):
+        if payload[pos] != 0xFF:
+            raise ValueError("JPEG expected marker, got 0x%02X"
+                             % payload[pos])
+        marker = payload[pos + 1] if pos + 1 < len(payload) else None
+        if marker is None:
+            raise ValueError("truncated JPEG marker")
+        pos += 2
+        if marker == 0xD9:                      # EOI before SOS
+            raise ValueError("JPEG has no scan data")
+        if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
+            continue                            # parameterless
+        if pos + 2 > len(payload):
+            raise ValueError("truncated JPEG segment length")
+        seglen, = struct.unpack_from(">H", payload, pos)
+        if seglen < 2 or pos + seglen > len(payload):
+            raise ValueError("JPEG segment overruns payload")
+        body = payload[pos + 2:pos + seglen]
+        pos += seglen
+        if marker == 0xDB:                      # DQT
+            b = 0
+            while b < len(body):
+                pq, tq = body[b] >> 4, body[b] & 0x0F
+                if pq != 0:
+                    raise NotImplementedError("16-bit JPEG qtable")
+                if b + 65 > len(body):
+                    raise ValueError("truncated DQT")
+                zz = body[b + 1:b + 65]
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_JPEG_ZIGZAG[k]] = zz[k]
+                qtabs[tq] = tab
+                b += 65
+        elif marker == 0xC4:                    # DHT
+            b = 0
+            while b < len(body):
+                tc, th = body[b] >> 4, body[b] & 0x0F
+                bits = tuple(body[b + 1:b + 17])
+                n = sum(bits)
+                vals = tuple(body[b + 17:b + 17 + n])
+                if len(bits) < 16 or len(vals) < n:
+                    raise ValueError("truncated DHT")
+                htabs[(tc, th)] = _jpeg_decode_tree(bits, vals)
+                b += 17 + n
+        elif marker == 0xC0:                    # SOF0 baseline
+            if len(body) < 6:
+                raise ValueError("truncated SOF0")
+            prec, h, w0, nc = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * nc:
+                raise ValueError("truncated SOF0 component specs")
+            if prec != 8:
+                raise NotImplementedError("only 8-bit JPEG precision")
+            if nc not in (1, 3):
+                raise NotImplementedError(
+                    "only 1- or 3-component JPEG")
+            if w0 <= 0 or h <= 0:
+                raise ValueError("invalid JPEG dimensions")
+            comps = []
+            for ci in range(nc):
+                cid, sampv, tq = struct.unpack_from(
+                    ">BBB", body, 6 + 3 * ci)
+                sh, sv = sampv >> 4, sampv & 0x0F
+                if not (1 <= sh <= 2 and 1 <= sv <= 2):
+                    raise NotImplementedError(
+                        "JPEG sampling factors beyond 2")
+                comps.append({"id": cid, "sh": sh, "sv": sv, "tq": tq})
+            sof = (w0, h, comps)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9,
+                        0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "only baseline sequential JPEG (SOF0)")
+        elif marker == 0xDD:                    # DRI
+            if len(body) < 2:
+                raise ValueError("truncated DRI")
+            restart, = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:                    # SOS
+            if sof is None:
+                raise ValueError("JPEG SOS before SOF")
+            if not body:
+                raise ValueError("truncated SOS header")
+            ns = body[0]
+            if len(body) < 1 + 2 * ns + 3:
+                raise ValueError("truncated SOS component specs")
+            scan_comps = []
+            for si in range(ns):
+                cs, tds = body[1 + 2 * si], body[2 + 2 * si]
+                scan_comps.append((cs, tds >> 4, tds & 0x0F))
+            scan_start = pos
+            break
+        # APPn / COM / others: skipped (lengths already validated)
+    else:
+        raise ValueError("JPEG missing SOS")
+    w0, h, comps = sof
+    if scan_comps is None or len(scan_comps) != len(comps):
+        raise ValueError("JPEG scan/frame component mismatch")
+    by_id = {c["id"]: c for c in comps}
+    order = []
+    for cs, td, ta in scan_comps:
+        if cs not in by_id:
+            raise ValueError("JPEG scan names unknown component")
+        c = by_id[cs]
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError("JPEG scan uses undefined huffman table")
+        if c["tq"] not in qtabs:
+            raise ValueError("JPEG component uses undefined qtable")
+        order.append((c, htabs[(0, td)], htabs[(1, ta)],
+                      np.array(qtabs[c["tq"]], dtype=np.float64)
+                      .reshape(8, 8)))
+    hmax = max(c["sh"] for c in comps)
+    vmax = max(c["sv"] for c in comps)
+    mcux = -(-w0 // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    m = _dct_basis()
+    planes = [np.zeros((mcuy * 8 * c["sv"], mcux * 8 * c["sh"]),
+                       dtype=np.float64) for c, _, _, _ in order]
+    rd = _JpegBitReader(_jpeg_scan_segments(payload, scan_start))
+    zz_scatter = np.array(_JPEG_ZIGZAG, dtype=np.int64)
+
+    def read_huff(table: list) -> int:
+        ent = table[rd.peek16()]
+        if ent is None:
+            raise ValueError("invalid JPEG huffman code")
+        rd.consume(ent[1])
+        return ent[0]
+
+    pred = [0] * len(order)
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                rd.align_restart()
+                pred = [0] * len(order)
+            n_mcu += 1
+            for ci, (c, dct_t, act_t, qt) in enumerate(order):
+                for by in range(c["sv"]):
+                    for bx in range(c["sh"]):
+                        s = read_huff(dct_t)
+                        diff = _jpeg_extend(rd.bits(s), s) if s else 0
+                        pred[ci] += diff
+                        zz = np.zeros(64, dtype=np.float64)
+                        zz[0] = pred[ci]
+                        k = 1
+                        while k < 64:
+                            rs = read_huff(act_t)
+                            r, sz = rs >> 4, rs & 0x0F
+                            if sz == 0:
+                                if r == 15:
+                                    k += 16
+                                    continue
+                                break          # EOB
+                            k += r
+                            if k > 63:
+                                raise ValueError(
+                                    "JPEG AC index overruns block")
+                            zz[k] = _jpeg_extend(rd.bits(sz), sz)
+                            k += 1
+                        coef = np.empty(64, dtype=np.float64)
+                        coef[zz_scatter] = zz
+                        coef = coef.reshape(8, 8) * qt
+                        block = m.T @ coef @ m
+                        out = np.clip(np.floor(block + 128.0 + 0.5),
+                                      0.0, 255.0)
+                        y0 = (my * c["sv"] + by) * 8
+                        x0 = (mx * c["sh"] + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = out
+    full = []
+    for ci, (c, _, _, _) in enumerate(order):
+        p = planes[ci]
+        if c["sh"] != hmax or c["sv"] != vmax:
+            p = np.repeat(np.repeat(p, vmax // c["sv"], axis=0),
+                          hmax // c["sh"], axis=1)
+        full.append(p[:h, :w0])
+    if len(full) == 1:
+        return {"width": w0, "height": h, "channels": 1,
+                "pixels": full[0].astype(np.uint8).tobytes()}
+    y, cb, cr = full
+    r = np.clip(np.floor(y + 1.402 * (cr - 128.0) + 0.5), 0.0, 255.0)
+    g = np.clip(np.floor(y - 0.344136 * (cb - 128.0)
+                         - 0.714136 * (cr - 128.0) + 0.5), 0.0, 255.0)
+    b = np.clip(np.floor(y + 1.772 * (cb - 128.0) + 0.5), 0.0, 255.0)
+    rgb = np.stack([r, g, b], axis=2).astype(np.uint8)
+    return {"width": w0, "height": h, "channels": 3,
+            "pixels": rgb.tobytes()}
+
+
 # Deterministic generative image: dims and pixel values are pure
 # functions of doc_id, so an oracle can predict width/height/mean
 # independently (and tests can recompute pixels exactly).
@@ -464,6 +1063,56 @@ def attach_image_payload(documents: DataFrame) -> DataFrame:
                 "n_bytes": [len(p) for p in payloads]})
 
     return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+
+
+def _gen_block_pixels(doc_id: int, width: int, height: int) -> bytes:
+    """Constant-8×8-block RGB raster: every pixel's color depends only
+    on (doc_id, x//8, y//8). Constant blocks make the lossy JPEG
+    roundtrip EXACTLY predictable (only the DC coefficient is nonzero,
+    and the DC quantizes from the block mean with no float noise), so
+    a symbolic SQL oracle can replay decode output bit-for-bit."""
+    out = bytearray()
+    for y in range(height):
+        by = y // 8
+        for x in range(width):
+            bx = x // 8
+            out += bytes(((doc_id * 3 + bx * 7 + by * 11) % 256,
+                          (doc_id * 5 + bx * 13 + by * 3) % 256,
+                          (doc_id * 7 + bx * 5 + by * 17) % 256))
+    return bytes(out)
+
+
+def attach_jpeg_payload(documents: DataFrame) -> DataFrame:
+    """Baseline-JPEG fixture frame: deterministic constant-block color
+    images (:func:`_gen_block_pixels`) compressed through the real
+    encoder (:func:`encode_jpeg` — forward DCT, quantization, huffman
+    entropy coding), generated executor-side. A feature query over
+    these payloads drives the FULL decode path — marker walk, huffman,
+    dequant, IDCT, YCbCr→RGB — and the symbolic oracle predicts the
+    decoded raster exactly (DC-only blocks: plane = clip(2·floor(
+    (c−128)/2 + 0.5) + 128) per component, then the rounded color
+    transform)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w, h = _gen_dims(int(doc_id))
+                payloads.append(encode_jpeg(
+                    w, h, _gen_block_pixels(int(doc_id), w, h)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image/jpeg",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads]})
+
+    # DCT + huffman is ~0.4 ms/doc — orders costlier than the PPM/PNG
+    # fixtures — so guarantee the codec stage at least cluster
+    # parallelism (no-op at real split counts; see tables.py)
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
+    return (parallelize_for_compute(documents.select("doc_id"))
+            .mapInPandas(run, PAYLOAD_SCHEMA))
 
 
 def attach_png_payload(documents: DataFrame) -> DataFrame:

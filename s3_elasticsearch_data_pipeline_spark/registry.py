@@ -1692,6 +1692,81 @@ def q_image_decode_features(spark, sf_dir):
                                 multimodal.attach_image_payload)
 
 
+#: Symbolic twin of the baseline-JPEG decode: the fixture images are
+#: constant per 8x8 block, so every block carries ONLY a DC
+#: coefficient and the full lossy chain — forward color transform,
+#: DC quantization from the block mean, dequant+IDCT, rounded inverse
+#: color transform — is replayed in closed form per pixel. Constants
+#: and op ORDER mirror multimodal._rgb_to_ycbcr_planes / encode_jpeg /
+#: _decode_jpeg exactly (same IEEE doubles in both engines).
+_JPEG_FEATURES_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h
+  FROM documents),
+px AS (
+  SELECT d.doc_id, d.w, d.h, i.i,
+         ((i.i // 3) % d.w) // 8 AS bx,
+         (i.i // (3 * d.w)) // 8 AS by,
+         i.i % 3 AS ch
+  FROM dims d CROSS JOIN generate_series(0, 16 * 12 * 3 - 1) AS i(i)
+  WHERE i.i < d.w * d.h * 3),
+blockrgb AS (
+  SELECT doc_id, w, h, i, ch,
+         CAST((doc_id * 3 + bx * 7 + by * 11) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 5 + bx * 13 + by * 3) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 7 + bx * 5 + by * 17) % 256 AS DOUBLE) AS b
+  FROM px),
+planes AS (
+  SELECT doc_id, w, h, i, ch,
+         LEAST(255.0, GREATEST(0.0,
+           2 * floor(8.0 * ((0.299 * r + 0.587 * g + 0.114 * b)
+                            - 128.0) / 16.0 + 0.5) + 128)) AS yp,
+         LEAST(255.0, GREATEST(0.0,
+           2 * floor(8.0 * ((128.0 - 0.168736 * r - 0.331264 * g
+                             + 0.5 * b) - 128.0) / 16.0 + 0.5)
+           + 128)) AS cbp,
+         LEAST(255.0, GREATEST(0.0,
+           2 * floor(8.0 * ((128.0 + 0.5 * r - 0.418688 * g
+                             - 0.081312 * b) - 128.0) / 16.0 + 0.5)
+           + 128)) AS crp
+  FROM blockrgb),
+vals AS (
+  SELECT doc_id, w, h,
+         CASE ch
+           WHEN 0 THEN LEAST(255.0, GREATEST(0.0,
+             floor(yp + 1.402 * (crp - 128.0) + 0.5)))
+           WHEN 1 THEN LEAST(255.0, GREATEST(0.0,
+             floor(yp - 0.344136 * (cbp - 128.0)
+                   - 0.714136 * (crp - 128.0) + 0.5)))
+           ELSE LEAST(255.0, GREATEST(0.0,
+             floor(yp + 1.772 * (cbp - 128.0) + 0.5)))
+         END AS v
+  FROM planes)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       floor(avg(v) * 1000000.0 + 0.5) / 1000000.0 AS mean_intensity
+FROM vals GROUP BY doc_id, w, h
+"""
+
+
+@register("image_decode_jpeg", _JPEG_FEATURES_ORACLE)
+def q_image_decode_jpeg(spark, sf_dir):
+    """REAL baseline-JPEG decode end-to-end (r9): deterministic
+    constant-block color images are compressed executor-side through
+    the real encoder (forward DCT + quantization + huffman), then the
+    feature query drives the FULL T.81 decode — marker walk, huffman
+    entropy decode, dequant, IDCT, YCbCr→RGB — and the oracle replays
+    the lossy roundtrip in closed form (DC-only blocks quantize
+    noiselessly from the block mean), so the hash check covers the
+    decoder's arithmetic, not an md5 tautology
+    (operators/multimodal.py:_decode_jpeg)."""
+    return _image_feature_query(spark, sf_dir,
+                                multimodal.attach_jpeg_payload)
+
+
 @register("image_decode_png", _IMAGE_FEATURES_ORACLE)
 def q_image_decode_png(spark, sf_dir):
     """REAL compressed-image decode end-to-end: the same generative

@@ -21,7 +21,9 @@ imagey = st.one_of(raw, st.binary(max_size=200).map(lambda b: b"P6" + b),
                    st.binary(max_size=200).map(lambda b: b"P5" + b),
                    st.binary(max_size=200).map(lambda b: b"BM" + b),
                    st.binary(max_size=200).map(
-                       lambda b: mm.PNG_SIGNATURE + b))
+                       lambda b: mm.PNG_SIGNATURE + b),
+                   st.binary(max_size=200).map(
+                       lambda b: b"\xff\xd8" + b))
 wavy = st.one_of(raw, st.binary(max_size=200).map(
     lambda b: b"RIFF" + b[:4] + b"WAVE" + b[4:]))
 y4my = st.one_of(raw, st.binary(max_size=200).map(
@@ -72,7 +74,8 @@ def test_truncated_valid_payloads_never_escape(cut, data):
     """Every truncation point of a VALID payload must degrade cleanly
     (the realistic corruption: an interrupted object-store read)."""
     kind = data.draw(st.sampled_from(
-        ["img", "wav", "y4m", "png", "png_rgba", "png_pal"]))
+        ["img", "wav", "y4m", "png", "png_rgba", "png_pal", "jpeg",
+         "jpeg420", "jpeg_gray"]))
     if kind == "img":
         full = mm.encode_ppm(4, 3, bytes(range(36)))
         fn = mm.decode_image
@@ -86,6 +89,16 @@ def test_truncated_valid_payloads_never_escape(cut, data):
         full = mm.encode_png_palette(5, 5, bytes(x % 4 for x in range(25)),
                                      bytes(range(12)))
         fn = mm.decode_image
+    elif kind == "jpeg":
+        full = mm.encode_jpeg(9, 10, mm._gen_block_pixels(5, 9, 10))
+        fn = mm.decode_image
+    elif kind == "jpeg420":
+        full = mm.encode_jpeg(16, 16, mm._gen_block_pixels(6, 16, 16),
+                              subsampling="420")
+        fn = mm.decode_image
+    elif kind == "jpeg_gray":
+        full = mm.encode_jpeg(8, 8, bytes(range(64)), channels=1)
+        fn = mm.decode_image
     elif kind == "wav":
         full = mm.encode_wav(8000, list(range(-20, 20)))
         fn = mm.decode_audio
@@ -94,5 +107,25 @@ def test_truncated_valid_payloads_never_escape(cut, data):
         fn = mm.decode_video
     try:
         fn(full[:min(cut, len(full))])
+    except CAUGHT:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(min_value=2, max_value=10_000),
+       st.integers(min_value=0, max_value=255))
+def test_mutated_jpeg_never_escapes(pos, val):
+    """Single-byte corruption anywhere in a valid baseline JPEG —
+    header, tables, or entropy data — must either still decode (a
+    flipped coefficient bit is legal data) or raise exactly the
+    caught types; huffman desync must not loop or throw IndexError."""
+    full = bytearray(mm.encode_jpeg(16, 12, mm._gen_block_pixels(9, 16, 12)))
+    p = pos % len(full)
+    full[p] = val
+    try:
+        img = mm.decode_image(bytes(full))
+        assert img["width"] > 0 and img["height"] > 0
+        assert len(img["pixels"]) == (img["width"] * img["height"]
+                                      * img["channels"])
     except CAUGHT:
         pass

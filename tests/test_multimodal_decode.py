@@ -493,3 +493,140 @@ def test_png_structural_damage_degrades_not_kills(spark):
     rows = {r.doc_id: r.decode_ok
             for r in mm.image_features(frame).collect()}
     assert rows == {1: False, 2: True}
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (round-9): encode/decode roundtrip exactness on
+# constant-block fixtures, lossy-bound on arbitrary data, subsampling,
+# restart markers, degradation, oracle parity.
+# ---------------------------------------------------------------------------
+
+def _predict_jpeg_constant(doc_id, w, h):
+    """Pure-Python replay of the symbolic oracle's per-pixel chain —
+    the closed form of the lossy roundtrip for constant 8x8 blocks."""
+    import math
+    px = []
+    for y in range(h):
+        by = y // 8
+        for x in range(w):
+            bx = x // 8
+            r = (doc_id * 3 + bx * 7 + by * 11) % 256
+            g = (doc_id * 5 + bx * 13 + by * 3) % 256
+            b = (doc_id * 7 + bx * 5 + by * 17) % 256
+            yf = 0.299 * r + 0.587 * g + 0.114 * b
+            cbf = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
+            crf = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
+
+            def q(c):
+                return min(255.0, max(0.0, 2 * math.floor(
+                    8.0 * (c - 128.0) / 16.0 + 0.5) + 128))
+            yp, cbp, crp = q(yf), q(cbf), q(crf)
+            px += [
+                int(min(255, max(0, math.floor(
+                    yp + 1.402 * (crp - 128.0) + 0.5)))),
+                int(min(255, max(0, math.floor(
+                    yp - 0.344136 * (cbp - 128.0)
+                    - 0.714136 * (crp - 128.0) + 0.5)))),
+                int(min(255, max(0, math.floor(
+                    yp + 1.772 * (cbp - 128.0) + 0.5))))]
+    return bytes(px)
+
+
+def test_jpeg_constant_block_roundtrip_exact():
+    """Encode → decode of the generative constant-block fixtures must
+    reproduce the closed-form prediction BIT-FOR-BIT (this is what
+    licenses the symbolic oracle): every block is DC-only, the DC
+    quantizes from the block mean with no float noise, and all
+    rounding is floor(x+0.5)."""
+    for doc_id in (0, 1, 7, 42, 123, 255, 999):
+        w, h = mm._gen_dims(doc_id)
+        enc = mm.encode_jpeg(w, h, mm._gen_block_pixels(doc_id, w, h))
+        dec = mm._decode_jpeg(enc)
+        assert (dec["width"], dec["height"], dec["channels"]) == (w, h, 3)
+        assert dec["pixels"] == _predict_jpeg_constant(doc_id, w, h)
+
+
+def test_jpeg_grayscale_and_lossy_bound():
+    """1-component JPEGs decode to channels=1; on a smooth gradient the
+    lossy error stays within a few quantization steps; on uniform
+    blocks it is exact."""
+    import numpy as np
+    grad = np.linspace(0, 255, 24 * 24).reshape(24, 24).astype(np.uint8)
+    dec = mm._decode_jpeg(mm.encode_jpeg(24, 24, grad.tobytes(),
+                                         channels=1))
+    assert dec["channels"] == 1
+    err = np.abs(np.frombuffer(dec["pixels"], np.uint8)
+                 .astype(int).reshape(24, 24) - grad.astype(int))
+    assert err.max() <= 8, err.max()
+    flat = np.full((8, 8), 200, dtype=np.uint8)
+    dec2 = mm._decode_jpeg(mm.encode_jpeg(8, 8, flat.tobytes(),
+                                          channels=1))
+    assert np.frombuffer(dec2["pixels"], np.uint8).reshape(8, 8)[0, 0] == 200
+
+
+def test_jpeg_420_and_restart_markers():
+    """4:2:0 chroma subsampling (interleaved 4-Y MCUs + upsample) and
+    restart intervals (RSTn byte-align + DC predictor reset) must both
+    roundtrip; restart placement must not change the decoded raster."""
+    raw = mm._gen_block_pixels(4, 16, 16)
+    for rst in (0, 1, 3):
+        d420 = mm._decode_jpeg(mm.encode_jpeg(16, 16, raw,
+                                              subsampling="420",
+                                              restart_interval=rst))
+        assert (d420["width"], d420["height"], d420["channels"]) \
+            == (16, 16, 3)
+    a = mm._decode_jpeg(mm.encode_jpeg(16, 12, raw[:16 * 12 * 3],
+                                       restart_interval=1))
+    b = mm._decode_jpeg(mm.encode_jpeg(16, 12, raw[:16 * 12 * 3],
+                                       restart_interval=2))
+    c = mm._decode_jpeg(mm.encode_jpeg(16, 12, raw[:16 * 12 * 3]))
+    assert a["pixels"] == b["pixels"] == c["pixels"]
+
+
+def test_jpeg_unsupported_and_damage():
+    """Progressive SOF2 and 16-bit qtables gate as NotImplementedError;
+    structural damage (truncation, corrupt table ids, stray markers)
+    raises ValueError — both of which image_features degrades to
+    decode_ok=false."""
+    enc = bytearray(mm.encode_jpeg(16, 12, mm._gen_block_pixels(3, 16, 12)))
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(bytes(enc[:40]))
+    with pytest.raises(ValueError):
+        mm._decode_jpeg(b"\xff\xd8\xff\xd9")
+    # SOF0 -> SOF2 (progressive)
+    prog = bytes(enc).replace(b"\xff\xc0", b"\xff\xc2")
+    with pytest.raises(NotImplementedError):
+        mm._decode_jpeg(prog)
+    # 16-bit quant table (Pq=1 in the DQT precision nibble)
+    dqt_at = bytes(enc).index(b"\xff\xdb") + 4
+    hacked = bytearray(enc)
+    hacked[dqt_at] = 0x10
+    with pytest.raises(NotImplementedError):
+        mm._decode_jpeg(bytes(hacked))
+
+
+def test_jpeg_features_degradation(spark):
+    """Through the Arrow pipeline: one valid JPEG + one truncated one →
+    decode_ok true/false rows, never a task failure."""
+    enc = mm.encode_jpeg(16, 12, mm._gen_block_pixels(8, 16, 12))
+    rows = spark.createDataFrame(
+        [(1, "image/jpeg", bytearray(enc), len(enc)),
+         (2, "image/jpeg", bytearray(enc[:60]), 60)],
+        "doc_id long, media_type string, payload binary, n_bytes long")
+    out = {r["doc_id"]: r for r in mm.image_features(rows).collect()}
+    assert out[1]["decode_ok"] and out[1]["width"] == 16
+    assert not out[2]["decode_ok"] and out[2]["width"] is None
+
+
+def test_jpeg_decode_oracle_parity(spark, sf_oracle):
+    """The registered query's Spark result must match the symbolic
+    DuckDB oracle (same check the driver runs)."""
+    from s3_elasticsearch_data_pipeline_spark import registry
+    from tests.oracle import compare, duckdb_conn
+    con = duckdb_conn(sf_oracle)
+    try:
+        df = registry.queries()["image_decode_jpeg"](spark, sf_oracle)
+        probs = compare(df, con, registry.oracle_sql()["image_decode_jpeg"])
+        assert not probs, probs
+    finally:
+        con.close()
