@@ -41,18 +41,23 @@ from pyspark.sql import functions as F
 from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
     _PAIR_SCHEMA, _blocked_cross_kernel, _blocked_pair_kernel)
 from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
-    _kmeans_centroids, _nearest_cells)
+    _load_quantizer, _q_nearest_cells, _train_quantizer,
+    _write_centroid_tables)
 from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
     _read_optional_parquet)
 
 _CELL_SCHEMA = "vec_id long, cell int, vec array<double>"
 
 
-def _fixed_centroid_assign_fn(centroids, n_assign: int):
-    """(vec_id, cell, vec) multi-assignment against FIXED centroids —
-    the streaming counterpart of ``dedup._blocking_assign_fn`` (which
-    trains); routed through the shared ``_nearest_cells`` kernel so
-    ingest assignment stays in lockstep with the batch operators."""
+def _fixed_centroid_assign_fn(quantizer, n_assign: int):
+    """(vec_id, cell, vec) multi-assignment against a FIXED persisted
+    quantizer — the streaming counterpart of
+    ``dedup._blocking_assign_fn`` (which trains); routed through the
+    shared quantizer-dispatching kernel (``_q_nearest_cells``) so
+    ingest assignment stays in lockstep with the batch operators on
+    BOTH sides of the two-level gate (flat below 64 cells, two-stage
+    probe above; -1 padding rows from a tiny two-level quantizer are
+    dropped, like the IVF ingest)."""
     import numpy as np
 
     def run(batches):
@@ -61,12 +66,16 @@ def _fixed_centroid_assign_fn(centroids, n_assign: int):
             if not len(pdf):
                 continue
             emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            order = _nearest_cells(emb, centroids, n_assign)
+            order = _q_nearest_cells(quantizer, emb, n_assign)
             take = order.shape[1]
+            ids = pdf["vec_id"].to_numpy().repeat(take)
+            cells = order.reshape(-1)
+            vecs = np.repeat(emb, take, axis=0)
+            ok = cells >= 0
             yield pd.DataFrame({
-                "vec_id": pdf["vec_id"].to_numpy().repeat(take),
-                "cell": order.reshape(-1),
-                "vec": list(np.repeat(emb, take, axis=0)),
+                "vec_id": ids[ok],
+                "cell": cells[ok],
+                "vec": list(vecs[ok]),
             })
 
     return run
@@ -122,24 +131,18 @@ def semantic_ingest_stream(spark: SparkSession, source_path: str,
              .parquet(os.path.join(corpus_path, f"epoch={epoch_id}")))
             fault("after_corpus_write", epoch_id)
             return
-        if _read_optional_parquet(sess, index_path + "/centroids") is None:
-            # bootstrap: train on this batch (deterministic k-means ⇒
-            # a replayed epoch rewrites identical centroids)
-            cents = _kmeans_centroids(probe_src, n_cells, iters)
-            rows = [(i, [float(x) for x in cents[i]])
-                    for i in range(len(cents))]
-            (sess.createDataFrame(rows,
-                                  "cell int, centroid array<double>")
-             .write.mode("overwrite").parquet(index_path + "/centroids"))
+        q = _load_quantizer(sess, index_path)
+        if q is None:
+            # bootstrap: train on this batch through the SHARED
+            # quantizer trainer (deterministic k-means below the
+            # 64-cell two-level gate — a replayed epoch rewrites
+            # byte-identical centroids; two-level above it, same as
+            # every other coarse-training site)
+            q = _train_quantizer(probe_src, n_cells, iters)
+            _write_centroid_tables(sess, index_path, q)
             fault("after_centroids_write", epoch_id)
-        else:
-            import numpy as np
-            cents = np.array(
-                [list(r["centroid"]) for r in
-                 sess.read.parquet(index_path + "/centroids")
-                 .orderBy("cell").collect()], dtype=np.float64)
         probe = (probe_src.select("vec_id", "embedding")
-                 .mapInPandas(_fixed_centroid_assign_fn(cents, n_assign),
+                 .mapInPandas(_fixed_centroid_assign_fn(q, n_assign),
                               _CELL_SCHEMA)
                  .localCheckpoint(eager=True))
         # vs prior epochs' cell store (EXCLUDING any half-written copy
@@ -186,3 +189,54 @@ def read_corpus(spark: SparkSession, corpus_path: str):
     or None before the first admitted batch."""
     df = _read_optional_parquet(spark, corpus_path)
     return df.drop("epoch") if df is not None else None
+
+
+def rebuild_semantic_index(spark: SparkSession, corpus_path: str,
+                           index_path: str, n_cells: int = 8,
+                           n_assign: int = 2, iters: int = 2) -> int:
+    """OFFLINE maintenance: the documented centroid-drift rebuild
+    decision for the semantic dedup-at-ingest index. Epoch by epoch the
+    streamed corpus drifts away from the bootstrap batch's centroids
+    (they are trained once, on the FIRST batch, and never updated);
+    when blocking recall degrades, this op collapses the epochs and
+    retrains the quantizer on the CURRENT admitted corpus through the
+    same shared trainer (flat below the 64-cell two-level gate,
+    two-level above), then reassigns every corpus vector and rewrites
+    the cell store as one ``epoch=-1`` partition (compacting the
+    per-epoch small files as a side effect).
+
+    Crash contract: idempotent, not transactional — the trainer and
+    assignment are deterministic functions of the admitted corpus, so
+    re-running after a crash at ANY point converges to the same final
+    state. Must not run concurrently with the ingest stream (same
+    rule as ``maintenance.compact_partitions``). Returns the number of
+    cell rows written."""
+    import shutil
+
+    corpus = read_corpus(spark, corpus_path)
+    if corpus is None:
+        raise ValueError(
+            "rebuild_semantic_index: no admitted corpus at %r"
+            % (corpus_path,))
+    probe_src = corpus.where(
+        F.col("embedding").isNotNull()
+        & F.forall("embedding", lambda x: x.isNotNull()))
+    if probe_src.select("vec_id").first() is None:
+        raise ValueError(
+            "rebuild_semantic_index: corpus has no usable embeddings")
+    q = _train_quantizer(probe_src, n_cells, iters)
+    assigned = (probe_src.select("vec_id", "embedding")
+                .mapInPandas(_fixed_centroid_assign_fn(q, n_assign),
+                             _CELL_SCHEMA))
+    # rewrite the whole cell store as one epoch, then commit the new
+    # centroids LAST (readers treat missing/stale centroids states as
+    # re-runnable; a half-written rebuild is healed by re-running)
+    cells_dir = os.path.join(index_path, "cells")
+    tmp_dir = os.path.join(index_path, "cells.rebuild")
+    assigned.write.mode("overwrite").parquet(
+        os.path.join(tmp_dir, "epoch=-1"))
+    n_rows = spark.read.option("basePath", tmp_dir).parquet(tmp_dir).count()
+    shutil.rmtree(cells_dir, ignore_errors=True)
+    os.replace(tmp_dir, cells_dir)
+    _write_centroid_tables(spark, index_path, q)
+    return n_rows

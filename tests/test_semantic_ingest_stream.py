@@ -146,3 +146,101 @@ def test_all_null_first_batch_does_not_poison_bootstrap(spark, sf_smoke,
     assert {900_001, 900_002} <= ids
     assert not any(800_000 <= i < 900_000 for i in ids), \
         "in-batch exact twins must still dedup after late bootstrap"
+
+
+def test_bootstrap_centroids_identical_to_flat_trainer(spark, sf_smoke,
+                                                       tmp_path):
+    """r9 routed the bootstrap through the SHARED quantizer trainer
+    (similarity._train_quantizer). Below the 64-cell two-level gate
+    that must be byte-identical to the pre-r9 path (_kmeans_centroids
+    on the probeable batch) — the persisted centroid table proves it,
+    and the DuckDB twin's unrolled-k-means replay stays valid."""
+    import numpy as np
+
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        _kmeans_centroids)
+    src = str(tmp_path / "src")
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    base = _embs(spark, sf_smoke).where(F.col("vec_id") < 100)
+    base.write.parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index,
+                           str(tmp_path / "k"))
+    got = np.array([list(r["centroid"]) for r in
+                    spark.read.parquet(index + "/centroids")
+                    .orderBy("cell").collect()])
+    want = _kmeans_centroids(
+        base.where(F.col("embedding").isNotNull()
+                   & F.forall("embedding", lambda x: x.isNotNull())),
+        8, 2)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_rebuild_semantic_index_on_drifted_corpus(spark, sf_smoke,
+                                                  tmp_path):
+    """The documented centroid-drift maintenance op: after several
+    epochs the bootstrap centroids describe only the first batch;
+    rebuild retrains on the CURRENT corpus, collapses the per-epoch
+    cell store to one partition, and later ingest epochs keep working
+    against the rebuilt index (same dedup contract)."""
+    import numpy as np
+
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        _kmeans_centroids)
+    from s3_elasticsearch_data_pipeline_spark.streaming.semantic_ingest \
+        import rebuild_semantic_index
+    src = str(tmp_path / "src")
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    ckpt = str(tmp_path / "k")
+    # epoch 0: a SKEWED bootstrap slice (low ids), epoch 1: the drift
+    first = _embs(spark, sf_smoke).where(F.col("vec_id") < 60)
+    first.write.parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    boot = np.array([list(r["centroid"]) for r in
+                     spark.read.parquet(index + "/centroids")
+                     .orderBy("cell").collect()])
+    drift = _embs(spark, sf_smoke).where(
+        (F.col("vec_id") >= 300) & (F.col("vec_id") < 420))
+    drift.write.mode("append").parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    admitted = read_corpus(spark, corpus)
+    n_admitted = admitted.count()
+    epochs_before = {r["epoch"] for r in
+                     spark.read.parquet(index + "/cells")
+                     .select("epoch").distinct().collect()}
+    assert len(epochs_before) == 2
+
+    n_rows = rebuild_semantic_index(spark, corpus, index)
+    # centroids retrained on the WHOLE admitted corpus (drifted away
+    # from the bootstrap), deterministic = the batch trainer's output
+    rebuilt = np.array([list(r["centroid"]) for r in
+                        spark.read.parquet(index + "/centroids")
+                        .orderBy("cell").collect()])
+    want = _kmeans_centroids(
+        admitted.where(F.col("embedding").isNotNull()
+                       & F.forall("embedding", lambda x: x.isNotNull()))
+        .select("vec_id", "embedding"), 8, 2)
+    np.testing.assert_array_equal(rebuilt, want)
+    assert not np.array_equal(rebuilt, boot), \
+        "a drifted corpus must move the centroids"
+    # cell store collapsed to the single rebuild epoch, row count
+    # = n_assign x usable corpus (all fixture embeddings are non-null)
+    cells = spark.read.parquet(index + "/cells")
+    assert {r["epoch"] for r in
+            cells.select("epoch").distinct().collect()} == {-1}
+    assert n_rows == cells.count() == 2 * n_admitted
+    # idempotent: re-running converges to the same state
+    again = rebuild_semantic_index(spark, corpus, index)
+    assert again == n_rows
+    # the stream keeps working against the rebuilt index: exact
+    # copies of admitted vectors are still rejected
+    dups = admitted.select(
+        (F.col("vec_id") + 900_000).alias("vec_id"), "embedding")
+    dups.write.mode("append").parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index, ckpt)
+    ids = {r["vec_id"] for r in
+           read_corpus(spark, corpus).select("vec_id").collect()}
+    assert not any(i >= 900_000 for i in ids)
+    # and the rebuilt cells survive alongside the new epoch
+    assert {r["epoch"] for r in
+            spark.read.parquet(index + "/cells")
+            .select("epoch").distinct().collect()} >= {-1}

@@ -134,4 +134,7 @@ def test_semantic_ingest_epoch_job_counts(spark, emb_writer):
     boot = _jobs_during(spark, lambda: semantic_ingest_stream(*args))
     write(1)
     steady = _jobs_during(spark, lambda: semantic_ingest_stream(*args))
-    assert (boot, steady) == (18, 22), (boot, steady)
+    # r9 (22 -> 21 steady): the shared _load_quantizer reads+collects
+    # the centroid table in ONE job where the old path paid a separate
+    # existence probe before its collect
+    assert (boot, steady) == (18, 21), (boot, steady)
