@@ -92,6 +92,7 @@ HEADLINE = (
     "agg_countmin_heavy_hitters",
     "source_orc_roundtrip",
     "corpus_training_set",
+    "corpus_training_set_v2",
     "sketch_bloom_filter",
     "timeseries_ohlc",
     "gaps_islands",
@@ -111,6 +112,7 @@ HEADLINE = (
     "dedup_incremental_semantic",
     "sim_margin_bitext",
     "sim_margin_bitext_ann",
+    "sim_margin_bitext_mine",
     "dedup_duplicate_spans",
     "sim_topk_pq",
     "text_bpe_train",

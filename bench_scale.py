@@ -32,11 +32,14 @@ SCALE_QUERIES = (
     "scd2_user_history", "outlier_zscore", "graph_pagerank_trade",
     "contamination_ngram_overlap", "text_repetition_scores",
     "corpus_training_set",
+    "corpus_training_set_v2",  # r9: + learned-domain resample stage
     "timeseries_ohlc", "timeseries_cusum", "text_bpe_merge_step",
     "sketch_bloom_filter", "gaps_islands", "session_paths",
     "market_basket_lift", "markov_transitions", "w_rolling_median",
     "stat_correlation_matrix",
-    "dedup_incremental_lsh", "sim_topk_pq", "decontamination_containment",
+    # r9: the smoke rides the PRODUCTION dedup-at-ingest variant
+    # (xxhash64 + auto bucket guard) — same split as the bench headline
+    "dedup_incremental_lsh_prod", "sim_topk_pq", "decontamination_containment",
     "ml_quality_classifier", "audio_decode_features",
     "dedup_semantic_apply",
     "video_decode_features",
@@ -49,6 +52,11 @@ SCALE_QUERIES = (
     # production shape — per-side IVF shortlists — and must scale.
     "dedup_incremental_semantic", "corpus_domain_mixture",
     "sim_margin_bitext_ann",
+    # r9: the mine-only serving shape — per-sf indexes build once in
+    # the untimed warm pass (the production build-once/mine-many
+    # amortization), the timed reps measure two ivf_probe_topk passes
+    # + the margin stage
+    "sim_margin_bitext_mine",
 )
 #: Per-family revisit thresholds derived from the MEASURED 3-point
 #: scaling curve (tools/bench_graph_curve.py, r8, clean window): both

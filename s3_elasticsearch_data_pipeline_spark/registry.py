@@ -1445,6 +1445,59 @@ def q_sim_margin_bitext_indexed(spark, sf_dir):
                                                   d + "/tgt")
 
 
+#: per-sf cache of built per-side IVF indexes for the mine-only query:
+#: the build-once/mine-many serving shape — the build happens once per
+#: process per sf (outside any timed window after the first/warm call)
+#: and every subsequent call is purely the two probe passes + margin.
+_MARGIN_IDX_CACHE: dict[str, str] = {}
+
+
+def _built_margin_indexes(spark, sf_dir: str) -> str:
+    import atexit
+    import math
+    import os as _os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as _F
+    key = _os.path.realpath(sf_dir)
+    d = _MARGIN_IDX_CACHE.get(key)
+    if d is not None:
+        return d
+    d = tempfile.mkdtemp(prefix="margin-idx-cache-")
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.where(_F.col("label") % 2 == 0).select("vec_id", "embedding")
+    b = emb.where(_F.col("label") % 2 == 1).select("vec_id", "embedding")
+    # the ANN miner's constant-occupancy auto-sizing (flat below the
+    # 64-cell gate, two-level above — the r8 fixed-cell-count trap)
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        _TARGET_CELL_OCCUPANCY as occ)
+    similarity.build_ivf_index(
+        a, d + "/src", n_cells=max(16, math.ceil(a.count() / occ)))
+    similarity.build_ivf_index(
+        b, d + "/tgt", n_cells=max(16, math.ceil(b.count() / occ)))
+    _MARGIN_IDX_CACHE[key] = d
+    return d
+
+
+@register("sim_margin_bitext_mine", _MARGIN_BITEXT_ANN_ORACLE)
+def q_sim_margin_bitext_mine(spark, sf_dir):
+    """The MINE side of the build-once/mine-many loop in isolation
+    (r9): per-side IVF indexes are built once per process per sf
+    (auto-sized like the inline ANN miner) and cached; every call is
+    then two ivf_probe_topk passes + the shared DECIMAL margin stage —
+    the steady-state serving cost a 100 TB mining deployment pays per
+    run, with the index build amortized away exactly as in
+    production. Bit-identical to the inline miner at the same
+    parameters, so it carries the same unrolled-k-means oracle; at
+    sf0.01 the auto-size lands on the oracle's 16 cells
+    (operators/similarity.py:margin_bitext_pairs_indexed)."""
+    d = _built_margin_indexes(spark, sf_dir)
+    return similarity.margin_bitext_pairs_indexed(spark, d + "/src",
+                                                  d + "/tgt")
+
+
 @register("sim_margin_bitext_ann", _MARGIN_BITEXT_ANN_ORACLE)
 def q_sim_margin_bitext_ann(spark, sf_dir):
     """Margin mining over ANN shortlists (r8) — the 100 TB shape of
@@ -5925,6 +5978,97 @@ def q_corpus_training_set(spark, sf_dir):
     return (mixed.select("doc_id", "source")
             .join(shuf, "doc_id")
             .select("doc_id", "source", "shard", "pos"))
+
+
+#: v2 oracle: the v1 spliced chain with the LEARNED-DOMAIN resampling
+#: stage (unrolled k-means + per-cell rates + LCG admission) inserted
+#: between decontamination and the split/mixture tail.
+_TRAINING_SET_V2_SQL = f"""{_kmeans_cte_sql(8)},
+assigned AS ({_KMEANS_ASSIGN_CTE.format(vecs='vecs', cents='c2',
+                                        qfilter='', take='= 1')}),
+tw(cell, t) AS (VALUES {', '.join(f'({c}, 0.125)' for c in range(8))}),
+cnt AS (SELECT cell, count(*) AS nc FROM assigned GROUP BY cell),
+ratio AS (SELECT cnt.cell, t / nc AS r FROM cnt JOIN tw USING (cell)),
+mx AS (SELECT max(r) AS m FROM ratio),
+rates AS (SELECT cell, r / m AS rate FROM ratio, mx),
+curated AS ({_CURATED_SQL}),
+dom AS (
+  SELECT c.doc_id, c.source, a.cell
+  FROM curated c
+  JOIN assigned a ON a.vec_id = c.doc_id
+  JOIN rates USING (cell)
+  WHERE ((((c.doc_id % 2147483647) * 48271 + 7) % 2147483647) % 1000)
+        / 1000.0 < rate
+    AND c.split = 'train'),
+mixed AS (
+  SELECT doc_id, source, cell,
+         ((((doc_id % 2147483647) * 48271 + 7) % 2147483647) % 1000)
+           / 1000.0 AS u,
+         CASE source WHEN 'src0' THEN 1.0 WHEN 'src1' THEN 0.5
+                     WHEN 'src2' THEN 0.25 ELSE 0.1 END AS sample_rate
+  FROM dom),
+kept AS (SELECT doc_id, source, cell FROM mixed WHERE u < sample_rate),
+sh AS (
+  SELECT doc_id, source, cell,
+         CAST((((doc_id % 2147483647) * 506952114 + 11) % 2147483647)
+              % 16 AS INTEGER) AS shard,
+         md5(CAST(doc_id AS VARCHAR)) AS order_key
+  FROM kept)
+SELECT doc_id, source, cell, shard,
+       row_number() OVER (PARTITION BY shard ORDER BY order_key, doc_id)
+         - 1 AS pos
+FROM sh
+"""
+
+
+@register("corpus_training_set_v2", _TRAINING_SET_V2_SQL)
+def q_corpus_training_set_v2(spark, sf_dir):
+    """corpus_training_set with the r8/r9 LEARNED-DOMAIN resampling
+    stage spliced in — the full DoReMi-style loop inside the one lazy
+    plan: curation (quality -> exact dedup -> decontamination) ->
+    domain_reweight on k-means cells over the embedding space
+    (uniform target, downsample-only) -> deterministic split -> train
+    slice -> weighted source mixture -> global shuffle. Output keeps
+    the learned ``cell`` so the training-set writer can audit the
+    achieved composition. Note: the domain and mixture stages share
+    the doc_id LCG (admissions are correlated, pass-both iff
+    u < min(rates)) — deterministic and replayed identically by the
+    spliced oracle; a production run that wants independent stages
+    salts one stream (operators/ml.py:domain_reweight)."""
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = text.quality_filter(docs)
+    kept_docs = docs.join(kept.select("doc_id"), "doc_id", "left_semi")
+    surv = (kept_docs.select(F.md5("text").alias("h"), "doc_id")
+            .groupBy("h").agg(F.min("doc_id").alias("doc_id"))
+            .select("doc_id"))
+    contaminated = text.contamination_overlap(docs).select("doc_id")
+    # Materialize the curated slice ONCE (lazy local checkpoint, the
+    # contamination_overlap discipline): the domain stage, the split,
+    # and the final cell join all consume `clean`, and Catalyst does
+    # not CSE subtrees across joins — without this each consumer
+    # re-executes the whole quality/dedup/decontamination chain
+    # (12 replications measured in the r9 flip audit; at 100 TB each
+    # is a full corpus scan). The checkpoint is the narrow
+    # (doc_id, lang, source) survivor set.
+    clean = (kept.select("doc_id", "lang", "source")
+             .where(F.col("source") != "src0")
+             .join(surv, "doc_id", "left_semi")
+             .join(contaminated, "doc_id", "left_anti")
+             .localCheckpoint(eager=False))
+    dom = ml.domain_reweight(clean, emb, {c: 0.125 for c in range(8)})
+    domained = clean.join(dom.select("doc_id", "cell"), "doc_id")
+    split = text.dataset_split(domained).select("doc_id", "split")
+    train = (domained.join(split, "doc_id")
+             .where(F.col("split") == "train")
+             .localCheckpoint(eager=False))
+    mixed = text.dataset_mixture(train.select("doc_id", "source"))
+    shuf = text.dataset_shuffle(mixed.select("doc_id"))
+    return (mixed.select("doc_id", "source")
+            .join(train.select("doc_id", "cell"), "doc_id")
+            .join(shuf, "doc_id")
+            .select("doc_id", "source", "cell", "shard", "pos"))
 
 
 @register("w_time_range_average", """

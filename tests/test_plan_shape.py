@@ -580,6 +580,9 @@ def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
         "corpus_curation_pipeline": 2,
         "contamination_ngram_overlap": 1,
         "multimodal_curation": 0,
+        # r9: the production dedup-at-ingest's per-side hot-bucket
+        # cap lists (explicit F.broadcast(hot), tiny by construction)
+        "dedup_incremental_lsh_prod": 2,
     }
     keys = ("spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -607,10 +610,18 @@ def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
                 (name, len(hits), "a corpus-derived build side kept "
                  "its broadcast under a 1KB threshold — its stats do "
                  "not grow with the data (r5 OOM class)")
-            for sub in hits:  # survivors must all be eval-gram joins
-                assert any(re.search(r"HashAggregate\(keys=\[gram#",
-                                     s2) for s2 in sub), \
-                    (name, "non-eval-gram broadcast survived 1KB")
+            # survivors must be the known fixed-small explicit
+            # broadcasts: eval-gram tables, or (lsh prod) the
+            # over-cap hot-bucket key lists
+            if name == "dedup_incremental_lsh_prod":
+                pat = r"HashAggregate\(keys=\[band#\d+, bucket#"
+                msg = "non-hot-bucket broadcast survived 1KB"
+            else:
+                pat = r"HashAggregate\(keys=\[gram#"
+                msg = "non-eval-gram broadcast survived 1KB"
+            for sub in hits:
+                assert any(re.search(pat, s2) for s2 in sub), \
+                    (name, msg)
     finally:
         for k, v in prior.items():
             if v is None:

@@ -97,6 +97,17 @@ FLIP_SURVIVORS = {
     "corpus_curation_pipeline": 2,
     "contamination_ngram_overlap": 1,
     "multimodal_curation": 0,
+    # r9: the production dedup-at-ingest exposes the shared hot-bucket
+    # guard (dedup.drop_hot_buckets) to the audit — one explicit
+    # F.broadcast(hot) per side (index + batch). The HOT list is the
+    # over-cap (band, bucket) keys only: ≤ rows/cap entries of two
+    # ints in the adversarial worst case, and in organic corpora a
+    # handful of boilerplate buckets — the broadcast is the point
+    # (anti-join the cap list map-side, never shuffle the band rows
+    # for it). corpus_training_set_v2 is absent by design: its r9
+    # localCheckpoints collapse the curation subtree to one execution
+    # and the flip audit flags nothing.
+    "dedup_incremental_lsh_prod": 2,
 }
 
 _FLIP_KEYS = ("spark.sql.autoBroadcastJoinThreshold",
