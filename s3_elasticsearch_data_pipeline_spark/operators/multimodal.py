@@ -1115,6 +1115,39 @@ def attach_jpeg_payload(documents: DataFrame) -> DataFrame:
             .mapInPandas(run, PAYLOAD_SCHEMA))
 
 
+def attach_jpeg420_payload(documents: DataFrame) -> DataFrame:
+    """4:2:0-subsampled JPEG fixture frame: ONE deterministic color
+    per document (``(doc_id*3, doc_id*5, doc_id*7) % 256``), encoded
+    with ``subsampling="420"`` — a whole-image-constant raster keeps
+    every Y block AND every box-downsampled chroma block constant, so
+    even the subsampled lossy roundtrip (interleaved 4-Y MCUs, chroma
+    box mean, upsample) is exactly the DC closed form. A feature
+    query over these drives the decoder's MCU-interleave + upsample
+    path under the same bit-exact oracle discipline as
+    :func:`attach_jpeg_payload`'s 4:4:4 fixtures."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                did = int(doc_id)
+                w, h = _gen_dims(did)
+                px = bytes(((did * 3) % 256, (did * 5) % 256,
+                            (did * 7) % 256)) * (w * h)
+                payloads.append(encode_jpeg(w, h, px,
+                                            subsampling="420"))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "image/jpeg",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads]})
+
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
+    return (parallelize_for_compute(documents.select("doc_id"))
+            .mapInPandas(run, PAYLOAD_SCHEMA))
+
+
 def attach_png_payload(documents: DataFrame) -> DataFrame:
     """PNG fixture frame: the SAME deterministic generative pixels as
     :func:`attach_image_payload`, but compressed through the real PNG

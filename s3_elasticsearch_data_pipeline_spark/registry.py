@@ -1820,6 +1820,65 @@ def q_image_decode_jpeg(spark, sf_dir):
                                 multimodal.attach_jpeg_payload)
 
 
+#: Symbolic twin of the 4:2:0 decode: ONE color per doc, so the whole
+#: chain collapses to the per-doc DC closed form; the mean divides the
+#: SAME two integers Spark divides (w·h·(r'+g'+b') over w·h·3) so the
+#: doubles are bit-identical.
+_JPEG420_FEATURES_ORACLE = """
+WITH dims AS (
+  SELECT doc_id, 8 + doc_id % 9 AS w, 6 + doc_id % 7 AS h,
+         CAST((doc_id * 3) % 256 AS DOUBLE) AS r,
+         CAST((doc_id * 5) % 256 AS DOUBLE) AS g,
+         CAST((doc_id * 7) % 256 AS DOUBLE) AS b
+  FROM documents),
+planes AS (
+  SELECT doc_id, w, h,
+         LEAST(255.0, GREATEST(0.0,
+           2 * floor(8.0 * ((0.299 * r + 0.587 * g + 0.114 * b)
+                            - 128.0) / 16.0 + 0.5) + 128)) AS yp,
+         LEAST(255.0, GREATEST(0.0,
+           2 * floor(8.0 * ((128.0 - 0.168736 * r - 0.331264 * g
+                             + 0.5 * b) - 128.0) / 16.0 + 0.5)
+           + 128)) AS cbp,
+         LEAST(255.0, GREATEST(0.0,
+           2 * floor(8.0 * ((128.0 + 0.5 * r - 0.418688 * g
+                             - 0.081312 * b) - 128.0) / 16.0 + 0.5)
+           + 128)) AS crp
+  FROM dims),
+rgb AS (
+  SELECT doc_id, w, h,
+         LEAST(255.0, GREATEST(0.0,
+           floor(yp + 1.402 * (crp - 128.0) + 0.5))) AS rr,
+         LEAST(255.0, GREATEST(0.0,
+           floor(yp - 0.344136 * (cbp - 128.0)
+                 - 0.714136 * (crp - 128.0) + 0.5))) AS gg,
+         LEAST(255.0, GREATEST(0.0,
+           floor(yp + 1.772 * (cbp - 128.0) + 0.5))) AS bb
+  FROM planes)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       3 AS channels,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       floor(CAST(w * h * CAST(rr + gg + bb AS BIGINT) AS DOUBLE)
+             / (w * h * 3) * 1000000.0 + 0.5) / 1000000.0
+         AS mean_intensity
+FROM rgb
+"""
+
+
+@register("image_decode_jpeg420", _JPEG420_FEATURES_ORACLE)
+def q_image_decode_jpeg420(spark, sf_dir):
+    """4:2:0-subsampled JPEG decode end-to-end (r9): whole-image-
+    constant fixtures keep even the box-downsampled chroma blocks
+    constant, so the interleaved-MCU + chroma-upsample decode path —
+    the layout virtually every camera/web encoder emits — is
+    hash-checked against the same DC closed form as the 4:4:4 query
+    (operators/multimodal.py:_decode_jpeg, attach_jpeg420_payload)."""
+    return _image_feature_query(spark, sf_dir,
+                                multimodal.attach_jpeg420_payload)
+
+
 @register("image_decode_png", _IMAGE_FEATURES_ORACLE)
 def q_image_decode_png(spark, sf_dir):
     """REAL compressed-image decode end-to-end: the same generative

@@ -317,6 +317,13 @@ _PYTHON_ALLOWED = {
     "corpus_domain_reweight",      # same Arrow cell-assignment kernel
                                    # (r8 apply side); the admission
                                    # itself is a pure JVM projection
+    "corpus_domain_reweight_up",   # same kernel (r9 resample mode);
+                                   # replication + fractional gate are
+                                   # pure JVM explode/projection
+    "corpus_training_set_v2",      # r9: composes the domain stage
+                                   # above into the curation pipeline
+    "image_decode_jpeg",           # mapInPandas REAL JPEG codec (r9)
+    "image_decode_jpeg420",        # same, 4:2:0 subsampled fixtures
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
