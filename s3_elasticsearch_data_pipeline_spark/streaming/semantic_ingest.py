@@ -208,9 +208,16 @@ def rebuild_semantic_index(spark: SparkSession, corpus_path: str,
     Crash contract: idempotent, not transactional — the trainer and
     assignment are deterministic functions of the admitted corpus, so
     re-running after a crash at ANY point converges to the same final
-    state. Must not run concurrently with the ingest stream (same
-    rule as ``maintenance.compact_partitions``). Returns the number of
-    cell rows written."""
+    state. The centroid table is the COMMIT MARKER (same discipline
+    as ``_write_centroid_tables``): it is deleted BEFORE the cell
+    store is swapped and rewritten LAST, so no reader can ever see
+    old centroids routing into new cells (the mixed-generation state
+    that silently mis-probes); every crash window reads as UNTRAINED
+    instead, and the documented recovery is re-running this op. Must
+    not run concurrently with the ingest stream (same rule as
+    ``maintenance.compact_partitions`` — an ingest racing a crashed
+    rebuild would re-bootstrap on its own batch). Returns the number
+    of cell rows written."""
     import shutil
 
     corpus = read_corpus(spark, corpus_path)
@@ -228,15 +235,19 @@ def rebuild_semantic_index(spark: SparkSession, corpus_path: str,
     assigned = (probe_src.select("vec_id", "embedding")
                 .mapInPandas(_fixed_centroid_assign_fn(q, n_assign),
                              _CELL_SCHEMA))
-    # rewrite the whole cell store as one epoch, then commit the new
-    # centroids LAST (readers treat missing/stale centroids states as
-    # re-runnable; a half-written rebuild is healed by re-running)
+    # stage the new cell store, then: delete the commit marker ->
+    # swap cells -> write the marker last. Every crash window reads
+    # UNTRAINED (centroids absent), never old-centroids-over-new-cells.
     cells_dir = os.path.join(index_path, "cells")
     tmp_dir = os.path.join(index_path, "cells.rebuild")
+    shutil.rmtree(tmp_dir, ignore_errors=True)
     assigned.write.mode("overwrite").parquet(
         os.path.join(tmp_dir, "epoch=-1"))
     n_rows = spark.read.option("basePath", tmp_dir).parquet(tmp_dir).count()
+    shutil.rmtree(os.path.join(index_path, "centroids"),
+                  ignore_errors=True)                 # commit marker off
+    shutil.rmtree(os.path.join(index_path, "supers"), ignore_errors=True)
     shutil.rmtree(cells_dir, ignore_errors=True)
     os.replace(tmp_dir, cells_dir)
-    _write_centroid_tables(spark, index_path, q)
+    _write_centroid_tables(spark, index_path, q)      # commit marker on
     return n_rows

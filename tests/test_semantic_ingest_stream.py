@@ -244,3 +244,41 @@ def test_rebuild_semantic_index_on_drifted_corpus(spark, sf_smoke,
     assert {r["epoch"] for r in
             spark.read.parquet(index + "/cells")
             .select("epoch").distinct().collect()} >= {-1}
+
+
+def test_rebuild_crash_window_reads_untrained_and_heals(spark, sf_smoke,
+                                                        tmp_path):
+    """The rebuild's commit-marker discipline: simulate a crash AFTER
+    the cell-store swap but BEFORE the centroid write (the torn
+    window) — the index must read as untrained (never old centroids
+    over new cells), and re-running the rebuild must converge to the
+    same final state as an uncrashed run."""
+    import os as _os
+    import shutil
+
+    from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
+        _load_quantizer)
+    from s3_elasticsearch_data_pipeline_spark.streaming.semantic_ingest \
+        import rebuild_semantic_index
+    src = str(tmp_path / "src")
+    corpus, index = str(tmp_path / "c"), str(tmp_path / "i")
+    _embs(spark, sf_smoke).where(F.col("vec_id") < 150).write.parquet(src)
+    semantic_ingest_stream(spark, src, corpus, index,
+                           str(tmp_path / "k"))
+    # uncrashed rebuild = the reference final state
+    n_ref = rebuild_semantic_index(spark, corpus, index)
+    ref_cents = sorted(map(tuple, (
+        (r["cell"], tuple(r["centroid"])) for r in
+        spark.read.parquet(index + "/centroids").collect())))
+    # simulate the torn window: marker off + cells already swapped
+    shutil.rmtree(index + "/centroids")
+    assert _load_quantizer(spark, index) is None, \
+        "torn rebuild window must read as untrained"
+    # heal by re-running (the documented recovery)
+    n2 = rebuild_semantic_index(spark, corpus, index)
+    assert n2 == n_ref
+    got_cents = sorted(map(tuple, (
+        (r["cell"], tuple(r["centroid"])) for r in
+        spark.read.parquet(index + "/centroids").collect())))
+    assert got_cents == ref_cents
+    assert not _os.path.exists(index + "/cells.rebuild")
