@@ -299,6 +299,9 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     be domain-assigned and are excluded, like the report."""
     from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
         _cell_assign_fn, _kmeans_centroids)
+    if mode not in ("downsample", "resample"):  # before any Spark job
+        raise ValueError("domain_reweight: unknown mode %r "
+                         "(downsample|resample)" % (mode,))
     spark = documents.sparkSession
     embeddings = embeddings.where(
         F.col("embedding").isNotNull()
@@ -323,9 +326,6 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     if mode == "resample":
         return _resample_by_cell(assigned, documents, counts,
                                  target_weights, out_schema)
-    if mode != "downsample":
-        raise ValueError("domain_reweight: unknown mode %r "
-                         "(downsample|resample)" % (mode,))
     # fixed-order double arithmetic (one division each, then a max,
     # then one division) — replayed identically by the SQL twin
     ratios = {c: float(target_weights.get(c, 0.0)) / n
@@ -367,12 +367,32 @@ def _resample_by_cell(assigned: DataFrame, documents: DataFrame,
     import math
     spark = documents.sparkSession
     n_total = sum(counts.values())
-    tsum = sum(float(target_weights.get(c, 0.0)) for c in counts)
-    if tsum <= 0:
+    # tsum must be ORDER-INDEPENDENT and bit-identical to the SQL
+    # twin's sum: float summation order follows the nondeterministic
+    # collect order here and the engine's aggregation order there (a
+    # 1-ulp difference flips floor()/admission at exact boundaries).
+    # Contract: targets are read at nanoweight (1e-9) resolution, so
+    # the normalizer is an EXACT integer sum — any order, any engine
+    # (the DuckDB twin sums DECIMAL literals, also exact).
+    tsum_int = sum(int(math.floor(
+        float(target_weights.get(c, 0.0)) * 1e9 + 0.5)) for c in counts)
+    if tsum_int <= 0:
         return spark.createDataFrame([], out_schema)
+    tsum = tsum_int / 1e9
     f = {c: float(target_weights.get(c, 0.0)) / tsum * n_total / n
          for c, n in counts.items()}
     floors = {c: int(math.floor(v)) for c, v in f.items()}
+    # physical-replication sanity cap (also the SQL twin's replica
+    # fan-out bound — NO silent truncation: exceeding it errors here
+    # first): a >=4096x repeat factor means the target asks a
+    # vanishingly rare domain to dominate the corpus — almost
+    # certainly a mis-specified target, and a 4096x data blow-up is
+    # not something to do silently.
+    worst = max(floors.values(), default=0)
+    if worst >= 4096:
+        raise ValueError(
+            "domain_reweight(resample): repeat factor %d exceeds the "
+            "4096x replication cap — check target_weights" % worst)
     k_col, frac_col, f_col = F.lit(0), F.lit(0.0), F.lit(0.0)
     for c in sorted(f):
         k_col = F.when(F.col("cell") == c,

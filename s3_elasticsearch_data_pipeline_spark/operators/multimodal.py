@@ -513,10 +513,15 @@ def _jpeg_canonical_codes(bits, vals) -> dict:
 
 
 #: flat huffman lookup cache keyed by the (BITS, HUFFVAL) content —
-#: one 65536-entry table per distinct DHT (a corpus shares a handful
-#: of tables; the Annex-K pair covers most encoders), so the per-image
-#: decode cost is one peek + one list index per symbol.
+#: one 65536-entry table per distinct DHT, so the per-image decode
+#: cost is one peek + one list index per symbol. BOUNDED: spec-table
+#: (Annex K) encoders share a handful of entries, but optimize_coding
+#: encoders (mozjpeg, libjpeg -optimize — most web pipelines) emit
+#: PER-IMAGE tables, and an unbounded dict on a long-lived executor
+#: would grow ~0.5 MB per unique table until OOM. FIFO eviction at 64
+#: keeps the spec-table hot path cached and the worst case ~32 MB.
 _JPEG_TREE_CACHE: dict = {}
+_JPEG_TREE_CACHE_MAX = 64
 
 
 def _jpeg_decode_tree(bits, vals) -> list:
@@ -536,6 +541,8 @@ def _jpeg_decode_tree(bits, vals) -> list:
             code += 1
             k += 1
         code <<= 1
+    if len(_JPEG_TREE_CACHE) >= _JPEG_TREE_CACHE_MAX:
+        _JPEG_TREE_CACHE.pop(next(iter(_JPEG_TREE_CACHE)))
     _JPEG_TREE_CACHE[key] = table
     return table
 

@@ -377,6 +377,20 @@ def _two_level_nearest_cells(emb, super_cents, subs, offsets,
     return np.take_along_axis(cand_cells, pick, axis=1)
 
 
+def auto_n_cells(n_vectors: int) -> int:
+    """Constant-target-occupancy IVF sizing — THE sizing rule for
+    every auto-sized index build (the inline ANN miner, the mine-only
+    registry surface): ``max(16, ceil(n / occupancy))``. One shared
+    definition so a change to the rule cannot desync the surfaces
+    that claim bit-identity with each other (the r8 fixed-cell-count
+    trap measured 7.3× at 10×; this rule measured 1.17×)."""
+    import math
+
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        _TARGET_CELL_OCCUPANCY)
+    return max(16, math.ceil(n_vectors / _TARGET_CELL_OCCUPANCY))
+
+
 def _q_nearest_cells(q: _Quantizer, emb, n_take: int):
     """Quantizer-dispatching nearest-cells: the flat kernel
     (:func:`_nearest_cells` — never padded) below the two-level gate,
@@ -387,11 +401,15 @@ def _q_nearest_cells(q: _Quantizer, emb, n_take: int):
                                     q.offsets, n_take)
 
 
-def _quantizer_cells_fn(q: _Quantizer, n_take: int):
-    """Arrow-batched (vec_id, cell) assignment against a quantizer —
-    the dispatching twin of :func:`_cell_assign_fn` (bit-identical to
-    it on flat quantizers); -1 padding rows from a tiny two-level
-    quantizer are dropped."""
+def _quantizer_cells_fn(q: _Quantizer, n_take: int,
+                        carry_vec: bool = False):
+    """Arrow-batched (vec_id, cell[, vec]) assignment against a
+    quantizer — the dispatching twin of :func:`_cell_assign_fn`
+    (bit-identical to it on flat quantizers); -1 padding rows from a
+    tiny two-level quantizer are dropped. ``carry_vec=True`` also
+    emits the embedding per assignment row — the cell-store shape the
+    streaming semantic ingest persists (ONE definition of the
+    padding-drop contract for every assignment site)."""
     import numpy as np
 
     def run(batches):
@@ -405,7 +423,10 @@ def _quantizer_cells_fn(q: _Quantizer, n_take: int):
             ids = pdf["vec_id"].to_numpy().repeat(take)
             cells = order.reshape(-1)
             ok = cells >= 0
-            yield pd.DataFrame({"vec_id": ids[ok], "cell": cells[ok]})
+            out = {"vec_id": ids[ok], "cell": cells[ok]}
+            if carry_vec:
+                out["vec"] = list(np.repeat(emb, take, axis=0)[ok])
+            yield pd.DataFrame(out)
     return run
 
 
@@ -1041,10 +1062,8 @@ def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
     a = emb.where(F.col(side_col) % 2 == 0).select("vec_id", "embedding")
     b = emb.where(F.col(side_col) % 2 == 1).select("vec_id", "embedding")
     if n_cells is None:
-        from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
-            _TARGET_CELL_OCCUPANCY)
-        cells_a = max(16, math.ceil(a.count() / _TARGET_CELL_OCCUPANCY))
-        cells_b = max(16, math.ceil(b.count() / _TARGET_CELL_OCCUPANCY))
+        cells_a = auto_n_cells(a.count())
+        cells_b = auto_n_cells(b.count())
     else:
         cells_a = cells_b = n_cells
     # NO checkpoint on the shortlists even though each feeds both its

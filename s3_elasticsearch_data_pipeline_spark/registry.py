@@ -1342,9 +1342,14 @@ assigned AS ({_KMEANS_ASSIGN_CTE.format(vecs='vecs', cents='c2',
 tw(cell, t) AS (VALUES (0, 0.3),
                 {', '.join(f'({c}, 0.1)' for c in range(1, 8))}),
 cnt AS (SELECT cell, count(*) AS nc FROM assigned GROUP BY cell),
-tot AS (SELECT sum(nc) AS n, sum(t) AS tsum
+-- tsum: exact DECIMAL sum (order-independent), mirroring the
+-- operator's exact nanoweight-integer normalizer; every other op in
+-- f is the same fixed-order DOUBLE chain the operator runs
+tot AS (SELECT sum(nc) AS n,
+               sum(CAST(t AS DECIMAL(18,9))) AS tsum
         FROM cnt JOIN tw USING (cell)),
-fac AS (SELECT cell, t / tsum * n / nc AS f
+fac AS (SELECT cell,
+               CAST(t AS DOUBLE) / CAST(tsum AS DOUBLE) * n / nc AS f
         FROM cnt JOIN tw USING (cell), tot),
 rep AS (SELECT cell, f, CAST(floor(f) AS INT) AS k,
                f - floor(f) AS frac FROM fac)
@@ -1353,7 +1358,9 @@ SELECT d.doc_id, a.cell, CAST(r.replica AS INT) AS replica,
 FROM assigned a
 JOIN documents d ON d.doc_id = a.vec_id
 JOIN rep USING (cell)
-JOIN (SELECT unnest(range(0, 64)) AS replica) r ON r.replica <= k
+-- 4096 = the operator's hard replication cap (it ERRORS above it,
+-- so this fan-out bound can never silently truncate)
+JOIN (SELECT unnest(range(0, 4096)) AS replica) r ON r.replica <= k
 WHERE r.replica < k
    OR ((((d.doc_id % 2147483647) * 48271 + 7 + r.replica * 131071)
         % 2147483647) % 1000) / 1000.0 < frac
@@ -1454,7 +1461,6 @@ _MARGIN_IDX_CACHE: dict[str, str] = {}
 
 def _built_margin_indexes(spark, sf_dir: str) -> str:
     import atexit
-    import math
     import os as _os
     import shutil
     import tempfile
@@ -1469,14 +1475,13 @@ def _built_margin_indexes(spark, sf_dir: str) -> str:
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.where(_F.col("label") % 2 == 0).select("vec_id", "embedding")
     b = emb.where(_F.col("label") % 2 == 1).select("vec_id", "embedding")
-    # the ANN miner's constant-occupancy auto-sizing (flat below the
-    # 64-cell gate, two-level above — the r8 fixed-cell-count trap)
-    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
-        _TARGET_CELL_OCCUPANCY as occ)
-    similarity.build_ivf_index(
-        a, d + "/src", n_cells=max(16, math.ceil(a.count() / occ)))
-    similarity.build_ivf_index(
-        b, d + "/tgt", n_cells=max(16, math.ceil(b.count() / occ)))
+    # the ONE shared constant-occupancy sizing rule (flat below the
+    # 64-cell gate, two-level above) — bit-identity with the inline
+    # ANN miner depends on sizing identically
+    similarity.build_ivf_index(a, d + "/src",
+                               n_cells=similarity.auto_n_cells(a.count()))
+    similarity.build_ivf_index(b, d + "/tgt",
+                               n_cells=similarity.auto_n_cells(b.count()))
     _MARGIN_IDX_CACHE[key] = d
     return d
 

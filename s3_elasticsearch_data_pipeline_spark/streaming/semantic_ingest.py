@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
     _PAIR_SCHEMA, _blocked_cross_kernel, _blocked_pair_kernel)
 from s3_elasticsearch_data_pipeline_spark.operators.similarity import (
-    _load_quantizer, _q_nearest_cells, _train_quantizer,
+    _load_quantizer, _quantizer_cells_fn, _train_quantizer,
     _write_centroid_tables)
 from s3_elasticsearch_data_pipeline_spark.streaming.lsh_ingest import (
     _read_optional_parquet)
@@ -51,34 +51,13 @@ _CELL_SCHEMA = "vec_id long, cell int, vec array<double>"
 
 def _fixed_centroid_assign_fn(quantizer, n_assign: int):
     """(vec_id, cell, vec) multi-assignment against a FIXED persisted
-    quantizer — the streaming counterpart of
-    ``dedup._blocking_assign_fn`` (which trains); routed through the
-    shared quantizer-dispatching kernel (``_q_nearest_cells``) so
-    ingest assignment stays in lockstep with the batch operators on
-    BOTH sides of the two-level gate (flat below 64 cells, two-stage
-    probe above; -1 padding rows from a tiny two-level quantizer are
-    dropped, like the IVF ingest)."""
-    import numpy as np
-
-    def run(batches):
-        import pandas as pd
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            emb = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            order = _q_nearest_cells(quantizer, emb, n_assign)
-            take = order.shape[1]
-            ids = pdf["vec_id"].to_numpy().repeat(take)
-            cells = order.reshape(-1)
-            vecs = np.repeat(emb, take, axis=0)
-            ok = cells >= 0
-            yield pd.DataFrame({
-                "vec_id": ids[ok],
-                "cell": cells[ok],
-                "vec": list(vecs[ok]),
-            })
-
-    return run
+    quantizer: the SHARED dispatching kernel
+    (``similarity._quantizer_cells_fn`` — flat below 64 cells,
+    two-stage probe above, -1 padding rows dropped) with the vec
+    column carried for the cell store. One definition of the
+    assignment/padding contract for every site, so ingest assignment
+    cannot drift off the batch operators."""
+    return _quantizer_cells_fn(quantizer, n_assign, carry_vec=True)
 
 
 def semantic_ingest_stream(spark: SparkSession, source_path: str,
@@ -133,6 +112,21 @@ def semantic_ingest_stream(spark: SparkSession, source_path: str,
             return
         q = _load_quantizer(sess, index_path)
         if q is None:
+            # The ingest always writes centroids BEFORE any cells and
+            # never deletes them; only a crashed rebuild_semantic_index
+            # (which deletes the commit marker first) can leave a cell
+            # store with no centroid table. Bootstrapping over that
+            # state would silently commit a mixed-generation index —
+            # this batch's centroids probing cells assigned under the
+            # rebuild's never-committed quantizer, missing near-dups
+            # forever — so refuse and demand the documented recovery.
+            cells_dir = os.path.join(index_path, "cells")
+            if os.path.isdir(cells_dir) and os.listdir(cells_dir):
+                raise ValueError(
+                    "semantic index at %r has a cell store but no "
+                    "centroid table — a rebuild_semantic_index crashed "
+                    "mid-commit; re-run the rebuild before ingesting"
+                    % (index_path,))
             # bootstrap: train on this batch through the SHARED
             # quantizer trainer (deterministic k-means below the
             # 64-cell two-level gate — a replayed epoch rewrites

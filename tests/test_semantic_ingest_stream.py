@@ -274,6 +274,15 @@ def test_rebuild_crash_window_reads_untrained_and_heals(spark, sf_smoke,
     shutil.rmtree(index + "/centroids")
     assert _load_quantizer(spark, index) is None, \
         "torn rebuild window must read as untrained"
+    # an ingest racing the crashed rebuild must REFUSE to bootstrap
+    # (bootstrapping would commit a mixed-generation index)
+    import pytest
+    _embs(spark, sf_smoke).where(
+        (F.col("vec_id") >= 200) & (F.col("vec_id") < 220)) \
+        .write.mode("append").parquet(src)
+    with pytest.raises(Exception, match="rebuild_semantic_index"):
+        semantic_ingest_stream(spark, src, corpus, index,
+                               str(tmp_path / "k"))
     # heal by re-running (the documented recovery)
     n2 = rebuild_semantic_index(spark, corpus, index)
     assert n2 == n_ref

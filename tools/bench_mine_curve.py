@@ -23,7 +23,6 @@ matching the build-once/mine-many contract):
 from __future__ import annotations
 
 import json
-import math
 import shutil
 import sys
 import tempfile
@@ -37,8 +36,6 @@ from pyspark.sql import functions as F  # noqa: E402
 from bench_scale import BASE, _drain, replicate  # noqa: E402
 from s3_elasticsearch_data_pipeline_spark.operators import (  # noqa: E402
     similarity as sim)
-from s3_elasticsearch_data_pipeline_spark.operators.dedup import (  # noqa: E402
-    _TARGET_CELL_OCCUPANCY)
 from s3_elasticsearch_data_pipeline_spark.session import (  # noqa: E402
     get_spark)
 from tools.bench_graph_curve import _fit_exponent  # noqa: E402
@@ -52,12 +49,10 @@ def build_indexes(spark, sf_dir: str, out: str) -> None:
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     a = emb.where(F.col("label") % 2 == 0).select("vec_id", "embedding")
     b = emb.where(F.col("label") % 2 == 1).select("vec_id", "embedding")
-    sim.build_ivf_index(
-        a, out + "/src",
-        n_cells=max(16, math.ceil(a.count() / _TARGET_CELL_OCCUPANCY)))
-    sim.build_ivf_index(
-        b, out + "/tgt",
-        n_cells=max(16, math.ceil(b.count() / _TARGET_CELL_OCCUPANCY)))
+    sim.build_ivf_index(a, out + "/src",
+                        n_cells=sim.auto_n_cells(a.count()))
+    sim.build_ivf_index(b, out + "/tgt",
+                        n_cells=sim.auto_n_cells(b.count()))
 
 
 def scored_pairs(spark, idx: str) -> int:
