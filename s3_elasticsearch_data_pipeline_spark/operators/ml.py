@@ -272,9 +272,14 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
 
     ``mode="resample"`` (r9) additionally UP-weights: per-cell repeat
     factor ``f_c = (t_c / Σt) * N / n_c`` (N = assignable corpus
-    size; Σt over PRESENT cells) so achieved shares hit the targets
-    while total output size stays ≈ N — the common DoReMi/Pile case
-    where a rare domain's target share exceeds its current share.
+    size; Σt over PRESENT cells, computed as an EXACT nanoweight
+    integer sum — targets are read at 1e-9 resolution — so the
+    normalizer is independent of summation order on any engine) so
+    achieved shares hit the targets while total output size stays
+    ≈ N — the common DoReMi/Pile case where a rare domain's target
+    share exceeds its current share. Repeat factors are capped at
+    4096× (a loud error, mirrored by the oracle's fan-out bound —
+    nothing truncates silently).
     Replication is deterministic: ``floor(f_c)`` full copies per doc
     (exploded via a per-row integer sequence — no sampling), plus one
     extra copy admitted by the same LCG hash keyed on (doc_id,

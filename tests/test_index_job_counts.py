@@ -195,5 +195,9 @@ def test_indexed_margin_mine_job_counts_pinned(spark, emb, tmp_path):
     # 2 x ivf_probe_topk (params load + pruned scan/rerank jobs,
     # 10 each per the ivf_probe pin above; the probe queries here are
     # read from the OTHER index's cell store, adding its scan jobs) +
-    # the final margin collect; measured r9
-    assert got == 27, got
+    # the final margin collect; measured r9. One AQE stage
+    # materialization job comes and goes across sessions (27 vs 28,
+    # reproduced with a settled listener) — the band still fails
+    # loudly on a real regression (a stray per-call probe or rebuild
+    # adds ~10 jobs).
+    assert got in (27, 28), got

@@ -253,3 +253,50 @@ def test_domain_reweight_up_targets_rarest_cell(spark, sf_oracle):
             for c in rates}
     assert n_of[0] == min(n_of.values()), n_of
     assert sum(n_of.values()) == 500, n_of
+
+
+def test_domain_reweight_resample_normalizer_order_independent(spark):
+    """The resample normalizer must not depend on the order the
+    per-cell counts arrive from collect(): permuting the counts dict
+    (insertion order follows nondeterministic partition order in
+    production) must produce the identical output frame. Guards the
+    exact-nanoweight tsum contract — a float sum here differed by
+    1 ulp across orders, enough to flip floor()/admission at exact
+    hash boundaries."""
+    from s3_elasticsearch_data_pipeline_spark.operators.ml import (
+        _resample_by_cell)
+    docs, emb = _clustered_corpus(spark, (300, 200, 100))
+    # hand-build the 'assigned' frame deterministically: cell by size
+    rows = ([(i, 0) for i in range(300)]
+            + [(i, 1) for i in range(300, 500)]
+            + [(i, 2) for i in range(500, 600)])
+    assigned = spark.createDataFrame(
+        [(v, c) for v, c in rows], "vec_id long, cell int")
+    target = {0: 0.3, 1: 0.1, 2: 0.1}
+    schema = "doc_id long, cell int, replica int, sample_rate double"
+    out = {}
+    for order in ((0, 1, 2), (2, 1, 0), (1, 2, 0)):
+        counts = {c: {0: 300, 1: 200, 2: 100}[c] for c in order}
+        res = _resample_by_cell(assigned, docs, counts, target, schema)
+        out[order] = sorted((r["doc_id"], r["cell"], r["replica"],
+                             r["sample_rate"]) for r in res.collect())
+    vals = list(out.values())
+    assert vals[0] == vals[1] == vals[2]
+    assert vals[0], "resample produced no rows"
+
+
+def test_domain_reweight_resample_replication_cap(spark):
+    """A pathological target (one rare cell asked to dominate) must
+    error loudly at the 4096x cap, never silently truncate."""
+    from s3_elasticsearch_data_pipeline_spark.operators.ml import (
+        _resample_by_cell)
+    docs, _ = _clustered_corpus(spark, (5000, 1))
+    assigned = spark.createDataFrame(
+        [(i, 0) for i in range(5000)] + [(5000, 1)],
+        "vec_id long, cell int")
+    counts = {0: 5000, 1: 1}
+    schema = "doc_id long, cell int, replica int, sample_rate double"
+    import pytest
+    with pytest.raises(ValueError, match="replication cap"):
+        _resample_by_cell(assigned, docs, counts, {0: 0.01, 1: 0.99},
+                          schema)
