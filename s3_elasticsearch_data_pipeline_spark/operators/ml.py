@@ -307,6 +307,14 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     if mode not in ("downsample", "resample"):  # before any Spark job
         raise ValueError("domain_reweight: unknown mode %r "
                          "(downsample|resample)" % (mode,))
+    # A negative target is always a caller bug, and the two modes
+    # would disagree on it: downsample's `u < negative` never admits,
+    # but resample's floor(f)<0 makes F.sequence DESCEND (step -1),
+    # emitting replicas 0,-1,... for a cell that should be dropped.
+    bad = {c: w for c, w in target_weights.items() if float(w) < 0.0}
+    if bad:
+        raise ValueError(
+            "domain_reweight: negative target weight(s) %r" % (bad,))
     spark = documents.sparkSession
     embeddings = embeddings.where(
         F.col("embedding").isNotNull()

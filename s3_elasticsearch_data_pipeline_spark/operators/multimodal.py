@@ -505,6 +505,8 @@ def _jpeg_canonical_codes(bits, vals) -> dict:
     codes, code, k = {}, 0, 0
     for length in range(1, 17):
         for _ in range(bits[length - 1]):
+            if code >= (1 << length):
+                raise ValueError("JPEG over-full huffman table")
             codes[vals[k]] = (code, length)
             code += 1
             k += 1
@@ -537,6 +539,12 @@ def _jpeg_decode_tree(bits, vals) -> list:
         for _ in range(bits[length - 1]):
             start = code << (16 - length)
             n = 1 << (16 - length)
+            if start + n > 65536:
+                # Over-full canonical spec (a consistent BITS/HUFFVAL
+                # pair can still exceed 2^length codes); slice-assign
+                # past the end would APPEND, amplifying a 64 KiB table
+                # to ~8M entries per malformed DHT.
+                raise ValueError("JPEG over-full huffman table")
             table[start:start + n] = [(vals[k], length)] * n
             code += 1
             k += 1
@@ -797,7 +805,12 @@ class _JpegBitReader:
         self._load(segments[0])
 
     def _load(self, seg: bytes) -> None:
-        self.buf = seg + b"\xff\xff\xff"   # virtual 1-padding for peek
+        # Virtual 1-padding: peek16 reads a 4-byte window, and on
+        # corrupt streams pos can sit entirely inside the padding
+        # (within the 7-bit overrun allowance) — 3 bytes would yield a
+        # short slice whose int.from_bytes breaks the all-ones
+        # contract, so pad a full window.
+        self.buf = seg + b"\xff\xff\xff\xff"
         self.total = len(seg) * 8
         self.pos = 0
 

@@ -300,3 +300,18 @@ def test_domain_reweight_resample_replication_cap(spark):
     with pytest.raises(ValueError, match="replication cap"):
         _resample_by_cell(assigned, docs, counts, {0: 0.01, 1: 0.99},
                           schema)
+
+
+def test_domain_reweight_rejects_negative_targets(spark):
+    """A negative target weight is always a caller bug, and the two
+    modes would silently DISAGREE on it (downsample's `u < negative`
+    never admits; resample's floor(f)<0 makes F.sequence descend and
+    emit replicas for a cell that should be dropped) — both modes must
+    raise up front, before any Spark job."""
+    import pytest
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    docs, emb = _clustered_corpus(spark, (30, 30))
+    for mode in ("downsample", "resample"):
+        with pytest.raises(ValueError, match="negative target"):
+            ml.domain_reweight(docs, emb, {0: 0.5, 1: -0.1},
+                               n_cells=2, mode=mode)

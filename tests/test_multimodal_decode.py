@@ -630,3 +630,38 @@ def test_jpeg_decode_oracle_parity(spark, sf_oracle):
         assert not probs, probs
     finally:
         con.close()
+
+
+def test_jpeg_overfull_huffman_table_rejected():
+    """A CONSISTENT (BITS, HUFFVAL) pair can still declare more codes
+    than fit the code space (e.g. 3 codes of length 1). The flat-table
+    builder must raise ValueError instead of slice-appending past the
+    65536-entry table (~8 MB/table memory amplification on untrusted
+    corpora); the canonical-code builder must agree."""
+    bits = [3] + [0] * 15          # 3 codes of length 1 — max is 2
+    vals = [0, 1, 2]
+    with pytest.raises(ValueError):
+        mm._jpeg_decode_tree(bits, vals)
+    with pytest.raises(ValueError):
+        mm._jpeg_canonical_codes(bits, vals)
+    # the pathological advisor case: one 255-code length-1 class
+    bits2 = [255] + [0] * 15
+    vals2 = list(range(255))
+    with pytest.raises(ValueError):
+        mm._jpeg_decode_tree(bits2, vals2)
+    # a legal full table still builds (2 codes of length 1)
+    table = mm._jpeg_decode_tree([2] + [0] * 15, [7, 9])
+    assert len(table) == 65536 and table[0] == (7, 1)
+
+
+def test_jpeg_bitreader_padding_is_all_ones():
+    """peek16 reads a 4-byte window; once pos sits entirely inside the
+    virtual padding (reachable on corrupt streams within the 7-bit
+    overrun allowance) the contract is ALL-ONES — a short 3-byte pad
+    would return 0x00FF-shaped values and let a leading-zeros huffman
+    code match garbage instead of tripping the truncation error."""
+    r = mm._JpegBitReader([b""])
+    assert r.peek16() == 0xFFFF
+    r2 = mm._JpegBitReader([b"\x00"])
+    r2.consume(7)               # legal flush-padding overrun
+    assert r2.peek16() == 0x7FFF  # 1 real zero bit then pure padding
