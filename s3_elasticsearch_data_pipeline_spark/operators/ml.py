@@ -13,6 +13,19 @@ corpus size; the driver holds only w. Gradient sums accumulate in
 DECIMAL(38,18) so the result is independent of partitioning and
 summation order (same discipline as the correlation matrix / PageRank
 contributions), making training bit-reproducible on any cluster shape.
+
+``n_cells`` semantics split (vs the index family): the domain
+operators (:func:`domain_mixture` / :func:`domain_reweight`) take a
+FIXED ``n_cells`` (default 8) and honor it verbatim, while the index
+builders route through ``similarity.auto_n_cells`` occupancy sizing.
+Deliberate: an index's cell count is a PHYSICAL tuning knob (target
+rows-per-cell for probe cost — the engine should pick it from corpus
+size), but a domain count is a MODELING choice (DoReMi/Pile mix over
+a handful of human-meaningful domains — 8 domains over 100 TB is
+still 8 domains; resizing it with the corpus would silently change
+what "a domain" means between runs and make target_weights keys
+non-portable). Callers who want occupancy-sized domains can pass
+``n_cells=auto_n_cells(n)`` explicitly.
 """
 
 from __future__ import annotations
@@ -55,6 +68,17 @@ def quality_features(documents: DataFrame) -> DataFrame:
 #: broadcast limit. Above it, nothing feature-sized ever leaves the
 #: executors.
 DRIVER_GD_MAX_ROWS = 1_000_000
+
+#: Stage salt for the domain-reweight admission LCG (r10). The domain
+#: stage and the source-mixture stage (text.dataset_mixture) both hash
+#: doc_id; UNSALTED they draw the SAME uniform u per doc, so a pipeline
+#: composing them (corpus_training_set_v2) gets CORRELATED admissions —
+#: pass-both iff u < min(rates), i.e. the joint rate is min() instead
+#: of the product independent stages give. Salting this stage's stream
+#: with a constant (2^19-1, distinct from the replica mixer 2^17-1)
+#: makes the two streams independent by default; the SQL twins add the
+#: same literal.
+DOMAIN_LCG_SALT = 524_287
 
 
 def train_quality_classifier(documents: DataFrame, iters: int = 15,
@@ -346,17 +370,23 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     mx = max(ratios.values(), default=0.0)
     if mx <= 0:
         return spark.createDataFrame([], out_schema)
-    rate = F.lit(0.0)
-    for c in sorted(ratios):
-        rate = F.when(F.col("cell") == c,
-                      F.lit(ratios[c] / mx)).otherwise(rate)
-    p = 2_147_483_647  # the dataset_mixture admission hash, on doc_id
-    u = ((((F.col("doc_id") % F.lit(p)) * F.lit(48_271) + F.lit(7))
+    # per-cell rates as a BROADCAST-joined table, not chained F.when
+    # literals: at DoReMi-scale (8-32 domains) either is fine, but a
+    # learned-domain count in the hundreds turns the when-chain into a
+    # deep expression tree while the joined table stays flat. Every
+    # cell in `assigned` appears in `counts` (same aggregation), so
+    # the inner join drops nothing.
+    rates = spark.createDataFrame(
+        [(int(c), float(ratios[c] / mx)) for c in sorted(ratios)],
+        "cell int, __rate double")
+    p = 2_147_483_647  # the dataset_mixture LCG, salted per stage
+    u = ((((F.col("doc_id") % F.lit(p)) * F.lit(48_271) + F.lit(7)
+           + F.lit(DOMAIN_LCG_SALT))
           % F.lit(p)) % F.lit(1000)) / F.lit(1000.0)
     return (assigned
             .join(documents.select("doc_id"),
                   assigned.vec_id == F.col("doc_id"))
-            .select("doc_id", "cell", rate.alias("__rate"))
+            .join(F.broadcast(rates), "cell")
             .where(u < F.col("__rate"))
             .select("doc_id", "cell",
                     F.round("__rate", 6).alias("sample_rate")))
@@ -406,23 +436,22 @@ def _resample_by_cell(assigned: DataFrame, documents: DataFrame,
         raise ValueError(
             "domain_reweight(resample): repeat factor %d exceeds the "
             "4096x replication cap — check target_weights" % worst)
-    k_col, frac_col, f_col = F.lit(0), F.lit(0.0), F.lit(0.0)
-    for c in sorted(f):
-        k_col = F.when(F.col("cell") == c,
-                       F.lit(floors[c])).otherwise(k_col)
-        frac_col = F.when(F.col("cell") == c,
-                          F.lit(f[c] - floors[c])).otherwise(frac_col)
-        f_col = F.when(F.col("cell") == c,
-                       F.lit(f[c])).otherwise(f_col)
-    p = 2_147_483_647  # the dataset_mixture LCG, keyed (doc_id, replica)
+    # broadcast rates table (see domain_reweight's downsample tail):
+    # flat plan at any learned-domain count vs a 3x-deep when-chain;
+    # f[c] - floors[c] is computed driver-side in the same IEEE order
+    # as before, so the admission thresholds are bit-identical.
+    rates = spark.createDataFrame(
+        [(int(c), floors[c], f[c] - floors[c], f[c]) for c in sorted(f)],
+        "cell int, __k int, __frac double, __f double")
+    p = 2_147_483_647  # salted dataset_mixture LCG, keyed (doc_id, replica)
     u = (((F.col("doc_id") % F.lit(p)) * F.lit(48_271) + F.lit(7)
+          + F.lit(DOMAIN_LCG_SALT)
           + F.col("replica") * F.lit(131_071))
          % F.lit(p) % F.lit(1000)) / F.lit(1000.0)
     return (assigned
             .join(documents.select("doc_id"),
                   assigned.vec_id == F.col("doc_id"))
-            .select("doc_id", "cell", k_col.alias("__k"),
-                    frac_col.alias("__frac"), f_col.alias("__f"))
+            .join(F.broadcast(rates), "cell")
             .select("doc_id", "cell", "__k", "__frac", "__f",
                     F.explode(F.sequence(F.lit(0), F.col("__k")))
                     .alias("replica"))

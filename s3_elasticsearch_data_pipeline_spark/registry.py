@@ -1312,8 +1312,8 @@ SELECT d.doc_id, a.cell, round(rate, 6) AS sample_rate
 FROM assigned a
 JOIN documents d ON d.doc_id = a.vec_id
 JOIN rates USING (cell)
-WHERE ((((d.doc_id % 2147483647) * 48271 + 7) % 2147483647) % 1000)
-      / 1000.0 < rate
+WHERE ((((d.doc_id % 2147483647) * 48271 + 7 + 524287) % 2147483647)
+       % 1000) / 1000.0 < rate
 """
 
 
@@ -1362,7 +1362,8 @@ JOIN rep USING (cell)
 -- so this fan-out bound can never silently truncate)
 JOIN (SELECT unnest(range(0, 4096)) AS replica) r ON r.replica <= k
 WHERE r.replica < k
-   OR ((((d.doc_id % 2147483647) * 48271 + 7 + r.replica * 131071)
+   OR ((((d.doc_id % 2147483647) * 48271 + 7 + 524287
+          + r.replica * 131071)
         % 2147483647) % 1000) / 1000.0 < frac
 """
 
@@ -6061,8 +6062,8 @@ dom AS (
   FROM curated c
   JOIN assigned a ON a.vec_id = c.doc_id
   JOIN rates USING (cell)
-  WHERE ((((c.doc_id % 2147483647) * 48271 + 7) % 2147483647) % 1000)
-        / 1000.0 < rate
+  WHERE ((((c.doc_id % 2147483647) * 48271 + 7 + 524287) % 2147483647)
+         % 1000) / 1000.0 < rate
     AND c.split = 'train'),
 mixed AS (
   SELECT doc_id, source, cell,
@@ -6094,11 +6095,11 @@ def q_corpus_training_set_v2(spark, sf_dir):
     (uniform target, downsample-only) -> deterministic split -> train
     slice -> weighted source mixture -> global shuffle. Output keeps
     the learned ``cell`` so the training-set writer can audit the
-    achieved composition. Note: the domain and mixture stages share
-    the doc_id LCG (admissions are correlated, pass-both iff
-    u < min(rates)) — deterministic and replayed identically by the
-    spliced oracle; a production run that wants independent stages
-    salts one stream (operators/ml.py:domain_reweight)."""
+    achieved composition. r10: the domain stage's admission LCG is
+    SALTED (ml.DOMAIN_LCG_SALT), so the domain and mixture admissions
+    are independent streams by default — joint pass rate is the
+    product of the stage rates, not min(rates) as the r9 shared-LCG
+    form gave; the spliced oracle adds the same salt literal."""
     from s3_elasticsearch_data_pipeline_spark.operators import ml
     docs = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")

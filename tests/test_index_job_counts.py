@@ -201,3 +201,23 @@ def test_indexed_margin_mine_job_counts_pinned(spark, emb, tmp_path):
     # loudly on a real regression (a stray per-call probe or rebuild
     # adds ~10 jobs).
     assert got in (27, 28), got
+
+
+def test_corpus_training_set_v2_job_count_pinned(spark, sf_smoke):
+    """r10: per-call job count for the flagship 7-stage composite
+    (curation -> learned-domain resample -> split -> mixture ->
+    shuffle). The two lazy localCheckpoints are exactly what a
+    regression would quietly drop — re-introducing the 12 measured
+    curation-subtree re-executions shows up here as a job-count jump,
+    not just bench drift. Banded ±1 around the measured 30 (one AQE
+    stage-materialization job comes and goes across sessions, the
+    margin-mine precedent)."""
+    from s3_elasticsearch_data_pipeline_spark import registry
+
+    def run():
+        registry.queries()["corpus_training_set_v2"](
+            spark, sf_smoke).collect()
+
+    run()  # warm: codegen + broadcast warmup jobs stay out of the pin
+    got = _count_jobs(spark, "jc-corpus-v2", run)
+    assert 29 <= got <= 31, got

@@ -206,7 +206,8 @@ def test_domain_reweight_resample_exact_admission(spark):
         docs_in_cell = {d for d, _ in members}
         for d in docs_in_cell:
             for rep in range(k + 1):
-                u = ((((d % p) * 48_271 + 7 + rep * 131_071) % p) % 1000) / 1000.0
+                u = ((((d % p) * 48_271 + 7 + ml.DOMAIN_LCG_SALT
+                        + rep * 131_071) % p) % 1000) / 1000.0
                 expect = rep < k or u < frac
                 assert ((d, rep) in members) == expect, (c, d, rep)
 
@@ -315,3 +316,98 @@ def test_domain_reweight_rejects_negative_targets(spark):
         with pytest.raises(ValueError, match="negative target"):
             ml.domain_reweight(docs, emb, {0: 0.5, 1: -0.1},
                                n_cells=2, mode=mode)
+
+
+def test_domain_reweight_resample_64_cells_matches_python(spark):
+    """r10 equivalence case for the broadcast rates-table form at a
+    learned-domain count (64) where the old when-chain would have been
+    a 192-branch expression tree: the emitted (doc_id, cell, replica)
+    set must equal a pure-Python replay of the admission rule (same
+    nanoweight normalizer, same fixed-order f_c arithmetic, same
+    (doc_id, replica) LCG)."""
+    import math
+    from s3_elasticsearch_data_pipeline_spark.operators.ml import (
+        _resample_by_cell)
+    n_cells, per = 64, 9
+    assigned_rows = [(c * per + i, c) for c in range(n_cells)
+                     for i in range(per)]
+    assigned = spark.createDataFrame(assigned_rows,
+                                     "vec_id long, cell int")
+    docs = spark.createDataFrame([(r[0],) for r in assigned_rows],
+                                 "doc_id long")
+    counts = {c: per for c in range(n_cells)}
+    targets = {c: 0.5 + (c % 7) * 0.25 for c in range(n_cells)}
+    schema = "doc_id long, cell int, replica int, sample_rate double"
+    got = {(r["doc_id"], r["cell"], r["replica"])
+           for r in _resample_by_cell(assigned, docs, counts, targets,
+                                      schema).collect()}
+    # pure-Python replay (the pre-broadcast when-chain semantics)
+    tsum = sum(int(math.floor(targets[c] * 1e9 + 0.5))
+               for c in counts) / 1e9
+    n_total = sum(counts.values())
+    p = 2_147_483_647
+    want = set()
+    for doc_id, c in assigned_rows:
+        f = targets[c] / tsum * n_total / counts[c]
+        k, frac = int(math.floor(f)), None
+        frac = f - int(math.floor(f))
+        for rep in range(k + 1):
+            u = ((doc_id % p) * 48_271 + 7 + 524_287
+                 + rep * 131_071) % p % 1000 / 1000.0
+            if rep < k or u < frac:
+                want.add((doc_id, c, rep))
+    assert got == want
+    # the high-target cells genuinely replicate (replica >= 1 exists);
+    # total stays ~N by construction (resample normalizes, not grows)
+    assert any(rep >= 1 for _, _, rep in got)
+
+
+def test_domain_mixture_n_cells_honored_verbatim(spark):
+    """n_cells is a MODELING choice (module docstring): the operator
+    must use exactly the requested cell count — never reroute through
+    auto_n_cells occupancy sizing the way the index builders do."""
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    docs, emb = _clustered_corpus(spark, (40, 40, 40, 40, 40, 40))
+    for k in (3, 5):
+        rep = ml.domain_mixture(docs, emb, n_cells=k).collect()
+        assert len(rep) == k
+        assert {r["cell"] for r in rep} == set(range(k))
+
+
+def test_domain_admission_stream_independent_of_mixture(spark):
+    """r10: the domain stage's admission LCG is SALTED
+    (ml.DOMAIN_LCG_SALT), so composing domain_reweight with
+    text.dataset_mixture draws two INDEPENDENT uniform streams. With
+    the r9 shared-LCG form the joint pass set was exactly the
+    min-rate set (pass-both iff u < min(rates)); now it is the
+    intersection of two different streams (~product rate). All
+    deterministic — exact sets replayed in Python, no tolerances."""
+    docs, emb = _clustered_corpus(spark, (400, 200))
+    # ratios t/n: cell0 0.5/400 < cell1 0.5/200 -> rates 0.5 / 1.0
+    out = ml.domain_reweight(docs, emb, {0: 0.5, 1: 0.5}, n_cells=2)
+    rows = out.collect()
+    half_cell = [c for c in (0, 1)
+                 if any(r["cell"] == c and r["sample_rate"] == 0.5
+                        for r in rows)]
+    assert len(half_cell) == 1
+    c = half_cell[0]
+    admitted = {r["doc_id"] for r in rows if r["cell"] == c}
+    cell_docs = {r["doc_id"] for r in rows if r["cell"] != c}
+    # replay both streams for every doc id 0..599; the cell-c docs are
+    # exactly those NOT in the other cell
+    p = 2_147_483_647
+    all_ids = set(range(600)) - cell_docs
+    salted = {d for d in all_ids
+              if ((d % p) * 48_271 + 7 + ml.DOMAIN_LCG_SALT)
+              % p % 1000 / 1000.0 < 0.5}
+    unsalted = {d for d in all_ids
+                if ((d % p) * 48_271 + 7) % p % 1000 / 1000.0 < 0.5}
+    assert admitted == salted          # the operator uses the salt
+    assert admitted != unsalted        # and genuinely left the old stream
+    # composition: a downstream mixture gate at rate 0.5 reads the
+    # UNSALTED stream; the joint set is a true intersection of two
+    # different streams, NOT the min-rate set the shared LCG produced
+    joint = admitted & unsalted
+    assert joint != admitted and joint != unsalted
+    frac = len(joint) / len(all_ids)
+    assert 0.15 < frac < 0.35, frac    # ~product(0.25), not min(0.5)

@@ -649,3 +649,25 @@ def test_j4_single_exchange_no_join(spark, sf_oracle):
         plan[:1500]
     # the sink-side status filter still reaches the scan
     assert "EqualTo(o_orderstatus,F)" in plan
+
+
+def test_domain_reweight_rates_join_is_broadcast(spark):
+    """r10: domain_reweight's per-cell rates are a BROADCAST-joined
+    table (flat plan at any learned-domain count), not a when-chain —
+    pin the explicit F.broadcast so a stats-driven regression to SMJ
+    (or back to a literal chain) is caught. Both modes."""
+    import numpy as np
+    from s3_elasticsearch_data_pipeline_spark.operators import ml
+    rng = np.random.default_rng(3)
+    rows = [(i, [float(x) for x in rng.normal(size=6)])
+            for i in range(80)]
+    emb = spark.createDataFrame(rows,
+                                "vec_id long, embedding array<double>")
+    docs = spark.createDataFrame([(r[0], "t", "en") for r in rows],
+                                 "doc_id long, text string, lang string")
+    for mode in ("downsample", "resample"):
+        df = ml.domain_reweight(docs, emb, {0: 0.5, 1: 0.5},
+                                n_cells=2, mode=mode)
+        plan = plan_of(df)
+        assert "BroadcastHashJoin" in plan, (mode, plan[:1500])
+        assert "CaseWhen" not in plan, (mode, plan[:1500])
