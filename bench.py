@@ -116,6 +116,8 @@ HEADLINE = (
     "dedup_duplicate_spans",
     "sim_topk_pq",
     "text_bpe_train",
+    "text_unigram_train",
+    "text_unigram_encode",
     "decontamination_containment",
     "ml_quality_classifier",
     "audio_decode_features",

@@ -35,6 +35,10 @@ SCALE_QUERIES = (
     "corpus_training_set_v2",  # r9: + learned-domain resample stage
     "timeseries_ohlc", "timeseries_cusum", "text_bpe_merge_step",
     "sketch_bloom_filter", "gaps_islands", "session_paths",
+    # r10: unigram-LM trainer — the EM rounds run on the chunk-TYPE
+    # table (vocab-sized), so the scale axis is the two corpus-sized
+    # passes (word-type aggregate + encode join-back)
+    "text_unigram_train",
     "market_basket_lift", "markov_transitions", "w_rolling_median",
     "stat_correlation_matrix",
     # r9: the smoke rides the PRODUCTION dedup-at-ingest variant

@@ -8104,3 +8104,188 @@ def q_ml_quality_classifier(spark, sf_dir):
     against a numpy reference in tests/test_ml.py."""
     from s3_elasticsearch_data_pipeline_spark.operators import ml
     return ml.train_quality_classifier(_t(spark, sf_dir, "documents"))
+
+
+def _unigram_oracle_sql(emit: str = "train", seed_size: int = 48,
+                        iters: int = 2, max_piece: int = 4,
+                        unit_len: int = 16,
+                        head_pieces: int = 12) -> str:
+    """DuckDB twin of the unigram-LM tokenizer round trip
+    (operators/unigram.py): the fixed hard-EM training loop unrolls
+    as chained CTEs — seed substring counts, then per EM round one
+    Viterbi DP (itself unrolled per chunk position: each ``d{r}_{i}``
+    CTE is the argmax over the ≤``max_piece`` candidate split points,
+    ``row_number() OVER (ORDER BY score DESC, j)`` = the operator's
+    ascending-j strict-> scan) plus a ≤``unit_len``-step backtrack
+    walk, piece-count aggregate, single-char smoothing and the
+    count-based prune. Every score is a fixed-order chain of IEEE
+    multiplies on ``count/total`` doubles — no transcendentals — so
+    the DP argmax is bit-identical to the Python kernel (module
+    docstring has the full argument). ``emit="encode"`` runs one
+    further Viterbi chain under the final probabilities and
+    assembles per-document stats.
+
+    Every CTE is MATERIALIZED: the DP chain references each prior
+    position up to ``max_piece`` times, so DuckDB's default inlining
+    would expand the plan EXPONENTIALLY (observed as a too-many-open-
+    files parquet-scan blow-up before the first row)."""
+    class _P(list):
+        def append(self, part):  # first " AS (" is the CTE definition
+            super().append(part.replace(" AS (", " AS MATERIALIZED (", 1))
+    P = _P()
+
+    def dp_chain(r: int, probs: str) -> None:
+        """Viterbi DP + backtrack for round r under probs CTE."""
+        P.append(f"""d{r}_0 AS (
+  SELECT unit, n, L, CAST(1 AS DOUBLE) AS score, 0 AS j FROM u0)""")
+        for i in range(1, unit_len + 1):
+            branches = " UNION ALL ".join(f"""
+      SELECT b.unit, b.n, b.L,
+             b.score * coalesce(pp.p, CAST(0 AS DOUBLE)) AS score,
+             {jj} AS j
+      FROM d{r}_{jj} b LEFT JOIN {probs} pp
+        ON pp.piece = substr(b.unit, {jj + 1}, {i - jj})
+      WHERE b.L >= {i}""" for jj in range(max(0, i - max_piece), i))
+            P.append(f"""d{r}_{i} AS (
+  SELECT unit, n, L, score, j FROM (
+    SELECT unit, n, L, score, j,
+           row_number() OVER (PARTITION BY unit
+                              ORDER BY score DESC, j) AS rn
+    FROM ({branches}) cand)
+  WHERE rn = 1)""")
+        P.append("par%d AS (%s)" % (r, " UNION ALL ".join(
+            f"SELECT unit, {i} AS i, j FROM d{r}_{i}"
+            for i in range(1, unit_len + 1))))
+        P.append(f"""wk{r}_0 AS (
+  SELECT unit, n, L AS pos, 0 AS start, '' AS piece FROM u0)""")
+        for k in range(1, unit_len + 1):
+            P.append(f"""wk{r}_{k} AS (
+  SELECT w.unit, w.n, p.j AS pos, p.j AS start,
+         substr(w.unit, p.j + 1, w.pos - p.j) AS piece
+  FROM wk{r}_{k - 1} w JOIN par{r} p
+    ON p.unit = w.unit AND p.i = w.pos
+  WHERE w.pos > 0)""")
+        P.append("pieces%d AS (%s)" % (r, " UNION ALL ".join(
+            f"SELECT unit, n, start, piece FROM wk{r}_{k}"
+            for k in range(1, unit_len + 1))))
+
+    P.append("""tok0 AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '')
+           AS toks
+  FROM documents)""")
+    P.append("""w0 AS (
+  SELECT word, count(*) AS wn
+  FROM (SELECT unnest(toks) AS word FROM tok0) GROUP BY word)""")
+    P.append(f"""u0 AS (
+  SELECT unit, CAST(sum(wn) AS BIGINT) AS n, length(unit) AS L FROM (
+    SELECT substr(word, CAST(k * {unit_len} + 1 AS INT), {unit_len})
+             AS unit, wn
+    FROM (SELECT word, wn,
+                 unnest(range(0, CAST(floor((length(word) - 1)
+                                            / {unit_len}) AS BIGINT)
+                                 + 1)) AS k
+          FROM w0))
+  GROUP BY unit)""")
+    P.append(f"""sub0 AS (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS c FROM (
+    SELECT unnest(flatten(list_transform(range(1, length(unit) + 1),
+             s -> list_transform(range(1, least({max_piece},
+                    length(unit) - s + 1) + 1),
+               l -> substr(unit, CAST(s AS INT), CAST(l AS INT))))))
+             AS piece, n
+    FROM u0)
+  GROUP BY piece)""")
+    P.append("sing AS (SELECT piece, c FROM sub0 WHERE length(piece) = 1)")
+    P.append(f"""seedtop AS (
+  SELECT piece, c FROM sub0 WHERE length(piece) >= 2
+  ORDER BY c DESC, piece LIMIT {seed_size})""")
+    P.append("v0 AS (SELECT piece, c FROM sing"
+             " UNION ALL SELECT piece, c FROM seedtop)")
+    P.append("""p0 AS (
+  SELECT piece, CAST(c AS DOUBLE)
+                / (SELECT CAST(sum(c) AS DOUBLE) FROM v0) AS p
+  FROM v0)""")
+    for r in range(1, iters + 1):
+        dp_chain(r, f"p{r - 1}")
+        P.append(f"""c{r} AS (
+  SELECT piece, CAST(sum(n) AS BIGINT) AS c
+  FROM pieces{r} GROUP BY piece)""")
+        P.append(f"""v{r} AS (
+  SELECT s.piece, CAST(greatest(coalesce(c.c, 0), 1) AS BIGINT) AS c
+  FROM sing s LEFT JOIN c{r} c USING (piece)
+  UNION ALL
+  SELECT piece, c FROM c{r} WHERE length(piece) >= 2)""")
+        P.append(f"""p{r} AS (
+  SELECT piece, CAST(c AS DOUBLE)
+                / (SELECT CAST(sum(c) AS DOUBLE) FROM v{r}) AS p
+  FROM v{r})""")
+    if emit == "train":
+        return "WITH " + ",\n".join(P) + f"""
+SELECT CAST(row_number() OVER (ORDER BY c DESC, piece) AS INT) AS rank,
+       piece, c AS freq,
+       floor(CAST(c AS DOUBLE)
+             / (SELECT CAST(sum(c) AS DOUBLE) FROM v{iters})
+             * 1000000.0 + 0.5) / 1000000.0 AS prob
+FROM v{iters}"""
+    e = iters + 1
+    dp_chain(e, f"p{iters}")
+    P.append(f"""enc AS (
+  SELECT unit, list(piece ORDER BY start) AS pieces
+  FROM pieces{e} GROUP BY unit)""")
+    P.append(f"""wu AS (
+  SELECT word, k,
+         substr(word, CAST(k * {unit_len} + 1 AS INT), {unit_len})
+           AS unit
+  FROM (SELECT word,
+               unnest(range(0, CAST(floor((length(word) - 1)
+                                          / {unit_len}) AS BIGINT)
+                               + 1)) AS k
+        FROM (SELECT DISTINCT unnest(toks) AS word FROM tok0)))""")
+    P.append("""wenc AS (
+  SELECT word, CAST(sum(len(pieces)) AS INT) AS np,
+         flatten(list(pieces ORDER BY k)) AS wpieces
+  FROM wu JOIN enc USING (unit) GROUP BY word)""")
+    P.append("""posx AS (
+  SELECT doc_id, unnest(toks) AS word,
+         generate_subscripts(toks, 1) AS pos
+  FROM tok0)""")
+    P.append(f"""agg AS (
+  SELECT doc_id, count(*) AS n_words,
+         CAST(sum(length(word)) AS INT) AS n_chars,
+         CAST(sum(np) AS INT) AS n_pieces,
+         array_to_string(
+           flatten(list(wpieces ORDER BY pos))[1:{head_pieces}], '|')
+           AS head
+  FROM posx JOIN wenc USING (word) GROUP BY doc_id)""")
+    return "WITH " + ",\n".join(P) + """
+SELECT d.doc_id,
+       coalesce(a.n_words, 0) AS n_words,
+       coalesce(a.n_chars, 0) AS n_chars,
+       coalesce(a.n_pieces, 0) AS n_pieces,
+       coalesce(a.head, '') AS head
+FROM documents d LEFT JOIN agg a USING (doc_id)"""
+
+
+@register("text_unigram_train", _unigram_oracle_sql())
+def q_text_unigram_train(spark, sf_dir):
+    """Unigram-LM (SentencePiece-style) tokenizer trainer: seed
+    substring vocabulary, fixed hard-EM rounds of Viterbi
+    segmentation + count re-estimation on the word-chunk TYPE table,
+    count-based prune with smoothed single-char floor. Scores are
+    probability PRODUCTS (fixed-order IEEE arithmetic, no logs), so
+    the unrolled-CTE oracle replays the exact argmax
+    (operators/unigram.py:unigram_train; exact-match tested against a
+    pure-Python reference in tests/test_tokenizer_train.py)."""
+    from s3_elasticsearch_data_pipeline_spark.operators import unigram
+    return unigram.unigram_train(_t(spark, sf_dir, "documents"))
+
+
+@register("text_unigram_encode", _unigram_oracle_sql(emit="encode"))
+def q_text_unigram_encode(spark, sf_dir):
+    """Viterbi encode under the trained unigram LM — the apply side
+    of text_unigram_train (the tokenizer round trip): chunk-type
+    segmentation once, join occurrences back, per-doc piece stats +
+    head pieces (operators/unigram.py:unigram_encode)."""
+    from s3_elasticsearch_data_pipeline_spark.operators import unigram
+    return unigram.unigram_encode(_t(spark, sf_dir, "documents"))

@@ -324,6 +324,12 @@ _PYTHON_ALLOWED = {
                                    # above into the curation pipeline
     "image_decode_jpeg",           # mapInPandas REAL JPEG codec (r9)
     "image_decode_jpeg420",        # same, 4:2:0 subsampled fixtures
+    "text_unigram_train",          # r10: Arrow Viterbi kernel over the
+                                   # chunk-TYPE table (vocab-sized, the
+                                   # k-means-kernel class); corpus-sized
+                                   # passes are relational aggregates
+    "text_unigram_encode",         # same kernel, apply side — join-back
+                                   # and per-doc stats are pure JVM
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
