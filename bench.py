@@ -114,6 +114,7 @@ HEADLINE = (
     "sim_margin_bitext_ann",
     "sim_margin_bitext_mine",
     "dedup_duplicate_spans",
+    "audio_decode_flac",
     "sim_topk_pq",
     "text_bpe_train",
     "text_unigram_train",

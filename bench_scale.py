@@ -49,6 +49,11 @@ SCALE_QUERIES = (
     "video_decode_features",
     "dedup_connected_components", "multimodal_curation",
     "dedup_duplicate_spans",
+    # r10: variable-length ExactSubstr — suffix count grows linearly
+    # under replication, rounds stay constant (doc lengths unchanged),
+    # so work units (suffixes x rounds) scale exactly Nx; measured
+    # clean-window 10x wall ratio 2.1 (fixed round overhead amortizes)
+    "dedup_duplicate_spans_maximal",
     # r7 additions with a linear production scale axis. sim_margin_bitext
     # is deliberately absent: its full-product form is eval-scale by
     # contract, so scaling the eval side 10x measures the documented

@@ -1635,3 +1635,200 @@ def duplicate_spans(documents: DataFrame, k: int = 10,
     out = out.localCheckpoint(eager=True)  # doc-sized result
     release_persistent_rdds(spark, mid - before)
     return out
+
+
+def _global_row_number(df: DataFrame, key_cols: list,
+                       out: str = "rn", n_parts: int = 32) -> DataFrame:
+    """Global ``row_number`` over the order of ``key_cols`` without a
+    single-task window — the two-phase shape of packing.prefix_sums:
+    range-partition on the keys, local row_number per partition, then
+    broadcast the kilobyte per-partition offsets back. Tie order
+    within equal keys is arbitrary, so only consume this through
+    order-insensitive reductions (``min(rn)`` per key group is the
+    count of strictly-smaller rows + 1 — deterministic on any
+    partitioning) or over tie-free key sets.
+
+    The range-partitioned frame is checkpointed (lazily — the
+    offsets collect below is always the first action and freezes it):
+    RangePartitioner samples its boundaries with an RDD-id-derived
+    seed, so the offsets collect and the window pass — two separate
+    actions — would otherwise re-sample and see DIFFERENT boundaries,
+    composing inconsistent global numbers (observed as ~0.7% rank
+    inversions on a 28k-suffix corpus). Callers release the block via
+    the session's persistent-RDD hygiene."""
+    from pyspark.sql import Window
+    part = (df.repartitionByRange(n_parts,
+                                  *[F.col(c) for c in key_cols])
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=False))
+    w = Window.partitionBy("__pid").orderBy(*key_cols)
+    local = part.withColumn("__lrn", F.row_number().over(w))
+    totals = (part.groupBy("__pid")
+              .agg(F.count(F.lit(1)).alias("__n"))
+              .orderBy("__pid").collect())
+    offsets, acc = [], 0
+    for r in totals:
+        offsets.append((r["__pid"], acc))
+        acc += r["__n"]
+    off = df.sparkSession.createDataFrame(offsets or [(0, 0)],
+                                          "__pid int, __off long")
+    return (local.join(F.broadcast(off), "__pid")
+            .withColumn(out, F.col("__lrn") + F.col("__off"))
+            .drop("__pid", "__lrn"))
+
+
+def _suffix_rank_round(level: DataFrame, gap: int) -> DataFrame:
+    """One prefix-doubling round: given ranks by the first ``gap``
+    tokens, produce ranks by the first ``2*gap`` tokens. The key is
+    (rank(p), rank(p+gap)) with -1 beyond the document end; the new
+    rank is ``min(rn)`` over the key group (order-preserving, equal
+    iff keys equal — dense numbering is not required)."""
+    from pyspark.sql import Window
+    nxt = level.select("doc_id", (F.col("pos") - gap).alias("pos"),
+                       F.col("rank").alias("__r2"))
+    keyed = (level.join(nxt, ["doc_id", "pos"], "left")
+             .select("doc_id", "pos", "rank",
+                     F.coalesce("__r2", F.lit(-1)).alias("r2")))
+    rn = _global_row_number(keyed, ["rank", "r2"])
+    w = Window.partitionBy("rank", "r2")
+    return (rn.withColumn("__nr", F.min("rn").over(w))
+            .select("doc_id", "pos", F.col("__nr").alias("rank")))
+
+
+def duplicate_spans_maximal(documents: DataFrame,
+                            min_len: int = 10) -> DataFrame:
+    """Variable-length ExactSubstr (Lee et al., ACL 2022): the MAXIMAL
+    duplicated spans the paper's suffix array reports — per document,
+    the merged intervals of every position whose suffix shares a
+    ``>= min_len``-token prefix with any other suffix in the corpus
+    (the exact removal set of an ExactSubstr trimmer), where the
+    fixed-k sibling :func:`duplicate_spans` can only count k-token
+    windows.
+
+    Distributed suffix ranking by prefix doubling (the classic
+    Manber–Myers recurrence as iterated DataFrame algebra, the
+    connected-components discipline): round k ranks every suffix by
+    its first 2^k tokens via a sorted self-join on (rank(p),
+    rank(p+2^k)), so ``ceil(log2(max doc tokens))`` rounds produce the
+    full suffix ordering — each round one range shuffle + one
+    key-partition window + a kilobyte offsets broadcast, never a
+    single-task global window (``_global_row_number``). Suffixes never
+    compare past their document's end (beyond-end rank −1), so no
+    concatenated global stream and no separator tokens are needed;
+    identical whole suffixes simply stay tied (they ARE duplicates).
+    The longest duplicated prefix of each suffix is the max LCP with
+    its two suffix-array neighbors, computed by the standard rank-level
+    descent (extend by 2^k when level-k ranks match, k = K..0 — one
+    broadcast-offsets pair join per level) and clamped to the remaining
+    document lengths (tail ties compare equal past the end by
+    construction). Positions with ``dup_len >= min_len`` become
+    intervals [pos, pos+dup_len), merged per document with a
+    doc-partitioned running-max window.
+
+    Cost model (the 10x-smoke work unit): suffix count x rounds; the
+    K+1 rank levels are kept (eagerly checkpointed) for the descent
+    and released before returning — only the span-count-sized result
+    stays pinned.
+
+    Returns (doc_id, span_start, span_len), 0-based token offsets.
+    """
+    from s3_elasticsearch_data_pipeline_spark.session import (
+        persistent_rdd_ids, release_persistent_rdds)
+    import math
+    spark = documents.sparkSession
+    out_schema = "doc_id long, span_start int, span_len int"
+    before = persistent_rdd_ids(spark)
+    toks = (parallelize_for_compute(documents)
+            .select("doc_id",
+                    F.posexplode(tokens(F.col("text")))
+                    .alias("pos", "word"))
+            .localCheckpoint(eager=False))
+    doclen = (toks.groupBy("doc_id")
+              .agg(F.count(F.lit(1)).alias("n_toks"))
+              .localCheckpoint(eager=False))
+    mx = doclen.agg(F.max("n_toks")).collect()[0][0]
+    if not mx:
+        release_persistent_rdds(spark,
+                                persistent_rdd_ids(spark) - before)
+        return spark.createDataFrame([], out_schema)
+    from pyspark.sql import Window
+    rn0 = _global_row_number(toks, ["word"])
+    level = (rn0.withColumn("rank", F.min("rn").over(
+                 Window.partitionBy("word")))
+             .select("doc_id", "pos", "rank")
+             .localCheckpoint(eager=False))
+    levels = [level]  # levels[k] ranks by the first 2^k tokens
+    n_rounds = max(1, math.ceil(math.log2(mx)))
+    for k in range(n_rounds):
+        level = (_suffix_rank_round(level, 1 << k)
+                 .localCheckpoint(eager=False))
+        levels.append(level)
+    sa = (_global_row_number(levels[-1], ["rank", "doc_id", "pos"])
+          .select("doc_id", "pos", "rn").localCheckpoint(eager=False))
+    pairs = (sa.select("rn", F.col("doc_id").alias("d1"),
+                       F.col("pos").alias("p1"))
+             .join(sa.select((F.col("rn") - 1).alias("rn"),
+                             F.col("doc_id").alias("d2"),
+                             F.col("pos").alias("p2")), "rn")
+             .withColumn("l", F.lit(0).cast("long")))
+    for k in range(len(levels) - 1, -1, -1):
+        gap = 1 << k
+        a = levels[k].select(F.col("doc_id").alias("__da"),
+                             F.col("pos").alias("__pa"),
+                             F.col("rank").alias("__ra"))
+        b = levels[k].select(F.col("doc_id").alias("__db"),
+                             F.col("pos").alias("__pb"),
+                             F.col("rank").alias("__rb"))
+        pairs = (pairs
+                 .withColumn("__ja", F.col("p1") + F.col("l"))
+                 .withColumn("__jb", F.col("p2") + F.col("l"))
+                 .join(a, (F.col("d1") == F.col("__da"))
+                       & (F.col("__ja") == F.col("__pa")), "left")
+                 .join(b, (F.col("d2") == F.col("__db"))
+                       & (F.col("__jb") == F.col("__pb")), "left")
+                 .withColumn("l", F.col("l") + F.when(
+                     F.col("__ra").isNotNull()
+                     & (F.col("__ra") == F.col("__rb")),
+                     F.lit(gap)).otherwise(F.lit(0)))
+                 .drop("__da", "__pa", "__db", "__pb",
+                       "__ja", "__jb", "__ra", "__rb"))
+    # clamp tail-tie overshoot to the remaining document lengths
+    l1 = doclen.select(F.col("doc_id").alias("d1"),
+                       F.col("n_toks").alias("__n1"))
+    l2 = doclen.select(F.col("doc_id").alias("d2"),
+                       F.col("n_toks").alias("__n2"))
+    lcp = (pairs.join(l1, "d1").join(l2, "d2")
+           .select("rn", F.least(F.col("l"),
+                                 F.col("__n1") - F.col("p1"),
+                                 F.col("__n2") - F.col("p2"))
+                   .alias("lcp")))
+    dup = (sa.join(lcp.select("rn", F.col("lcp").alias("__ln")),
+                   "rn", "left")
+           .join(lcp.select((F.col("rn") + 1).alias("rn"),
+                            F.col("lcp").alias("__lp")), "rn", "left")
+           .select("doc_id", "pos",
+                   F.greatest(F.coalesce("__ln", F.lit(0)),
+                              F.coalesce("__lp", F.lit(0)))
+                   .alias("dup_len")))
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    runmax = F.max(F.col("pos") + F.col("dup_len")).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = (dup.where(F.col("dup_len") >= min_len)
+               .withColumn("__f", F.when(
+                   runmax.isNull() | (F.col("pos") > runmax),
+                   F.lit(1)).otherwise(F.lit(0)))
+               .withColumn("__g", F.sum("__f").over(
+                   w.rowsBetween(Window.unboundedPreceding, 0))))
+    corpus_sized = persistent_rdd_ids(spark) - before
+    result = (flagged.groupBy("doc_id", "__g")
+              .agg(F.min("pos").alias("__s"),
+                   F.max(F.col("pos") + F.col("dup_len")).alias("__e"))
+              .select("doc_id", F.col("__s").cast("int")
+                      .alias("span_start"),
+                      (F.col("__e") - F.col("__s")).cast("int")
+                      .alias("span_len"))
+              .localCheckpoint(eager=True))
+    # free every corpus-sized rank level / token block; only the
+    # span-count-sized result checkpoint stays pinned
+    release_persistent_rdds(spark, corpus_sized)
+    return result

@@ -1341,11 +1341,14 @@ def decode_audio(payload: bytes) -> dict:
     task.
     """
     import struct
+    if payload[:4] == FLAC_SIGNATURE:  # r10: lossless compressed path
+        return _decode_flac(payload)
     if len(payload) < 12 or payload[:4] != b"RIFF" \
             or payload[8:12] != b"WAVE":
         raise NotImplementedError(
-            "only RIFF/WAVE PCM is decodable without external audio "
-            "libraries; mark other payloads undecodable")
+            "only RIFF/WAVE PCM and FLAC are decodable without "
+            "external audio libraries; mark other payloads "
+            "undecodable")
     pos, fmt, data = 12, None, None
     while pos + 8 <= len(payload):
         cid = payload[pos:pos + 4]
@@ -1810,3 +1813,547 @@ def audio_chunk_rms(payloads: DataFrame, window_samples: int = 128,
             yield pd.DataFrame(out)
 
     return payloads.mapInPandas(run, AUDIO_CHUNK_RMS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# FLAC (r10): dependency-free decoder + encoder twin. The lossless
+# audio codec scraped corpora actually carry next to WAV — and, being
+# integer-exact end-to-end (rice entropy coding + integer predictors),
+# the ONE compressed audio format whose decode is oracle-checkable
+# the way PNG's was for images: decoded samples equal the generative
+# fixture samples bit-for-bit, so the symbolic WAV tone oracle doubles
+# as the FLAC oracle. MP3/AAC remain out of oracle reach by design
+# (float transforms, encoder freedom).
+
+FLAC_SIGNATURE = b"fLaC"
+
+_FLAC_BLOCKSIZES = {1: 192, 2: 576, 3: 1152, 4: 2304, 5: 4608,
+                    8: 256, 9: 512, 10: 1024, 11: 2048, 12: 4096,
+                    13: 8192, 14: 16384, 15: 32768}
+_FLAC_RATES = {1: 88200, 2: 176400, 3: 192000, 4: 8000, 5: 16000,
+               6: 22050, 7: 24000, 8: 32000, 9: 44100, 10: 48000,
+               11: 96000}
+_FLAC_SAMPLE_SIZES = {1: 8, 2: 12, 4: 16, 5: 20, 6: 24}
+
+#: Fixed-predictor coefficient rows, order 0..4 (FLAC spec §9.2.1 —
+#: the binomial rows; residual = x(n) - Σ coef·x(n-i)).
+_FLAC_FIXED_COEFS = ((), (1,), (2, -1), (3, -3, 1), (4, -6, 4, -1))
+
+
+def _flac_crc8(data: bytes) -> int:
+    """CRC-8, poly x^8+x^2+x+1 (0x07), init 0 — frame-header CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x07) & 0xFF if crc & 0x80 \
+                else (crc << 1) & 0xFF
+    return crc
+
+
+def _flac_crc16(data: bytes) -> int:
+    """CRC-16, poly 0x8005, init 0 — whole-frame CRC."""
+    crc = 0
+    for b in data:
+        crc ^= b << 8
+        for _ in range(8):
+            crc = ((crc << 1) ^ 0x8005) & 0xFFFF if crc & 0x8000 \
+                else (crc << 1) & 0xFFFF
+    return crc
+
+
+class _FlacBits:
+    """MSB-first bit reader over the frame byte stream; running past
+    the end raises the truncation ValueError (decode_ok=false row,
+    never an IndexError escape)."""
+
+    def __init__(self, buf: bytes, pos_bits: int = 0):
+        self.buf = buf
+        self.pos = pos_bits
+        self.total = len(buf) * 8
+
+    def bits(self, k: int) -> int:
+        if self.pos + k > self.total:
+            raise ValueError("FLAC stream truncated")
+        v = 0
+        p = self.pos
+        # byte-at-a-time fast path
+        while k:
+            i, sh = p >> 3, p & 7
+            take = min(k, 8 - sh)
+            chunk = (self.buf[i] >> (8 - sh - take)) & ((1 << take) - 1)
+            v = (v << take) | chunk
+            p += take
+            k -= take
+        self.pos = p
+        return v
+
+    def signed(self, k: int) -> int:
+        v = self.bits(k)
+        return v - (1 << k) if v >= (1 << (k - 1)) else v
+
+    def unary(self) -> int:
+        n = 0
+        while True:
+            if self.pos >= self.total:
+                raise ValueError("FLAC stream truncated")
+            if self.bits(1):
+                return n
+            n += 1
+            if n > 1 << 20:  # corrupt all-zeros run; bail loudly
+                raise ValueError("FLAC unary run overlong")
+
+    def align(self) -> None:
+        self.pos = (self.pos + 7) & ~7
+
+
+def _flac_utf8_number(r: "_FlacBits") -> int:
+    """UTF-8-style coded frame/sample number (spec §9.1.5: the UTF-8
+    length/continuation scheme extended to 36 bits)."""
+    first = r.bits(8)
+    if first < 0x80:
+        return first
+    n_follow = 0
+    mask = 0x40
+    while first & mask:
+        n_follow += 1
+        mask >>= 1
+    if n_follow < 1 or n_follow > 6:
+        raise ValueError("FLAC bad UTF-8 frame number")
+    v = first & (mask - 1)
+    for _ in range(n_follow):
+        b = r.bits(8)
+        if (b & 0xC0) != 0x80:
+            raise ValueError("FLAC bad UTF-8 continuation")
+        v = (v << 6) | (b & 0x3F)
+    return v
+
+
+def _flac_residuals(r: "_FlacBits", block_size: int, order: int) -> list:
+    """Partitioned rice residuals (spec §9.2.7): 2-bit method (rice
+    4-bit / rice2 5-bit params), 4-bit partition order, per-partition
+    parameter with all-ones escape to raw ``n``-bit verbatim."""
+    method = r.bits(2)
+    if method > 1:
+        raise ValueError("FLAC reserved residual method")
+    plen = 4 + method
+    esc = (1 << plen) - 1
+    porder = r.bits(4)
+    n_parts = 1 << porder
+    if block_size % n_parts:  # spec: block size must divide evenly
+        raise ValueError("FLAC bad partition order")
+    out = []
+    for p in range(n_parts):
+        n = (block_size >> porder) - (order if p == 0 else 0)
+        if n < 0:
+            raise ValueError("FLAC bad partition order")
+        param = r.bits(plen)
+        if param == esc:
+            raw = r.bits(5)
+            for _ in range(n):
+                out.append(r.signed(raw) if raw else 0)
+        else:
+            for _ in range(n):
+                q = r.unary()
+                u = (q << param) | r.bits(param) if param else q
+                out.append((u >> 1) ^ -(u & 1))  # un-zigzag
+    return out
+
+
+def _flac_subframe(r: "_FlacBits", block_size: int, bps: int) -> list:
+    """One subframe (spec §9.2): CONSTANT / VERBATIM / FIXED 0-4 /
+    LPC 1-32, with the wasted-bits prefix."""
+    if r.bits(1):
+        raise ValueError("FLAC subframe padding bit set")
+    t = r.bits(6)
+    wasted = 0
+    if r.bits(1):
+        wasted = 1 + r.unary()
+    eff = bps - wasted
+    if eff <= 0:
+        raise ValueError("FLAC wasted bits exceed sample size")
+    if t == 0:           # CONSTANT
+        v = r.signed(eff)
+        out = [v] * block_size
+    elif t == 1:         # VERBATIM
+        out = [r.signed(eff) for _ in range(block_size)]
+    elif 8 <= t <= 12:   # FIXED, order t-8
+        order = t - 8
+        if order > block_size:
+            raise ValueError("FLAC predictor order exceeds block")
+        out = [r.signed(eff) for _ in range(order)]
+        res = _flac_residuals(r, block_size, order)
+        coefs = _FLAC_FIXED_COEFS[order]
+        for e in res:
+            x = e
+            for c, prev in zip(coefs, out[-1:-order - 1:-1]):
+                x += c * prev
+            out.append(x)
+    elif t >= 32:        # LPC, order t-31
+        order = t - 31
+        if order > block_size:
+            raise ValueError("FLAC predictor order exceeds block")
+        out = [r.signed(eff) for _ in range(order)]
+        prec = r.bits(4)
+        if prec == 15:
+            raise ValueError("FLAC invalid qlp precision")
+        prec += 1
+        shift = r.bits(5)
+        coefs = [r.signed(prec) for _ in range(order)]
+        res = _flac_residuals(r, block_size, order)
+        for e in res:
+            pred = 0
+            for c, prev in zip(coefs, out[-1:-order - 1:-1]):
+                pred += c * prev
+            out.append(e + (pred >> shift))
+    else:
+        raise ValueError("FLAC reserved subframe type")
+    if wasted:
+        out = [v << wasted for v in out]
+    return out
+
+
+def _decode_flac(payload: bytes) -> dict:
+    """FLAC decode (the format spec, RFC 9639): magic, metadata-block
+    walk (STREAMINFO required), then frame-by-frame — header with
+    CRC-8, per-channel subframes (constant / verbatim / fixed / LPC,
+    partitioned-rice residuals), stereo decorrelation (left-side /
+    right-side / mid-side), CRC-16 footer. Integer-exact throughout:
+    decoded samples equal the encoder's input bit-for-bit, which is
+    what makes a COMPRESSED codec oracle-checkable. Returns the
+    :func:`decode_audio` dict (interleaved samples). 8/16-bit streams
+    are supported; 12/20/24/32-bit raise ``NotImplementedError``
+    (unsupported-codec gate); structural damage (bad CRCs, truncation,
+    reserved codes) raises ``ValueError``."""
+    if len(payload) < 42 or payload[:4] != FLAC_SIGNATURE:
+        raise NotImplementedError("not a FLAC stream")
+    import struct
+    pos = 4
+    streaminfo = None
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("FLAC metadata truncated")
+        hdr = payload[pos]
+        last, btype = hdr & 0x80, hdr & 0x7F
+        blen = int.from_bytes(payload[pos + 1:pos + 4], "big")
+        body = payload[pos + 4:pos + 4 + blen]
+        if len(body) != blen:
+            raise ValueError("FLAC metadata truncated")
+        if btype == 0:
+            if blen != 34:
+                raise ValueError("FLAC bad STREAMINFO length")
+            streaminfo = body
+        elif btype == 127:
+            raise ValueError("FLAC invalid metadata block type")
+        pos += 4 + blen
+        if last:
+            break
+    if streaminfo is None:
+        raise ValueError("FLAC missing STREAMINFO")
+    si = int.from_bytes(streaminfo, "big")
+    # fields from the top: minbs(16) maxbs(16) minfs(24) maxfs(24)
+    # rate(20) ch-1(3) bps-1(5) total(36) md5(128)
+    rate = (si >> (272 - 100)) & 0xFFFFF
+    n_ch = ((si >> (272 - 103)) & 0x7) + 1
+    bps = ((si >> (272 - 108)) & 0x1F) + 1
+    total = (si >> 128) & ((1 << 36) - 1)
+    if rate == 0:
+        raise ValueError("FLAC zero sample rate")
+    if bps not in (8, 16):
+        raise NotImplementedError("only 8/16-bit FLAC is decodable")
+    channels: list[list[int]] = [[] for _ in range(n_ch)]
+    got = 0
+    while pos < len(payload) and (total == 0 or got < total):
+        frame_start = pos
+        r = _FlacBits(payload, pos * 8)
+        if r.bits(14) != 0x3FFE:
+            raise ValueError("FLAC lost frame sync")
+        if r.bits(1):
+            raise ValueError("FLAC reserved header bit set")
+        r.bits(1)  # blocking strategy
+        bs_code = r.bits(4)
+        rate_code = r.bits(4)
+        ch_code = r.bits(4)
+        size_code = r.bits(3)
+        if r.bits(1):
+            raise ValueError("FLAC reserved header bit set")
+        _flac_utf8_number(r)
+        if bs_code == 0:
+            raise ValueError("FLAC reserved block size code")
+        elif bs_code == 6:
+            block_size = r.bits(8) + 1
+        elif bs_code == 7:
+            block_size = r.bits(16) + 1
+        else:
+            block_size = _FLAC_BLOCKSIZES[bs_code]
+        if rate_code == 12:
+            r.bits(8)
+        elif rate_code in (13, 14):
+            r.bits(16)
+        elif rate_code == 15:
+            raise ValueError("FLAC invalid sample rate code")
+        if size_code in (3, 7):
+            raise ValueError("FLAC reserved sample size code")
+        fbps = _FLAC_SAMPLE_SIZES.get(size_code, bps)
+        if fbps not in (8, 16):
+            raise NotImplementedError("only 8/16-bit FLAC is decodable")
+        hdr_end = r.pos // 8  # header fields are byte-multiples
+        if _flac_crc8(payload[frame_start:hdr_end]) != r.bits(8):
+            raise ValueError("FLAC frame header CRC mismatch")
+        if ch_code <= 7:
+            if ch_code + 1 != n_ch:
+                raise ValueError("FLAC channel count mismatch")
+            subs = [_flac_subframe(r, block_size, fbps)
+                    for _ in range(n_ch)]
+        elif ch_code in (8, 9, 10):
+            if n_ch != 2:
+                raise ValueError("FLAC stereo assignment on non-stereo")
+            # the difference channel carries one extra bit
+            if ch_code == 8:    # left/side
+                left = _flac_subframe(r, block_size, fbps)
+                side = _flac_subframe(r, block_size, fbps + 1)
+                subs = [left, [l - s for l, s in zip(left, side)]]
+            elif ch_code == 9:  # right/side
+                side = _flac_subframe(r, block_size, fbps + 1)
+                right = _flac_subframe(r, block_size, fbps)
+                subs = [[rr + s for rr, s in zip(right, side)], right]
+            else:               # mid/side
+                mid = _flac_subframe(r, block_size, fbps)
+                side = _flac_subframe(r, block_size, fbps + 1)
+                subs = [[], []]
+                for m, s in zip(mid, side):
+                    m = (m << 1) | (s & 1)
+                    subs[0].append((m + s) >> 1)
+                    subs[1].append((m - s) >> 1)
+        else:
+            raise ValueError("FLAC reserved channel assignment")
+        r.align()
+        crc_end = r.pos // 8
+        want = r.bits(16)
+        if _flac_crc16(payload[frame_start:crc_end]) != want:
+            raise ValueError("FLAC frame CRC mismatch")
+        for ch, s in zip(channels, subs):
+            ch.extend(s)
+        got += block_size
+        pos = r.pos // 8
+    if total and got < total:
+        raise ValueError("FLAC stream truncated before total_samples")
+    if total:
+        channels = [ch[:total] for ch in channels]
+    inter = []
+    for frame in zip(*channels) if n_ch > 1 else [(v,) for v in
+                                                  channels[0]]:
+        inter.extend(frame)
+    return {"sample_rate": rate, "n_channels": n_ch,
+            "bits_per_sample": bps,
+            "n_samples": len(channels[0]) if channels else 0,
+            "samples": tuple(inter)}
+
+
+class _FlacBitWriter:
+    def __init__(self):
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def put(self, v: int, k: int) -> None:
+        self.acc = (self.acc << k) | (v & ((1 << k) - 1))
+        self.n += k
+        while self.n >= 8:
+            self.n -= 8
+            self.buf.append((self.acc >> self.n) & 0xFF)
+        self.acc &= (1 << self.n) - 1
+
+    def unary(self, q: int) -> None:
+        while q >= 32:
+            self.put(0, 32)
+            q -= 32
+        self.put(1, q + 1)  # q zeros then a one
+
+    def align(self) -> None:
+        if self.n:
+            self.put(0, 8 - self.n)
+
+    def bytes(self) -> bytes:
+        assert self.n == 0
+        return bytes(self.buf)
+
+
+def _flac_utf8_encode(n: int) -> bytes:
+    """The frame-number UTF-8-style coding (inverse of
+    :func:`_flac_utf8_number`)."""
+    if n < 0x80:
+        return bytes((n,))
+    out = []
+    bits = n.bit_length()
+    n_follow = 1
+    while bits > 6 * n_follow + (6 - n_follow):
+        n_follow += 1
+    lead = (0xFF << (7 - n_follow)) & 0xFF
+    out.append(lead | (n >> (6 * n_follow)))
+    for i in range(n_follow - 1, -1, -1):
+        out.append(0x80 | ((n >> (6 * i)) & 0x3F))
+    return bytes(out)
+
+
+def _flac_write_residuals(w: "_FlacBitWriter", res: list) -> None:
+    """Single-partition rice residuals with a deterministic parameter
+    choice: the smallest p minimizing the exact coded size (ties →
+    smaller p), escape to verbatim when even p=14 underperforms."""
+    zig = [(v << 1) ^ (v >> 63) if v >= 0 else ((-v) << 1) - 1
+           for v in res]
+    best_p, best_cost = 0, None
+    for p in range(15):
+        cost = sum((u >> p) + 1 + p for u in zig)
+        if best_cost is None or cost < best_cost:
+            best_p, best_cost = p, cost
+        if all(u >> p == 0 for u in zig):
+            break
+    raw_bits = max((abs(v).bit_length() + 1 for v in res), default=1)
+    w.put(0, 2)   # rice method, 4-bit params
+    w.put(0, 4)   # partition order 0
+    if best_cost is not None and best_cost <= len(res) * raw_bits + 5:
+        w.put(best_p, 4)
+        for u in zig:
+            w.unary(u >> best_p)
+            if best_p:
+                w.put(u & ((1 << best_p) - 1), best_p)
+    else:
+        w.put(0xF, 4)  # escape: verbatim residuals
+        w.put(raw_bits, 5)
+        for v in res:
+            w.put(v, raw_bits)
+
+
+def _flac_subframe_encode(w: "_FlacBitWriter", block: list, bps: int,
+                          force_verbatim: bool = False) -> None:
+    """Deterministic subframe choice: CONSTANT when flat, else the
+    fixed predictor order 0-2 with the smallest exact residual cost
+    (ties → lower order); ``force_verbatim`` pins the VERBATIM path
+    for coverage. No wasted-bits analysis (flag always 0)."""
+    if force_verbatim:
+        w.put(2, 8)  # pad 0 + type 000001 + wasted 0
+        for v in block:
+            w.put(v, bps)
+        return
+    if all(v == block[0] for v in block):
+        w.put(0, 8)  # pad 0 + type 000000 + wasted 0
+        w.put(block[0], bps)
+        return
+    best_order, best_res, best_cost = None, None, None
+    for order in range(3):
+        if order > len(block):
+            break
+        coefs = _FLAC_FIXED_COEFS[order]
+        res = []
+        for i in range(order, len(block)):
+            e = block[i]
+            for j, c in enumerate(coefs):
+                e -= c * block[i - 1 - j]
+            res.append(e)
+        cost = sum(abs(v).bit_length() for v in res)
+        if best_cost is None or cost < best_cost:
+            best_order, best_res, best_cost = order, res, cost
+    w.put(0, 1)
+    w.put(8 + best_order, 6)
+    w.put(0, 1)  # no wasted bits
+    for v in block[:best_order]:
+        w.put(v, bps)
+    _flac_write_residuals(w, best_res)
+
+
+def encode_flac(sample_rate: int, samples, n_channels: int = 1,
+                block_size: int = 256, bps: int = 16,
+                force_verbatim: bool = False,
+                mid_side: bool = False) -> bytes:
+    """Real FLAC encoder (the fixture/sink twin of
+    :func:`_decode_flac`): STREAMINFO + fixed-blocking frames with
+    CONSTANT / VERBATIM / FIXED-predictor subframes, single-partition
+    rice residuals, correct CRC-8/CRC-16. ``mid_side`` exercises the
+    mid/side stereo decorrelation path. Lossless by construction —
+    decode returns the input samples exactly."""
+    import hashlib
+    if len(samples) % n_channels:
+        raise ValueError("sample count not a multiple of channel count")
+    lim = 1 << (bps - 1)
+    if any(not -lim <= v < lim for v in samples):
+        raise ValueError("sample out of range for bps")
+    n_frames_total = len(samples) // n_channels
+    chans = [list(samples[c::n_channels]) for c in range(n_channels)]
+    # STREAMINFO: min/max blocksize equal (fixed blocking)
+    raw = bytearray()
+    for i in range(n_frames_total):
+        for c in range(n_channels):
+            raw += int(chans[c][i]).to_bytes(bps // 8, "little",
+                                             signed=True)
+    si = 0
+    si = (si << 16) | block_size
+    si = (si << 16) | block_size
+    si = (si << 24) | 0          # min frame size unknown
+    si = (si << 24) | 0
+    si = (si << 20) | sample_rate
+    si = (si << 3) | (n_channels - 1)
+    si = (si << 5) | (bps - 1)
+    si = (si << 36) | n_frames_total
+    streaminfo = si.to_bytes(18, "big") + hashlib.md5(bytes(raw)).digest()
+    out = bytearray(FLAC_SIGNATURE)
+    out += bytes((0x80,)) + len(streaminfo).to_bytes(3, "big") \
+        + streaminfo
+    frame_no = 0
+    for start in range(0, n_frames_total, block_size):
+        blocks = [ch[start:start + block_size] for ch in chans]
+        bs = len(blocks[0])
+        w = _FlacBitWriter()
+        w.put(0x3FFE, 14)
+        w.put(0, 1)
+        w.put(0, 1)       # fixed blocking
+        w.put(7, 4)       # block size: 16-bit at end of header
+        w.put(0, 4)       # sample rate: from STREAMINFO
+        use_ms = mid_side and n_channels == 2
+        w.put(10 if use_ms else n_channels - 1, 4)
+        w.put(4 if bps == 16 else 1, 3)
+        w.put(0, 1)
+        for b in _flac_utf8_encode(frame_no):
+            w.put(b, 8)
+        w.put(bs - 1, 16)
+        hdr = bytes(w.buf)
+        w.put(_flac_crc8(hdr), 8)
+        if use_ms:
+            mid = [(l + r) >> 1 for l, r in zip(*blocks)]
+            side = [l - r for l, r in zip(*blocks)]
+            _flac_subframe_encode(w, mid, bps, force_verbatim)
+            _flac_subframe_encode(w, side, bps + 1, force_verbatim)
+        else:
+            for b in blocks:
+                _flac_subframe_encode(w, b, bps, force_verbatim)
+        w.align()
+        frame = w.bytes()
+        out += frame + _flac_crc16(frame).to_bytes(2, "big")
+        frame_no += 1
+    return bytes(out)
+
+
+def attach_flac_payload(documents: DataFrame) -> DataFrame:
+    """FLAC fixture frame: the SAME deterministic tone as
+    :func:`attach_audio_payload` (same rate/length/sample generative
+    formulas), compressed through the real FLAC encoder executor-side.
+    Losslessness is the oracle lever: decode returns the generative
+    samples bit-for-bit, so the symbolic WAV tone oracle predicts the
+    decoded features of the COMPRESSED stream too — while the decode
+    path exercises rice coding, fixed predictors, CRCs, and the frame
+    walk for real."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                rate, n = _gen_audio_params(int(doc_id))
+                payloads.append(encode_flac(
+                    rate, _gen_audio_samples(int(doc_id), n)))
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "media_type": "audio/flac",
+                "payload": payloads,
+                "n_bytes": [len(p) for p in payloads]})
+
+    return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)

@@ -26,9 +26,20 @@ from pyspark.sql import functions as F
 def prefix_sums(df: DataFrame, order_col: str, value_col: str,
                 out_col: str = "cum", n_parts: int = 32) -> DataFrame:
     """Inclusive running sum of ``value_col`` over the global
-    ``order_col`` order, without a single-task global window."""
+    ``order_col`` order, without a single-task global window.
+
+    The range-partitioned frame is MATERIALIZED before either
+    consumer runs (r10): RangePartitioner samples its boundaries with
+    an RDD-id-derived seed, so the offsets collect and the window
+    pass — two separate actions — could otherwise see DIFFERENT
+    boundaries and compose inconsistent running sums (the failure
+    mode was observed and root-caused on dedup._global_row_number's
+    suffix ranks; this call site had the same latent race). The
+    checkpoint block is narrow (order + value columns) and stays
+    pinned while the returned plan is live."""
     part = (df.repartitionByRange(n_parts, F.col(order_col))
-            .withColumn("__pid", F.spark_partition_id()))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True))
     w = (Window.partitionBy("__pid").orderBy(order_col)
          .rowsBetween(Window.unboundedPreceding, 0))
     local = part.withColumn("__local", F.sum(value_col).over(w))

@@ -8289,3 +8289,149 @@ def q_text_unigram_encode(spark, sf_dir):
     head pieces (operators/unigram.py:unigram_encode)."""
     from s3_elasticsearch_data_pipeline_spark.operators import unigram
     return unigram.unigram_encode(_t(spark, sf_dir, "documents"))
+
+
+def _maximal_spans_oracle_sql(min_len: int = 10, levels: int = 12) -> str:
+    """DuckDB twin of dedup.duplicate_spans_maximal: the same
+    prefix-doubling suffix ranking, unrolled to a FIXED ``levels``
+    depth (2^12 = 4096 tokens covers any test-corpus document; the
+    doubling recurrence is IDEMPOTENT once 2^k exceeds the longest
+    document, so extra rounds reproduce the same rank partition the
+    operator's measured ceil(log2(maxlen)) rounds reach). dense_rank
+    here vs the operator's min-row-number ranks: different numbers,
+    identical equality/order structure — ranks are internal. The LCP
+    descent, tail clamp, and per-document interval merge mirror the
+    operator expression-for-expression. All CTEs MATERIALIZED (the
+    doubling chain references each level twice; default inlining
+    would expand exponentially)."""
+    P = [f"""toks AS MATERIALIZED (
+  SELECT doc_id, generate_subscripts(t, 1) - 1 AS pos,
+         unnest(t) AS word
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(text, '\\s+'),
+                           x -> x <> '') AS t
+        FROM documents))""",
+         """doclen AS MATERIALIZED (
+  SELECT doc_id, count(*) AS n_toks FROM toks GROUP BY doc_id)""",
+         """r0 AS MATERIALIZED (
+  SELECT doc_id, pos, dense_rank() OVER (ORDER BY word) AS rank
+  FROM toks)"""]
+    for k in range(1, levels + 1):
+        gap = 1 << (k - 1)
+        P.append(f"""r{k} AS MATERIALIZED (
+  SELECT a.doc_id, a.pos,
+         dense_rank() OVER (ORDER BY a.rank, coalesce(b.rank, -1))
+           AS rank
+  FROM r{k - 1} a LEFT JOIN r{k - 1} b
+    ON b.doc_id = a.doc_id AND b.pos = a.pos + {gap})""")
+    P.append(f"""sa AS MATERIALIZED (
+  SELECT doc_id, pos,
+         row_number() OVER (ORDER BY rank, doc_id, pos) AS rn
+  FROM r{levels})""")
+    P.append("""pr0 AS MATERIALIZED (
+  SELECT a.rn, a.doc_id AS d1, a.pos AS p1,
+         b.doc_id AS d2, b.pos AS p2, CAST(0 AS BIGINT) AS l
+  FROM sa a JOIN sa b ON b.rn = a.rn + 1)""")
+    step = 0
+    for k in range(levels, -1, -1):
+        gap = 1 << k
+        step += 1
+        P.append(f"""pr{step} AS MATERIALIZED (
+  SELECT p.rn, p.d1, p.p1, p.d2, p.p2,
+         p.l + CASE WHEN a.rank IS NOT NULL AND b.rank IS NOT NULL
+                     AND a.rank = b.rank
+                    THEN {gap} ELSE 0 END AS l
+  FROM pr{step - 1} p
+  LEFT JOIN r{k} a ON a.doc_id = p.d1 AND a.pos = p.p1 + p.l
+  LEFT JOIN r{k} b ON b.doc_id = p.d2 AND b.pos = p.p2 + p.l)""")
+    P.append(f"""lcp AS MATERIALIZED (
+  SELECT p.rn, least(p.l, la.n_toks - p.p1, lb.n_toks - p.p2) AS lcp
+  FROM pr{step} p
+  JOIN doclen la ON la.doc_id = p.d1
+  JOIN doclen lb ON lb.doc_id = p.d2)""")
+    P.append(f"""dupl AS MATERIALIZED (
+  SELECT s.doc_id, s.pos,
+         greatest(coalesce(n.lcp, 0), coalesce(pv.lcp, 0)) AS dup_len
+  FROM sa s
+  LEFT JOIN lcp n ON n.rn = s.rn
+  LEFT JOIN lcp pv ON pv.rn = s.rn - 1)""")
+    P.append(f"""iv AS MATERIALIZED (
+  SELECT doc_id, pos, pos + dup_len AS e
+  FROM dupl WHERE dup_len >= {min_len})""")
+    P.append("""fl AS MATERIALIZED (
+  SELECT doc_id, pos, e,
+         CASE WHEN max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                IS NULL
+              OR pos > max(e) OVER (PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS f
+  FROM iv)""")
+    P.append("""gr AS MATERIALIZED (
+  SELECT doc_id, pos, e,
+         sum(f) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS g
+  FROM fl)""")
+    return "WITH " + ",\n".join(P) + """
+SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+       CAST(max(e) - min(pos) AS INT) AS span_len
+FROM gr GROUP BY doc_id, g"""
+
+
+@register("dedup_duplicate_spans_maximal", _maximal_spans_oracle_sql())
+def q_dedup_duplicate_spans_maximal(spark, sf_dir):
+    """Variable-length ExactSubstr (Lee et al., ACL 2022): the merged
+    MAXIMAL duplicated spans per document — distributed suffix
+    ranking by prefix doubling (ceil(log2(max doc tokens)) sorted
+    self-join rounds, two-phase global row numbers, never a
+    single-task window), rank-level LCP descent between suffix-array
+    neighbors, tail clamp, per-doc interval merge
+    (operators/dedup.py:duplicate_spans_maximal; exact-match tested
+    vs a pure-Python suffix-array reference)."""
+    return dedup.duplicate_spans_maximal(
+        _t(spark, sf_dir, "documents"))
+
+
+@register("audio_decode_flac", """
+WITH d AS (
+  SELECT doc_id, 8000 * (1 + doc_id % 3) AS rate,
+         200 + (doc_id % 37) * 10 AS n
+  FROM documents),
+s AS (
+  SELECT d.doc_id, d.rate, d.n, i.i
+  FROM d CROSS JOIN generate_series(0, 559) AS i(i)
+  WHERE i.i < d.n)
+SELECT doc_id,
+       CAST(rate AS INT) AS sample_rate,
+       1 AS n_channels, 16 AS bits_per_sample,
+       CAST(n AS BIGINT) AS n_samples,
+       floor(CAST(n AS DOUBLE) / rate * 1000000.0 + 0.5) / 1000000.0
+         AS duration_s,
+       floor(sqrt(avg(CAST((i * 17 + doc_id * 31) % 4096 - 2048 AS DOUBLE)
+                      * CAST((i * 17 + doc_id * 31) % 4096 - 2048
+                             AS DOUBLE)))
+             * 1000000.0 + 0.5) / 1000000.0 AS rms
+FROM s GROUP BY doc_id, rate, n
+""")
+def q_audio_decode_flac(spark, sf_dir):
+    """REAL FLAC decode end-to-end (r10): the WAV fixture tone is
+    compressed through the real FLAC encoder executor-side, then the
+    feature query drives the full decode — metadata walk, frame
+    headers with CRC-8, fixed-predictor subframes, partitioned-rice
+    entropy decode, CRC-16 — and, FLAC being lossless and
+    integer-exact, the SAME symbolic tone oracle as
+    audio_decode_features predicts the decoded features of the
+    compressed stream (operators/multimodal.py:_decode_flac /
+    encode_flac; round-trip + fuzz in tests/test_multimodal_decode.py
+    and test_decoder_fuzz.py)."""
+    payloads = multimodal.attach_flac_payload(
+        _t(spark, sf_dir, "documents"))
+    feats = multimodal.audio_features(payloads)
+    return (feats.where(F.col("decode_ok"))
+            .select("doc_id", "sample_rate", "n_channels",
+                    "bits_per_sample", "n_samples",
+                    (F.floor(F.col("duration_s") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("duration_s"),
+                    (F.floor(F.col("rms") * 1000000.0 + 0.5)
+                     / 1000000.0).alias("rms")))

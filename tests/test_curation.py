@@ -434,3 +434,95 @@ def test_incremental_semantic_dedup_contract(spark, sf_oracle):
     out2 = {r["vec_id"] for r in
             dedup.incremental_semantic_dedup(only_batch).collect()}
     assert out2 == batch_ids
+
+
+def _ref_maximal_spans(texts: dict, min_len: int = 10):
+    """Pure-Python suffix-array reference for duplicate_spans_maximal:
+    sort all suffixes, adjacent LCPs, dup_len = max neighbor LCP,
+    merge [pos, pos+dup_len) intervals per doc."""
+    sufs = sorted(((t.split()[p:], d, p) for d, t in texts.items()
+                   for p in range(len(t.split()))),
+                  key=lambda x: x[0])
+
+    def lcp(a, b):
+        m = min(len(a), len(b))
+        i = 0
+        while i < m and a[i] == b[i]:
+            i += 1
+        return i
+
+    lcps = [lcp(sufs[i][0], sufs[i + 1][0])
+            for i in range(len(sufs) - 1)]
+    by_doc: dict = {}
+    for i, (_, d, p) in enumerate(sufs):
+        dl = max(lcps[i - 1] if i > 0 else 0,
+                 lcps[i] if i < len(sufs) - 1 else 0)
+        if dl >= min_len:
+            by_doc.setdefault(d, []).append((p, p + dl))
+    out = []
+    for d, iv in by_doc.items():
+        iv.sort()
+        cs, ce = iv[0]
+        for s, e in iv[1:]:
+            if s > ce:
+                out.append((d, cs, ce - cs))
+                cs, ce = s, e
+            else:
+                ce = max(ce, e)
+        out.append((d, cs, ce - cs))
+    return sorted(out)
+
+
+def test_maximal_spans_matches_suffix_array_reference(spark, sf_smoke):
+    """r10 variable-length ExactSubstr: the distributed prefix-
+    doubling implementation must EXACTLY match a brute-force Python
+    suffix array on the real smoke corpus AND on crafted fixtures
+    covering the tricky shapes: overlapping within-doc self-repeats,
+    identical whole documents (suffix ties), shared runs at different
+    offsets, sub-threshold runs."""
+    real = {r["doc_id"]: r["text"] for r in
+            load_table(spark, sf_smoke, "documents")
+            .select("doc_id", "text").collect()}
+    got = sorted(tuple(r) for r in
+                 dedup.duplicate_spans_maximal(
+                     load_table(spark, sf_smoke, "documents")).collect())
+    assert got == _ref_maximal_spans(real)
+
+    run = " ".join(f"d{i}" for i in range(12))
+    fixtures = {
+        1: "x0 x1 " + run + " y0",            # shared run, offset 2
+        2: "z0 " + run + " z1 z2",            # shared run, offset 1
+        3: "unrelated words only here",       # no spans
+        4: " ".join(["a"] * 12),              # overlapping self-repeat
+        5: "",                                # empty
+        6: "same same2 " + " ".join(f"q{i}" for i in range(9)),
+        7: "same same2 " + " ".join(f"q{i}" for i in range(9)),  # identical twin
+        8: " ".join(f"d{i}" for i in range(9)),  # 9-token sub-run (<10)
+    }
+    docs = spark.createDataFrame(sorted(fixtures.items()),
+                                 "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 dedup.duplicate_spans_maximal(docs).collect())
+    want = _ref_maximal_spans(fixtures)
+    assert got == want
+    # identical docs 6/7 are fully covered (tail-clamped, not 12-long)
+    assert (6, 0, 11) in got and (7, 0, 11) in got
+    # doc 8's 9-token prefix of the shared run is below min_len
+    assert not any(d == 8 for d, _, _ in got)
+
+
+def test_maximal_spans_empty_and_partition_invariance(spark):
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        duplicate_spans_maximal)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    out = duplicate_spans_maximal(empty)
+    assert out.count() == 0
+    assert out.columns == ["doc_id", "span_start", "span_len"]
+    run = " ".join(f"w{i}" for i in range(15))
+    docs = spark.createDataFrame(
+        [(i, ("pad%d " % i) + run) for i in range(8)],
+        "doc_id long, text string")
+    a = sorted(tuple(r) for r in duplicate_spans_maximal(docs).collect())
+    b = sorted(tuple(r) for r in
+               duplicate_spans_maximal(docs.repartition(13)).collect())
+    assert a == b and len(a) == 8

@@ -25,7 +25,9 @@ imagey = st.one_of(raw, st.binary(max_size=200).map(lambda b: b"P6" + b),
                    st.binary(max_size=200).map(
                        lambda b: b"\xff\xd8" + b))
 wavy = st.one_of(raw, st.binary(max_size=200).map(
-    lambda b: b"RIFF" + b[:4] + b"WAVE" + b[4:]))
+    lambda b: b"RIFF" + b[:4] + b"WAVE" + b[4:]),
+                 st.binary(max_size=200).map(
+    lambda b: mm.FLAC_SIGNATURE + b))
 y4my = st.one_of(raw, st.binary(max_size=200).map(
     lambda b: b"YUV4MPEG2 " + b))
 
@@ -75,7 +77,7 @@ def test_truncated_valid_payloads_never_escape(cut, data):
     (the realistic corruption: an interrupted object-store read)."""
     kind = data.draw(st.sampled_from(
         ["img", "wav", "y4m", "png", "png_rgba", "png_pal", "jpeg",
-         "jpeg420", "jpeg_gray"]))
+         "jpeg420", "jpeg_gray", "flac", "flac_ms"]))
     if kind == "img":
         full = mm.encode_ppm(4, 3, bytes(range(36)))
         fn = mm.decode_image
@@ -102,6 +104,13 @@ def test_truncated_valid_payloads_never_escape(cut, data):
     elif kind == "wav":
         full = mm.encode_wav(8000, list(range(-20, 20)))
         fn = mm.decode_audio
+    elif kind == "flac":
+        full = mm.encode_flac(8000, mm._gen_audio_samples(3, 300))
+        fn = mm.decode_audio
+    elif kind == "flac_ms":
+        full = mm.encode_flac(8000, mm._gen_audio_samples(4, 400),
+                              n_channels=2, mid_side=True)
+        fn = mm.decode_audio
     else:
         full = mm.encode_y4m(4, 4, [bytes(16), bytes(range(16))])
         fn = mm.decode_video
@@ -127,5 +136,23 @@ def test_mutated_jpeg_never_escapes(pos, val):
         assert img["width"] > 0 and img["height"] > 0
         assert len(img["pixels"]) == (img["width"] * img["height"]
                                       * img["channels"])
+    except CAUGHT:
+        pass
+
+
+@settings(max_examples=120, deadline=None)
+@given(st.integers(min_value=4, max_value=10_000),
+       st.integers(min_value=0, max_value=255))
+def test_mutated_flac_never_escapes(pos, val):
+    """Single-byte corruption anywhere in a valid FLAC stream —
+    metadata, frame header, rice-coded residuals — must either still
+    decode (CRCs do not cover STREAMINFO padding bytes) or raise
+    exactly the caught types; a corrupted unary run must not loop."""
+    full = bytearray(mm.encode_flac(8000, mm._gen_audio_samples(6, 500)))
+    p = pos % len(full)
+    full[p] = val
+    try:
+        au = mm.decode_audio(bytes(full))
+        assert au["n_samples"] * au["n_channels"] == len(au["samples"])
     except CAUGHT:
         pass

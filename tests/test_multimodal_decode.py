@@ -665,3 +665,82 @@ def test_jpeg_bitreader_padding_is_all_ones():
     r2 = mm._JpegBitReader([b"\x00"])
     r2.consume(7)               # legal flush-padding overrun
     assert r2.peek16() == 0x7FFF  # 1 real zero bit then pure padding
+
+
+def test_flac_roundtrip_every_subframe_path():
+    """r10 FLAC codec: every subframe family (CONSTANT, VERBATIM,
+    FIXED 0-2 via the auto chooser), rice escape, multi-frame streams,
+    independent and mid/side stereo, 8-bit — decode must return the
+    encoder's input EXACTLY (losslessness is the whole oracle lever)."""
+    import random
+    rng = random.Random(11)
+    cases = [
+        ([64] * 300, 1, {}),                            # CONSTANT
+        (list(range(-250, 250)), 1, {}),                # FIXED ramp
+        ([rng.randrange(-2048, 2048) for _ in range(777)], 1, {}),
+        ([rng.randrange(-30000, 30000) for _ in range(300)], 1,
+         {"force_verbatim": True}),                     # VERBATIM
+        ([rng.randrange(-1000, 1000) for _ in range(600)], 2, {}),
+        ([rng.randrange(-1000, 1000) for _ in range(600)], 2,
+         {"mid_side": True}),
+        ([rng.randrange(-128, 128) for _ in range(300)], 1, {"bps": 8}),
+        ([-32768, 32767] * 150, 1, {}),                 # rice escape
+        (list(range(200)) * 40, 1, {"block_size": 192}),  # many frames
+        ([7], 1, {}),
+        ([], 1, {}),
+    ]
+    for samples, nch, kw in cases:
+        payload = mm.encode_flac(8000, samples, n_channels=nch, **kw)
+        dec = mm.decode_audio(payload)
+        assert list(dec["samples"]) == list(samples), (nch, kw)
+        assert dec["n_channels"] == nch and dec["sample_rate"] == 8000
+        assert dec["n_samples"] == len(samples) // nch
+
+
+def test_flac_structural_damage_degrades_not_kills():
+    """Bad CRCs, truncation, reserved codes, and wrong magic raise
+    exactly the caught types (ValueError / NotImplementedError)."""
+    full = bytearray(mm.encode_flac(8000, mm._gen_audio_samples(9, 400)))
+    with pytest.raises((ValueError, NotImplementedError)):
+        mm.decode_audio(bytes(full[:30]))            # inside STREAMINFO
+    with pytest.raises(ValueError):
+        mm.decode_audio(bytes(full[:-1]))            # truncated frame
+    bad = bytearray(full)
+    bad[-1] ^= 0xFF                                  # frame CRC-16
+    with pytest.raises(ValueError):
+        mm.decode_audio(bytes(bad))
+    # 20-bit streams gate as unsupported, not as garbage
+    deep = bytearray(mm.encode_flac(8000, [0, 1, 2, 3]))
+    # STREAMINFO bps-1 field: byte 4+4+12 .. set bps-1=19 (20-bit)
+    # bits 100..107 of the 34-byte body start at payload offset 8+12
+    body_off = 8  # 4 magic + 4 block header
+    si = int.from_bytes(deep[body_off:body_off + 34], "big")
+    si = (si & ~(0x1F << 164)) | (19 << 164)
+    deep[body_off:body_off + 34] = si.to_bytes(34, "big")
+    with pytest.raises(NotImplementedError):
+        mm.decode_audio(bytes(deep))
+
+
+def test_flac_features_through_audio_pipeline(spark):
+    """The Arrow feature pipeline reads FLAC payloads exactly like WAV
+    ones — identical features for identical tones, decode_ok=false on
+    a corrupted stream."""
+    docs = spark.createDataFrame([(i,) for i in range(6)],
+                                 "doc_id long")
+    wav = mm.audio_features(mm.attach_audio_payload(docs)).collect()
+    flac = mm.audio_features(mm.attach_flac_payload(docs)).collect()
+    key = lambda r: r["doc_id"]
+    for a, b in zip(sorted(wav, key=key), sorted(flac, key=key)):
+        assert tuple(a) == tuple(b)
+
+
+def test_flac_decode_oracle_parity(spark, sf_oracle):
+    from s3_elasticsearch_data_pipeline_spark import registry
+    from tests.oracle import compare, duckdb_conn
+    con = duckdb_conn(sf_oracle)
+    try:
+        df = registry.queries()["audio_decode_flac"](spark, sf_oracle)
+        probs = compare(df, con, registry.oracle_sql()["audio_decode_flac"])
+        assert not probs, probs
+    finally:
+        con.close()

@@ -330,6 +330,7 @@ _PYTHON_ALLOWED = {
                                    # passes are relational aggregates
     "text_unigram_encode",         # same kernel, apply side — join-back
                                    # and per-doc stats are pure JVM
+    "audio_decode_flac",           # mapInPandas REAL FLAC codec (r10)
 }
 # Queries whose *construction* performs work (writes, streams,
 # checkpoints) — plan text is checked for the pure-relational rest.
