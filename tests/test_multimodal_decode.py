@@ -744,3 +744,53 @@ def test_flac_decode_oracle_parity(spark, sf_oracle):
         assert not probs, probs
     finally:
         con.close()
+
+
+def test_flac_lpc_subframe_decodes():
+    """The LPC subframe path (order-2 quantized predictor) — the
+    encoder twin only emits fixed predictors, so this hand-crafts the
+    bitstream: warmup + coefficients + shift + rice residuals computed
+    from a known signal, wrapped in a valid frame (CRC-8/16). Decode
+    must reproduce the signal exactly."""
+    import math
+    bps, bs, rate = 16, 64, 8000
+    x = [round(1000 * math.sin(i / 5)) for i in range(bs)]
+    order, prec, shift = 2, 12, 5
+    coefs = [63, -31]  # prediction = (63*x[n-1] - 31*x[n-2]) >> 5
+    res = [x[i] - ((coefs[0] * x[i - 1] + coefs[1] * x[i - 2]) >> shift)
+           for i in range(order, bs)]
+    w = mm._FlacBitWriter()
+    w.put(0x3FFE, 14)
+    w.put(0, 2)          # reserved + fixed blocking
+    w.put(7, 4)          # 16-bit block size at end
+    w.put(0, 4)          # rate from STREAMINFO
+    w.put(0, 4)          # 1 channel
+    w.put(4, 3)          # 16-bit samples
+    w.put(0, 1)
+    w.put(0, 8)          # frame number 0
+    w.put(bs - 1, 16)
+    w.put(mm._flac_crc8(bytes(w.buf)), 8)
+    # LPC subframe: pad 0, type 1xxxxx = 100000 + (order-1), wasted 0
+    w.put(0, 1)
+    w.put(32 + order - 1, 6)
+    w.put(0, 1)
+    for v in x[:order]:
+        w.put(v, bps)
+    w.put(prec - 1, 4)
+    w.put(shift, 5)
+    for c in coefs:
+        w.put(c, prec)
+    mm._flac_write_residuals(w, res)
+    w.align()
+    frame = w.bytes()
+    frame += mm._flac_crc16(frame).to_bytes(2, "big")
+    si = 0
+    for v, k in ((bs, 16), (bs, 16), (0, 24), (0, 24), (rate, 20),
+                 (0, 3), (bps - 1, 5), (bs, 36)):
+        si = (si << k) | v
+    streaminfo = si.to_bytes(18, "big") + bytes(16)
+    payload = (mm.FLAC_SIGNATURE + bytes((0x80,))
+               + len(streaminfo).to_bytes(3, "big") + streaminfo + frame)
+    dec = mm.decode_audio(payload)
+    assert list(dec["samples"]) == x
+    assert dec["n_samples"] == bs
