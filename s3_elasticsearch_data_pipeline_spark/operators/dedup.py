@@ -1674,7 +1674,7 @@ def _global_row_number(df: DataFrame, key_cols: list,
                                           "__pid int, __off long")
     return (local.join(F.broadcast(off), "__pid")
             .withColumn(out, F.col("__lrn") + F.col("__off"))
-            .drop("__pid", "__lrn"))
+            .drop("__pid", "__lrn", "__off"))
 
 
 def _suffix_rank_round(level: DataFrame, gap: int) -> DataFrame:
@@ -1832,3 +1832,49 @@ def duplicate_spans_maximal(documents: DataFrame,
     # span-count-sized result checkpoint stays pinned
     release_persistent_rdds(spark, corpus_sized)
     return result
+
+
+def exactsubstr_trim(documents: DataFrame,
+                     min_len: int = 10) -> DataFrame:
+    """The APPLY side of :func:`duplicate_spans_maximal` — the actual
+    ExactSubstr trimmer (Lee et al., ACL 2022 drop every copy of a
+    duplicated substring): remove every token covered by a maximal
+    duplicated span and re-assemble the cleaned text.
+
+    One left-anti join of the token table against the span intervals
+    (equi on doc_id, range residual — the span table is small, the
+    optimizer broadcasts it when stats allow) and one per-doc ordered
+    re-aggregation. Returns (doc_id, n_tokens, n_removed,
+    clean_text); documents whose every token is covered come back
+    with empty clean_text, token-less docs with zeros.
+    """
+    spans = duplicate_spans_maximal(documents, min_len=min_len)
+    toks = (parallelize_for_compute(documents)
+            .select("doc_id",
+                    F.posexplode(tokens(F.col("text")))
+                    .alias("pos", "word")))
+    sp = spans.select(F.col("doc_id").alias("__d"),
+                      F.col("span_start").alias("__s"),
+                      (F.col("span_start") + F.col("span_len"))
+                      .alias("__e"))
+    kept = toks.join(
+        sp, (F.col("doc_id") == F.col("__d"))
+        & (F.col("pos") >= F.col("__s")) & (F.col("pos") < F.col("__e")),
+        "left_anti")
+    stats = (toks.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("int").alias("n_tokens")))
+    clean = (kept.groupBy("doc_id")
+             .agg(F.count(F.lit(1)).cast("int").alias("__k"),
+                  F.concat_ws(" ", F.array_sort(
+                      F.collect_list(F.struct("pos", "word")))
+                      .getField("word")).alias("clean_text")))
+    return (documents.select("doc_id")
+            .join(stats, "doc_id", "left")
+            .join(clean, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    (F.coalesce("n_tokens", F.lit(0))
+                     - F.coalesce("__k", F.lit(0))).cast("int")
+                    .alias("n_removed"),
+                    F.coalesce("clean_text", F.lit(""))
+                    .alias("clean_text")))

@@ -8291,7 +8291,8 @@ def q_text_unigram_encode(spark, sf_dir):
     return unigram.unigram_encode(_t(spark, sf_dir, "documents"))
 
 
-def _maximal_spans_oracle_sql(min_len: int = 10, levels: int = 12) -> str:
+def _maximal_spans_oracle_sql(min_len: int = 10, levels: int = 12,
+                              emit: str = "spans") -> str:
     """DuckDB twin of dedup.duplicate_spans_maximal: the same
     prefix-doubling suffix ranking, unrolled to a FIXED ``levels``
     depth (2^12 = 4096 tokens covers any test-corpus document; the
@@ -8373,10 +8374,33 @@ def _maximal_spans_oracle_sql(min_len: int = 10, levels: int = 12) -> str:
                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS g
   FROM fl)""")
-    return "WITH " + ",\n".join(P) + """
+    if emit == "spans":
+        return "WITH " + ",\n".join(P) + """
 SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
        CAST(max(e) - min(pos) AS INT) AS span_len
 FROM gr GROUP BY doc_id, g"""
+    # emit == "trim": drop every covered token, re-assemble the text
+    P.append("""spans AS MATERIALIZED (
+  SELECT doc_id, min(pos) AS s, max(e) AS e
+  FROM gr GROUP BY doc_id, g)""")
+    P.append("""kept AS MATERIALIZED (
+  SELECT t.doc_id, t.pos, t.word FROM toks t
+  WHERE NOT EXISTS (SELECT 1 FROM spans sp
+                    WHERE sp.doc_id = t.doc_id
+                      AND t.pos >= sp.s AND t.pos < sp.e))""")
+    P.append("""cl AS MATERIALIZED (
+  SELECT doc_id, CAST(count(*) AS INT) AS k,
+         array_to_string(list(word ORDER BY pos), ' ') AS clean_text
+  FROM kept GROUP BY doc_id)""")
+    return "WITH " + ",\n".join(P) + """
+SELECT d.doc_id,
+       CAST(coalesce(dl.n_toks, 0) AS INT) AS n_tokens,
+       CAST(coalesce(dl.n_toks, 0) - coalesce(cl.k, 0) AS INT)
+         AS n_removed,
+       coalesce(cl.clean_text, '') AS clean_text
+FROM documents d
+LEFT JOIN doclen dl ON dl.doc_id = d.doc_id
+LEFT JOIN cl ON cl.doc_id = d.doc_id"""
 
 
 @register("dedup_duplicate_spans_maximal", _maximal_spans_oracle_sql())
@@ -8435,3 +8459,14 @@ def q_audio_decode_flac(spark, sf_dir):
                      / 1000000.0).alias("duration_s"),
                     (F.floor(F.col("rms") * 1000000.0 + 0.5)
                      / 1000000.0).alias("rms")))
+
+
+@register("dedup_exactsubstr_trim",
+          _maximal_spans_oracle_sql(emit="trim"))
+def q_dedup_exactsubstr_trim(spark, sf_dir):
+    """The ExactSubstr TRIMMER (apply side of
+    dedup_duplicate_spans_maximal): drop every token covered by a
+    maximal duplicated span and re-assemble the cleaned text — the
+    operation the Lee et al. pipeline actually ships
+    (operators/dedup.py:exactsubstr_trim)."""
+    return dedup.exactsubstr_trim(_t(spark, sf_dir, "documents"))

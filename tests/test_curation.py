@@ -526,3 +526,42 @@ def test_maximal_spans_empty_and_partition_invariance(spark):
     b = sorted(tuple(r) for r in
                duplicate_spans_maximal(docs.repartition(13)).collect())
     assert a == b and len(a) == 8
+
+
+def test_exactsubstr_trim_matches_reference(spark):
+    """The trimmer drops EXACTLY the tokens the reference maximal
+    spans cover: identical twin docs trim to their last (uncovered)
+    token, unrelated docs pass through verbatim, token-less docs get
+    zero rows with empty text."""
+    from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
+        exactsubstr_trim)
+    run = " ".join(f"d{i}" for i in range(12))
+    fixtures = {
+        1: "x0 x1 " + run + " y0",
+        2: "z0 " + run + " z1 z2",
+        3: "unrelated words only here",
+        4: "",
+        5: "cc " + " ".join(f"e{i}" for i in range(10)),
+        6: "cc " + " ".join(f"e{i}" for i in range(10)),
+    }
+    docs = spark.createDataFrame(sorted(fixtures.items()),
+                                 "doc_id long, text string")
+    got = {r["doc_id"]: r for r in exactsubstr_trim(docs).collect()}
+    spans = _ref_maximal_spans(fixtures)
+    for d, t in fixtures.items():
+        toks = t.split()
+        covered = set()
+        for sd, s, l in spans:
+            if sd == d:
+                covered.update(range(s, s + l))
+        keep = [w for i, w in enumerate(toks) if i not in covered]
+        r = got[d]
+        assert r["n_tokens"] == len(toks), d
+        assert r["n_removed"] == len(covered), d
+        assert r["clean_text"] == " ".join(keep), d
+    assert got[3]["n_removed"] == 0
+    assert got[3]["clean_text"] == fixtures[3]
+    assert got[4]["n_tokens"] == 0 and got[4]["clean_text"] == ""
+    # the twins share an 11-token prefix span ("cc e0..e9"); the run
+    # itself is 11 tokens, so everything is covered on both
+    assert got[5]["n_removed"] == 11 and got[5]["clean_text"] == ""
