@@ -221,3 +221,23 @@ def test_corpus_training_set_v2_job_count_pinned(spark, sf_smoke):
     run()  # warm: codegen + broadcast warmup jobs stay out of the pin
     got = _count_jobs(spark, "jc-corpus-v2", run)
     assert 29 <= got <= 31, got
+
+
+def test_maximal_spans_job_count_pinned(spark, sf_smoke):
+    """r10: per-call job count for the suffix-ranking flow (K=7
+    doubling rounds on the smoke corpus, each a range shuffle with a
+    sampling job + an offsets collect, then the LCP descent plan and
+    the materialized result). Data-dependent only through
+    ceil(log2(max doc tokens)), which is fixed for the smoke corpus —
+    a stray extra action (a re-probed maxlen, a double-materialized
+    level) moves this number. Banded ±2 (AQE flap allowance scaled to
+    the job volume)."""
+    from s3_elasticsearch_data_pipeline_spark import registry
+
+    def run():
+        registry.queries()["dedup_duplicate_spans_maximal"](
+            spark, sf_smoke).collect()
+
+    run()  # warm
+    got = _count_jobs(spark, "jc-maximal-spans", run)
+    assert 131 <= got <= 135, got
