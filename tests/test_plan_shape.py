@@ -597,6 +597,9 @@ def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
         # r9: the production dedup-at-ingest's per-side hot-bucket
         # cap lists (explicit F.broadcast(hot), tiny by construction)
         "dedup_incremental_lsh_prod": 2,
+        # r10: domain_reweight's driver-built per-cell rates table
+        # (explicit F.broadcast, n_cells rows at any corpus scale)
+        "corpus_domain_reweight": 1,
     }
     keys = ("spark.sql.autoBroadcastJoinThreshold",
             "spark.sql.adaptive.autoBroadcastJoinThreshold")
@@ -630,6 +633,10 @@ def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
             if name == "dedup_incremental_lsh_prod":
                 pat = r"HashAggregate\(keys=\[band#\d+, bucket#"
                 msg = "non-hot-bucket broadcast survived 1KB"
+            elif name == "corpus_domain_reweight":
+                # the driver-built rates table (cell, __rate)
+                pat = r"Scan ExistingRDD\[cell#\d+, ?__rate#"
+                msg = "non-rates broadcast survived 1KB"
             else:
                 pat = r"HashAggregate\(keys=\[gram#"
                 msg = "non-eval-gram broadcast survived 1KB"

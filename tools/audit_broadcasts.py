@@ -108,6 +108,14 @@ FLIP_SURVIVORS = {
     # localCheckpoints collapse the curation subtree to one execution
     # and the flip audit flags nothing.
     "dedup_incremental_lsh_prod": 2,
+    # r10: domain_reweight ships per-cell rates as an explicit
+    # F.broadcast of a DRIVER-BUILT kilobyte table (n_cells rows of
+    # [cell, rate] — the learned-domain count is a modeling choice,
+    # 8-64 rows at any corpus scale). Broadcasting it is the point
+    # of verdict item 5 (flat plan vs the F.when chain); surviving
+    # the 1KB flip is correct because the table's size is bounded by
+    # n_cells, not by the data.
+    "corpus_domain_reweight": 1,
 }
 
 _FLIP_KEYS = ("spark.sql.autoBroadcastJoinThreshold",
