@@ -1082,6 +1082,8 @@ def attach_image_payload(documents: DataFrame) -> DataFrame:
                 "payload": payloads,
                 "n_bytes": [len(p) for p in payloads]})
 
+    # deliberately NO parallelize_for_compute — measured slower for
+    # this cheap codec (see attach_audio_payload note)
     return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
 
 
@@ -1189,7 +1191,12 @@ def attach_png_payload(documents: DataFrame) -> DataFrame:
                 "payload": payloads,
                 "n_bytes": [len(p) for p in payloads]})
 
-    return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+    # zlib deflate + per-row filter search is real per-row compute —
+    # same single-task-scan guard as the JPEG attachers
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
+    return (parallelize_for_compute(documents.select("doc_id"))
+            .mapInPandas(run, PAYLOAD_SCHEMA))
 
 
 IMAGE_FEATURE_SCHEMA = ("doc_id long, decode_ok boolean, width int, "
@@ -1433,6 +1440,12 @@ def attach_audio_payload(documents: DataFrame) -> DataFrame:
                 "payload": payloads,
                 "n_bytes": [len(p) for p in payloads]})
 
+    # deliberately NO parallelize_for_compute: WAV synth+decode is
+    # cheap per row — the round-robin exchange + per-task Python
+    # worker fan-out measured SLOWER than the serial scan at sf0.1
+    # (0.93 → 1.11 s; multimodal_curation 1.81 → 3.20 s), and at real
+    # split counts the guard is a no-op anyway. FLAC (genuinely
+    # expensive rice coding) keeps the guard.
     return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
 
 
@@ -1694,6 +1707,8 @@ def attach_video_payload(documents: DataFrame) -> DataFrame:
                 "payload": payloads,
                 "n_bytes": [len(p) for p in payloads]})
 
+    # deliberately NO parallelize_for_compute — measured slower for
+    # this cheap codec (see attach_audio_payload note)
     return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
 
 
@@ -2356,4 +2371,12 @@ def attach_flac_payload(documents: DataFrame) -> DataFrame:
                 "payload": payloads,
                 "n_bytes": [len(p) for p in payloads]})
 
-    return documents.select("doc_id").mapInPandas(run, PAYLOAD_SCHEMA)
+    # rice coding + CRCs + the downstream full FLAC decode are by far
+    # the costliest per-row compute in the media family (measured
+    # 15.5 s in ONE task over the single-row-group fixture scan at
+    # sf0.1) — same cluster-parallelism guard as the JPEG attachers
+    # (no-op at real split counts; see tables.py)
+    from s3_elasticsearch_data_pipeline_spark.tables import (
+        parallelize_for_compute)
+    return (parallelize_for_compute(documents.select("doc_id"))
+            .mapInPandas(run, PAYLOAD_SCHEMA))
