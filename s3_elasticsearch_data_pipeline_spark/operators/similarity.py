@@ -727,6 +727,110 @@ def _score_pairs_arrow(matched: DataFrame) -> DataFrame:
         .otherwise(F.col("sim")))
 
 
+def _collect_queries_if_serving_sized(queries: DataFrame):
+    """Cap-guarded driver fetch of a query frame — the
+    ``brute_force_topk_arrow`` acquisition pattern shared by the IVF
+    probe paths: ONE ``limit(cap+1)`` collect doubles as the emptiness
+    probe and the over-cap strategy switch. Returns ``(ids, emb)``
+    numpy arrays, or None when the frame exceeds
+    :data:`MAX_DRIVER_QUERIES` (callers then keep the fully
+    distributed join plan)."""
+    import numpy as np
+    rows = (queries.select("vec_id", "embedding")
+            .limit(MAX_DRIVER_QUERIES + 1).collect())
+    if len(rows) > MAX_DRIVER_QUERIES:
+        return None
+    if not rows:
+        return (np.empty(0, dtype=np.int64),
+                np.empty((0, 0), dtype=np.float64))
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    emb = np.array([list(r["embedding"]) for r in rows],
+                   dtype=np.float64)
+    return ids, emb
+
+
+def _cell_scored_pairs(cand: DataFrame, q_ids, q_emb, order) -> DataFrame:
+    """Score (query, candidate) pairs CELL-GROUPED with one einsum per
+    (cell, batch) — the serving-sized twin of the join +
+    :func:`_score_pairs_arrow` pipeline, and the r10 fix for its
+    dominant cost: the join materialized BOTH 64-dim vectors per pair
+    and pushed ~hundreds of MB through the Arrow boundary (measured
+    86 executor-seconds vs 7 CPU-seconds on the sf0.1 mine call —
+    tasks were serializing vectors, not computing). Here each query
+    vector ships ONCE in the task closure (one shared matrix + per-cell
+    row indexes) and each candidate vector crosses Arrow once, so the
+    pair space never materializes as rows.
+
+    Bit-identity contract: ``np.einsum`` raw dots in the same
+    fixed-order contraction as the per-pair kernel and DuckDB's
+    ``list_inner_product`` fold (the established discipline — both
+    einsum forms are oracle-hash-checked against the same fold), the
+    same ``dots / (qn * cn)`` expression, and the same zero-norm → NaN
+    → NULL mapping. ``order`` is the (N, take) driver-side cell
+    assignment from :func:`_q_nearest_cells`; -1 padding (tiny
+    two-level quantizers) is masked exactly like
+    :func:`_quantizer_cells_fn` drops it."""
+    import numpy as np
+    qn = np.sqrt(np.einsum("id,id->i", q_emb, q_emb))
+    cell_rows: dict[int, list] = {}
+    for i in range(order.shape[0]):
+        for c in order[i]:
+            if c >= 0:
+                cell_rows.setdefault(int(c), []).append(i)
+    cellmap = {c: np.array(rows, dtype=np.int64)
+               for c, rows in cell_rows.items()}
+
+    def score(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf["cand_vec"].to_numpy()).astype(np.float64)
+            cn = np.sqrt(np.einsum("id,id->i", C, C))
+            n_ids = pdf["neighbor_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            out_q, out_n, out_s = [], [], []
+            for c in np.unique(cells):
+                qrows = cellmap.get(int(c))
+                if qrows is None:
+                    continue
+                crows = np.nonzero(cells == c)[0]
+                Q = q_emb[qrows]
+                dots = np.einsum("id,jd->ij", Q, C[crows])
+                denom = qn[qrows][:, None] * cn[crows][None, :]
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    sims = dots / denom
+                sims[denom == 0] = np.nan
+                out_q.append(np.repeat(q_ids[qrows], len(crows)))
+                out_n.append(np.tile(n_ids[crows], len(qrows)))
+                out_s.append(sims.reshape(-1))
+            if not out_q:
+                continue
+            yield pd.DataFrame({
+                "query_id": np.concatenate(out_q),
+                "neighbor_id": np.concatenate(out_n),
+                "sim": np.concatenate(out_s)})
+
+    raw = cand.mapInPandas(
+        score, "query_id long, neighbor_id long, sim double")
+    return raw.withColumn(
+        "sim", F.when(F.isnan("sim"), F.lit(None))
+        .otherwise(F.col("sim")))
+
+
+def _ranked_topk(scored: DataFrame, k: int) -> DataFrame:
+    """THE shared IVF rerank tail: self-pair filter, per-query rank
+    under the (sim desc, neighbor_id) total order, k-cut, round-6."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id"))
+    return (scored
+            .where(F.col("query_id") != F.col("neighbor_id"))
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))
+
+
 def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
                    n_probe: int = 4) -> DataFrame:
     """Approximate top-k against a PERSISTED IVF index (the serving
@@ -739,11 +843,41 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     Queries assign through the SAME quantizer the build used (flat or
     two-level — ``_load_quantizer`` reconstructs it from the persisted
     tables), so build/probe cell agreement holds at any n_cells.
+
+    Two physical strategies behind one logical result (r10): at or
+    below :data:`MAX_DRIVER_QUERIES` the query batch collects to the
+    driver, assigns cells there with the same kernel, and scores
+    cell-grouped in one Arrow pass (:func:`_cell_scored_pairs`) — no
+    join, each vector crosses the Python boundary once. Above the cap
+    the original distributed join plan runs unchanged. Both produce
+    bit-identical rows (equivalence-tested).
     """
     q = _load_quantizer(spark, path)
     if q is None:
         return spark.createDataFrame(
             [], "query_id long, neighbor_id long, sim double, rank int")
+    # Serving-sized query batches (the per-request contract this probe
+    # exists for) take the driver path: ONE cap-guarded collect (also
+    # the emptiness probe), cell assignment driver-side through the
+    # SAME `_q_nearest_cells` kernel the distributed assign uses, and
+    # cell-grouped einsum scoring with no join — see
+    # :func:`_cell_scored_pairs` for the measured why. Over-cap query
+    # frames keep the fully distributed join plan below.
+    fetched = _collect_queries_if_serving_sized(queries)
+    if fetched is not None:
+        q_ids, q_emb = fetched
+        if not len(q_ids):
+            return spark.createDataFrame(
+                [], "query_id long, neighbor_id long, sim double, "
+                    "rank int")
+        order = _q_nearest_cells(q, q_emb, n_probe)
+        probed = sorted({int(c) for c in order.reshape(-1) if c >= 0})
+        cand = (spark.read.parquet(path + "/cells")
+                .where(F.col("cell").isin(probed))
+                .select(F.col("vec_id").alias("neighbor_id"), "cell",
+                        F.col("embedding").alias("cand_vec")))
+        return _ranked_topk(
+            _cell_scored_pairs(cand, q_ids, q_emb, order), k)
     query_cells = (queries.select("vec_id", "embedding")
                    .mapInPandas(_quantizer_cells_fn(q, n_probe),
                                 "vec_id long, cell int"))
@@ -752,26 +886,15 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
                                 F.col("embedding").cast("array<double>")
                                 .alias("query_vec")), "vec_id")
            .select(F.col("vec_id").alias("query_id"), "cell", "query_vec"))
-    # ONE scalar-aggregate job yields both driver-side decisions — the
-    # probed-cell union (≤ n_cells ints → a STATIC partition filter on
-    # the index scan) and the distinct query count (the broadcast-cap
-    # unit, defined in queries not n_probe-expanded rows). No eager
-    # checkpoint: a probe is a per-request call and must pin nothing
-    # (ivfpq_probe_topk discipline); the assign kernel re-runs lazily
-    # in the final plan, kilobytes of query frame against a corpus-
-    # sized index read.
-    # ...and the emptiness check rides the same job (the .first() probe
-    # this round removed from the builders): zero distinct queries ⇒
-    # empty result, no further jobs.
+    # ONE scalar-aggregate job yields the probed-cell union
+    # (≤ n_cells ints → a STATIC partition filter on the index scan).
+    # No eager checkpoint: a probe is a per-request call and must pin
+    # nothing (ivfpq_probe_topk discipline); the assign kernel re-runs
+    # lazily in the final plan, kilobytes of query frame against a
+    # corpus-sized index read.
     stats = query_cells.agg(
-        F.count_distinct("vec_id").alias("nq"),
         F.collect_set("cell").alias("cells")).collect()[0]
-    if not stats["nq"]:
-        return spark.createDataFrame(
-            [], "query_id long, neighbor_id long, sim double, rank int")
     probed = sorted(stats["cells"])
-    hint = (F.broadcast if stats["nq"] <= MAX_DRIVER_QUERIES
-            else (lambda d: d))
     cand = (spark.read.parquet(path + "/cells")
             .where(F.col("cell").isin(probed))
             .select(F.col("vec_id").alias("neighbor_id"), "cell",
@@ -783,18 +906,11 @@ def ivf_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
     # the old defensive distinct at ~3 s/direction at sf0.1: it
     # shuffled rows carrying BOTH 64-dim vectors and row-compared
     # array columns, for zero semantic effect.
-    matched = (cand.join(hint(qry), "cell")
+    matched = (cand.join(qry, "cell")
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id", "query_vec",
                        "cand_vec"))
-    scored = _score_pairs_arrow(matched)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id"))
-    return (scored
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("sim", 6).alias("sim"), "rank"))
+    return _ranked_topk(_score_pairs_arrow(matched), k)
 
 
 def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
@@ -822,14 +938,23 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             [], "query_id long, neighbor_id long, sim double, rank int")
     q = _train_quantizer(embeddings, n_cells, iters,
                          init_rows=init_rows if flat else None)
-    corpus_cells = (embeddings.select("vec_id", "embedding")
-                    .mapInPandas(_quantizer_cells_fn(q, 1),
-                                 "vec_id long, cell int"))
-    cand = (corpus_cells
-            .join(embeddings.select(F.col("vec_id"),
-                                    F.col("embedding").cast("array<double>")
-                                    .alias("cand_vec")), "vec_id")
-            .select(F.col("vec_id").alias("neighbor_id"), "cell", "cand_vec"))
+    # corpus assignment CARRIES the vector through the kernel
+    # (carry_vec — the streaming cell-store shape) instead of joining
+    # the assignment back to the embedding table: one Arrow pass, no
+    # corpus-keyed join/exchange in the candidate branch (r10).
+    cand = (embeddings.select("vec_id", "embedding")
+            .mapInPandas(_quantizer_cells_fn(q, 1, carry_vec=True),
+                         "vec_id long, cell int, vec array<double>")
+            .select(F.col("vec_id").alias("neighbor_id"), "cell",
+                    F.col("vec").alias("cand_vec")))
+    # serving-sized query batches take the driver path — same strategy
+    # split (and the same measured why) as ivf_probe_topk
+    fetched = _collect_queries_if_serving_sized(queries)
+    if fetched is not None and len(fetched[0]):
+        q_ids, q_emb = fetched
+        order = _q_nearest_cells(q, q_emb, n_probe)
+        return _ranked_topk(
+            _cell_scored_pairs(cand, q_ids, q_emb, order), k)
     query_cells = (queries.select("vec_id", "embedding")
                    .mapInPandas(_quantizer_cells_fn(q, n_probe),
                                 "vec_id long, cell int"))
@@ -840,18 +965,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
            .select(F.col("vec_id").alias("query_id"), "cell", "query_vec"))
 
     # no distinct — unique by construction, see ivf_probe_topk
-    matched = (cand.join(_query_join_hint(queries)(qry), "cell")
+    matched = (cand.join(qry, "cell")
                .where(F.col("neighbor_id") != F.col("query_id"))
                .select("query_id", "neighbor_id", "query_vec",
                        "cand_vec"))
-    scored = _score_pairs_arrow(matched)
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("sim").desc(), F.col("neighbor_id"))
-    return (scored
-            .withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= k)
-            .select("query_id", "neighbor_id",
-                    F.round("sim", 6).alias("sim"), "rank"))
+    return _ranked_topk(_score_pairs_arrow(matched), k)
 
 
 #: Candidate-selection strategies of Artetxe & Schwenk §3.2: which

@@ -97,8 +97,11 @@ def test_index_surface_job_counts_pinned(spark, emb, tmp_path):
         # centroid load + batch assign/append write
         "ivf_append": 8,
         # params load + cell-pruned scan + rerank collect (r8: the
-        # no-op distinct left the probe plan — one fewer shuffle job)
-        "ivf_probe": 10,
+        # no-op distinct left the probe plan — one fewer shuffle job;
+        # r10: serving-sized queries collect once and score driver-
+        # assigned cell groups — the distributed assign + stats jobs
+        # left the plan, 10 -> 8)
+        "ivf_probe": 8,
         # training fetch (init + emptiness folded, r6) + Lloyd/PQ
         # train + encode/write + params write
         "ivfpq_build": 11,
@@ -162,7 +165,8 @@ def test_two_level_index_job_counts_pinned(spark, tmp_path):
         "ivf2l_build": 11,
         # quantizer load (centroids + supers) + assign/append
         "ivf2l_append": 14,
-        "ivf2l_probe": 18,
+        # r10: driver-path probe (see the flat ivf_probe note), 18 -> 16
+        "ivf2l_probe": 16,
         # probe + count + sample + residual sample + encode/write +
         # meta/supers/centroids/codebooks writes
         "ivfpq2l_build": 11,
@@ -193,14 +197,15 @@ def test_indexed_margin_mine_job_counts_pinned(spark, emb, tmp_path):
     mine()  # warm (codegen etc.)
     got = _count_jobs(spark, "jc-margin-mine", mine)
     # 2 x ivf_probe_topk (params load + pruned scan/rerank jobs,
-    # 10 each per the ivf_probe pin above; the probe queries here are
+    # 8 each per the ivf_probe pin above; the probe queries here are
     # read from the OTHER index's cell store, adding its scan jobs) +
-    # the final margin collect; measured r9. One AQE stage
-    # materialization job comes and goes across sessions (27 vs 28,
-    # reproduced with a settled listener) — the band still fails
-    # loudly on a real regression (a stray per-call probe or rebuild
-    # adds ~10 jobs).
-    assert got in (27, 28), got
+    # the final margin collect; re-measured r10 after the driver-path
+    # probe landed (27/28 -> 23: the per-probe distributed assign +
+    # stats jobs left the plan). The ±1 band covers the known AQE
+    # stage-materialization flap — the band still fails loudly on a
+    # real regression (a stray per-call probe or rebuild adds ~10
+    # jobs).
+    assert got in (22, 23), got
 
 
 def test_corpus_training_set_v2_job_count_pinned(spark, sf_smoke):
