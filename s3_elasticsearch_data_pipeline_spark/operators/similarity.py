@@ -972,6 +972,27 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     return _ranked_topk(_score_pairs_arrow(matched), k)
 
 
+def _build_both_sides(spark, build_fwd, build_bwd):
+    """Run the two independent per-side constructions of a margin
+    miner on two driver threads (guide §2.6: actions are sequential
+    only because driver code calls them sequentially). Each side's
+    build is a chain of small blocking jobs — init/centroid collects,
+    query fetches — whose gaps the other side's jobs back-fill.
+    ``inheritable_thread_target`` propagates the caller's job
+    group/description into the children, so job-count pins and UI
+    labels see exactly the jobs they saw when the builds ran serially.
+    Results are unchanged: the builds share no mutable state and each
+    is deterministic on its own."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark.util import inheritable_thread_target
+    wrap = inheritable_thread_target(spark)
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_fwd = pool.submit(wrap(build_fwd))
+        f_bwd = pool.submit(wrap(build_bwd))
+        return f_fwd.result(), f_bwd.result()
+
+
 #: Candidate-selection strategies of Artetxe & Schwenk §3.2: which
 #: cross-side pairs are SCORED with the margin (the margin expression
 #: itself is identical). ``forward`` = x's top-k in the target side;
@@ -1179,25 +1200,36 @@ def margin_bitext_pairs_ann(embeddings: DataFrame, k: int = 4,
         & F.forall("embedding", lambda x: x.isNotNull()))
     a = emb.where(F.col(side_col) % 2 == 0).select("vec_id", "embedding")
     b = emb.where(F.col(side_col) % 2 == 1).select("vec_id", "embedding")
-    if n_cells is None:
-        cells_a = auto_n_cells(a.count())
-        cells_b = auto_n_cells(b.count())
-    else:
-        cells_a = cells_b = n_cells
     # NO checkpoint on the shortlists even though each feeds both its
     # side's denominator and the candidate set: the window shuffle is
     # an Exchange, so Spark's ReusedExchange already deduplicates the
     # branches (verified: a lazy localCheckpoint here measured SLOWER,
     # 5.1 → 7.3 s at sf0.1 — cache-persist overhead for zero saved
     # work).
-    fwd = (ivf_topk(b, a, k=k, n_cells=cells_b, n_probe=n_probe,
-                    iters=iters)
-           .select(F.col("query_id").alias("src_id"),
-                   F.col("neighbor_id").alias("tgt_id"), "sim"))
-    bwd = (ivf_topk(a, b, k=k, n_cells=cells_a, n_probe=n_probe,
-                    iters=iters)
-           .select(F.col("neighbor_id").alias("src_id"),
-                   F.col("query_id").alias("tgt_id"), "sim"))
+    #
+    # The two directions are INDEPENDENT until the margin stage, and
+    # each ivf_topk construction is a chain of small driver-blocking
+    # jobs (init fetch + Lloyd-round collects + the query fetch) —
+    # serial, they leave the cluster idle between collects. Build them
+    # on two driver threads (guide-§2.6 overlap; inheritable target so
+    # job groups/descriptions propagate and the job-count pins keep
+    # counting) — same deterministic results, the trainings share no
+    # state.
+    def build_fwd():
+        n_b = n_cells if n_cells is not None else auto_n_cells(b.count())
+        return (ivf_topk(b, a, k=k, n_cells=n_b, n_probe=n_probe,
+                         iters=iters)
+                .select(F.col("query_id").alias("src_id"),
+                        F.col("neighbor_id").alias("tgt_id"), "sim"))
+
+    def build_bwd():
+        n_a = n_cells if n_cells is not None else auto_n_cells(a.count())
+        return (ivf_topk(a, b, k=k, n_cells=n_a, n_probe=n_probe,
+                         iters=iters)
+                .select(F.col("neighbor_id").alias("src_id"),
+                        F.col("query_id").alias("tgt_id"), "sim"))
+
+    fwd, bwd = _build_both_sides(emb.sparkSession, build_fwd, build_bwd)
     return _margin_from_shortlists(fwd, bwd, threshold, direction)
 
 
@@ -1266,12 +1298,23 @@ def margin_bitext_pairs_indexed(spark, path_src: str, path_tgt: str,
               .select("vec_id", "embedding"))
     b_vecs = (spark.read.parquet(path_tgt + "/cells")
               .select("vec_id", "embedding"))
-    fwd = (ivf_probe_topk(spark, path_tgt, a_vecs, k=k, n_probe=n_probe)
-           .select(F.col("query_id").alias("src_id"),
-                   F.col("neighbor_id").alias("tgt_id"), "sim"))
-    bwd = (ivf_probe_topk(spark, path_src, b_vecs, k=k, n_probe=n_probe)
-           .select(F.col("neighbor_id").alias("src_id"),
-                   F.col("query_id").alias("tgt_id"), "sim"))
+
+    # overlap the two probes' driver-blocking phases (quantizer load +
+    # query fetch) — independent until the margin stage, see
+    # _build_both_sides
+    def build_fwd():
+        return (ivf_probe_topk(spark, path_tgt, a_vecs, k=k,
+                               n_probe=n_probe)
+                .select(F.col("query_id").alias("src_id"),
+                        F.col("neighbor_id").alias("tgt_id"), "sim"))
+
+    def build_bwd():
+        return (ivf_probe_topk(spark, path_src, b_vecs, k=k,
+                               n_probe=n_probe)
+                .select(F.col("neighbor_id").alias("src_id"),
+                        F.col("query_id").alias("tgt_id"), "sim"))
+
+    fwd, bwd = _build_both_sides(spark, build_fwd, build_bwd)
     return _margin_from_shortlists(fwd, bwd, threshold, direction)
 
 
