@@ -88,18 +88,27 @@ def _seed_counts(units: DataFrame, seed_size: int,
                  max_piece: int) -> dict[str, int]:
     """Seed vocabulary counts: every single character (feasibility
     floor) + the top ``seed_size`` multi-char substrings by
-    (count desc, piece asc). Two kilobyte collects."""
+    (count desc, piece asc). ONE kilobyte collect — the singles and
+    the ranked multis ride the same job (r10: two separate collects
+    re-ran the substring-explode aggregate per branch; Catalyst does
+    not CSE across actions). The rank window partitions on the
+    single/multi split, so multis rank among themselves exactly as
+    the old ``orderBy ... limit`` did (same (count desc, piece asc)
+    total order) and singles survive regardless of rank."""
+    from pyspark.sql import Window
     sub = (units.select("n", F.explode(F.expr(
         f"flatten(transform(sequence(1, length(unit)), s -> "
         f"transform(sequence(1, least({max_piece}, "
         f"length(unit) - s + 1)), l -> substring(unit, s, l))))"
     )).alias("piece"))
         .groupBy("piece").agg(F.sum("n").alias("c")))
-    singles = sub.where(F.length("piece") == 1).collect()
-    top = (sub.where(F.length("piece") >= 2)
-           .orderBy(F.col("c").desc(), "piece")
-           .limit(seed_size).collect())
-    return {r["piece"]: int(r["c"]) for r in [*singles, *top]}
+    w = Window.partitionBy(F.length("piece") == 1).orderBy(
+        F.col("c").desc(), "piece")
+    rows = (sub.withColumn("__r", F.row_number().over(w))
+            .where((F.length("piece") == 1)
+                   | (F.col("__r") <= seed_size))
+            .collect())
+    return {r["piece"]: int(r["c"]) for r in rows}
 
 
 def _viterbi_pieces(unit: str, probs: dict, max_piece: int) -> list:
@@ -205,6 +214,11 @@ def unigram_encode(documents: DataFrame, seed_size: int = SEED_SIZE,
     spark = documents.sparkSession
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
+    # NB (r10): an eagerly-checkpointed per-occurrence (doc_id, pos,
+    # word) table shared by training and both encode branches was
+    # tried and measured SLOWER (4.0 -> 5.0 s same-window A/B at
+    # sf0.1) — the corpus-sized checkpoint write costs more than the
+    # tokenize passes it saves. The tokenize+explode stays per-branch.
     before = persistent_rdd_ids(spark)
     units = _units(documents).localCheckpoint(eager=True)
     counts = _seed_counts(units, seed_size, max_piece_len)
