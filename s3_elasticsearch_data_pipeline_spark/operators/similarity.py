@@ -1099,7 +1099,14 @@ def margin_bitext_pairs(embeddings: DataFrame, k: int = 4,
                     "tgt_id": np.tile(t_ids, len(X)),
                     "sim_raw": sims.reshape(-1)})
 
-        scored = (a.mapInPandas(
+        # the kernel emits |a|×|b| rows from the SOURCE-side scan
+        # stage — a single-row-group source runs it on one task
+        # (measured 2.5 s/branch at sf0.1, twice: AQE materializes
+        # the two window exchanges separately), so guarantee cluster
+        # parallelism first (no-op at real split counts)
+        from s3_elasticsearch_data_pipeline_spark.tables import (
+            parallelize_for_compute)
+        scored = (parallelize_for_compute(a).mapInPandas(
             score, "src_id long, tgt_id long, sim_raw double")
             .select("src_id", "tgt_id",
                     F.round("sim_raw", 6).alias("sim")))
