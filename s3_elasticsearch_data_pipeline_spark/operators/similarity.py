@@ -942,6 +942,11 @@ def ivf_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     # (carry_vec — the streaming cell-store shape) instead of joining
     # the assignment back to the embedding table: one Arrow pass, no
     # corpus-keyed join/exchange in the candidate branch (r10).
+    # Deliberately NO parallelize_for_compute here: the per-side
+    # assignment+scoring kernels are small at serving sizes and the
+    # repartition's 32-task Python fan-out measured SLOWER than the
+    # pipelined single-task scan (2.9 -> 5.2 s same-window A/B on the
+    # ANN miner, which runs this twice under the thread overlap).
     cand = (embeddings.select("vec_id", "embedding")
             .mapInPandas(_quantizer_cells_fn(q, 1, carry_vec=True),
                          "vec_id long, cell int, vec array<double>")
