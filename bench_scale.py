@@ -82,10 +82,19 @@ SCALE_QUERIES = (
 #: linear (unit_exp 1.0), wall-per-unit −0.6 — the 0.4 s base is
 #: fixed overhead, so the clean 10× wall ratio 2.5 is the noise-floor
 #: shape, not a plan defect. Line = 2.5 × ~1.4 allowance.
+#: sim_margin_bitext_mine (r10 optimization round): the probe-scoring
+#: re-shape halved the 1× base (3.85 → 1.63 s) while the 10× wall
+#: stayed FLAT vs r9 (7.73 vs 7.76 s — the 10× cost is the probed
+#: candidate scan/rerank, which the re-shape also carries, not the
+#: fixed per-call overhead the base shed), so the clean-window ratio
+#: is now ~4.7 by construction, not by regression. Line = measured
+#: 4.7 × ~1.4 allowance; a genuine 10× absolute regression still
+#: trips it (4.7 × 1.63 × 1.4 ≈ 10.7 s vs the 7.7 s measured).
 FAMILY_REVISIT = {
     "graph_pagerank_trade": 3.4,
     "market_basket_lift": 2.8,
     "text_repetition_scores": 3.5,
+    "sim_margin_bitext_mine": 6.6,
 }
 
 KEYED = {  # table → key columns to shift per replica (keeps keys unique)
