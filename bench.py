@@ -261,13 +261,23 @@ def main() -> None:
         except OSError:
             pass
 
-    print(json.dumps({
+    line = json.dumps({
         "metric": "headline_queries_total_wall_sec",
         "value": round(total, 3),
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    })
+    print(line)
+    # Self-verify the one-line JSON contract (r11, VERDICT item 3): the
+    # round-9 emission was lost to a parse failure downstream and the
+    # whole round-over-round PERF comparison silently degraded to
+    # n_common=0. Re-parse what was just printed and fail LOUDLY if it
+    # is not a single valid JSON line with the required keys.
+    parsed = json.loads(line)
+    assert "\n" not in line and {"metric", "value", "unit", "queries",
+                                 "sf"} <= parsed.keys(), \
+        "bench.py emitted a malformed result line"
 
 
 if __name__ == "__main__":

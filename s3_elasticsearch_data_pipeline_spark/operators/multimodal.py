@@ -2236,8 +2236,12 @@ def _flac_write_residuals(w: "_FlacBitWriter", res: list) -> None:
            for v in res]
     # vectorized exact cost scan (r10): cost(p) = Σ(u >> p) + n·(1+p)
     # — the Python genexpr per candidate p was the encoder's single
-    # hottest line. int64 is exact here: residuals of the ≤17-bit
-    # side channel under order-≤2 fixed prediction stay ≪ 2^63.
+    # hottest line. int64 is exact here: the encoder tries FIXED
+    # PREDICTION ORDERS UP TO 4 (_FLAC_FIXED_COEFS), whose residuals
+    # on the ≤17-bit side channel stay within ~2^21 after zigzag
+    # (order-4 worst case: Σ|coef| = 16 × the 2^17 sample range), so
+    # a block's Σ(u >> p) is ≪ 2^63. (r11: the comment previously
+    # claimed order ≤ 2 — the bound holds for the real order-4 case.)
     import numpy as np
     zz = np.asarray(zig, dtype=np.int64)
     best_p, best_cost = 0, None

@@ -992,6 +992,15 @@ def _build_both_sides(spark, build_fwd, build_bwd):
 
     from pyspark.util import inheritable_thread_target
     wrap = inheritable_thread_target(spark)
+    if not callable(wrap):
+        # Classic gateway with pinned-thread mode DISABLED
+        # (PYSPARK_PIN_THREAD=false): pyspark returns the session
+        # argument unchanged, so `wrap(build_fwd)` would call the
+        # SparkSession and raise TypeError (r11, ADVICE). There is no
+        # per-thread property propagation to inherit in that mode —
+        # run the callables unwrapped; results are identical, only UI
+        # labels/job-group pins would differ.
+        wrap = lambda fn: fn  # noqa: E731
     with ThreadPoolExecutor(max_workers=2) as pool:
         f_fwd = pool.submit(wrap(build_fwd))
         f_bwd = pool.submit(wrap(build_bwd))

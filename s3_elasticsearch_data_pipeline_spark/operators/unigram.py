@@ -68,20 +68,42 @@ SEED_SIZE = 48
 EM_ITERS = 2
 
 
+#: Word-type cap below which the encode join-back broadcasts the
+#: vocab-side piece table (the ``_query_join_hint`` discipline): ~1M
+#: word types ≈ low hundreds of MB as a hash relation — inside the
+#: guide's comfortable broadcast range. Above it the join runs
+#: un-hinted and the planner shuffles BOTH sides by word — the correct
+#: corpus-scale shape (never broadcast the occurrence table).
+MAX_BROADCAST_WORDS = 1_000_000
+
+#: The word → UNIT_LEN-chunk explode expression (shared by the
+#: training chunk-type table and the encode join-back so the two can
+#: never disagree on chunk boundaries).
+_CHUNKS_EXPR = (f"transform(sequence(0, cast(floor((length(word) - 1) "
+                f"/ {UNIT_LEN}) as int)), "
+                f"k -> substring(word, k * {UNIT_LEN} + 1, {UNIT_LEN}))")
+
+
+def _words(documents: DataFrame) -> DataFrame:
+    """(word, wn) word-type table — the corpus-sized tokenize pass."""
+    return (_par(documents)
+            .select(F.explode(tokens(F.col("text"))).alias("word"))
+            .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
+
+
+def _units_of_words(words: DataFrame) -> DataFrame:
+    """(unit, n) chunk-type table from the word-type table: words
+    chunked to UNIT_LEN characters, occurrence-weighted."""
+    return (words
+            .select("wn", F.explode(F.expr(_CHUNKS_EXPR)).alias("unit"))
+            .groupBy("unit").agg(F.sum("wn").alias("n")))
+
+
 def _units(documents: DataFrame) -> DataFrame:
     """(unit, n) chunk-type table: whitespace words, chunked to
     UNIT_LEN characters, occurrence-weighted. The one corpus-sized
     pass of training."""
-    words = (_par(documents)
-             .select(F.explode(tokens(F.col("text"))).alias("word"))
-             .groupBy("word").agg(F.count(F.lit(1)).alias("wn")))
-    return (words
-            .select("wn", F.explode(F.expr(
-                f"transform(sequence(0, cast(floor((length(word) - 1) "
-                f"/ {UNIT_LEN}) as int)), "
-                f"k -> substring(word, k * {UNIT_LEN} + 1, {UNIT_LEN}))"
-            )).alias("unit"))
-            .groupBy("unit").agg(F.sum("wn").alias("n")))
+    return _units_of_words(_words(documents))
 
 
 def _seed_counts(units: DataFrame, seed_size: int,
@@ -181,6 +203,13 @@ def unigram_train(documents: DataFrame, seed_size: int = SEED_SIZE,
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
     before = persistent_rdd_ids(spark)
+    # NB (r11, measured rejection): round-robining this vocab-small
+    # checkpoint to cluster width to parallelize the EM Viterbi passes
+    # made every round SLOWER (per-round stage 0.17 s -> 0.3-0.47 s;
+    # exec 8-10 s across 32 tasks with only ~0.3 s CPU — Python-worker
+    # fan-out wait dominates KB-scale data). The single AQE-coalesced
+    # task is the right shape at fixture scale; at real vocab sizes
+    # the aggregate's own shuffle keeps it multi-partition anyway.
     units = _units(documents).localCheckpoint(eager=True)
     try:
         counts = _seed_counts(units, seed_size, max_piece_len)
@@ -214,13 +243,25 @@ def unigram_encode(documents: DataFrame, seed_size: int = SEED_SIZE,
     spark = documents.sparkSession
     from s3_elasticsearch_data_pipeline_spark.session import (
         persistent_rdd_ids, release_persistent_rdds)
-    # NB (r10): an eagerly-checkpointed per-occurrence (doc_id, pos,
-    # word) table shared by training and both encode branches was
-    # tried and measured SLOWER (4.0 -> 5.0 s same-window A/B at
-    # sf0.1) — the corpus-sized checkpoint write costs more than the
-    # tokenize passes it saves. The tokenize+explode stays per-branch.
+    # r11 (VERDICT item 4): tokenize the corpus ONCE. The per-
+    # occurrence (doc_id, pos, word) table is a LAZY localCheckpoint
+    # (materialized as a side effect of the words aggregate below — no
+    # separate write job, unlike the r10 eager attempt that measured
+    # 4.0 -> 5.0 s), and the word-TYPE table is checkpointed on top of
+    # it. Together they replace THREE corpus tokenize passes (training
+    # units, the encode word-distinct branch, the encode join-back)
+    # with one, and the word-distinct aggregate disappears outright —
+    # the words table's keys ARE the distinct words. At 100 TB this is
+    # the difference between one corpus scan and three.
+    toks = (_par(documents)
+            .select("doc_id",
+                    F.posexplode(tokens(F.col("text")))
+                    .alias("pos", "word"))
+            .localCheckpoint(eager=False))
+    words = (toks.groupBy("word").agg(F.count(F.lit(1)).alias("wn"))
+             .localCheckpoint(eager=True))  # also materializes toks
     before = persistent_rdd_ids(spark)
-    units = _units(documents).localCheckpoint(eager=True)
+    units = _units_of_words(words).localCheckpoint(eager=True)
     counts = _seed_counts(units, seed_size, max_piece_len)
     if counts:
         counts = _em_probs(spark, units, counts, iters, max_piece_len)
@@ -230,31 +271,42 @@ def unigram_encode(documents: DataFrame, seed_size: int = SEED_SIZE,
         probs = {}
     trained = persistent_rdd_ids(spark)
     # chunk-type segmentation table: kept checkpointed (the returned
-    # plan reads it — bpe_encode's word_syms discipline); only the
-    # training-side units checkpoint is released deterministically
+    # plan reads it — bpe_encode's word_syms discipline); the
+    # training-side units checkpoint is released deterministically.
+    # toks/words stay pinned: the returned plan reads BOTH (that is
+    # the single-tokenize trade) — callers release them by unpersisting
+    # after draining the result, exactly as they already must for
+    # unit_pieces.
     unit_pieces = (units.mapInPandas(
         _segment_fn(probs, max_piece_len),
         "unit string, n bigint, pieces array<string>")
         .select("unit", "pieces").localCheckpoint(eager=True))
     release_persistent_rdds(spark, trained - before)
 
-    toks = (_par(documents)
-            .select("doc_id",
-                    F.posexplode(tokens(F.col("text")))
-                    .alias("pos", "word")))
-    word_units = (toks.select("word").distinct()
-                  .select("word", F.posexplode(F.expr(
-                      f"transform(sequence(0, cast(floor((length(word)"
-                      f" - 1) / {UNIT_LEN}) as int)), "
-                      f"k -> substring(word, k * {UNIT_LEN} + 1, "
-                      f"{UNIT_LEN}))")).alias("k", "unit")))
+    word_units = words.select(
+        "word", F.posexplode(F.expr(_CHUNKS_EXPR)).alias("k", "unit"))
+    # Pin the piece-assembly aggregate at cluster parallelism
+    # (REPARTITION_BY_NUM is exempt from AQE coalescing): the exchange
+    # exists either way (ENSURE_REQUIREMENTS before), but its bytes
+    # are vocab-small while its per-word work (array_sort + flatten)
+    # is CPU-heavy, and AQE's byte-based coalescing was running it as
+    # ONE task (the measured 0.78 s single-task assembly stage).
+    par = spark.sparkContext.defaultParallelism
     word_pieces = (word_units.join(unit_pieces, "unit")
+                   .repartition(par, "word")
                    .groupBy("word")
                    .agg(F.sum(F.size("pieces")).cast("int").alias("np"),
                         F.flatten(F.array_sort(
                             F.collect_list(F.struct("k", "pieces")))
                             .getField("pieces")).alias("wpieces")))
-    encoded = (toks.join(word_pieces, "word")
+    # Broadcast the VOCAB side when it is vocab-sized — the planner's
+    # size estimate was broadcasting the OCCURRENCE side (toks), which
+    # inverts at corpus scale; above the cap the join runs un-hinted
+    # (both sides shuffle by word — the correct 100 TB shape).
+    n_word_types = words.limit(MAX_BROADCAST_WORDS + 1).count()
+    hint = (F.broadcast if n_word_types <= MAX_BROADCAST_WORDS
+            else (lambda d: d))
+    encoded = (toks.join(hint(word_pieces), "word")
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_words"),
                     F.sum(F.length("word")).cast("int").alias("n_chars"),
