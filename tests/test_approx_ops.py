@@ -178,6 +178,39 @@ def test_ann_query_side_switch_above_cap(spark, embeddings, monkeypatch,
     assert lsh_a == lsh_b
 
 
+def test_wide_dim_queries_take_distributed_path(spark, embeddings,
+                                                monkeypatch):
+    """r11: the driver-resident fast paths are byte-capped, not just
+    row-capped — a query frame whose rows × dim × 8 exceeds
+    MAX_DRIVER_QUERY_BYTES must flip to the distributed plan even when
+    its ROW count is under MAX_DRIVER_QUERIES, and return the
+    identical result set (the closure otherwise grows linearly with
+    embedding dim with no guard)."""
+    queries = embeddings.where(F.col("vec_id") < 6)
+    with_driver = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+                   for r in similarity.ivf_topk(
+                       embeddings, queries, k=5,
+                       n_cells=8, n_probe=4).collect()}
+    # 6 queries x 64 dims x 8 B = 3072 B — cap below it so the SAME
+    # frame is now "too wide" for the driver path
+    monkeypatch.setattr(similarity, "MAX_DRIVER_QUERY_BYTES", 2048)
+    assert similarity._collect_queries_if_serving_sized(queries) is None
+    got = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+           for r in similarity.ivf_topk(embeddings, queries, k=5,
+                                        n_cells=8, n_probe=4).collect()}
+    assert got == with_driver
+    # the Arrow brute-force path honors the same byte cap (auto-switch
+    # to the distributed broadcast join, identical rows)
+    bf = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+          for r in similarity.brute_force_topk_arrow(
+              embeddings, queries, k=5).collect()}
+    monkeypatch.undo()
+    bf_driver = {(r.query_id, r.neighbor_id, r.sim, r.rank)
+                 for r in similarity.brute_force_topk_arrow(
+                     embeddings, queries, k=5).collect()}
+    assert bf == bf_driver
+
+
 def test_ivf_index_append_equals_bulk_assign(spark, embeddings, tmp_path):
     """Appending a batch against persisted centroids must land every
     vector exactly where a bulk assignment with the SAME centroids

@@ -94,20 +94,23 @@ def test_index_surface_job_counts_pinned(spark, emb, tmp_path):
         # init fetch (doubles as emptiness check) + k-means iters +
         # assign/write + centroid write
         "ivf_build": 9,
-        # centroid load + batch assign/append write
-        "ivf_append": 8,
-        # params load + cell-pruned scan + rerank collect (r8: the
-        # no-op distinct left the probe plan — one fewer shuffle job;
-        # r10: serving-sized queries collect once and score driver-
-        # assigned cell groups — the distributed assign + stats jobs
-        # left the plan, 10 -> 8)
-        "ivf_probe": 8,
+        # batch assign/append write (r11: the kilobyte param loads are
+        # pyarrow driver reads now — ZERO Spark jobs, was 4 of the 8)
+        "ivf_append": 4,
+        # query collect + cell-pruned scan + rerank collect (r10:
+        # driver-path scoring; r11: param loads off the job board,
+        # 8 -> 4)
+        "ivf_probe": 4,
         # training fetch (init + emptiness folded, r6) + Lloyd/PQ
         # train + encode/write + params write
         "ivfpq_build": 11,
-        "ivfpq_append": 13,
-        # params load + ADC shortlist + exact rerank
-        "ivfpq_probe": 20,
+        # emptiness probe + assign/encode/append write (r11: the
+        # quantizer/codebook/meta loads left the job board, 13 -> 3)
+        "ivfpq_append": 3,
+        # query collect + ADC scan + shortlist/rerank (r11: driver
+        # path — no distributed assign, no probed-set aggregate, no
+        # cells⋈tables cogroup; param loads driver-side. 20 -> 7)
+        "ivfpq_probe": 7,
         # hyperplane projection + bucket join + rerank; NO dims probe
         "lsh_topk": 7,
     }
@@ -163,15 +166,19 @@ def test_two_level_index_job_counts_pinned(spark, tmp_path):
         # emptiness probe + corpus count + hash-sample collect +
         # assign/write + supers write + centroids write
         "ivf2l_build": 11,
-        # quantizer load (centroids + supers) + assign/append
-        "ivf2l_append": 14,
-        # r10: driver-path probe (see the flat ivf_probe note), 18 -> 16
-        "ivf2l_probe": 16,
+        # assign/append (r11: the centroids+supers loads are pyarrow
+        # driver reads — zero jobs, 14 -> 6)
+        "ivf2l_append": 6,
+        # r10: driver-path probe; r11: param loads off the job board,
+        # 16 -> 8
+        "ivf2l_probe": 8,
         # probe + count + sample + residual sample + encode/write +
         # meta/supers/centroids/codebooks writes
         "ivfpq2l_build": 11,
-        "ivfpq2l_append": 17,
-        "ivfpq2l_probe": 28,
+        # r11: loads driver-side, 17 -> 3
+        "ivfpq2l_append": 3,
+        # r11: driver path + driver-side loads, 28 -> 12
+        "ivfpq2l_probe": 12,
     }
     assert got == pinned, {k: (got[k], pinned[k]) for k in got
                            if got[k] != pinned[k]}
@@ -196,16 +203,15 @@ def test_indexed_margin_mine_job_counts_pinned(spark, emb, tmp_path):
                                         d + "/tgt").collect()
     mine()  # warm (codegen etc.)
     got = _count_jobs(spark, "jc-margin-mine", mine)
-    # 2 x ivf_probe_topk (params load + pruned scan/rerank jobs,
-    # 8 each per the ivf_probe pin above; the probe queries here are
-    # read from the OTHER index's cell store, adding its scan jobs) +
-    # the final margin collect; re-measured r10 after the driver-path
-    # probe landed (27/28 -> 23: the per-probe distributed assign +
-    # stats jobs left the plan). The ±1 band covers the known AQE
-    # stage-materialization flap — the band still fails loudly on a
-    # real regression (a stray per-call probe or rebuild adds ~10
-    # jobs).
-    assert got in (22, 23), got
+    # 2 x ivf_probe_topk (pruned scan/rerank jobs; the probe queries
+    # here are read from the OTHER index's cell store, adding its scan
+    # jobs) + the final margin collect; re-measured r10 after the
+    # driver-path probe landed (27/28 -> 23) and r11 after the
+    # kilobyte param loads moved to pyarrow driver reads (23 -> 15).
+    # The ±1 band covers the known AQE stage-materialization flap —
+    # the band still fails loudly on a real regression (a stray
+    # per-call probe or rebuild adds ~10 jobs).
+    assert got in (14, 15, 16), got
 
 
 def test_corpus_training_set_v2_job_count_pinned(spark, sf_smoke):

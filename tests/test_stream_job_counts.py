@@ -108,8 +108,9 @@ def test_ivf_ingest_epoch_job_counts(spark, emb_writer):
     steady = _jobs_during(spark, lambda: ivf_ingest_stream(*args))
     # bootstrap: schema read + isEmpty + k-means training (init fetch
     # + 2x assign/agg collect) + centroids write + assign/cells write;
-    # steady swaps training for the quantizer load (centroids read)
-    assert (boot, steady) == (11, 10), (boot, steady)
+    # steady swaps training for the quantizer load — a pyarrow driver
+    # read since r11, zero Spark jobs (10 -> 6)
+    assert (boot, steady) == (11, 6), (boot, steady)
 
 
 def test_ivfpq_ingest_epoch_job_counts(spark, emb_writer):
@@ -121,7 +122,9 @@ def test_ivfpq_ingest_epoch_job_counts(spark, emb_writer):
     boot = _jobs_during(spark, lambda: ivfpq_ingest_stream(*args))
     write(1)
     steady = _jobs_during(spark, lambda: ivfpq_ingest_stream(*args))
-    assert (boot, steady) == (13, 17), (boot, steady)
+    # r11: the steady epoch's quantizer/codebooks/meta loads are
+    # pyarrow driver reads — zero Spark jobs (17 -> 7)
+    assert (boot, steady) == (13, 7), (boot, steady)
 
 
 def test_semantic_ingest_epoch_job_counts(spark, emb_writer):
@@ -135,6 +138,6 @@ def test_semantic_ingest_epoch_job_counts(spark, emb_writer):
     write(1)
     steady = _jobs_during(spark, lambda: semantic_ingest_stream(*args))
     # r9 (22 -> 21 steady): the shared _load_quantizer reads+collects
-    # the centroid table in ONE job where the old path paid a separate
-    # existence probe before its collect
-    assert (boot, steady) == (18, 21), (boot, steady)
+    # the centroid table in one job; r11 (21 -> 17): that load is a
+    # pyarrow driver read now — zero Spark jobs
+    assert (boot, steady) == (18, 17), (boot, steady)
