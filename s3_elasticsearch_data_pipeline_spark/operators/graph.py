@@ -15,8 +15,6 @@ any IEEE-754 engine.
 
 from __future__ import annotations
 
-import threading
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -34,10 +32,8 @@ RANK_ROW_BYTES = 32
 #: the very size its own comment called past any sane threshold.)
 BROADCAST_RANKS_BUDGET_BYTES = 64 * 1024 * 1024
 
-#: The materializing action scopes an AQE toggle that is session-global
-#: (see pagerank body); serialize that window across pagerank callers
-#: so racing calls cannot plan under each other's setting.
-_AQE_SCOPE_LOCK = threading.Lock()
+#: r11: the AQE-off window moved to ``session.aqe_disabled`` — one
+#: shared lock for every scoped toggle in the package.
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
@@ -109,6 +105,15 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
 
     n_lit = F.lit(float(n)) if n else F.lit(1.0)  # guard: no rows anyway
     ranks = base.select("node", (F.lit(1.0) / n_lit).alias("rank"))
+    # r11, measured rejection: flattening the broadcast-mode loop by
+    # round-tripping the node-sized rank vector through the driver per
+    # iteration (Arrow toPandas/createDataFrame, identical expressions
+    # — oracle and value-equality stayed green) benched ~25% SLOWER
+    # same-window (profiler min 2.74 -> 3.48 s, bench 2.99 -> 3.56 s):
+    # the per-iteration driver round-trips plus re-built deg/contrib
+    # broadcasts cost more than the iters-deep nested-plan planning
+    # they eliminate. The single deep plan with one materialization
+    # stays.
     for _ in range(iters):
         # per-SOURCE contribution rank/deg, computed and decimal-cast on
         # the node-sized frame (one division per node) instead of per
@@ -151,15 +156,13 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # concurrently in the same session would still see AQE off, so a
     # multi-tenant service should hand pagerank its own session clone.
     mid = persistent_rdd_ids(spark)
-    aqe_key = "spark.sql.adaptive.enabled"
-    with _AQE_SCOPE_LOCK:
-        prior_aqe = spark.conf.get(aqe_key, "true")
-        try:
-            if broadcast_ranks:
-                spark.conf.set(aqe_key, "false")
+    if broadcast_ranks:
+        from s3_elasticsearch_data_pipeline_spark.session import (
+            aqe_disabled)
+        with aqe_disabled(spark):
             out = out.localCheckpoint(eager=True)
-        finally:
-            spark.conf.set(aqe_key, prior_aqe)
+    else:
+        out = out.localCheckpoint(eager=True)
     release_persistent_rdds(spark, mid - before)
     return out
 

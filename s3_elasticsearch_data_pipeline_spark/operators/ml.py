@@ -357,9 +357,15 @@ def domain_reweight(documents: DataFrame, embeddings: DataFrame,
     assigned = (embeddings.select("vec_id", "embedding")
                 .mapInPandas(_cell_assign_fn(cents, 1),
                              "vec_id long, cell int"))
-    counts = {r["cell"]: r["n"] for r in
-              assigned.groupBy("cell")
-              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    # AQE-off scope (r11): this is an n_cells-row aggregate — AQE's
+    # per-stage re-plan turns the one collect into two driver-blocking
+    # jobs for a kilobyte exchange it can never improve (coalescing an
+    # 8-row shuffle; no join to re-strategize). One job, same rows.
+    from s3_elasticsearch_data_pipeline_spark.session import aqe_disabled
+    with aqe_disabled(documents.sparkSession):
+        counts = {r["cell"]: r["n"] for r in
+                  assigned.groupBy("cell")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
     if mode == "resample":
         return _resample_by_cell(assigned, documents, counts,
                                  target_weights, out_schema)

@@ -422,6 +422,20 @@ def bpe_token_counts(documents: DataFrame) -> DataFrame:
                      .otherwise(F.lit(0.0)).alias("fertility")))
 
 
+def split_assignment_cols(train_hex: str = "cc", val_hex: str = "e6"):
+    """(bucket_hex, split) EXPRESSIONS of :func:`dataset_split` over
+    ``doc_id`` — importable so a composer can attach the assignment
+    INLINE instead of joining the 1:1 projection back on doc_id (r11:
+    the join spent an exchange + AQE job to recompute what is a pure
+    per-row expression; one definition keeps the two forms in exact
+    lockstep)."""
+    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    split = (F.when(bucket < train_hex, "train")
+             .when(bucket < val_hex, "val")
+             .otherwise("test"))
+    return bucket, split
+
+
 def dataset_split(documents: DataFrame,
                   train_hex: str = "cc", val_hex: str = "e6") -> DataFrame:
     """Deterministic train/val/test assignment: hash the stable doc id
@@ -430,12 +444,9 @@ def dataset_split(documents: DataFrame,
     give ~79.7/10.2/10.1; membership is reproducible on any engine and
     any partitioning, and the assignment is a pure per-row projection —
     no shuffle, no state, safe to recompute at 100 TB."""
-    bucket = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2)
+    bucket, split = split_assignment_cols(train_hex, val_hex)
     return documents.select(
-        "doc_id", bucket.alias("bucket_hex"),
-        F.when(bucket < train_hex, "train")
-         .when(bucket < val_hex, "val")
-         .otherwise("test").alias("split"))
+        "doc_id", bucket.alias("bucket_hex"), split.alias("split"))
 
 
 def chunk_documents_udtf(documents: DataFrame,
@@ -581,15 +592,7 @@ def dataset_shuffle(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     independent sortable unit (no global total order, which would
     funnel through a single range-partition boundary computation), and
     the layout maps 1:1 onto a sharded training-set write."""
-    p = 2_147_483_647
-    # reduce the id mod p BEFORE multiplying: (a·x) mod p ≡
-    # ((a mod p)·(x mod p)) mod p, and the direct product overflows
-    # long under ANSI mode once ids pass ~3.5e9 (snowflake-scale ids —
-    # caught by the 5× key-shifted scale smoke)
-    a = 2_654_435_761 % p
-    shard = ((((F.col("doc_id") % F.lit(p)) * F.lit(a) + F.lit(11))
-              % F.lit(p)) % F.lit(n_shards)).cast("int")
-    order_key = F.md5(F.col("doc_id").cast("string"))
+    shard, order_key = shuffle_assignment_cols(n_shards)
     w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
     return (documents
             .select("doc_id", shard.alias("shard"),
@@ -597,6 +600,25 @@ def dataset_shuffle(documents: DataFrame, n_shards: int = 16) -> DataFrame:
             .withColumn("pos",
                         (F.row_number().over(w) - F.lit(1)).cast("long"))
             .select("doc_id", "shard", "pos"))
+
+
+def shuffle_assignment_cols(n_shards: int = 16):
+    """(shard, order_key) EXPRESSIONS of :func:`dataset_shuffle` over
+    ``doc_id`` — importable for inline attachment (see
+    :func:`split_assignment_cols`); the window rank over (order_key,
+    doc_id) stays at the composer.
+
+    Arithmetic notes carried from dataset_shuffle: reduce the id mod p
+    BEFORE multiplying — (a·x) mod p ≡ ((a mod p)·(x mod p)) mod p,
+    and the direct product overflows long under ANSI mode once ids
+    pass ~3.5e9 (snowflake-scale ids — caught by the 5× key-shifted
+    scale smoke)."""
+    p = 2_147_483_647
+    a = 2_654_435_761 % p
+    shard = ((((F.col("doc_id") % F.lit(p)) * F.lit(a) + F.lit(11))
+              % F.lit(p)) % F.lit(n_shards)).cast("int")
+    order_key = F.md5(F.col("doc_id").cast("string"))
+    return shard, order_key
 
 
 def dataset_mixture(documents: DataFrame,

@@ -4491,6 +4491,16 @@ def q_graph_pagerank_trade(spark, sf_dir):
     # distinct/shuffle/broadcast all move 8-byte longs instead of
     # strings; pairs are materialized once so the mirrored union does
     # not re-run the join+distinct per branch.
+    # r11, measured rejection (VERDICT item 5): fanning the lineitem
+    # side to cluster width before the join (narrow 16-byte rows, a
+    # `parallelize_for_compute` round-robin on the projected scan) ran
+    # 2.3x SLOWER same-window (bench 2.79 -> 6.39 s, profiler min
+    # 3.20 -> 6.18 s): the extra exchange pays sortBeforeRepartition
+    # and every downstream consumer of the 32-partition checkpoint
+    # (deg, union, 3 iterations) schedules wider, while the join's
+    # 0.54 s CPU was already parallel across the scan's 3 splits.
+    # Even the narrow-row case loses — the q-family wide-row rejection
+    # generalizes.
     pairs = (orders.join(lineitem,
                          orders["o_orderkey"] == lineitem["l_orderkey"])
              .select((F.col("o_custkey") * 2).alias("src"),
@@ -6124,15 +6134,27 @@ def q_corpus_training_set_v2(spark, sf_dir):
              .localCheckpoint(eager=False))
     dom = ml.domain_reweight(clean, emb, {c: 0.125 for c in range(8)})
     domained = clean.join(dom.select("doc_id", "cell"), "doc_id")
-    split = text.dataset_split(domained).select("doc_id", "split")
-    train = (domained.join(split, "doc_id")
-             .where(F.col("split") == "train")
+    # r11 (VERDICT item 6, job-chain compression): the split and
+    # shuffle stages are pure per-row expressions over doc_id — attach
+    # them INLINE (shared expression factories, so this composition
+    # and the standalone operators cannot drift) instead of joining
+    # their 1:1 projections back on doc_id. Two joins (and their
+    # exchange + AQE stage jobs) leave the plan; doc_id is unique
+    # here, so inline-filter ≡ the former inner join row-for-row.
+    from pyspark.sql.window import Window
+    _, split_col = text.split_assignment_cols()
+    train = (domained.where(split_col == "train")
              .localCheckpoint(eager=False))
     mixed = text.dataset_mixture(train.select("doc_id", "source"))
-    shuf = text.dataset_shuffle(mixed.select("doc_id"))
+    shard_col, order_key = text.shuffle_assignment_cols()
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
     return (mixed.select("doc_id", "source")
             .join(train.select("doc_id", "cell"), "doc_id")
-            .join(shuf, "doc_id")
+            .select("doc_id", "source", "cell",
+                    shard_col.alias("shard"),
+                    order_key.alias("order_key"))
+            .withColumn("pos",
+                        (F.row_number().over(w) - F.lit(1)).cast("long"))
             .select("doc_id", "source", "cell", "shard", "pos"))
 
 

@@ -61,6 +61,37 @@ def get_spark(app_name: str = "s3_elasticsearch_data_pipeline_spark",
     return spark
 
 
+import contextlib
+import threading
+
+#: Serializes AQE-toggle windows across operators (conf toggles are
+#: session-global — racing callers must not plan under each other's
+#: setting). Moved here from operators/graph.py in r11 so every
+#: scoped toggle shares ONE lock.
+_AQE_SCOPE_LOCK = threading.Lock()
+
+
+@contextlib.contextmanager
+def aqe_disabled(spark: SparkSession):
+    """Scope AQE off around a small materializing action whose plan
+    gains nothing from runtime re-optimization (kilobyte aggregates,
+    broadcast-only iteration loops): AQE's per-stage re-plan turns one
+    action into one job per exchange, and for driver-blocking chains
+    the extra job GAPS are the cost (PageRank measured 17 jobs →
+    slower wall clock). Same caveats as the PageRank scope: other
+    queries planned concurrently in this session would also see AQE
+    off — multi-tenant services should hand such operators a session
+    clone."""
+    key = "spark.sql.adaptive.enabled"
+    with _AQE_SCOPE_LOCK:
+        prior = spark.conf.get(key, "true")
+        try:
+            spark.conf.set(key, "false")
+            yield
+        finally:
+            spark.conf.set(key, prior)
+
+
 def persistent_rdd_ids(spark: SparkSession) -> set[int]:
     """Snapshot the ids of every currently persisted/checkpointed RDD
     (the BlockManager-resident relations)."""

@@ -220,9 +220,11 @@ def test_corpus_training_set_v2_job_count_pinned(spark, sf_smoke):
     shuffle). The two lazy localCheckpoints are exactly what a
     regression would quietly drop — re-introducing the 12 measured
     curation-subtree re-executions shows up here as a job-count jump,
-    not just bench drift. Banded ±1 around the measured 30 (one AQE
+    not just bench drift. Banded ±1 around the measured 24 (one AQE
     stage-materialization job comes and goes across sessions, the
-    margin-mine precedent)."""
+    margin-mine precedent). r11: 30 -> 24 — the split and shuffle
+    stages attach inline instead of joining their 1:1 projections
+    back, and the domain counts collect runs in an AQE-off scope."""
     from s3_elasticsearch_data_pipeline_spark import registry
 
     def run():
@@ -231,7 +233,7 @@ def test_corpus_training_set_v2_job_count_pinned(spark, sf_smoke):
 
     run()  # warm: codegen + broadcast warmup jobs stay out of the pin
     got = _count_jobs(spark, "jc-corpus-v2", run)
-    assert 29 <= got <= 31, got
+    assert 23 <= got <= 25, got
 
 
 def test_maximal_spans_job_count_pinned(spark, sf_smoke):
