@@ -1104,15 +1104,27 @@ def bpe_encode(documents: DataFrame, n_merges: int = 8,
     # distinct WORD TYPE once (the fold chain is interpreted HOF — run
     # it over the vocab-sized table, not every occurrence), then join
     # occurrences back and re-assemble per-doc stats. The merge fold
-    # never touches corpus-sized data.
+    # never touches corpus-sized data. r11 (the unigram_encode
+    # findings applied to its BPE twin): toks is a LAZY checkpoint
+    # shared by the distinct branch and the join-back — one corpus
+    # tokenize pass, not two (materialized as a side effect of the
+    # word_syms checkpoint) — and the join-back broadcasts the VOCAB
+    # side cap-guarded (the planner's estimates were broadcasting the
+    # occurrence-sized toks side, which inverts at corpus scale).
+    from s3_elasticsearch_data_pipeline_spark.operators.unigram import (
+        MAX_BROADCAST_WORDS)
     toks = (_par(documents)
             .select("doc_id",
                     F.posexplode(tokens(F.col("text")))
-                    .alias("pos", "word")))
+                    .alias("pos", "word"))
+            .localCheckpoint(eager=False))
     word_syms = (toks.select("word").distinct()
                  .withColumn("__syms", encode_word(F.col("word")))
-                 .localCheckpoint(eager=True))
-    encoded = (toks.join(word_syms, "word")
+                 .localCheckpoint(eager=True))  # also materializes toks
+    n_word_types = word_syms.limit(MAX_BROADCAST_WORDS + 1).count()
+    hint = (F.broadcast if n_word_types <= MAX_BROADCAST_WORDS
+            else (lambda d: d))
+    encoded = (toks.join(hint(word_syms), "word")
                .groupBy("doc_id")
                .agg(F.count(F.lit(1)).alias("n_words"),
                     F.sum(F.length("word")).cast("int").alias("n_chars"),

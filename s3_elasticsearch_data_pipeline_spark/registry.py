@@ -6049,9 +6049,18 @@ def q_corpus_training_set(spark, sf_dir):
     curated = q_corpus_curation_pipeline(spark, sf_dir)
     train = curated.where(F.col("split") == "train")
     mixed = text.dataset_mixture(train.select("doc_id", "source"))
-    shuf = text.dataset_shuffle(mixed.select("doc_id"))
-    return (mixed.select("doc_id", "source")
-            .join(shuf, "doc_id")
+    # r11: shuffle assignment attached inline (see the v2 composer) —
+    # the dataset_shuffle self-join on doc_id and its exchange leave
+    # the plan; same rows (doc_id unique post-dedup, same shared
+    # expressions, same window rank).
+    from pyspark.sql.window import Window
+    shard_col, order_key = text.shuffle_assignment_cols()
+    w = Window.partitionBy("shard").orderBy("order_key", "doc_id")
+    return (mixed.select("doc_id", "source",
+                         shard_col.alias("shard"),
+                         order_key.alias("order_key"))
+            .withColumn("pos",
+                        (F.row_number().over(w) - F.lit(1)).cast("long"))
             .select("doc_id", "source", "shard", "pos"))
 
 

@@ -7,6 +7,12 @@ from __future__ import annotations
 import os
 
 import pytest
+
+# r11 (VERDICT item 2): the full ANN equivalence suite is minute-class
+# (~6-8 min); it runs in the round-close full suite while the fast
+# default keeps the oracle FAST_CORE + job-count pins as regression
+# guards for these paths.
+pytestmark = pytest.mark.slow
 from pyspark.sql import functions as F
 
 from s3_elasticsearch_data_pipeline_spark.operators import dedup, similarity

@@ -4,6 +4,8 @@ monotonicity, and sampling determinism."""
 
 from __future__ import annotations
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from s3_elasticsearch_data_pipeline_spark import registry
@@ -157,6 +159,7 @@ GRAPHS = st.lists(st.tuples(st.integers(0, 25), st.integers(0, 25)),
 @settings(max_examples=10, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(edges=GRAPHS)
+@pytest.mark.slow
 def test_star_cc_equals_label_propagation(spark, edges):
     """large-star/small-star must reach the same fixpoint as min-label
     propagation on arbitrary graphs (paths, cliques, forests...)."""
@@ -341,6 +344,7 @@ def test_containment_catches_embedded_eval_doc(spark):
     assert not any({r["doc_id_a"], r["doc_id_b"]} == {10, 11} for r in jac)
 
 
+@pytest.mark.slow
 def test_ngram_prefix_equivalence_fuzz(spark):
     """Seeded random corpora: the prefix-filtered candidate path must
     produce byte-identical pairs to the full inverted index at several
@@ -473,6 +477,7 @@ def _ref_maximal_spans(texts: dict, min_len: int = 10):
     return sorted(out)
 
 
+@pytest.mark.slow
 def test_maximal_spans_matches_suffix_array_reference(spark, sf_smoke):
     """r10 variable-length ExactSubstr: the distributed prefix-
     doubling implementation must EXACTLY match a brute-force Python
@@ -511,6 +516,7 @@ def test_maximal_spans_matches_suffix_array_reference(spark, sf_smoke):
     assert not any(d == 8 for d, _, _ in got)
 
 
+@pytest.mark.slow
 def test_maximal_spans_empty_and_partition_invariance(spark):
     from s3_elasticsearch_data_pipeline_spark.operators.dedup import (
         duplicate_spans_maximal)

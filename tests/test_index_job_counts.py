@@ -236,6 +236,7 @@ def test_corpus_training_set_v2_job_count_pinned(spark, sf_smoke):
     assert 23 <= got <= 25, got
 
 
+@pytest.mark.slow
 def test_maximal_spans_job_count_pinned(spark, sf_smoke):
     """r10: per-call job count for the suffix-ranking flow (K=7
     doubling rounds on the smoke corpus, each a range shuffle with a

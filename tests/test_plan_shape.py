@@ -590,7 +590,10 @@ def test_corpus_broadcasts_are_stats_driven_and_flip_at_scale(
     # allowed survivor really is an eval-gram explicit broadcast)
     names_expected = FLIP_SURVIVORS
     assert names_expected == {
-        "corpus_training_set": 4,
+        # r11: 4 -> 2 — inline shuffle assignment stopped the shuf
+        # branch from re-executing (and re-broadcasting) the curated
+        # subtree
+        "corpus_training_set": 2,
         "corpus_curation_pipeline": 2,
         "contamination_ngram_overlap": 1,
         "multimodal_curation": 0,

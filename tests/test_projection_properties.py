@@ -5,6 +5,8 @@ arbitrary messy inputs."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -90,6 +92,7 @@ def test_absent_column_materializes_default(spark):
 @given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
                           allow_nan=False, allow_infinity=False),
                 min_size=1, max_size=24))
+@pytest.mark.slow
 def test_floor_stabilization_identical_across_engines(spark, xs):
     """The repo-wide rounding discipline — floor(x·10⁶ + 0.5)/10⁶ with
     plain IEEE ops — must produce bit-identical values in Python,

@@ -158,6 +158,7 @@ def test_lsh_hot_bucket_cap_bounds_boilerplate_blowup(spark, documents):
     assert fam and fam[0].keep_doc_id == 500_000
 
 
+@pytest.mark.slow
 def test_lsh_auto_cap_is_the_default(spark, documents):
     """The production default (``max_bucket_docs="auto"`` =
     DEFAULT_MAX_BUCKET_DOCS) drops an over-cap boilerplate family
